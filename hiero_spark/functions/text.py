@@ -1,0 +1,98 @@
+"""Text analysis for training-data pipelines (SURVEY.md §2.11 N4).
+
+All hot-path logic is Catalyst expressions (split/regexp/length — JVM-side,
+codegen'd); nothing here shuffles, so every op scales linearly with
+documents and parallelizes per input split at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# A tiny per-language marker list for the n-gram/stopword language heuristic.
+# Deliberately deterministic + SQL-expressible so the oracle can mirror it.
+LANG_MARKERS = (
+    ("en", " the "),
+    ("fr", " le "),
+    ("de", " der "),
+    ("es", " el "),
+    ("zh", " de "),
+)
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (the baseline tokenizer)."""
+    return F.size(F.split(F.trim(text), r"\s+")).cast("long")
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-ish proxy: count word + digit + punctuation chunks, the regex
+    family BPE pre-tokenizers use (GPT-2-style contractions omitted)."""
+    return F.size(
+        F.regexp_extract_all(text, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0))
+    ).cast("long")
+
+
+def punct_count(text: Column) -> Column:
+    return F.length(F.regexp_replace(text, r"[^.!?,;:]", "")).cast("long")
+
+
+def quality_score(text: Column) -> Column:
+    """Deterministic quality heuristic in [0,1]: favors moderate length and
+    punctuation presence, penalizes very short docs. Pure arithmetic —
+    identical in the SQL oracle."""
+    n_tok = token_count(text)
+    n_chr = F.length(text).cast("double")
+    avg_word = n_chr / n_tok.cast("double")
+    len_term = F.least(n_tok.cast("double") / 100.0, F.lit(1.0))
+    word_term = F.when((avg_word >= 3.0) & (avg_word <= 10.0), 1.0).otherwise(0.5)
+    return len_term * 0.6 + word_term * 0.4
+
+
+def language_id(text: Column) -> Column:
+    """Marker-based language guess (first matching marker wins)."""
+    expr = F.lit("und")
+    for lang, marker in reversed(LANG_MARKERS):
+        expr = F.when(F.col("_lang_probe").contains(marker), lang).otherwise(expr)
+    # Work on a padded lowercase probe so edge tokens match.
+    return expr
+
+
+def with_language_id(df: DataFrame, text_col: str, out: str = "pred_lang") -> DataFrame:
+    probe = F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
+    df = df.withColumn("_lang_probe", probe)
+    df = df.withColumn(out, language_id(F.col("_lang_probe")))
+    return df.drop("_lang_probe")
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 content hash (exact-dup key).
+
+    Both engines implement RFC-1321 md5 → cross-engine checkable, unlike a
+    custom rolling hash."""
+    return F.md5(text)
+
+
+def simhash64(df: DataFrame, text_col: str, out: str = "simhash") -> DataFrame:
+    """64-bit SimHash over whitespace tokens via xxhash64.
+
+    Implemented with explode + groupBy(sum of per-bit votes): fully
+    distributed, no UDF. Near-dup docs differ in few bits (Hamming).
+    """
+    tokens = df.withColumn("_tok", F.explode(F.split(F.trim(F.col(text_col)), r"\s+")))
+    tokens = tokens.withColumn("_h", F.xxhash64("_tok"))
+    bit_votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"_b{b}")
+        for b in range(64)
+    ]
+    key_cols = [c for c in df.columns if c != text_col]
+    votes = tokens.groupBy(*key_cols).agg(*bit_votes)
+    sim = F.lit(0).cast("long")
+    for b in range(64):
+        sim = sim + F.when(
+            F.col(f"_b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+        ).otherwise(F.lit(0).cast("long"))
+    return votes.select(*key_cols, sim.alias(out))

@@ -1,0 +1,257 @@
+"""Sketch suite — hiero's central compute abstraction (SURVEY.md §2.4).
+
+Every hiero visualization is an `ISketch`: a commutative-monoid summary
+(`zero/create/add`) merged up a worker tree with no shuffle. Spark's
+partial+final hash aggregation implements exactly that monoid, so each
+sketch below is a plain DataFrame aggregation — Catalyst emits
+HashAggregateExec(partial) -> exchange of tiny partials -> final, which at
+100 TB is the same "shuffle only the summaries" shape hiero uses.
+
+Reference loci (class names, confidence-tagged in SURVEY.md §2.4):
+SummarySketch, BasicColStatSketch, DoubleDataRangeSketch, HistogramSketch,
+HeatMapSketch, HeatMap3DSketch, FreqKSketch/ExactFreqSketch, HLogLog,
+SampleQuantileSketch, NextKSketch, RandomSamplingSketch, FindSketch.
+
+Bucketing note: hiero computes bucket boundaries at the root from a phase-1
+range sketch, sized to screen pixels ("resolution-bounded computation").
+`bucket()` reproduces the fixed-boundary bucketing; `histogram1d` composes
+phase 1 + phase 2 when lo/hi are not given.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+# --------------------------------------------------------------------------
+# A1 / A2 / A3 — summary, column stats, range
+# --------------------------------------------------------------------------
+
+def summary(df: DataFrame) -> DataFrame:
+    """A1 SummarySketch: total row count (schema rides along in df.schema)."""
+    return df.agg(F.count(F.lit(1)).alias("row_count"))
+
+
+def basic_col_stats(df: DataFrame, col: str) -> DataFrame:
+    """A2 BasicColStatSketch: presence/missing counts + moments for one column.
+
+    All of these are single-pass mergeable aggregates (partial per partition,
+    merge at final) — the exact monoid hiero uses for moments.
+    """
+    c = F.col(col)
+    return df.agg(
+        F.count(c).alias("present_count"),
+        F.sum(F.when(c.isNull(), 1).otherwise(0)).alias("missing_count"),
+        F.min(c).alias("min_val"),
+        F.max(c).alias("max_val"),
+        F.avg(c).alias("mean_val"),
+        F.var_samp(c).alias("variance_val"),
+    )
+
+
+def data_range(df: DataFrame, col: str) -> DataFrame:
+    """A3 DoubleDataRangeSketch: min/max (phase 1 of histogram rendering)."""
+    c = F.col(col)
+    return df.agg(F.min(c).alias("min_val"), F.max(c).alias("max_val"))
+
+
+# --------------------------------------------------------------------------
+# A4–A7 — histograms / heatmaps / trellis
+# --------------------------------------------------------------------------
+
+def bucket(col: Column, lo: float, hi: float, n: int) -> Column:
+    """Fixed-boundary bucket index in [0, n-1]; top edge clamps into the last
+    bucket (hiero DoubleHistogramBuckets semantics). Pure arithmetic so the
+    identical formula runs in the DuckDB oracle.
+    """
+    idx = F.floor((col - F.lit(lo)) / F.lit(hi - lo) * F.lit(n))
+    return F.least(F.greatest(idx, F.lit(0)), F.lit(n - 1)).cast("long")
+
+
+def bucket_sql(col: str, lo: float, hi: float, n: int) -> str:
+    """The DuckDB-side twin of `bucket()` — keep in lockstep."""
+    return (
+        f"CAST(LEAST(GREATEST(FLOOR(({col} - {lo}) / {hi - lo} * {n}), 0), {n - 1}) AS BIGINT)"
+    )
+
+
+def histogram1d(
+    df: DataFrame, col: str, lo: float | None = None, hi: float | None = None, n: int = 20
+) -> DataFrame:
+    """A4 HistogramSketch (numeric): counts per fixed bucket.
+
+    When lo/hi are omitted, runs the phase-1 range sketch first (two jobs,
+    mirroring hiero's two-phase histogram, SURVEY.md §3.1). Null values are
+    excluded (hiero tracks them as a separate missing count — see
+    basic_col_stats).
+    """
+    if lo is None or hi is None:
+        row = data_range(df.filter(F.col(col).isNotNull()), col).collect()[0]
+        lo, hi = float(row["min_val"]), float(row["max_val"])
+        if lo == hi:
+            hi = lo + 1.0
+    return (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(bucket(F.col(col), lo, hi, n).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("bucket_count"))
+    )
+
+
+def histogram_categorical(df: DataFrame, col: str) -> DataFrame:
+    """A4 HistogramSketch over a category/string column: one bucket per value."""
+    return df.groupBy(F.col(col)).agg(F.count(F.lit(1)).alias("bucket_count"))
+
+
+def cdf(df: DataFrame, col: str, lo: float, hi: float, n: int = 100) -> DataFrame:
+    """A5 CDF: fine-grained histogram accumulated cumulatively.
+
+    hiero accumulates in the UI over tiny sketch output; at engine level a
+    window running-sum over n buckets is equally tiny (n rows post-agg).
+    """
+    hist = histogram1d(df, col, lo, hi, n)
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return hist.select(
+        "bucket", F.sum("bucket_count").over(w).cast("long").alias("cum_count")
+    )
+
+
+def heatmap(
+    df: DataFrame,
+    xcol: str, xlo: float, xhi: float, xn: int,
+    ycol: str, ylo: float, yhi: float, yn: int,
+) -> DataFrame:
+    """A6 HeatMapSketch: counts per (bucketX, bucketY)."""
+    return (
+        df.filter(F.col(xcol).isNotNull() & F.col(ycol).isNotNull())
+        .groupBy(
+            bucket(F.col(xcol), xlo, xhi, xn).alias("bucket_x"),
+            bucket(F.col(ycol), ylo, yhi, yn).alias("bucket_y"),
+        )
+        .agg(F.count(F.lit(1)).alias("cell_count"))
+    )
+
+
+def trellis(
+    df: DataFrame,
+    xcol: str, xlo: float, xhi: float, xn: int,
+    ycol: str, ylo: float, yhi: float, yn: int,
+    zcol: str,
+) -> DataFrame:
+    """A7 HeatMap3DSketch: an array of heatmaps grouped by a category column."""
+    return (
+        df.filter(F.col(xcol).isNotNull() & F.col(ycol).isNotNull())
+        .groupBy(
+            F.col(zcol).alias("trellis_key"),
+            bucket(F.col(xcol), xlo, xhi, xn).alias("bucket_x"),
+            bucket(F.col(ycol), ylo, yhi, yn).alias("bucket_y"),
+        )
+        .agg(F.count(F.lit(1)).alias("cell_count"))
+    )
+
+
+# --------------------------------------------------------------------------
+# A8 / A9 — heavy hitters
+# --------------------------------------------------------------------------
+
+def heavy_hitters(df: DataFrame, cols: list[str], k: int) -> DataFrame:
+    """A8+A9 collapsed: exact top-k frequent value combos.
+
+    hiero runs Misra–Gries (FreqKSketch) then an exact second pass
+    (ExactFreqSketch); Spark's partial+final count aggregation gives exact
+    counts in one pass, so MG survives only as the approx variant below.
+    Deterministic tie-break on the key columns keeps the oracle stable.
+    """
+    return (
+        df.groupBy(*cols)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), *[F.col(c).asc() for c in cols])
+        .limit(k)
+    )
+
+
+def heavy_hitters_approx(df: DataFrame, cols: list[str], support: float) -> DataFrame:
+    """A8 FreqKSketch analog: single-pass frequent items (Karp et al., the
+    same family as Misra–Gries). Approximate -> rows-only check."""
+    return df.stat.freqItems(cols, support)
+
+
+def heavy_hitter_filter(
+    df: DataFrame, cols: list[str], k: int, keep: bool = True
+) -> DataFrame:
+    """P6: keep (or exclude) rows whose key combo is in the top-k set.
+
+    Broadcast semi/anti join against the tiny top-k result — at 100 TB the
+    k-row side always broadcasts, so this is a map-side filter, no shuffle
+    of the fact table.
+    """
+    top = heavy_hitters(df, cols, k).select(*cols)
+    how = "left_semi" if keep else "left_anti"
+    return df.join(F.broadcast(top), on=cols, how=how)
+
+
+# --------------------------------------------------------------------------
+# A10 / A11 — distinct counts, quantiles
+# --------------------------------------------------------------------------
+
+def distinct_count(df: DataFrame, col: str, exact: bool = True, rsd: float = 0.05) -> DataFrame:
+    """A10 HLogLogSketch: approx (HLL++) or exact distinct count."""
+    c = F.col(col)
+    agg = F.count_distinct(c) if exact else F.approx_count_distinct(c, rsd)
+    return df.agg(agg.cast("long").alias("distinct_count"))
+
+
+def quantiles(df: DataFrame, col: str, probs: list[float], exact: bool = True) -> DataFrame:
+    """A11 SampleQuantileSketch: equi-depth quantiles.
+
+    exact=True uses the `percentile` aggregate (linear interpolation —
+    matches DuckDB quantile_cont for the oracle); exact=False uses
+    Greenwald–Khanna `percentile_approx` (rows-only check, like hiero's
+    sampled sketch).
+    """
+    fn = "percentile" if exact else "percentile_approx"
+    aggs = [
+        F.expr(f"{fn}({col}, {p})").alias(f"q{int(p * 100)}")
+        for p in probs
+    ]
+    return df.agg(*aggs)
+
+
+# --------------------------------------------------------------------------
+# A12 — correlation matrix (feeds PCA, F7)
+# --------------------------------------------------------------------------
+
+def correlation_pairs(df: DataFrame, cols: list[str]) -> DataFrame:
+    """A12 FullCorrelationSketch: pairwise Pearson correlations.
+
+    One single-pass aggregation computing all pairs at once (corr is a
+    mergeable moment sketch — identical monoid to hiero's CorrMatrix).
+    Output: one row with col_i_j columns, i<j.
+    """
+    aggs = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            aggs.append(F.corr(F.col(a), F.col(b)).alias(f"corr_{a}_{b}"))
+    return df.agg(*aggs)
+
+
+# --------------------------------------------------------------------------
+# A14 / A15 — sampling, find
+# --------------------------------------------------------------------------
+
+def random_sample(df: DataFrame, fraction: float, seed: int = 42) -> DataFrame:
+    """A14 RandomSamplingSketch: Bernoulli row sample (P8 sampling filter).
+
+    Per-partition Bernoulli draw — no shuffle, scales linearly.
+    """
+    return df.sample(fraction=fraction, seed=seed)
+
+
+def find_rows(df: DataFrame, match: Column, order, limit: int = 1) -> DataFrame:
+    """A15 FindSketch: first row(s) matching a predicate in sort order.
+
+    TakeOrderedAndProject in Spark: per-partition top-N then merge — no full
+    sort, same work profile as hiero's tree-merged find.
+    """
+    return df.filter(match).orderBy(*order.to_columns()).limit(limit)

@@ -1,0 +1,157 @@
+"""Derived-column / scalar-function demo queries (SURVEY.md §2.8 F1–F7)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hiero_spark.functions import derive as dv
+from hiero_spark.registry import query
+from hiero_spark.queries._util import money_sum, money_sum_sql, t
+
+
+@query(
+    "f1_derived_column",
+    group="F1",
+    doc="CreateColumnJSMap analog: per-row derived revenue as an expression "
+        "(scaled to exact integral units for cross-engine determinism).",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT) AS revenue_e4
+        FROM lineitem
+    """,
+)
+def f1_derived_column(spark, sf_dir):
+    df = dv.derive_expr(
+        t(spark, sf_dir, "lineitem"),
+        "revenue_e4",
+        "CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)",
+    )
+    return df.select("l_orderkey", "l_linenumber", "revenue_e4")
+
+
+@query(
+    "f2_convert_column",
+    group="F2",
+    doc="ConvertColumnMap: double→bigint and bigint→string kind conversions.",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               CAST(l_quantity AS BIGINT) AS qty_int,
+               CAST(l_orderkey AS VARCHAR) AS okey_str
+        FROM lineitem
+    """,
+)
+def f2_convert_column(spark, sf_dir):
+    df = t(spark, sf_dir, "lineitem")
+    df = dv.convert_column(df, "l_quantity", "long", "qty_int")
+    df = dv.convert_column(df, "l_orderkey", "string", "okey_str")
+    return df.select("l_orderkey", "l_linenumber", "qty_int", "okey_str")
+
+
+@query(
+    "f3_json_extract",
+    group="F3",
+    doc="JSON field extraction from the events.props Json column.",
+    oracle="""
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+        FROM events
+    """,
+)
+def f3_json_extract(spark, sf_dir):
+    return t(spark, sf_dir, "events").select(
+        "event_id", dv.json_field("props", "k").cast("long").alias("k_val")
+    )
+
+
+@query(
+    "f4_date_bucket",
+    group="F4",
+    doc="Date bucketing: orders per month with exact revenue sum.",
+    oracle=f"""
+        SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+               COUNT(*) AS order_count,
+               {money_sum_sql('o_totalprice')} AS total_price
+        FROM orders GROUP BY 1
+    """,
+)
+def f4_date_bucket(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy(
+            F.date_format(dv.date_bucket("o_orderdate", "month"), "yyyy-MM-dd").alias(
+                "month_start"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("order_count"),
+            money_sum(F.col("o_totalprice")).alias("total_price"),
+        )
+    )
+
+
+@query(
+    "f5_string_ops",
+    group="F5",
+    doc="String scalar ops: lower/upper/substring/length in a projection.",
+    oracle="""
+        SELECT p_partkey,
+               lower(p_type) AS type_lower,
+               upper(p_name) AS name_upper,
+               substr(p_name, 1, 3) AS name_prefix,
+               CAST(length(p_name) AS INTEGER) AS name_len
+        FROM part
+    """,
+)
+def f5_string_ops(spark, sf_dir):
+    return t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.lower("p_type").alias("type_lower"),
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_name", 1, 3).alias("name_prefix"),
+        F.length("p_name").alias("name_len"),
+    )
+
+
+@query(
+    "f6_log_bucket",
+    group="F6",
+    doc="Log-scale bucketing of l_extendedprice (decade buckets via "
+        "comparison thresholds — deterministic across engines, no libm).",
+    oracle="""
+        SELECT CASE WHEN l_extendedprice < 9000.0 THEN 0
+                    WHEN l_extendedprice < 90000.0 THEN 1
+                    ELSE 2 END AS log_bucket,
+               COUNT(*) AS bucket_count
+        FROM lineitem GROUP BY 1
+    """,
+)
+def f6_log_bucket(spark, sf_dir):
+    c = F.col("l_extendedprice")
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.when(c < 9000.0, 0).when(c < 90000.0, 1).otherwise(2).alias("log_bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("bucket_count"))
+    )
+
+
+@query(
+    "f7_linear_projection",
+    group="F7",
+    doc="LinearProjectionMap: project rows onto 2 fixed component vectors "
+        "(the PCA apply step; eigenvectors would come from the A12 sketch).",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               l_quantity * 0.6 + l_discount * 40.0 AS proj_0,
+               l_quantity * -0.25 + l_discount * 10.0 AS proj_1
+        FROM lineitem
+    """,
+)
+def f7_linear_projection(spark, sf_dir):
+    df = dv.linear_projection(
+        t(spark, sf_dir, "lineitem"),
+        ["l_quantity", "l_discount"],
+        [[0.6, 40.0], [-0.25, 10.0]],
+    )
+    return df.select("l_orderkey", "l_linenumber", "proj_0", "proj_1")

@@ -1,0 +1,137 @@
+"""Flagship analytical queries (SURVEY.md §7.1 step 0).
+
+TPC-H-shaped queries over the star schema — these exercise scan, filter,
+join (broadcast + shuffle), group-agg, and top-k in one plan and are the
+headline bench queries. The reference has no joins (SURVEY.md §2.3); these
+are declared engine extensions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hiero_spark.registry import query
+from hiero_spark.queries._util import day_str, money_sum, money_sum_sql, t
+
+
+@query(
+    "q1_pricing_summary",
+    group="flagship",
+    doc="TPC-H Q1: pricing summary report over lineitem (scan+filter+group agg).",
+    oracle=f"""
+        SELECT
+          l_returnflag, l_linestatus,
+          SUM(CAST(l_quantity AS BIGINT))                       AS sum_qty,
+          {money_sum_sql('l_extendedprice')}                    AS sum_base_price,
+          {money_sum_sql('l_extendedprice * (1 - l_discount)', 10000)} AS sum_disc_price,
+          {money_sum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 1000000)} AS sum_charge,
+          ROUND(AVG(l_quantity), 6)                             AS avg_qty,
+          ROUND(AVG(l_extendedprice), 4)                        AS avg_price,
+          ROUND(AVG(l_discount), 6)                             AS avg_disc,
+          COUNT(*)                                              AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    ep, disc, tax = F.col("l_extendedprice"), F.col("l_discount"), F.col("l_tax")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            money_sum(ep).alias("sum_base_price"),
+            money_sum(ep * (1 - disc), 10000).alias("sum_disc_price"),
+            money_sum(ep * (1 - disc) * (1 + tax), 1000000).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    group="flagship",
+    doc="TPC-H Q3 (adapted): top-10 unshipped orders by revenue; "
+        "broadcast dim join + shuffle join + agg + top-k.",
+    oracle=f"""
+        SELECT
+          l_orderkey,
+          {money_sum_sql('l_extendedprice * (1 - l_discount)', 10000)} AS revenue,
+          strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+          AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark, sf_dir):
+    cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp")
+    cust = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        # customer is ~1.5% of lineitem: always broadcast-able
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000).alias("revenue"))
+        .select("l_orderkey", "revenue", day_str(F.col("o_orderdate")).alias("orderdate"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q5_local_supplier_volume",
+    group="flagship",
+    doc="TPC-H Q5 (adapted): revenue by nation for one region where the "
+        "supplier and customer share a nation; 6-table join.",
+    oracle=f"""
+        SELECT
+          n_name,
+          {money_sum_sql('l_extendedprice * (1 - l_discount)', 10000)} AS revenue
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY n_name
+    """,
+)
+def q5_local_supplier_volume(spark, sf_dir):
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem")
+    supp = t(spark, sf_dir, "supplier")
+    nat = t(spark, sf_dir, "nation")
+    reg = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000).alias("revenue"))
+    )

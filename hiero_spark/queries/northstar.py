@@ -1,0 +1,297 @@
+"""North-star pipeline queries (SURVEY.md §2.11 N1–N4): dedup, similarity
+search, multimodal plumbing, text analysis over documents/embeddings."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hiero_spark.functions import dedup as dd
+from hiero_spark.functions import similarity as sim
+from hiero_spark.functions import text as tx
+from hiero_spark.registry import query
+from hiero_spark.queries._util import t
+
+
+# ---------------------------------------------------------------------------
+# N1 — deduplication
+# ---------------------------------------------------------------------------
+
+@query(
+    "n1_dedup_exact",
+    group="N1",
+    doc="Exact dedup via content fingerprint: representative id + dup count "
+        "per distinct text.",
+    oracle="""
+        SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+        FROM documents GROUP BY md5(text)
+    """,
+)
+def n1_dedup_exact(spark, sf_dir):
+    return dd.exact_dedup(t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@query(
+    "n1_shingle_count",
+    group="N1",
+    doc="Shingling stage: distinct word-3-gram count per doc (first stage of "
+        "MinHash dedup; oracle recomputes shingle sets in SQL).",
+    oracle="""
+        WITH toks AS (
+          SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+          FROM documents
+        ), grams AS (
+          SELECT doc_id,
+                 w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+          FROM toks, UNNEST(range(1, GREATEST(len(w) - 2, 1) + 1)) AS t(i)
+        )
+        SELECT doc_id AS doc, CAST(COUNT(DISTINCT shingle) AS BIGINT) AS n_shingles
+        FROM grams GROUP BY doc_id
+    """,
+)
+def n1_shingle_count(spark, sf_dir):
+    sh = dd.shingles(t(spark, sf_dir, "documents"), "text", "doc_id", k=3)
+    return sh.groupBy("doc").agg(F.count(F.lit(1)).cast("long").alias("n_shingles"))
+
+
+@query(
+    "n1_minhash_near_dups",
+    group="N1",
+    doc="MinHash+LSH near-dup pairs, Jaccard-verified (rows-only: hash "
+        "functions aren't SQL-reproducible; recall/precision asserted in "
+        "unit tests against exact Jaccard).",
+    oracle=None,
+)
+def n1_minhash_near_dups(spark, sf_dir):
+    return dd.minhash_near_dups(
+        t(spark, sf_dir, "documents"), "text", "doc_id", threshold=0.5
+    ).select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@query(
+    "n1_simhash",
+    group="N1",
+    doc="64-bit SimHash per document (rows-only; Hamming-distance behavior "
+        "asserted in unit tests).",
+    oracle=None,
+)
+def n1_simhash(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return tx.simhash64(docs, "text")
+
+
+# ---------------------------------------------------------------------------
+# N2 — similarity search
+# ---------------------------------------------------------------------------
+
+def _query_vec(spark, sf_dir):
+    row = (
+        t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .collect()[0]
+    )
+    return [float(x) for x in row["embedding"]]
+
+
+@query(
+    "n2_ann_brute_force",
+    group="N2",
+    doc="Exact cosine top-10 neighbors of vec_id 0 (brute-force baseline). "
+        "Similarity rounded to 4 decimals; DuckDB mirrors the same "
+        "float->double cast and sum order via list_cosine_similarity? No — "
+        "oracle recomputes with list comprehension arithmetic for identical "
+        "association order.",
+    oracle="""
+        WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        scored AS (
+          SELECT vec_id AS neighbor_id,
+                 list_sum(list_transform(range(1, len(embedding) + 1),
+                          i -> CAST(embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+                 AS cs
+          FROM embeddings, q
+        )
+        SELECT neighbor_id, ROUND(cs, 4) AS cos_sim
+        FROM scored ORDER BY cs DESC, neighbor_id ASC LIMIT 10
+    """,
+)
+def n2_ann_brute_force(spark, sf_dir):
+    qv = _query_vec(spark, sf_dir)
+    out = sim.brute_force_topk(t(spark, sf_dir, "embeddings"), qv, k=10)
+    return out.select("neighbor_id", F.round("cos_sim", 4).alias("cos_sim"))
+
+
+@query(
+    "n2_ann_lsh",
+    group="N2",
+    doc="ANN via random-hyperplane LSH bucket probe (rows-only; recall vs "
+        "brute force asserted in unit tests).",
+    oracle=None,
+)
+def n2_ann_lsh(spark, sf_dir):
+    qv = _query_vec(spark, sf_dir)
+    out = sim.lsh_bucketed_topk(t(spark, sf_dir, "embeddings"), qv, k=10, bits=6)
+    return out.select("neighbor_id", F.round("cos_sim", 4).alias("cos_sim"))
+
+
+@query(
+    "n2_embedding_near_dups",
+    group="N2",
+    doc="Embedding-cosine near-dup pairs via LSH self-join (rows-only; "
+        "verified against exact pairs in unit tests).",
+    oracle=None,
+)
+def n2_embedding_near_dups(spark, sf_dir):
+    return sim.embedding_near_dup_pairs(
+        t(spark, sf_dir, "embeddings"), threshold=0.9, bits=6
+    ).select("id_a", "id_b", F.round("cos_sim", 4).alias("cos_sim"))
+
+
+# ---------------------------------------------------------------------------
+# N3 — multimodal plumbing
+# ---------------------------------------------------------------------------
+
+@query(
+    "n3_multimodal_bytes",
+    group="N3",
+    doc="Binary-column plumbing: payload byte length per media row (payloads "
+        "derived from documents; decode stage stubbed, see functions/multimodal.py).",
+    oracle="""
+        SELECT doc_id AS media_id,
+               CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
+        FROM documents
+    """,
+)
+def n3_multimodal_bytes(spark, sf_dir):
+    from hiero_spark.functions.multimodal import synthetic_media
+
+    media = synthetic_media(spark, t(spark, sf_dir, "documents"))
+    return media.select(
+        "media_id", F.octet_length("payload").cast("long").alias("n_bytes")
+    )
+
+
+@query(
+    "n3_multimodal_features",
+    group="N3",
+    doc="mapInPandas feature extraction over binary payloads (stub decoder; "
+        "rows-only — the Arrow batch plumbing is the thing under test).",
+    oracle=None,
+)
+def n3_multimodal_features(spark, sf_dir):
+    from hiero_spark.functions.multimodal import extract_features, synthetic_media
+
+    media = synthetic_media(spark, t(spark, sf_dir, "documents"))
+    return extract_features(media).select("media_id", "n_bytes")
+
+
+# ---------------------------------------------------------------------------
+# N4 — text analysis
+# ---------------------------------------------------------------------------
+
+@query(
+    "n4_token_count",
+    group="N4",
+    doc="Whitespace token count per document.",
+    oracle="""
+        SELECT doc_id,
+               CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+        FROM documents
+    """,
+)
+def n4_token_count(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    return docs.select("doc_id", tx.token_count(F.col("text")).alias("n_tokens"))
+
+
+@query(
+    "n4_quality_score",
+    group="N4",
+    doc="Deterministic quality heuristic (length + word-shape terms).",
+    oracle="""
+        WITH m AS (
+          SELECT doc_id,
+                 CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tok,
+                 CAST(length(text) AS DOUBLE) AS n_chr
+          FROM documents
+        )
+        SELECT doc_id,
+               LEAST(CAST(n_tok AS DOUBLE) / 100.0, 1.0) * 0.6 +
+               (CASE WHEN n_chr / CAST(n_tok AS DOUBLE) >= 3.0
+                      AND n_chr / CAST(n_tok AS DOUBLE) <= 10.0
+                     THEN 1.0 ELSE 0.5 END) * 0.4 AS quality
+        FROM m
+    """,
+)
+def n4_quality_score(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    return docs.select("doc_id", tx.quality_score(F.col("text")).alias("quality"))
+
+
+@query(
+    "n4_lang_id",
+    group="N4",
+    doc="Marker-based language guess (deterministic CASE chain; accuracy vs "
+        "the lang label asserted in unit tests).",
+    oracle="""
+        WITH probe AS (
+          SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents
+        )
+        SELECT doc_id,
+               CASE WHEN contains(p, ' the ') THEN 'en'
+                    WHEN contains(p, ' le ') THEN 'fr'
+                    WHEN contains(p, ' der ') THEN 'de'
+                    WHEN contains(p, ' el ') THEN 'es'
+                    WHEN contains(p, ' de ') THEN 'zh'
+                    ELSE 'und' END AS pred_lang
+        FROM probe
+    """,
+)
+def n4_lang_id(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    return tx.with_language_id(docs, "text").select("doc_id", "pred_lang")
+
+
+@query(
+    "n4_lang_histogram",
+    group="N4",
+    doc="Language histogram (A4 categorical sketch on documents.lang).",
+    oracle="SELECT lang, COUNT(*) AS bucket_count FROM documents GROUP BY lang",
+)
+def n4_lang_histogram(spark, sf_dir):
+    from hiero_spark.operators.sketches import histogram_categorical
+
+    return histogram_categorical(t(spark, sf_dir, "documents"), "lang")
+
+
+@query(
+    "n4_fingerprint",
+    group="N4",
+    doc="Document fingerprint: md5 content hash (RFC 1321 — identical hex in "
+        "both engines).",
+    oracle="SELECT doc_id, md5(text) AS fp FROM documents",
+)
+def n4_fingerprint(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    return docs.select("doc_id", tx.fingerprint(F.col("text")).alias("fp"))
+
+
+@query(
+    "n4_punct_stats",
+    group="N4",
+    doc="Punctuation count + char stats per doc (quality-scoring inputs).",
+    oracle="""
+        SELECT doc_id,
+               CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS BIGINT) AS n_punct,
+               CAST(length(text) AS BIGINT) AS n_chars_actual
+        FROM documents
+    """,
+)
+def n4_punct_stats(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        tx.punct_count(F.col("text")).alias("n_punct"),
+        F.length("text").cast("long").alias("n_chars_actual"),
+    )

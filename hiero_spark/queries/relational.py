@@ -1,0 +1,335 @@
+"""Relational extensions (SURVEY.md §2.3/§2.5/§2.6/§2.7 engine decisions).
+
+The reference has no joins, windows, general group-bys, or relational set
+ops — all declared extensions here, implemented as plain DataFrame ops so
+Catalyst picks broadcast vs shuffle strategies (AQE re-plans at runtime).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hiero_spark.registry import query
+from hiero_spark.queries._util import money_sum, money_sum_sql, t
+
+
+@query(
+    "ext_join_inner",
+    group="ext-join",
+    doc="Inner join fact→dim with broadcast: order revenue by nation.",
+    oracle=f"""
+        SELECT n_name, COUNT(*) AS order_count,
+               {money_sum_sql('o_totalprice')} AS total_price
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+)
+def ext_join_inner(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    nat = t(spark, sf_dir, "nation")
+    return (
+        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("order_count"),
+            money_sum(F.col("o_totalprice")).alias("total_price"),
+        )
+    )
+
+
+@query(
+    "ext_join_left",
+    group="ext-join",
+    doc="Left outer join: customers with their order counts (0 for none).",
+    oracle="""
+        SELECT c_custkey,
+               CAST(COUNT(o_orderkey) AS BIGINT) AS order_count
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey
+    """,
+)
+def ext_join_left(spark, sf_dir):
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("order_count"))
+    )
+
+
+@query(
+    "ext_join_semi",
+    group="ext-join",
+    doc="Left-semi join (EXISTS): customers that placed at least one order.",
+    oracle="""
+        SELECT c_custkey FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def ext_join_semi(spark, sf_dir):
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    return cust.join(
+        orders, F.col("c_custkey") == F.col("o_custkey"), "left_semi"
+    ).select("c_custkey")
+
+
+@query(
+    "ext_join_anti",
+    group="ext-join",
+    doc="Left-anti join (NOT EXISTS): customers with no orders.",
+    oracle="""
+        SELECT c_custkey FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def ext_join_anti(spark, sf_dir):
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    return cust.join(
+        orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey")
+
+
+@query(
+    "ext_groupby_agg",
+    group="ext-agg",
+    doc="General GROUP BY with mixed aggregates (count/sum/min/max/avg/distinct).",
+    oracle=f"""
+        SELECT o_orderpriority,
+               COUNT(*) AS order_count,
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+               MIN(o_totalprice) AS min_price,
+               MAX(o_totalprice) AS max_price,
+               {money_sum_sql('o_totalprice')} AS sum_price,
+               ROUND(AVG(o_totalprice), 4) AS avg_price
+        FROM orders GROUP BY o_orderpriority
+    """,
+)
+def ext_groupby_agg(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("order_count"),
+            F.count_distinct(F.col("o_custkey")).cast("long").alias("n_customers"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+            money_sum(F.col("o_totalprice")).alias("sum_price"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        )
+    )
+
+
+@query(
+    "ext_groupby_rollup",
+    group="ext-agg",
+    doc="ROLLUP grouping sets over (l_returnflag, l_linestatus).",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+               COUNT(*) AS cnt
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def ext_groupby_rollup(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+@query(
+    "ext_groupby_cube",
+    group="ext-agg",
+    doc="CUBE grouping sets over (l_returnflag, l_linestatus).",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               SUM(CAST(l_quantity AS BIGINT)) AS sum_qty
+        FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def ext_groupby_cube(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"))
+    )
+
+
+@query(
+    "ext_setop_intersect",
+    group="ext-setop",
+    doc="INTERSECT (distinct): customer keys that appear in orders.",
+    oracle="""
+        SELECT c_custkey AS k FROM customer
+        INTERSECT
+        SELECT o_custkey AS k FROM orders
+    """,
+)
+def ext_setop_intersect(spark, sf_dir):
+    a = t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    b = t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    return a.intersect(b)
+
+
+@query(
+    "ext_setop_except",
+    group="ext-setop",
+    doc="EXCEPT (distinct): customer keys with no orders.",
+    oracle="""
+        SELECT c_custkey AS k FROM customer
+        EXCEPT
+        SELECT o_custkey AS k FROM orders
+    """,
+)
+def ext_setop_except(spark, sf_dir):
+    a = t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    b = t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    return a.exceptAll(b).distinct()
+
+
+@query(
+    "ext_setop_union_distinct",
+    group="ext-setop",
+    doc="UNION (distinct) of two key projections.",
+    oracle="""
+        SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+        UNION
+        SELECT o_custkey AS k FROM orders WHERE o_totalprice > 400000.0
+    """,
+)
+def ext_setop_union_distinct(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("k"))
+    b = orders.filter(F.col("o_totalprice") > 400000.0).select(F.col("o_custkey").alias("k"))
+    return a.union(b).distinct()
+
+
+@query(
+    "ext_window_rank",
+    group="ext-window",
+    doc="Ranking window: top-3 orders by price within each priority class.",
+    oracle="""
+        SELECT o_orderkey, o_orderpriority, o_totalprice, rk FROM (
+          SELECT o_orderkey, o_orderpriority, o_totalprice,
+                 CAST(RANK() OVER (PARTITION BY o_orderpriority
+                                   ORDER BY o_totalprice DESC) AS INTEGER) AS rk
+          FROM orders
+        ) WHERE rk <= 3
+    """,
+)
+def ext_window_rank(spark, sf_dir):
+    w = Window.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"))
+    return (
+        t(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            "o_totalprice",
+            F.rank().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") <= 3)
+    )
+
+
+@query(
+    "ext_window_running_sum",
+    group="ext-window",
+    doc="Running aggregate: cumulative spend per customer in order-date order "
+        "(exact integer cents — order-dependent double sums don't cross-check).",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    OVER (PARTITION BY o_custkey
+                          ORDER BY o_orderdate ASC, o_orderkey ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS running_cents
+        FROM orders
+    """,
+)
+def ext_window_running_sum(spark, sf_dir):
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.sum(cents).over(w).cast("long").alias("running_cents")
+    )
+
+
+@query(
+    "ext_window_lag",
+    group="ext-window",
+    doc="lag(): days since the customer's previous order.",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(date_diff('day',
+                    LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                           ORDER BY o_orderdate ASC, o_orderkey ASC),
+                    o_orderdate) AS BIGINT) AS days_since_prev
+        FROM orders
+    """,
+)
+def ext_window_lag(spark, sf_dir):
+    w = Window.partitionBy("o_custkey").orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+    return t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w))
+        .cast("long")
+        .alias("days_since_prev"),
+    )
+
+
+@query(
+    "ext_topk_orders",
+    group="ext-sort",
+    doc="ORDER BY ... LIMIT k (TakeOrderedAndProject — no full sort).",
+    oracle="""
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey ASC
+        LIMIT 10
+    """,
+)
+def ext_topk_orders(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "ext_pivot",
+    group="ext-agg",
+    doc="Pivot l_linestatus into columns of quantity sums per returnflag.",
+    oracle="""
+        SELECT l_returnflag,
+               SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS BIGINT) END) AS qty_O,
+               SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS BIGINT) END) AS qty_F
+        FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def ext_pivot(spark, sf_dir):
+    pv = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(F.col("l_quantity").cast("long")))
+    )
+    return pv.select(
+        "l_returnflag", F.col("O").alias("qty_O"), F.col("F").alias("qty_F")
+    )

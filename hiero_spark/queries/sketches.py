@@ -1,0 +1,330 @@
+"""Sketch-suite demo queries (SURVEY.md §2.4 A1–A15) with DuckDB oracles.
+
+Bucket constants come from the known data ranges at the tested scale
+factors (l_quantity ∈ [1,50], l_extendedprice ∈ [900, 105000],
+l_discount ∈ [0, 0.1]); the two-phase (range-sketch first) variant is
+exercised in unit tests where the extra job is fine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hiero_spark.operators import sketches as sk
+from hiero_spark.registry import query
+from hiero_spark.queries._util import t
+from hiero_spark.views import RecordOrder
+
+
+@query(
+    "a1_summary_count",
+    group="A1",
+    doc="SummarySketch: total row count.",
+    oracle="SELECT COUNT(*) AS row_count FROM lineitem",
+)
+def a1_summary_count(spark, sf_dir):
+    return sk.summary(t(spark, sf_dir, "lineitem"))
+
+
+@query(
+    "a2_basic_col_stats",
+    group="A2",
+    doc="BasicColStatSketch: count/missing/min/max/mean/variance of l_quantity.",
+    oracle="""
+        SELECT
+          COUNT(l_quantity) AS present_count,
+          SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS missing_count,
+          MIN(l_quantity) AS min_val,
+          MAX(l_quantity) AS max_val,
+          ROUND(AVG(l_quantity), 6) AS mean_val,
+          ROUND(VAR_SAMP(l_quantity), 6) AS variance_val
+        FROM lineitem
+    """,
+)
+def a2_basic_col_stats(spark, sf_dir):
+    c = F.col("l_quantity")
+    return t(spark, sf_dir, "lineitem").agg(
+        F.count(c).alias("present_count"),
+        F.sum(F.when(c.isNull(), 1).otherwise(0)).alias("missing_count"),
+        F.min(c).alias("min_val"),
+        F.max(c).alias("max_val"),
+        F.round(F.avg(c), 6).alias("mean_val"),
+        F.round(F.var_samp(c), 6).alias("variance_val"),
+    )
+
+
+@query(
+    "a3_data_range",
+    group="A3",
+    doc="DoubleDataRangeSketch: min/max of l_extendedprice (histogram phase 1).",
+    oracle="SELECT MIN(l_extendedprice) AS min_val, MAX(l_extendedprice) AS max_val FROM lineitem",
+)
+def a3_data_range(spark, sf_dir):
+    return sk.data_range(t(spark, sf_dir, "lineitem"), "l_extendedprice")
+
+
+@query(
+    "a4_histogram_numeric",
+    group="A4",
+    doc="HistogramSketch: 10 fixed buckets over l_quantity ∈ [1, 50].",
+    oracle=f"""
+        SELECT {sk.bucket_sql('l_quantity', 1.0, 50.0, 10)} AS bucket,
+               COUNT(*) AS bucket_count
+        FROM lineitem WHERE l_quantity IS NOT NULL
+        GROUP BY 1
+    """,
+)
+def a4_histogram_numeric(spark, sf_dir):
+    return sk.histogram1d(t(spark, sf_dir, "lineitem"), "l_quantity", 1.0, 50.0, 10)
+
+
+@query(
+    "a4_histogram_categorical",
+    group="A4",
+    doc="HistogramSketch over a category column: one bucket per l_returnflag.",
+    oracle="SELECT l_returnflag, COUNT(*) AS bucket_count FROM lineitem GROUP BY 1",
+)
+def a4_histogram_categorical(spark, sf_dir):
+    return sk.histogram_categorical(t(spark, sf_dir, "lineitem"), "l_returnflag")
+
+
+@query(
+    "a5_cdf",
+    group="A5",
+    doc="CDF: 50-bucket histogram of l_extendedprice accumulated cumulatively.",
+    oracle=f"""
+        WITH h AS (
+          SELECT {sk.bucket_sql('l_extendedprice', 900.0, 105000.0, 50)} AS bucket,
+                 COUNT(*) AS bucket_count
+          FROM lineitem WHERE l_extendedprice IS NOT NULL
+          GROUP BY 1
+        )
+        SELECT bucket,
+               CAST(SUM(bucket_count) OVER (ORDER BY bucket) AS BIGINT) AS cum_count
+        FROM h
+    """,
+)
+def a5_cdf(spark, sf_dir):
+    return sk.cdf(t(spark, sf_dir, "lineitem"), "l_extendedprice", 900.0, 105000.0, 50)
+
+
+@query(
+    "a6_heatmap",
+    group="A6",
+    doc="HeatMapSketch: 2D counts over (l_quantity, l_discount) buckets.",
+    oracle=f"""
+        SELECT {sk.bucket_sql('l_quantity', 1.0, 50.0, 10)} AS bucket_x,
+               {sk.bucket_sql('l_discount', 0.0, 0.1, 5)} AS bucket_y,
+               COUNT(*) AS cell_count
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+        GROUP BY 1, 2
+    """,
+)
+def a6_heatmap(spark, sf_dir):
+    return sk.heatmap(
+        t(spark, sf_dir, "lineitem"),
+        "l_quantity", 1.0, 50.0, 10,
+        "l_discount", 0.0, 0.1, 5,
+    )
+
+
+@query(
+    "a7_trellis",
+    group="A7",
+    doc="HeatMap3DSketch: heatmap array grouped by l_returnflag.",
+    oracle=f"""
+        SELECT l_returnflag AS trellis_key,
+               {sk.bucket_sql('l_quantity', 1.0, 50.0, 10)} AS bucket_x,
+               {sk.bucket_sql('l_discount', 0.0, 0.1, 5)} AS bucket_y,
+               COUNT(*) AS cell_count
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+        GROUP BY 1, 2, 3
+    """,
+)
+def a7_trellis(spark, sf_dir):
+    return sk.trellis(
+        t(spark, sf_dir, "lineitem"),
+        "l_quantity", 1.0, 50.0, 10,
+        "l_discount", 0.0, 0.1, 5,
+        "l_returnflag",
+    )
+
+
+@query(
+    "a8_heavy_hitters",
+    group="A8",
+    doc="FreqKSketch+ExactFreqSketch collapsed: exact top-5 p_brand values.",
+    oracle="""
+        SELECT p_brand, COUNT(*) AS cnt
+        FROM part GROUP BY p_brand
+        ORDER BY cnt DESC, p_brand ASC
+        LIMIT 5
+    """,
+)
+def a8_heavy_hitters(spark, sf_dir):
+    return sk.heavy_hitters(t(spark, sf_dir, "part"), ["p_brand"], 5)
+
+
+@query(
+    "a9_exact_freq_pairs",
+    group="A9",
+    doc="ExactFreqSketch: exact frequencies of all (l_returnflag, l_linestatus) combos.",
+    oracle="""
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
+        FROM lineitem GROUP BY 1, 2
+    """,
+)
+def a9_exact_freq_pairs(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@query(
+    "a10_distinct_exact",
+    group="A10",
+    doc="Exact distinct count of l_partkey (HLogLogSketch's exact twin).",
+    oracle="SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS distinct_count FROM lineitem",
+)
+def a10_distinct_exact(spark, sf_dir):
+    return sk.distinct_count(t(spark, sf_dir, "lineitem"), "l_partkey", exact=True)
+
+
+@query(
+    "a10_distinct_approx",
+    group="A10",
+    doc="HLogLogSketch: HLL++ approximate distinct count (rows-only check; "
+        "accuracy bound asserted in unit tests).",
+    oracle=None,
+)
+def a10_distinct_approx(spark, sf_dir):
+    return sk.distinct_count(t(spark, sf_dir, "lineitem"), "l_partkey", exact=False)
+
+
+@query(
+    "a11_quantiles_exact",
+    group="A11",
+    doc="SampleQuantileSketch's exact twin: interpolated quantiles of l_extendedprice.",
+    oracle="""
+        SELECT
+          ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS q25,
+          ROUND(quantile_cont(l_extendedprice, 0.50), 4) AS q50,
+          ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS q75,
+          ROUND(quantile_cont(l_extendedprice, 0.90), 4) AS q90
+        FROM lineitem
+    """,
+)
+def a11_quantiles_exact(spark, sf_dir):
+    df = t(spark, sf_dir, "lineitem")
+    aggs = [
+        F.round(F.expr(f"percentile(l_extendedprice, {p})"), 4).alias(f"q{int(p * 100)}")
+        for p in (0.25, 0.50, 0.75, 0.90)
+    ]
+    return df.agg(*aggs)
+
+
+@query(
+    "a11_quantiles_approx",
+    group="A11",
+    doc="SampleQuantileSketch: Greenwald–Khanna approximate quantiles "
+        "(rows-only; error bound asserted in unit tests).",
+    oracle=None,
+)
+def a11_quantiles_approx(spark, sf_dir):
+    return sk.quantiles(
+        t(spark, sf_dir, "lineitem"), "l_extendedprice", [0.25, 0.5, 0.75, 0.9], exact=False
+    )
+
+
+@query(
+    "a12_correlation",
+    group="A12",
+    doc="FullCorrelationSketch: pairwise Pearson correlations (single pass).",
+    oracle="""
+        SELECT
+          ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_l_quantity_l_extendedprice,
+          ROUND(CORR(l_quantity, l_discount), 6) AS corr_l_quantity_l_discount,
+          ROUND(CORR(l_extendedprice, l_discount), 6) AS corr_l_extendedprice_l_discount
+        FROM lineitem
+    """,
+)
+def a12_correlation(spark, sf_dir):
+    df = t(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    aggs = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            aggs.append(F.round(F.corr(F.col(a), F.col(b)), 6).alias(f"corr_{a}_{b}"))
+    return df.agg(*aggs)
+
+
+@query(
+    "a13_next_k",
+    group="A13/O1",
+    doc="NextKSketch: 20 distinct (l_shipdate, l_orderkey) positions at/after a "
+        "start snapshot, with row multiplicity — hiero's table-view pagination.",
+    oracle="""
+        WITH g AS (
+          SELECT l_shipdate, l_orderkey, COUNT(*) AS row_multiplicity
+          FROM lineitem
+          WHERE (l_shipdate > TIMESTAMP '1997-01-01 00:00:00')
+             OR (l_shipdate = TIMESTAMP '1997-01-01 00:00:00' AND l_orderkey >= 0)
+          GROUP BY 1, 2
+          ORDER BY l_shipdate ASC NULLS FIRST, l_orderkey ASC NULLS FIRST
+          LIMIT 20
+        )
+        SELECT strftime(l_shipdate, '%Y-%m-%d') AS ship_day, l_orderkey, row_multiplicity
+        FROM g
+    """,
+)
+def a13_next_k(spark, sf_dir):
+    from hiero_spark.operators.pagination import next_k
+
+    order = RecordOrder((("l_shipdate", True), ("l_orderkey", True)))
+    import datetime
+
+    start = {
+        "l_shipdate": datetime.datetime(1997, 1, 1),
+        "l_orderkey": 0,
+    }
+    page = next_k(t(spark, sf_dir, "lineitem"), order, 20, start)
+    return page.select(
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_day"),
+        "l_orderkey",
+        "row_multiplicity",
+    )
+
+
+@query(
+    "a14_random_sample",
+    group="A14/P8",
+    doc="RandomSamplingSketch / sampling filter: Bernoulli sample (rows-only; "
+        "statistical properties asserted in unit tests).",
+    oracle=None,
+)
+def a14_random_sample(spark, sf_dir):
+    return sk.random_sample(t(spark, sf_dir, "lineitem"), 0.01).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+@query(
+    "a15_find",
+    group="A15",
+    doc="FindSketch: first 5 parts whose name contains 'green', in key order.",
+    oracle="""
+        SELECT p_partkey, p_name FROM part
+        WHERE contains(p_name, 'green')
+        ORDER BY p_partkey ASC NULLS FIRST
+        LIMIT 5
+    """,
+)
+def a15_find(spark, sf_dir):
+    order = RecordOrder((("p_partkey", True),))
+    return sk.find_rows(
+        t(spark, sf_dir, "part"), F.col("p_name").contains("green"), order, limit=5
+    ).select("p_partkey", "p_name")

@@ -1,0 +1,136 @@
+"""Source/sink round-trip queries (SURVEY.md §2.1).
+
+Each query exports a table to /tmp in the target format at query time,
+reads it back through the engine's reader, and returns the rows; the
+oracle reads the pristine parquet view — so the round-trip must be
+lossless for the check to pass.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from hiero_spark.registry import query
+from hiero_spark.queries._util import t
+from hiero_spark.sources import readers as rd
+
+_TMP = os.path.join(tempfile.gettempdir(), "hiero_spark_sources")
+
+
+def _export_dir(name: str) -> str:
+    os.makedirs(_TMP, exist_ok=True)
+    return os.path.join(_TMP, name)
+
+
+@query(
+    "s1_csv_roundtrip",
+    group="S1/S2",
+    doc="CSV writer -> schema file -> CSV reader with explicit schema "
+        "(CsvFileReader + Schema.java analog).",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def s1_csv_roundtrip(spark, sf_dir):
+    nation = t(spark, sf_dir, "nation")
+    path = _export_dir("nation_csv")
+    nation.write.mode("overwrite").option("header", "true").csv(path)
+    schema_path = os.path.join(_TMP, "nation_schema.json")
+    rd.save_schema(nation.schema, schema_path)
+    back = rd.read_csv(spark, path, schema=rd.load_schema(schema_path))
+    return back.select("n_nationkey", "n_name", "n_regionkey")
+
+
+@query(
+    "s1_csv_infer",
+    group="S1",
+    doc="CSV with schema guessing (CsvFileReader lazy guessing analog).",
+    oracle="SELECT CAST(r_regionkey AS INTEGER) AS r_regionkey, r_name FROM region",
+)
+def s1_csv_infer(spark, sf_dir):
+    region = t(spark, sf_dir, "region")
+    path = _export_dir("region_csv")
+    region.write.mode("overwrite").option("header", "true").csv(path)
+    back = rd.read_csv(spark, path, infer=True)
+    return back.select(F.col("r_regionkey").cast("int").alias("r_regionkey"), "r_name")
+
+
+@query(
+    "s3_json_roundtrip",
+    group="S3",
+    doc="Newline-delimited JSON round-trip with explicit schema.",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def s3_json_roundtrip(spark, sf_dir):
+    nation = t(spark, sf_dir, "nation")
+    path = _export_dir("nation_json")
+    nation.write.mode("overwrite").json(path)
+    back = rd.read_json(spark, path, schema=nation.schema)
+    return back.select("n_nationkey", "n_name", "n_regionkey")
+
+
+@query(
+    "s4_orc_roundtrip",
+    group="S4",
+    doc="ORC write + read (OrcFileLoader/Writer analog).",
+    oracle="SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+)
+def s4_orc_roundtrip(spark, sf_dir):
+    supplier = t(spark, sf_dir, "supplier")
+    path = _export_dir("supplier_orc")
+    supplier.write.mode("overwrite").orc(path)
+    return rd.read_orc(spark, path).select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+
+
+@query(
+    "s7_log_reader",
+    group="S7",
+    doc="Grok-style log parsing: text lines -> regexp-extracted columns.",
+    oracle="""
+        SELECT CAST(n_nationkey AS VARCHAR) AS ts,
+               'INFO' AS level,
+               n_name AS source,
+               'loaded nation ' || n_name AS message
+        FROM nation
+    """,
+)
+def s7_log_reader(spark, sf_dir):
+    nation = t(spark, sf_dir, "nation")
+    path = _export_dir("nation_log")
+    lines = nation.select(
+        F.concat_ws(
+            " ",
+            F.col("n_nationkey").cast("string"),
+            F.lit("INFO"),
+            F.concat(F.lit("["), F.col("n_name"), F.lit("]")),
+            F.concat(F.lit("loaded nation "), F.col("n_name")),
+        ).alias("value")
+    )
+    lines.write.mode("overwrite").text(path)
+    return rd.read_logs(spark, path, fields=("ts", "level", "source", "message"))
+
+
+@query(
+    "s10_sink_roundtrip",
+    group="S10",
+    doc="Sink: persist a filtered view partitioned by a column, read back "
+        "(partition pruning on the saved view).",
+    oracle="""
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        WHERE o_orderstatus = 'F'
+    """,
+)
+def s10_sink_roundtrip(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders")
+    path = _export_dir("orders_sink")
+    view = orders.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    rd.save_view(view, path, partition_by=("o_orderstatus",))
+    back = rd.read_parquet(spark, path).filter(F.col("o_orderstatus") == "F")
+    return back.select(
+        "o_orderkey",
+        F.col("o_orderstatus").cast("string").alias("o_orderstatus"),
+        "o_totalprice",
+    )

@@ -1,0 +1,134 @@
+"""Streaming-extension queries in batch mode (SURVEY.md §2.9 X1–X5).
+
+The same window expressions run unchanged under Structured Streaming
+(readStream + watermark); hiero_spark/streaming/pipelines.py wires the
+streaming variants, smoke-tested in tests/test_streaming.py. Batch mode
+here makes them DuckDB-oracle-checkable.
+
+Window starts are output as epoch seconds (bigint) — raw timestamps don't
+hash consistently across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hiero_spark.registry import query
+from hiero_spark.queries._util import t
+
+
+@query(
+    "x1_tumbling_window",
+    group="X1",
+    doc="Tumbling 1-hour windows over events: count + exact value sum.",
+    oracle="""
+        SELECT CAST(epoch(time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT) AS window_start,
+               event_type,
+               COUNT(*) AS event_count,
+               (SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0) AS value_sum
+        FROM events GROUP BY 1, 2
+    """,
+)
+def x1_tumbling_window(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias("value_sum"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "event_count",
+            "value_sum",
+        )
+    )
+
+
+@query(
+    "x2_sliding_window",
+    group="X2",
+    doc="Sliding windows (1 hour every 15 min): each event lands in 4 windows.",
+    oracle="""
+        WITH e AS (
+          SELECT event_type,
+                 CAST(FLOOR(epoch(ts) / 900) AS BIGINT) * 900 AS w0
+          FROM events
+        )
+        SELECT w0 - k.k * 900 AS window_start,
+               event_type,
+               COUNT(*) AS event_count
+        FROM e, (SELECT UNNEST([0, 1, 2, 3]) AS k) k
+        GROUP BY 1, 2
+    """,
+)
+def x2_sliding_window(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("event_count"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "event_count",
+        )
+    )
+
+
+@query(
+    "x3_session_window",
+    group="X3",
+    doc="Session windows (30-min gap) per user. Oracle reproduces session "
+        "assignment with a lag + running-flag-sum window (identical semantics: "
+        "a gap >= 30min starts a new session).",
+    oracle="""
+        WITH flagged AS (
+          SELECT user_id, ts,
+                 CASE WHEN LAG(ts) OVER w IS NULL
+                        OR epoch(ts) - epoch(LAG(ts) OVER w) >= 1800
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)
+        ),
+        sessions AS (
+          SELECT user_id, ts,
+                 SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC
+                                        ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM flagged
+        )
+        SELECT user_id,
+               CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS session_start,
+               COUNT(*) AS event_count
+        FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def x3_session_window(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("event_count"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).alias("session_start"),
+            "event_count",
+        )
+    )
+
+
+@query(
+    "x5_dedup_keys",
+    group="X5",
+    doc="Exact key dedup (batch twin of dropDuplicatesWithinWatermark): "
+        "one row per event_id, keeping the earliest timestamp.",
+    oracle="""
+        SELECT event_id, CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS first_seen
+        FROM events GROUP BY event_id
+    """,
+)
+def x5_dedup_keys(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("event_id")
+        .agg(F.unix_timestamp(F.min("ts")).alias("first_seen"))
+    )

@@ -1,0 +1,91 @@
+"""Structured Streaming pipelines (SURVEY.md §2.9 X1–X5).
+
+The reference is batch-interactive only; streaming is an engine extension.
+The same window expressions used by the batch queries in
+hiero_spark/queries/streaming.py run here unchanged under readStream —
+that equivalence (batch oracle ⇔ streaming pipeline) is the test strategy:
+batch mode is DuckDB-checkable, streaming mode is smoke-checked with
+availableNow + memory sink.
+
+Watermarks bound state: at 100 TB/day of events the windowed aggregation
+state is (windows × event_types), and late rows older than the watermark
+are dropped instead of growing state forever.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hiero_spark.catalog import _ensure_session_confs, table_path
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (each file = one micro-batch
+    unit; in production this would be Kafka/files landing continuously)."""
+    _ensure_session_confs(spark)
+    static = spark.read.parquet(table_path(sf_dir, "events"))
+    # FileStreamSource needs a directory/glob, and the testdata table is a
+    # single file — glob within the sf dir so basePath resolves to the dir.
+    stream = (
+        spark.readStream.schema(static.schema)
+        .parquet(f"{sf_dir}/events*.parquet")
+    )
+    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def tumbling_counts(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """X1+X4: tumbling 1h windows with watermark-bounded state."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("event_count"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "event_count")
+    )
+
+
+def sliding_counts(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """X2: sliding 1h/15min windows."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("event_count"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "event_count")
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "30 minutes",
+                   watermark: str = "10 minutes") -> DataFrame:
+    """X3: session windows per user."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("event_count"))
+        .select(F.col("w.start").alias("session_start"), "user_id", "event_count")
+    )
+
+
+def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """X5: stateful exact dedup on event_id within the watermark horizon."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete",
+                  timeout_s: int = 120):
+    """Drain a streaming query into an in-memory table (availableNow: process
+    everything currently available, then stop).
+
+    output_mode: "complete" for aggregations, "append" for row streams
+    (dedup) where the watermark finalizes output.
+    """
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return q

@@ -1,0 +1,113 @@
+"""Per-sketch unit tests (the reference's JUnit-per-sketch style,
+SURVEY.md §5.1): property checks on small fixtures + accuracy bounds for
+the approximate variants."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hiero_spark.catalog import load_table
+from hiero_spark.operators import sketches as sk
+
+
+@pytest.fixture(scope="module")
+def li(spark, sf_dir):
+    return load_table(spark, sf_dir, "lineitem").cache()
+
+
+def test_histogram_bucket_sum_equals_rowcount(li):
+    hist = sk.histogram1d(li, "l_quantity", 1.0, 50.0, 10)
+    total = hist.agg(F.sum("bucket_count")).collect()[0][0]
+    assert total == li.filter(F.col("l_quantity").isNotNull()).count()
+
+
+def test_histogram_two_phase_matches_explicit(li):
+    # two-phase (range sketch first) must agree with explicit bounds
+    auto = sk.histogram1d(li, "l_quantity", n=10)
+    lo, hi = 1.0, 50.0
+    explicit = sk.histogram1d(li, "l_quantity", lo, hi, 10)
+    assert sorted(map(tuple, auto.collect())) == sorted(map(tuple, explicit.collect()))
+
+
+def test_histogram_clamps_edges(spark):
+    df = spark.range(0, 100).select((F.col("id") * 1.0).alias("x"))
+    hist = sk.histogram1d(df, "x", 0.0, 99.0, 10)
+    buckets = {r["bucket"] for r in hist.collect()}
+    assert buckets == set(range(10))  # max value lands in last bucket, not n
+
+
+def test_cdf_monotone_and_total(li):
+    rows = sk.cdf(li, "l_extendedprice", 900.0, 105000.0, 20).orderBy("bucket").collect()
+    counts = [r["cum_count"] for r in rows]
+    assert counts == sorted(counts)
+    assert counts[-1] == li.count()
+
+
+def test_heatmap_marginal_matches_1d(li):
+    hm = sk.heatmap(li, "l_quantity", 1.0, 50.0, 10, "l_discount", 0.0, 0.1, 5)
+    marginal = hm.groupBy("bucket_x").agg(F.sum("cell_count").alias("c"))
+    h1 = sk.histogram1d(li, "l_quantity", 1.0, 50.0, 10)
+    m = {r["bucket_x"]: r["c"] for r in marginal.collect()}
+    h = {r["bucket"]: r["bucket_count"] for r in h1.collect()}
+    assert m == h
+
+
+def test_heavy_hitters_match_exact_counts(li):
+    top = sk.heavy_hitters(li, ["l_returnflag"], 2).collect()
+    exact = dict(
+        li.groupBy("l_returnflag").count().collect()
+    )
+    # every returned row's count equals the exact count
+    for r in top:
+        assert r["cnt"] == exact[r["l_returnflag"]]
+    # and they're the top-2 by count
+    expected = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:2]
+    assert [(r["l_returnflag"], r["cnt"]) for r in top] == expected
+
+
+def test_freq_items_superset_of_exact_heavy_hitters(li):
+    """Misra–Gries-family guarantee: items above the support threshold must
+    appear in the approx result."""
+    n = li.count()
+    support = 0.2
+    approx = sk.heavy_hitters_approx(li, ["l_returnflag"], support).collect()[0][0]
+    exact = li.groupBy("l_returnflag").count().collect()
+    for row in exact:
+        if row["count"] > n * support:
+            assert row["l_returnflag"] in approx
+
+
+def test_hll_accuracy_bound(li):
+    exact = li.agg(F.count_distinct("l_partkey")).collect()[0][0]
+    approx = sk.distinct_count(li, "l_partkey", exact=False, rsd=0.05).collect()[0][0]
+    assert abs(approx - exact) / exact < 0.15  # 3x the configured rsd
+
+
+def test_approx_quantiles_within_rank_error(li):
+    probs = [0.25, 0.5, 0.75]
+    approx = li.approxQuantile("l_extendedprice", probs, 0.01)
+    vals = sorted(r[0] for r in li.select("l_extendedprice").collect())
+    n = len(vals)
+    for p, a in zip(probs, approx):
+        # value at rank within ±2% of target rank must bracket the estimate
+        lo = vals[max(0, int((p - 0.02) * n))]
+        hi = vals[min(n - 1, int((p + 0.02) * n))]
+        assert lo <= a <= hi
+
+
+def test_sample_fraction(li):
+    n = li.count()
+    s = sk.random_sample(li, 0.1, seed=1).count()
+    assert 0.05 * n < s < 0.15 * n
+
+
+def test_correlation_bounds_and_known_sign(li):
+    row = sk.correlation_pairs(li, ["l_quantity", "l_extendedprice"]).collect()[0]
+    c = row["corr_l_quantity_l_extendedprice"]
+    assert -1.0 <= c <= 1.0
+
+
+def test_summary_and_stats_consistency(li):
+    n = sk.summary(li).collect()[0]["row_count"]
+    st = sk.basic_col_stats(li, "l_quantity").collect()[0]
+    assert st["present_count"] + st["missing_count"] == n
+    assert st["min_val"] <= st["mean_val"] <= st["max_val"]

@@ -1,0 +1,80 @@
+"""Membership-set algebra on Views (hiero Combine semantics) + memoization."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hiero_spark.catalog import load_table
+from hiero_spark.views import RecordOrder, View, ViewRegistry
+
+
+@pytest.fixture(scope="module")
+def base(spark, sf_dir):
+    return load_table(spark, sf_dir, "lineitem").cache()
+
+
+def test_filter_stack_collapses(base):
+    v = View(base).filter(F.col("l_quantity") > 10).filter(F.col("l_discount") < 0.05)
+    n = v.df().count()
+    expected = base.filter((F.col("l_quantity") > 10) & (F.col("l_discount") < 0.05)).count()
+    assert n == expected
+
+
+def test_union_intersect_exclude_consistency(base):
+    v1 = View(base).filter(F.col("l_quantity") < 10)
+    v2 = View(base).filter(F.col("l_discount") > 0.05)
+    u = v1.union(v2).df().count()
+    i = v1.intersect(v2).df().count()
+    a, b = v1.df().count(), v2.df().count()
+    assert u == a + b - i  # inclusion-exclusion
+    e = v1.exclude(v2).df().count()
+    assert e == a - i
+    assert v1.set_to(v2).df().count() == b
+
+
+def test_exclude_full_view_is_empty(base):
+    v1 = View(base).filter(F.col("l_quantity") < 10)
+    full = View(base)
+    assert v1.exclude(full).df().count() == 0
+
+
+def test_union_with_full_view_is_full(base):
+    v1 = View(base).filter(F.col("l_quantity") < 10)
+    full = View(base)
+    assert v1.union(full).df().count() == base.count()
+
+
+def test_combine_requires_same_base(base, spark, sf_dir):
+    other = load_table(spark, sf_dir, "orders")
+    with pytest.raises(ValueError):
+        View(base).union(View(other))
+
+
+def test_derived_column_then_filter(base):
+    v = (
+        View(base)
+        .with_column("rev", F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .filter(F.col("rev") > 50000.0)
+    )
+    assert v.df().count() == base.filter(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) > 50000.0
+    ).count()
+
+
+def test_view_is_immutable(base):
+    v1 = View(base)
+    v2 = v1.filter(F.col("l_quantity") > 10)
+    assert v1.predicates == () and len(v2.predicates) == 1
+
+
+def test_registry_memoization(base):
+    reg = ViewRegistry()
+    vid = reg.add(View(base).filter(F.col("l_quantity") > 10))
+    calls = []
+
+    def compute():
+        calls.append(1)
+        return reg.get(vid).df().count()
+
+    r1 = reg.memoized(vid, "count", compute)
+    r2 = reg.memoized(vid, "count", compute)
+    assert r1 == r2 and len(calls) == 1  # second call served from cache

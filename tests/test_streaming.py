@@ -59,53 +59,54 @@ def test_stream_dedup_no_duplicates(spark, sf_dir, events_stream):
 
 
 def test_watermark_drops_late_rows(spark, tmp_path):
-    """Two micro-batches: the second delivers an event older than the
-    watermark horizon behind the max seen ts -> it must NOT open a new
-    window (state already finalized)."""
+    """A restart delivers an event older than the watermark horizon behind
+    the max seen ts -> it must NOT reopen a finalized window.
+
+    Deterministic by construction: two availableNow runs share a checkpoint.
+    Run 1 sees only batch 1 and persists watermark=14:00; run 2 then sees
+    the late file with that watermark already restored. (A single-run
+    variant with maxFilesPerTrigger=1 depends on FileStreamSource's
+    file-mtime ordering and is flaky.)
+    """
     import datetime as dt
 
     d = tmp_path / "late_events"
     d.mkdir()
+    ckpt = str(tmp_path / "ckpt")
     base = dt.datetime(2024, 1, 1, 12, 0, 0)
-    batch1 = [(1, base.replace(hour=12)), (2, base.replace(hour=15))]
-    batch2 = [(3, base.replace(hour=12, minute=30))]  # 2.5h late vs max(15:00)
-    spark.createDataFrame(batch1, "id long, ts timestamp").write.parquet(
-        str(d / "b1.parquet")
-    )
-    spark.createDataFrame(batch2, "id long, ts timestamp").write.parquet(
-        str(d / "b2.parquet")
-    )
-    # FileStreamSource orders micro-batches by file mtime; force b1 first so
-    # the watermark has advanced before the late file arrives.
-    import os, time
-
-    now = time.time()
-    for root, _, files in os.walk(d / "b1.parquet"):
-        for f in files:
-            os.utime(os.path.join(root, f), (now - 120, now - 120))
-    os.utime(d / "b1.parquet", (now - 120, now - 120))
     schema = "id long, ts timestamp"
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(str(d) + "/*")
-    )
-    agg = (
-        stream.withWatermark("ts", "1 hour")
-        .groupBy(F.window("ts", "1 hour").alias("w"))
-        .agg(F.count(F.lit(1)).alias("c"))
-        .select(F.col("w.start").alias("ws"), "c")
-    )
-    q = (
-        agg.writeStream.format("memory")
-        .queryName("t_late")
-        .outputMode("append")  # append emits only watermark-finalized windows
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
-    rows = {r["ws"]: r["c"] for r in spark.table("t_late").collect()}
+
+    out_dir = str(tmp_path / "out")
+
+    def run():
+        # memory sink can't recover from a checkpoint; the file sink can
+        stream = spark.readStream.schema(schema).parquet(str(d) + "/*")
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .select(F.col("w.start").alias("ws"), "c")
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .outputMode("append")  # append emits only finalized windows
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    batch1 = [(1, base.replace(hour=12)), (2, base.replace(hour=15))]
+    spark.createDataFrame(batch1, schema).write.parquet(str(d / "b1.parquet"))
+    run()  # watermark ends at 15:00 - 1h = 14:00
+
+    batch2 = [(3, base.replace(hour=12, minute=30))]  # 2.5h behind watermark
+    spark.createDataFrame(batch2, schema).write.parquet(str(d / "b2.parquet"))
+    run()
+
+    rows = [(r["ws"], r["c"]) for r in spark.read.parquet(out_dir).collect()]
     # the 12:00 window was finalized with exactly 1 event; the late event
     # (12:30, arriving after watermark passed 14:00) must not reopen it
-    twelve = [c for ws, c in rows.items() if ws.hour == 12]
-    assert twelve == [1] or twelve == []  # never 2
+    twelve = [c for ws, c in rows if ws.hour == 12]
+    assert twelve in ([1], [])  # never 2, never emitted twice

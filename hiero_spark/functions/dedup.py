@@ -153,6 +153,45 @@ def jaccard_verify(
     return out.filter(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard")
 
 
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs (no LSH approximation).
+
+    Shape: explode shingles → self-join on shingle (only pairs sharing at
+    least one gram exist, which is every pair with jaccard > 0) → count
+    intersections → join per-doc set sizes. This is the oracle-able exact
+    form; it shuffles the (doc, shingle) relation twice and its join fan-out
+    is quadratic in a gram's document frequency, so at corpus scale it is
+    the *verify* stage behind `minhash_near_dups`' LSH candidate filter,
+    not a standalone pass.
+    """
+    sh = shingles(df, text_col, id_col, k)
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    out = (
+        inter.join(sizes.select(F.col("doc").alias("doc_a"), F.col("n").alias("n_a")), "doc_a")
+        .join(sizes.select(F.col("doc").alias("doc_b"), F.col("n").alias("n_b")), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+    )
+    return out.filter(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard")
+
+
 def minhash_near_dups(
     df: DataFrame,
     text_col: str,

@@ -68,6 +68,39 @@ def n1_minhash_near_dups(spark, sf_dir):
 
 
 @query(
+    "n1_ngram_jaccard",
+    group="N1",
+    doc="Exact n-gram Jaccard near-dup pairs (the oracle-able exact form; at "
+        "corpus scale this runs only behind the LSH candidate filter).",
+    oracle=r"""
+        WITH toks AS (
+          SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+          FROM documents
+        ), sh AS (
+          SELECT DISTINCT doc_id AS doc, array_to_string(w[i:i+2], ' ') AS shingle
+          FROM toks, UNNEST(range(1, GREATEST(len(w) - 2, 1) + 1)) AS u(i)
+        ), sizes AS (
+          SELECT doc, COUNT(*) AS n FROM sh GROUP BY doc
+        ), inter AS (
+          SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_inter
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+          GROUP BY 1, 2
+        )
+        SELECT i.doc_a, i.doc_b,
+               CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON sa.doc = i.doc_a
+        JOIN sizes sb ON sb.doc = i.doc_b
+        WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.4
+    """,
+)
+def n1_ngram_jaccard(spark, sf_dir):
+    return dd.ngram_jaccard_pairs(
+        t(spark, sf_dir, "documents"), "text", "doc_id", k=3, threshold=0.4
+    )
+
+
+@query(
     "n1_simhash",
     group="N1",
     doc="64-bit SimHash per document (rows-only; Hamming-distance behavior "

@@ -300,6 +300,36 @@ def a13_next_k(spark, sf_dir):
 
 
 @query(
+    "o2_quantile_scroll",
+    group="O2",
+    doc="Quantile-based scroll (A11 + O1 composed): map scrollbar position "
+        "0.9 to a start key via exact percentile, then serve that page — 20 "
+        "distinct values with multiplicities. The 1-row percentile result is "
+        "broadcast, so the page scan stays a single pass.",
+    oracle="""
+        WITH q AS (SELECT quantile_cont(l_extendedprice, 0.9) AS q0 FROM lineitem)
+        SELECT l_extendedprice, COUNT(*) AS row_multiplicity
+        FROM lineitem, q
+        WHERE l_extendedprice >= q0
+        GROUP BY 1
+        ORDER BY l_extendedprice ASC NULLS FIRST
+        LIMIT 20
+    """,
+)
+def o2_quantile_scroll(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    q0 = li.agg(F.percentile("l_extendedprice", 0.9).alias("q0"))
+    return (
+        li.join(F.broadcast(q0))
+        .filter(F.col("l_extendedprice") >= F.col("q0"))
+        .groupBy("l_extendedprice")
+        .agg(F.count(F.lit(1)).alias("row_multiplicity"))
+        .orderBy(F.asc_nulls_first("l_extendedprice"))
+        .limit(20)
+    )
+
+
+@query(
     "a14_random_sample",
     group="A14/P8",
     doc="RandomSamplingSketch / sampling filter: Bernoulli sample (rows-only; "

@@ -134,3 +134,38 @@ def s10_sink_roundtrip(spark, sf_dir):
         F.col("o_orderstatus").cast("string").alias("o_orderstatus"),
         "o_totalprice",
     )
+
+
+@query(
+    "s8_file_enumeration",
+    group="S8",
+    doc="File-set enumeration: a list of file names becomes one DataFrame "
+        "with per-file provenance (Spark's DataSource does listing + split "
+        "assignment; basename survives as source_file).",
+    oracle="""
+        SELECT 'region.parquet' AS source_file, COUNT(*) AS n,
+               CAST(SUM(r_regionkey) AS BIGINT) AS key_sum
+        FROM region
+    """,
+)
+def s8_file_enumeration(spark, sf_dir):
+    df = rd.read_file_set(spark, [f"{sf_dir}/region.parquet"])
+    return df.groupBy("source_file").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("r_regionkey").cast("long").alias("key_sum"),
+    )
+
+
+@query(
+    "s9_synthetic",
+    group="S9",
+    doc="Synthetic test table: every column a pure function of spark.range's "
+        "id, reproducible at any parallelism.",
+    oracle="""
+        SELECT id, id % 7 AS g, CAST((id * 37) % 101 AS DOUBLE) AS x,
+               'row-' || id AS label
+        FROM range(1000) t(id)
+    """,
+)
+def s9_synthetic(spark, sf_dir):
+    return rd.synthetic_table(spark, 1000)

@@ -107,6 +107,43 @@ def read_logs(spark: SparkSession, path: str, pattern: str = LOG_PATTERN,
     return lines.select(*cols)
 
 
+# -- S8: file-set enumeration ---------------------------------------------------
+
+def read_file_set(
+    spark: SparkSession, paths: list[str] | str, fmt: str = "parquet",
+    schema: T.StructType | None = None,
+) -> DataFrame:
+    """hiero maps a dataset of file names to a dataset of tables (S8,
+    FileSetDescription/LoadFilesMap). Spark's DataSource does the listing,
+    split planning, and per-executor assignment natively; per-file
+    provenance survives as a `source_file` column (basename of
+    input_file_name), so downstream ops can group/filter by origin file.
+    """
+    reader = spark.read.format(fmt)
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.load(paths)
+    return df.withColumn(
+        "source_file", F.regexp_extract(F.input_file_name(), r"([^/]+)$", 1)
+    )
+
+
+# -- S9: synthetic / test tables -------------------------------------------------
+
+def synthetic_table(spark: SparkSession, n: int = 1000, partitions: int | None = None) -> DataFrame:
+    """Deterministic generated table (S9, TestTables.java): spark.range is a
+    parallel, splittable source (no driver-side row materialization), and
+    every derived column is a pure function of `id`, so the table is
+    reproducible at any parallelism."""
+    rng = spark.range(0, n, 1, partitions) if partitions else spark.range(n)
+    return rng.select(
+        F.col("id"),
+        (F.col("id") % 7).alias("g"),
+        ((F.col("id") * 37) % 101).cast("double").alias("x"),
+        F.concat(F.lit("row-"), F.col("id")).alias("label"),
+    )
+
+
 # -- S10: sinks -----------------------------------------------------------------
 
 def save_view(df: DataFrame, path: str, fmt: str = "parquet",

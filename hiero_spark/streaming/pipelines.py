@@ -72,6 +72,52 @@ def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     )
 
 
+def user_running_stats(events: DataFrame) -> DataFrame:
+    """Custom stateful operator (SURVEY.md §2.10: the ISketch zero/add/merge
+    surface, user-definable): per-user running (count, first_ms, last_ms),
+    maintained with applyInPandasWithState and emitted as an update stream.
+
+    Scale shape: state is one tiny fixed-width tuple per user key,
+    partitioned by user_id (the groupBy key), so state size is O(users) and
+    each micro-batch touches only the keys present in that batch. Arrow
+    moves rows to Python in batches — this is the sanctioned slow path for
+    semantics Spark's built-in stateful ops can't express.
+
+    Epoch millis (longs) rather than timestamps cross the Arrow/state
+    boundary: GroupState round-trips primitives losslessly.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = "user_id long, event_count long, first_ms long, last_ms long"
+    state_schema = "event_count long, first_ms long, last_ms long"
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        count, first_ms, last_ms = state.get if state.exists else (0, None, None)
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            ms = pdf["ts"].astype("int64") // 1_000_000
+            count += len(pdf)
+            lo, hi = int(ms.min()), int(ms.max())
+            first_ms = lo if first_ms is None else min(first_ms, lo)
+            last_ms = hi if last_ms is None else max(last_ms, hi)
+        state.update((count, first_ms, last_ms))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "event_count": [count],
+                "first_ms": [first_ms],
+                "last_ms": [last_ms],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete",
                   timeout_s: int = 120):
     """Drain a streaming query into an in-memory table (availableNow: process

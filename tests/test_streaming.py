@@ -110,3 +110,42 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     # (12:30, arriving after watermark passed 14:00) must not reopen it
     twelve = [c for ws, c in rows if ws.hour == 12]
     assert twelve in ([1], [])  # never 2, never emitted twice
+
+
+def test_stateful_user_stats_matches_batch(spark, sf_dir, events_stream):
+    """Custom applyInPandasWithState operator: final per-user state must equal
+    the batch groupBy twin (update mode -> keep the last row per user)."""
+    pl.run_to_memory(
+        pl.user_running_stats(events_stream), "t_user_state", output_mode="update"
+    )
+    from pyspark.sql.window import Window
+
+    out = spark.table("t_user_state")
+    # update mode emits one row per user per micro-batch; the last one wins
+    latest = (
+        out.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(F.desc("event_count"))
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    got = {
+        r["user_id"]: (r["event_count"], r["first_ms"], r["last_ms"])
+        for r in latest.collect()
+    }
+    batch = (
+        _batch_events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            (F.unix_millis(F.min("ts"))).alias("first_ms"),
+            (F.unix_millis(F.max("ts"))).alias("last_ms"),
+        )
+    )
+    expected = {
+        r["user_id"]: (r["c"], r["first_ms"], r["last_ms"]) for r in batch.collect()
+    }
+    assert got == expected

@@ -18,6 +18,8 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
     "a4_histogram_numeric",
     "a6_heatmap",
     "a8_heavy_hitters",

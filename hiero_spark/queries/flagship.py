@@ -135,3 +135,107 @@ def q5_local_supplier_volume(spark, sf_dir):
         .groupBy("n_name")
         .agg(money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000).alias("revenue"))
     )
+
+
+@query(
+    "q4_order_priority",
+    group="flagship",
+    doc="TPC-H Q4 (adapted to the slim schema): order counts per priority for "
+        "orders with at least one lineitem shipped >60 days after the order "
+        "date — a non-equi left-semi join (EXISTS).",
+    oracle="""
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+          AND EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey
+              AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+          )
+        GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+@query(
+    "q6_forecast_revenue",
+    group="flagship",
+    doc="TPC-H Q6: forecast revenue change — pure scan+pushed-filter+agg, the "
+        "canonical predicate-pushdown probe.",
+    oracle=f"""
+        SELECT {money_sum_sql('l_extendedprice * l_discount', 10000)} AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(money_sum(F.col("l_extendedprice") * F.col("l_discount"), 10000).alias("revenue"))
+    )
+
+
+@query(
+    "q10_returned_items",
+    group="flagship",
+    doc="TPC-H Q10 (adapted): top-20 customers by revenue lost to returns in "
+        "a quarter — fact-fact shuffle join + broadcast dims + agg + top-k.",
+    oracle=f"""
+        SELECT c_custkey, c_name,
+               {money_sum_sql('l_extendedprice * (1 - l_discount)', 10000)} AS revenue,
+               n_name
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+          AND l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """,
+)
+def q10_returned_items(spark, sf_dir):
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = t(spark, sf_dir, "nation")
+    joined = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        joined.groupBy("c_custkey", "c_name", "n_name")
+        .agg(money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )

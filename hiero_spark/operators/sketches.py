@@ -202,6 +202,24 @@ def distinct_count(df: DataFrame, col: str, exact: bool = True, rsd: float = 0.0
     return df.agg(agg.cast("long").alias("distinct_count"))
 
 
+def distinct_sketch(df: DataFrame, group_cols: list[str], col: str) -> DataFrame:
+    """A10 as a *materialized mergeable sketch* — hiero's ISketch model made
+    literal: a binary Apache DataSketches HLL column per group that can be
+    persisted and later re-merged/re-sliced WITHOUT rescanning the data.
+    At 100 TB this is the difference between a per-partition cache of a few
+    KB per group and a full second scan for every distinct-count slice."""
+    return df.groupBy(*group_cols).agg(F.hll_sketch_agg(F.col(col)).alias("hll"))
+
+
+def merge_distinct_sketches(sketches: DataFrame, hll_col: str = "hll") -> DataFrame:
+    """Merge persisted HLL sketches into one estimate (the tree-merge step)."""
+    return sketches.agg(
+        F.hll_sketch_estimate(F.hll_union_agg(F.col(hll_col)))
+        .cast("long")
+        .alias("distinct_est")
+    )
+
+
 def quantiles(df: DataFrame, col: str, probs: list[float], exact: bool = True) -> DataFrame:
     """A11 SampleQuantileSketch: equi-depth quantiles.
 

@@ -155,3 +155,27 @@ def f7_linear_projection(spark, sf_dir):
         [[0.6, 40.0], [-0.25, 10.0]],
     )
     return df.select("l_orderkey", "l_linenumber", "proj_0", "proj_1")
+
+
+@query(
+    "f7_pca_projection",
+    group="F7",
+    doc="Full F7 pipeline: covariance via one distributed aggregation pass "
+        "(the A12 sketch), eigendecomposition at the driver (d x d, tiny), "
+        "projection as pure column expressions. Rows-only: eigensolves "
+        "aren't SQL-reproducible; variance/orthogonality invariants are "
+        "asserted in unit tests.",
+    oracle=None,
+)
+def f7_pca_projection(spark, sf_dir):
+    from hiero_spark.functions import pca
+
+    df = pca.pca_project(
+        t(spark, sf_dir, "lineitem"),
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        k=2,
+    )
+    return df.select(
+        "l_orderkey", "l_linenumber", F.round("pc1", 6).alias("pc1"),
+        F.round("pc2", 6).alias("pc2"),
+    )

@@ -358,3 +358,20 @@ def a15_find(spark, sf_dir):
     return sk.find_rows(
         t(spark, sf_dir, "part"), F.col("p_name").contains("green"), order, limit=5
     ).select("p_partkey", "p_name")
+
+
+@query(
+    "a10_distinct_sketch_merge",
+    group="A10",
+    doc="Mergeable HLL sketch columns (DataSketches): per-group sketches "
+        "merged to a global estimate without rescanning — the ISketch "
+        "persist-and-remerge model. Rows-only: sketch estimates aren't "
+        "SQL-reproducible; merge==whole-scan equality asserted in unit "
+        "tests.",
+    oracle=None,
+)
+def a10_distinct_sketch_merge(spark, sf_dir):
+    per_group = sk.distinct_sketch(
+        t(spark, sf_dir, "orders"), ["o_orderstatus"], "o_custkey"
+    )
+    return sk.merge_distinct_sketches(per_group)

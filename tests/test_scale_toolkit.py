@@ -1,0 +1,82 @@
+"""Unit tests for the scale toolkit: PCA (sketch-fed), salted joins,
+mergeable HLL sketches."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hiero_spark.catalog import load_table
+from hiero_spark.functions import pca
+from hiero_spark.operators import skew, sketches as sk
+
+
+def test_pca_projects_orthogonal_max_variance(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    out = pca.pca_project(li, cols, k=2)
+    stats = out.agg(
+        F.var_pop("pc1").alias("v1"),
+        F.var_pop("pc2").alias("v2"),
+        F.corr("pc1", "pc2").alias("c"),
+    ).collect()[0]
+    # pc1 carries the most variance; components are uncorrelated
+    assert stats["v1"] >= stats["v2"] > 0
+    assert abs(stats["c"]) < 1e-6
+    # projected variances equal the eigenvalues reported by the fit
+    _, _, eigvals = pca.pca_fit(li, cols, k=2)
+    assert stats["v1"] == pytest.approx(eigvals[0], rel=1e-6)
+    assert stats["v2"] == pytest.approx(eigvals[1], rel=1e-6)
+
+
+def test_pca_variance_is_preserved_at_full_rank(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    out = pca.pca_project(li, cols, k=3)
+    got = out.agg(
+        sum(F.var_pop(f"pc{i}") for i in (1, 2, 3)).alias("pc_var"),
+        sum(F.var_pop(c) for c in cols).alias("raw_var"),
+    ).collect()[0]
+    assert got["pc_var"] == pytest.approx(got["raw_var"], rel=1e-9)
+
+
+def _skewed_pair(spark):
+    # 90% of big rows share key 0 — the hot-key regime
+    big = spark.range(10_000).select(
+        F.when(F.col("id") % 10 < 9, 0).otherwise(F.col("id") % 100).alias("k"),
+        F.col("id").alias("v"),
+    )
+    small = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+    )
+    return big, small
+
+
+@pytest.mark.parametrize("how", ["inner", "left"])
+def test_salted_join_matches_plain_join(spark, how):
+    big, small = _skewed_pair(spark)
+    plain = big.join(small, ["k"], how).groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"), F.sum("w").alias("sw")
+    )
+    salted = skew.salted_join(big, small, ["k"], how).groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"), F.sum("w").alias("sw")
+    )
+    assert sorted(plain.collect()) == sorted(salted.collect())
+
+
+def test_top_keys_finds_hot_key(spark):
+    big, _ = _skewed_pair(spark)
+    top = skew.top_keys(big, ["k"], k=1).collect()[0]
+    assert top["k"] == 0 and top["n"] == 9_000
+
+
+def test_hll_sketches_merge_to_global_estimate(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    per_group = sk.distinct_sketch(orders, ["o_orderstatus"], "o_custkey")
+    merged = sk.merge_distinct_sketches(per_group).collect()[0]["distinct_est"]
+    # merging per-group sketches must equal sketching the whole column...
+    whole = orders.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey")).cast("long").alias("e")
+    ).collect()[0]["e"]
+    assert merged == whole
+    # ...and land within HLL error of the exact count
+    exact = orders.select("o_custkey").distinct().count()
+    assert abs(merged - exact) / exact < 0.05

@@ -175,3 +175,33 @@ def embedding_near_dup_pairs(
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
+
+
+def batch_topk(
+    emb: DataFrame, queries: DataFrame, k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    qid_col: str = "query_id", qvec_col: str = "query_vec",
+) -> DataFrame:
+    """Batch ANN: top-k neighbors for EVERY query vector in one pass.
+
+    The query set is broadcast against the corpus (no shuffle to score:
+    each corpus partition scores all queries locally); the only shuffle is
+    the per-query top-k window over (qid, neighbor_id, score) tuples —
+    never vectors. This is the scoring shape for corpus curation at scale:
+    Q queries x N corpus in one scan. For huge Q, chunk the query set and
+    union the per-chunk results.
+    """
+    from pyspark.sql.window import Window
+
+    scored = emb.crossJoin(F.broadcast(queries)).select(
+        F.col(qid_col),
+        F.col(id_col).alias("neighbor_id"),
+        cosine(
+            F.col(vec_col).cast("array<double>"), F.col(qvec_col).cast("array<double>")
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

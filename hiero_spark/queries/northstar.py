@@ -328,3 +328,40 @@ def n4_punct_stats(spark, sf_dir):
         tx.punct_count(F.col("text")).alias("n_punct"),
         F.length("text").cast("long").alias("n_chars_actual"),
     )
+
+
+@query(
+    "n2_ann_batch",
+    group="N2",
+    doc="Batch ANN: exact cosine top-3 for each of 5 query vectors in one "
+        "pass (broadcast query set, per-query window top-k).",
+    oracle="""
+        WITH q AS (
+          SELECT vec_id AS query_id, embedding AS qv
+          FROM embeddings WHERE vec_id < 5
+        ), scored AS (
+          SELECT query_id, e.vec_id AS neighbor_id,
+                 list_sum(list_transform(range(1, len(e.embedding) + 1),
+                          i -> CAST(e.embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+                 AS cs
+          FROM embeddings e, q
+        ), ranked AS (
+          SELECT query_id, neighbor_id, cs,
+                 CAST(row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id ASC) AS INT) AS rank
+          FROM scored
+        )
+        SELECT query_id, neighbor_id, ROUND(cs, 4) AS cos_sim, rank
+        FROM ranked WHERE rank <= 3
+    """,
+)
+def n2_ann_batch(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = sim.batch_topk(emb, queries, k=3)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cos_sim", 4).alias("cos_sim"), "rank"
+    )

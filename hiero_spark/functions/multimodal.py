@@ -94,6 +94,38 @@ def frame_sample_stub(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
+RESIZED_SCHEMA = (
+    "media_id long, payload binary, width int, height int, resized boolean"
+)
+
+
+def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Image resize as mapInPandas over binary batches.
+
+    The pixel transform is STUBBED (no image libs in this container): a real
+    implementation decodes, resizes, re-encodes inside the same batch loop.
+    The Spark-side contract is the real part — binary in/binary out keeps
+    payloads off the driver, metadata (width/height) updated in the same
+    pass, Arrow batch shape identical to production.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if (pdf["payload"].map(lambda p: p is None)).any():
+                raise NotImplementedError("real codecs unavailable; payload must be non-null")
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": pdf["payload"],  # stub: bytes pass through
+                    "width": width,
+                    "height": height,
+                    "resized": True,
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(run, RESIZED_SCHEMA)
+
+
 def synthetic_media(spark, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Build a media table from documents (payload = utf8 bytes) so the
     binary plumbing is testable with the data available in this container."""

@@ -135,3 +135,18 @@ def test_language_id_accuracy(spark, sf_dir):
     agreement = pred.filter(F.col("pred_lang") == F.col("lang")).count() / docs.count()
     # marker heuristic over synthetic word-soup text: weak bar, just "does something"
     assert agreement > 0.2
+
+
+def test_multimodal_resize_plumbing(spark, sf_dir):
+    from hiero_spark.catalog import load_table
+    from hiero_spark.functions import multimodal as mm
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    media = mm.synthetic_media(spark, docs)
+    out = mm.resize_stub(media, 32, 32)
+    rows = out.collect()
+    assert len(rows) == 50
+    assert all(r["width"] == 32 and r["height"] == 32 and r["resized"] for r in rows)
+    # stub passes payload bytes through unchanged
+    orig = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    assert all(bytes(r["payload"]) == orig[r["media_id"]] for r in rows)

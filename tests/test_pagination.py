@@ -108,3 +108,50 @@ def test_next_k_pagination_chain(df):
             break
     all_keys = {(r["k"], r["s"]) for r in df.collect()}
     assert set(seen) == all_keys
+
+
+# ---- property-based fuzz: next_k vs a Python total-order brute force ----
+
+from collections import Counter
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+_vals = st.one_of(st.none(), st.integers(min_value=-3, max_value=3))
+_rows = st.lists(st.tuples(_vals, _vals), min_size=1, max_size=25)
+_dirs = st.tuples(st.booleans(), st.booleans())
+
+
+def _key_fn(dirs):
+    def key(t):
+        ks = []
+        for v, asc in zip(t, dirs):
+            if asc:
+                ks.append((0, 0) if v is None else (1, v))   # nulls first
+            else:
+                ks.append((1, 0) if v is None else (0, -v))  # nulls last
+        return tuple(ks)
+
+    return key
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=_rows, dirs=_dirs, data=st.data())
+def test_next_k_fuzz_matches_total_order(spark, rows, dirs, data):
+    df = spark.createDataFrame(rows, "a int, b int")
+    order = RecordOrder((("a", dirs[0]), ("b", dirs[1])))
+    key = _key_fn(dirs)
+    cnt = Counter(rows)
+    ordered = sorted(cnt, key=key)
+    start_t = data.draw(st.one_of(st.none(), st.sampled_from(ordered)))
+    start = None if start_t is None else {"a": start_t[0], "b": start_t[1]}
+    k = data.draw(st.integers(min_value=1, max_value=5))
+    expected = [
+        (t[0], t[1], cnt[t])
+        for t in ordered
+        if start_t is None or key(t) >= key(start_t)
+    ][:k]
+    got = [
+        (r["a"], r["b"], r["row_multiplicity"])
+        for r in next_k(df, order, k, start).collect()
+    ]
+    assert got == expected

@@ -55,15 +55,19 @@ def minhash_signatures(
 ) -> DataFrame:
     """Append an `mh` array of num_hashes minhashes to (doc, sh[array]) rows.
 
-    h_i(s) = xxhash64(shingle, i); signature_i = min over the array. One
-    nested expression (not num_hashes separate columns): a projection with
-    no shuffle that stays small enough for whole-stage codegen — 64
-    independent column trees blow past the generated-code limit and fall
-    back to interpreted evaluation (~50x slower, measured).
+    Each shingle string is hashed ONCE (xxhash64 -> long); the num_hashes
+    family is derived by re-hashing that 8-byte long with seed i (Broder's
+    one-base-hash construction). Hash work per shingle drops from
+    num_hashes string walks to one string walk + num_hashes fixed-width
+    mixes. Everything lives in ONE nested expression tree: the base-hash
+    subexpression appears once so it evaluates once per row (separate
+    column trees would be re-inlined per reference by CollapseProject —
+    see lsh_candidate_pairs).
     """
+    base = F.transform(F.col("sh"), lambda g: F.xxhash64(g))
     mh = F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(F.transform(F.col("sh"), lambda g: F.xxhash64(g, i))),
+        lambda i: F.array_min(F.transform(base, lambda h: F.xxhash64(h, i))),
     )
     return docs.select("doc", "sh", mh.alias("mh"))
 

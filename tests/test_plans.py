@@ -1,0 +1,65 @@
+"""Plan-shape regression tests: the scale contract as assertions.
+
+Each test pins a physical-plan property that the 100 TB design depends on.
+If a refactor silently turns a broadcast join into a shuffle join, drops a
+pushed filter, or introduces a global sort into a top-k, these fail."""
+
+import pytest
+
+from hiero_spark import plans as P
+from hiero_spark.registry import all_queries
+
+
+@pytest.fixture(scope="module")
+def qs(spark, sf_dir):
+    specs = all_queries()
+    return {name: spec.fn(spark, sf_dir) for name, spec in specs.items()}
+
+
+def test_filter_queries_push_to_scan(qs):
+    # Every filtered scan query must reach the parquet reader as PushedFilters
+    for name in ("q1_pricing_summary", "q6_forecast_revenue", "p2_range_filter",
+                 "q3_shipping_priority", "a15_find"):
+        assert P.pushed_filters(qs[name]), f"{name}: no filters pushed to scan"
+
+
+def test_q6_prunes_columns(qs):
+    # Q6 touches 4 lineitem columns; the scan must not read the whole row
+    schemas = P.scan_read_schemas(qs["q6_forecast_revenue"])
+    assert schemas and all(s.count(",") <= 3 for s in schemas), schemas
+
+
+def test_star_joins_broadcast_dims(qs):
+    for name in ("q3_shipping_priority", "q5_local_supplier_volume",
+                 "q10_returned_items"):
+        assert P.broadcast_join_count(qs[name]) >= 1, f"{name}: no broadcast join"
+    # q5 joins nation AND region as broadcasts
+    assert P.broadcast_join_count(qs["q5_local_supplier_volume"]) >= 2
+
+
+def test_topk_uses_take_ordered_not_global_sort(qs):
+    # top-k queries must use TakeOrderedAndProject (per-partition top-k +
+    # merge of K-row partials), never a full Sort of the data
+    for name in ("a13_next_k", "q3_shipping_priority", "n2_ann_brute_force",
+                 "a8_heavy_hitters"):
+        assert P.has_node(qs[name], "TakeOrderedAndProject"), f"{name}"
+
+
+def test_aggregations_are_partial_then_final(qs):
+    # group aggs must show two HashAggregate phases (map-side combine)
+    for name in ("q1_pricing_summary", "a4_histogram_numeric", "a6_heatmap"):
+        names = P.node_names(qs[name])
+        assert sum("HashAggregate" in n for n in names) >= 2, f"{name}: {names}"
+
+
+def test_queries_run_in_codegen(qs):
+    # flagship plans must contain whole-stage-codegen spans
+    for name in ("q1_pricing_summary", "q3_shipping_priority"):
+        assert P.whole_stage_codegen_ids(qs[name]), f"{name}: no codegen span"
+
+
+def test_semi_join_stays_semi(qs):
+    # Q4's EXISTS must compile to a semi join (no row duplication + no
+    # post-join dedup)
+    plan = P.plan_str(qs["q4_order_priority"])
+    assert "LeftSemi" in plan

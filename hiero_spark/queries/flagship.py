@@ -239,3 +239,164 @@ def q10_returned_items(spark, sf_dir):
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
+
+
+@query(
+    "q7_nation_volume",
+    group="flagship",
+    doc="TPC-H Q7 (adapted): shipping volume between customer-nation and "
+        "supplier-nation pairs — two fact joins, two broadcast dim joins, "
+        "grouped agg over the pair.",
+    oracle=f"""
+        SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+               {money_sum_sql('l_extendedprice * (1 - l_discount)', 10000)} AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        WHERE cn.n_name <> sn.n_name
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY 1, 2
+    """,
+)
+def q7_nation_volume(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    cust = t(spark, sf_dir, "customer")
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    joined = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .filter(F.col("cust_nation") != F.col("supp_nation"))
+    )
+    return joined.groupBy("cust_nation", "supp_nation").agg(
+        money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000).alias("revenue")
+    )
+
+
+@query(
+    "q14_promo_revenue",
+    group="flagship",
+    doc="TPC-H Q14: promo revenue share — conditional aggregation over a "
+        "fact-dim join (part is broadcast).",
+    oracle=f"""
+        SELECT
+          ROUND(100.0 * {money_sum_sql("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END", 10000)}
+                      / {money_sum_sql('l_extendedprice * (1 - l_discount)', 10000)}, 6) AS promo_share
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'
+    """,
+)
+def q14_promo_revenue(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    part = t(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return joined.agg(
+        F.round(100.0 * money_sum(promo, 10000) / money_sum(rev, 10000), 6).alias(
+            "promo_share"
+        )
+    )
+
+
+@query(
+    "q18_large_orders",
+    group="flagship",
+    doc="TPC-H Q18: customers with orders above a quantity threshold — "
+        "HAVING-style agg used as a semi-join filter on the fact table.",
+    oracle="""
+        WITH big AS (
+          SELECT l_orderkey FROM lineitem
+          GROUP BY l_orderkey HAVING SUM(l_quantity) > 150
+        )
+        SELECT c_name, c_custkey, o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+               o_totalprice,
+               CAST(SUM(l_quantity) AS BIGINT) AS total_qty
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+        GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 20
+    """,
+)
+def q18_large_orders(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_q"))
+        .filter(F.col("_q") > 150)
+        .select("l_orderkey")
+    )
+    orders = t(spark, sf_dir, "orders").join(
+        big.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey", "left_semi"
+    )
+    cust = t(spark, sf_dir, "customer")
+    joined = cust.join(orders, F.col("c_custkey") == F.col("o_custkey")).join(
+        li, F.col("o_orderkey") == F.col("l_orderkey")
+    )
+    return (
+        joined.groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").cast("long").alias("total_qty"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_totalprice", "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "q19_disjunctive_join",
+    group="flagship",
+    doc="TPC-H Q19 (adapted): revenue under a disjunction of brand/size/"
+        "quantity predicate bundles — the disjunctive join-filter shape.",
+    oracle=f"""
+        SELECT {money_sum_sql('l_extendedprice * (1 - l_discount)', 10000)} AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+               AND l_quantity >= 1 AND l_quantity <= 20)
+           OR (p_brand = 'Brand#7' AND p_size BETWEEN 10 AND 30
+               AND l_quantity >= 10 AND l_quantity <= 30)
+           OR (p_brand = 'Brand#13' AND p_size BETWEEN 20 AND 50
+               AND l_quantity >= 20 AND l_quantity <= 40)
+    """,
+)
+def q19_disjunctive_join(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    pred = (
+        ((b == "Brand#1") & s.between(1, 15) & q.between(1, 20))
+        | ((b == "Brand#7") & s.between(10, 30) & q.between(10, 30))
+        | ((b == "Brand#13") & s.between(20, 50) & q.between(20, 40))
+    )
+    return j.filter(pred).agg(
+        money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000).alias("revenue")
+    )

@@ -132,3 +132,53 @@ def x5_dedup_keys(spark, sf_dir):
         .groupBy("event_id")
         .agg(F.unix_timestamp(F.min("ts")).alias("first_seen"))
     )
+
+
+@query(
+    "x6_sessionization_batch",
+    group="X6",
+    doc="Batch sessionization: per-user sessions split at >30-minute gaps "
+        "(lag + running-sum windows). One shuffle on user_id; the session "
+        "assignment never leaves the user's partition — the batch twin of "
+        "the session_window streaming pipeline.",
+    oracle="""
+        WITH marked AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+          SELECT user_id, ts,
+                 SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM marked
+        )
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               COUNT(*) AS n_events,
+               CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS session_start,
+               CAST(FLOOR(epoch(MAX(ts))) AS BIGINT) AS session_end
+        FROM sess GROUP BY user_id, session_id
+    """,
+)
+def x6_sessionization_batch(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lag_ts = F.lag("ts").over(w)
+    new_session = F.when(
+        lag_ts.isNull()
+        | ((F.unix_timestamp("ts") - F.unix_timestamp(lag_ts)) > 1800),
+        1,
+    ).otherwise(0)
+    sess = ev.withColumn(
+        "session_id",
+        F.sum(new_session).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.unix_timestamp(F.min("ts")).alias("session_start"),
+        F.unix_timestamp(F.max("ts")).alias("session_end"),
+    )

@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""End-to-end spreadsheet session — the reference's interaction loop
+(load → filter → sketch → render → page) expressed on this engine.
+
+Run: python examples/demo.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(sf_dir: str = "/root/testdata/sf0.001", out=print) -> None:
+    from pyspark.sql import functions as F
+
+    from hiero_spark import progressive as pg
+    from hiero_spark import viz
+    from hiero_spark.catalog import load_table
+    from hiero_spark.operators import filters as fl
+    from hiero_spark.operators import sketches as sk
+    from hiero_spark.operators.pagination import next_k
+    from hiero_spark.session import get_spark
+    from hiero_spark.views import RecordOrder, View
+
+    spark = get_spark("hiero_spark_demo")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # 1. load the table (the "open a dataset" step)
+    li = load_table(spark, sf_dir, "lineitem")
+    out(f"loaded lineitem: {li.count()} rows, {len(li.columns)} columns")
+
+    # 2. brush a histogram: filter to a quantity range via the view algebra
+    view = View(li).filter(fl.range_filter("l_quantity", 10, 40))
+    out(f"after range brush [10, 40]: {view.df().count()} rows")
+
+    # 3. histogram sketch + terminal render
+    hist = sk.histogram1d(view.df(), "l_extendedprice", 900.0, 105000.0, 8)
+    out("\nextended price histogram (brushed view):")
+    out(viz.ascii_histogram(hist.orderBy("bucket"), "bucket", "bucket_count"))
+
+    # 4. progressive refinement of the same sketch (hiero's partial results)
+    out("\nprogressive refinement:")
+    for frac, part in pg.progressive_prefix(
+        view.df(),
+        lambda d: sk.histogram1d(d, "l_extendedprice", 900.0, 105000.0, 8),
+        ["l_orderkey", "l_linenumber"],
+        tiers=3,
+    ):
+        total = part.agg(F.sum("bucket_count")).collect()[0][0]
+        out(f"  {frac:>5.0%} scanned -> {total} rows sketched")
+
+    # 5. heavy hitters + spreadsheet page (the table view)
+    out("\ntop (returnflag, linestatus):")
+    for r in sk.heavy_hitters(view.df(), ["l_returnflag", "l_linestatus"], 3).collect():
+        out(f"  {r[0]} {r[1]}: {r[2]}")
+    order = RecordOrder((("l_shipdate", True), ("l_orderkey", True)))
+    page = viz.table_page(
+        next_k(view.df(), order, 5).select(
+            F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_day"),
+            "l_orderkey",
+            "row_multiplicity",
+        )
+    )
+    out("\nfirst page of the sorted table view:")
+    out("  " + " | ".join(page["columns"]))
+    for row in page["rows"]:
+        out("  " + " | ".join(str(v) for v in row))
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:2])

@@ -182,3 +182,53 @@ def x6_sessionization_batch(spark, sf_dir):
         F.unix_timestamp(F.min("ts")).alias("session_start"),
         F.unix_timestamp(F.max("ts")).alias("session_end"),
     )
+
+
+@query(
+    "x7_funnel_conversion",
+    group="X7",
+    doc="Funnel: users who viewed, later clicked, later purchased — one "
+        "conditional-min aggregation per stage over a single user-grouped "
+        "pass (no self-joins), then ordered-timestamp comparisons.",
+    oracle="""
+        WITH stages AS (
+          SELECT user_id,
+                 MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+                 MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+                 MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+          FROM events GROUP BY user_id
+        )
+        SELECT
+          COUNT(*) AS n_users,
+          COUNT(t_view) AS viewed,
+          COUNT(CASE WHEN t_click > t_view THEN 1 END) AS clicked_after_view,
+          COUNT(CASE WHEN t_purchase > t_click AND t_click > t_view THEN 1 END)
+            AS purchased_after_click
+        FROM stages
+    """,
+)
+def x7_funnel_conversion(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+
+    def stage_min(kind):
+        return F.min(F.when(F.col("event_type") == kind, F.col("ts")))
+
+    stages = ev.groupBy("user_id").agg(
+        stage_min("view").alias("t_view"),
+        stage_min("click").alias("t_click"),
+        stage_min("purchase").alias("t_purchase"),
+    )
+    return stages.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_view").alias("viewed"),
+        F.count(F.when(F.col("t_click") > F.col("t_view"), 1)).alias(
+            "clicked_after_view"
+        ),
+        F.count(
+            F.when(
+                (F.col("t_purchase") > F.col("t_click"))
+                & (F.col("t_click") > F.col("t_view")),
+                1,
+            )
+        ).alias("purchased_after_click"),
+    )

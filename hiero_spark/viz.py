@@ -75,7 +75,8 @@ def trellis_spec(tr: DataFrame, x: str, y: str, v: str, facet: str, title: str =
 
 def table_page(page: DataFrame) -> dict:
     """O1 spreadsheet page: {columns, rows} for a table widget."""
-    return {"columns": page.columns, "rows": [list(r) for r in _values(page)]}
+    cols = page.columns
+    return {"columns": cols, "rows": [[d[c] for c in cols] for d in _values(page)]}
 
 
 def ascii_histogram(hist: DataFrame, label: str, count: str, width: int = 40) -> str:

@@ -80,7 +80,8 @@ def test_table_page_and_ascii(spark, sf_dir):
     hist = _hist(li)
     page = viz.table_page(hist.orderBy("bucket").limit(3))
     assert page["columns"] == ["bucket", "bucket_count"]
-    assert len(page["rows"]) == 3
+    expected = [[r["bucket"], r["bucket_count"]] for r in hist.orderBy("bucket").limit(3).collect()]
+    assert page["rows"] == expected
     art = viz.ascii_histogram(hist.orderBy("bucket"), "bucket", "bucket_count")
     assert "#" in art and len(art.splitlines()) == hist.count()
 
@@ -90,3 +91,17 @@ def test_render_refuses_unbounded_input(spark, sf_dir, monkeypatch):
     monkeypatch.setattr(viz, "_MAX_RENDER_ROWS", 100)
     with pytest.raises(ValueError, match="render"):
         viz.histogram_spec(li, "l_orderkey", "l_quantity")
+
+
+def test_demo_runs_end_to_end(sf_dir):
+    import importlib.util, os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "examples", "demo.py")
+    spec = importlib.util.spec_from_file_location("demo", path)
+    demo = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(demo)
+    lines = []
+    demo.main(sf_dir, out=lines.append)
+    joined = "\n".join(str(x) for x in lines)
+    assert "loaded lineitem" in joined and "#" in joined
+    assert "first page of the sorted table view:" in joined

@@ -196,6 +196,51 @@ def ngram_jaccard_pairs(
     return out.filter(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard")
 
 
+def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs -> (doc, canonical) where
+    canonical is the minimum doc id in the component (the representative a
+    dedup pipeline keeps).
+
+    Hash-min label propagation: each round every doc takes the min of its
+    own label and its neighbors' labels; stop when no label changes.
+    Rounds needed = component diameter, and near-dup components are tiny
+    (bounded cluster sizes), so this converges in a few iterations even at
+    corpus scale. Per round: one join + one agg, shuffling only (doc,
+    label) longs. Labels persist per round and lineage is cut with
+    localCheckpoint so the plan doesn't deepen iteration over iteration —
+    the standard shape for iterative algorithms on DataFrames.
+    """
+    e = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    edges = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).persist()
+    labels = (
+        edges.select(F.col("a").alias("doc"))
+        .distinct()
+        .withColumn("label", F.col("doc"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neigh = edges.join(labels, edges["a"] == labels["doc"]).select(
+            F.col("b").alias("doc"), F.col("label")
+        )
+        new_labels = (
+            labels.unionByName(neigh)
+            .groupBy("doc")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("doc", F.col("label").alias("canonical"))
+
+
 def minhash_near_dups(
     df: DataFrame,
     text_col: str,

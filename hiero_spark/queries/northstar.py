@@ -365,3 +365,45 @@ def n2_ann_batch(spark, sf_dir):
     return out.select(
         "query_id", "neighbor_id", F.round("cos_sim", 4).alias("cos_sim"), "rank"
     )
+
+
+@query(
+    "n1_dedup_clusters",
+    group="N1",
+    doc="Near-dup clustering: connected components over exact-Jaccard pairs "
+        "(hash-min label propagation), canonical = min doc id per component "
+        "— the keep-one-representative step of a dedup pipeline. Oracle "
+        "recomputes components with a recursive CTE.",
+    oracle=r"""
+        WITH RECURSIVE toks AS (
+          SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+          FROM documents
+        ), sh AS (
+          SELECT DISTINCT doc_id AS doc, array_to_string(w[i:i+2], ' ') AS shingle
+          FROM toks, UNNEST(range(1, GREATEST(len(w) - 2, 1) + 1)) AS u(i)
+        ), sizes AS (SELECT doc, COUNT(*) AS n FROM sh GROUP BY doc),
+        inter AS (
+          SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_inter
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+          GROUP BY 1, 2
+        ), pairs AS (
+          SELECT doc_a, doc_b FROM inter
+          JOIN sizes sa ON sa.doc = doc_a JOIN sizes sb ON sb.doc = doc_b
+          WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.4
+        ), edges AS (
+          SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION ALL
+          SELECT doc_b, doc_a FROM pairs
+        ), reach AS (
+          SELECT a AS doc, a AS r FROM edges
+          UNION
+          SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.doc
+        )
+        SELECT doc, MIN(r) AS canonical FROM reach GROUP BY doc
+    """,
+)
+def n1_dedup_clusters(spark, sf_dir):
+    pairs = dd.ngram_jaccard_pairs(
+        t(spark, sf_dir, "documents"), "text", "doc_id", k=3, threshold=0.4
+    )
+    return dd.dedup_clusters(pairs)

@@ -155,3 +155,31 @@ def save_view(df: DataFrame, path: str, fmt: str = "parquet",
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.format(fmt).save(path)
+
+
+# -- Bucketed tables: co-located joins ------------------------------------------
+
+def save_bucketed(
+    df: DataFrame, table: str, key: str, buckets: int = 8, sort: bool = True
+) -> None:
+    """Write a table bucketed (and sorted) by the join key.
+
+    Two tables bucketed by the same key into the same bucket count join
+    WITHOUT a shuffle — each task reads matching bucket files from both
+    sides (and with sortBy, without a sort either). At 100 TB this is THE
+    way to make a recurring fact-fact join cheap: pay the partitioning
+    once at write time instead of on every query.
+    (Bucketing rides the session catalog, hence saveAsTable not save.)
+    """
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # a dropped-in-a-past-session table leaves its managed location behind;
+    # clear it or saveAsTable fails with LOCATION_ALREADY_EXISTS
+    loc = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    import shutil
+
+    shutil.rmtree(f"{loc}/{table}", ignore_errors=True)
+    writer = df.write.mode("overwrite").bucketBy(buckets, key)
+    if sort:
+        writer = writer.sortBy(key)
+    writer.saveAsTable(table)

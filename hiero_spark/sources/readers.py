@@ -7,8 +7,9 @@ sink (S10).
 
 Spark-first: every format maps to a built-in DataSource (distributed,
 splittable, predicate-pushdown where the format allows). The JDBC reader
-is config-only here (no database in this container) — partitioned reads
-via (partitionColumn, lowerBound, upperBound, numPartitions).
+does partitioned reads via (partitionColumn, lowerBound, upperBound,
+numPartitions) and is integration-tested against the embedded Derby that
+ships in Spark's jars (tests/test_jdbc.py), filter pushdown included.
 """
 
 from __future__ import annotations

@@ -266,6 +266,15 @@ def random_sample(df: DataFrame, fraction: float, seed: int = 42) -> DataFrame:
     return df.sample(fraction=fraction, seed=seed)
 
 
+def stratified_sample(
+    df: DataFrame, col: str, fractions: dict, seed: int = 42
+) -> DataFrame:
+    """P8 variant: per-stratum Bernoulli sampling (sampleBy) — the sampled
+    view that keeps rare strata represented where a uniform sample would
+    drown them. Narrow map-side op: no shuffle, composes with pushdown."""
+    return df.sampleBy(col, fractions, seed)
+
+
 def find_rows(df: DataFrame, match: Column, order, limit: int = 1) -> DataFrame:
     """A15 FindSketch: first row(s) matching a predicate in sort order.
 

@@ -111,3 +111,24 @@ def test_summary_and_stats_consistency(li):
     st = sk.basic_col_stats(li, "l_quantity").collect()[0]
     assert st["present_count"] + st["missing_count"] == n
     assert st["min_val"] <= st["mean_val"] <= st["max_val"]
+
+
+def test_stratified_sample_respects_fractions(spark, sf_dir):
+    from hiero_spark.catalog import load_table
+    from hiero_spark.operators import sketches as sk
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem")
+    fr = {"A": 0.5, "N": 0.1, "R": 0.0}
+    got = {
+        r["l_returnflag"]: r["n"]
+        for r in sk.stratified_sample(li, "l_returnflag", fr)
+        .groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    base = {
+        r["l_returnflag"]: r["n"]
+        for r in li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert "R" not in got                       # zero-fraction stratum dropped
+    assert 0.35 < got["A"] / base["A"] < 0.65   # ~50%
+    assert 0.05 < got["N"] / base["N"] < 0.20   # ~10%

@@ -78,3 +78,64 @@ def test_registry_memoization(base):
     r1 = reg.memoized(vid, "count", compute)
     r2 = reg.memoized(vid, "count", compute)
     assert r1 == r2 and len(calls) == 1  # second call served from cache
+
+
+# ---- property-based fuzz: combine algebra vs Python set semantics ----
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+# a predicate = (column, op, literal) over a small known domain
+_pred = st.tuples(
+    st.sampled_from(["a", "b"]),
+    st.sampled_from(["<", ">=", "=="]),
+    st.integers(min_value=-2, max_value=2),
+)
+_preds = st.lists(_pred, min_size=0, max_size=2)
+
+_OPS = {
+    "<": lambda x, v: x < v,
+    ">=": lambda x, v: x >= v,
+    "==": lambda x, v: x == v,
+}
+
+
+def _col_pred(p):
+    c, op, v = p
+    col = F.col(c)
+    return {"<": col < v, ">=": col >= v, "==": col == v}[op]
+
+
+def _py_rows(rows, preds):
+    return {
+        i
+        for i, (a, b) in enumerate(rows)
+        if all(_OPS[op]({"a": a, "b": b}[c], v) for c, op, v in preds)
+    }
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    preds1=_preds,
+    preds2=_preds,
+    combine=st.sampled_from(["union", "intersect", "exclude", "set_to"]),
+)
+def test_combine_fuzz_matches_set_semantics(spark, preds1, preds2, combine):
+    rows = [(a, b) for a in range(-2, 3) for b in range(-2, 3)]
+    base = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(rows)], "i int, a int, b int"
+    )
+    v1, v2 = View(base), View(base)
+    for p in preds1:
+        v1 = v1.filter(_col_pred(p))
+    for p in preds2:
+        v2 = v2.filter(_col_pred(p))
+    s1, s2 = _py_rows(rows, preds1), _py_rows(rows, preds2)
+    expected = {
+        "union": s1 | s2,
+        "intersect": s1 & s2,
+        "exclude": s1 - s2,
+        "set_to": s2,
+    }[combine]
+    got = {r["i"] for r in getattr(v1, combine)(v2).df().collect()}
+    assert got == expected

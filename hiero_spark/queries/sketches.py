@@ -375,3 +375,17 @@ def a10_distinct_sketch_merge(spark, sf_dir):
         t(spark, sf_dir, "orders"), ["o_orderstatus"], "o_custkey"
     )
     return sk.merge_distinct_sketches(per_group)
+
+
+@query(
+    "a8_heavy_hitters_approx",
+    group="A8",
+    doc="FreqKSketch proper: single-pass approximate frequent items "
+        "(freqItems, Karp et al. — the same family as Misra-Gries). "
+        "Rows-only: candidate sets aren't SQL-reproducible; the "
+        "superset-of-exact property is unit-tested.",
+    oracle=None,
+)
+def a8_heavy_hitters_approx(spark, sf_dir):
+    out = sk.heavy_hitters_approx(t(spark, sf_dir, "part"), ["p_brand"], 0.05)
+    return out.select(F.array_sort("p_brand_freqItems").alias("frequent_brands"))

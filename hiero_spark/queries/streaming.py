@@ -232,3 +232,38 @@ def x7_funnel_conversion(spark, sf_dir):
             )
         ).alias("purchased_after_click"),
     )
+
+
+@query(
+    "x8_retention_cohorts",
+    group="X8",
+    doc="Daily retention cohorts: users grouped by first-seen day, counted "
+        "by days-since-cohort activity — two grouped aggregations, the "
+        "cohort map is a broadcast-sized (users x 2) relation.",
+    oracle="""
+        WITH firsts AS (
+          SELECT user_id, MIN(date_trunc('day', ts)) AS cohort_day
+          FROM events GROUP BY user_id
+        )
+        SELECT CAST(FLOOR(epoch(cohort_day)) AS BIGINT) AS cohort,
+               date_diff('day', cohort_day, date_trunc('day', e.ts)) AS day_offset,
+               COUNT(DISTINCT e.user_id) AS active_users
+        FROM events e JOIN firsts f ON e.user_id = f.user_id
+        GROUP BY 1, 2
+    """,
+)
+def x8_retention_cohorts(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min(F.date_trunc("day", "ts"))).alias("cohort_day")
+    )
+    joined = ev.join(F.broadcast(firsts), "user_id")
+    return (
+        joined.groupBy(
+            F.unix_timestamp("cohort_day").alias("cohort"),
+            F.datediff(F.date_trunc("day", F.col("ts")), F.col("cohort_day")).alias(
+                "day_offset"
+            ),
+        )
+        .agg(F.count_distinct("user_id").alias("active_users"))
+    )

@@ -1,0 +1,74 @@
+"""Temporal joins (engine extension; the as-of/range family the prompt's
+training-data pipelines need — e.g. join each event to the dimension
+version that was current when the event happened).
+
+Spark has no ASOF JOIN operator. The classic emulations are a range join
+(quadratic blowup) or a per-key correlated subquery (no). The scalable
+shape used here is union + window:
+
+  1. union the left (probe) and right (version) rows into one relation
+     tagged by side, carrying the right side's payload columns (null on
+     left rows);
+  2. one shuffle: partition by key, order by (ts, side) with right rows
+     sorting BEFORE left rows at equal timestamps (inclusive semantics);
+  3. last_value(payload, ignorenulls) over that window gives every left
+     row the most recent right payload with right_ts <= left_ts;
+  4. keep the left rows.
+
+Cost: ONE shuffle of (keys + payload), no row multiplication, no range
+explosion — the same work a sort-merge join would do, which is what makes
+it hold at 100 TB. Right rows are deduplicated to one per (key, ts)
+first so the match is well-defined.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    payload: list[str],
+) -> DataFrame:
+    """For each left row, attach `payload` from the latest right row of the
+    same `key` with right_ts <= left_ts (nulls where no version exists yet).
+
+    Output: all left columns + payload columns.
+    """
+    # one version per (key, ts): keep the lexicographically-last payload so
+    # the match is deterministic on duplicate timestamps
+    r = (
+        right.groupBy(F.col(key).alias("_k"), F.col(right_ts).alias("_ts"))
+        .agg(*[F.max(c).alias(c) for c in payload])
+        .withColumn("_side", F.lit(0))
+    )
+    l = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.struct(*left.columns).alias("_row"),
+    )
+    unioned = r.withColumn("_row", F.lit(None).cast(l.schema["_row"].dataType)).unionByName(
+        l.select(
+            "_k", "_ts", "_side",
+            *[F.lit(None).cast(r.schema[c].dataType).alias(c) for c in payload],
+            "_row",
+        )
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = unioned.select(
+        "_side",
+        "_row",
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in payload],
+    )
+    out = filled.filter(F.col("_side") == 1).select("_row.*", *payload)
+    return out

@@ -333,3 +333,41 @@ def ext_pivot(spark, sf_dir):
     return pv.select(
         "l_returnflag", F.col("O").alias("qty_O"), F.col("F").alias("qty_F")
     )
+
+
+@query(
+    "ext_asof_join",
+    group="EXT-ASOF",
+    doc="As-of join: each event picks up the user's latest purchase value "
+        "at or before the event time (union + last-ignorenulls window — one "
+        "shuffle, no range explosion). Oracle uses DuckDB's native ASOF "
+        "LEFT JOIN.",
+    oracle="""
+        WITH versions AS (
+          SELECT user_id, ts, MAX(value) AS purchase_value
+          FROM events WHERE event_type = 'purchase'
+          GROUP BY user_id, ts
+        )
+        SELECT e.event_id,
+               e.user_id,
+               CAST(FLOOR(epoch(e.ts)) AS BIGINT) AS ts_s,
+               ROUND(v.purchase_value, 2) AS last_purchase_value
+        FROM events e
+        ASOF LEFT JOIN versions v
+          ON e.user_id = v.user_id AND e.ts >= v.ts
+    """,
+)
+def ext_asof_join(spark, sf_dir):
+    from hiero_spark.operators.temporal import as_of_join
+
+    ev = t(spark, sf_dir, "events")
+    versions = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    out = as_of_join(ev, versions, "user_id", "ts", "ts", ["purchase_value"])
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("ts_s"),
+        F.round("purchase_value", 2).alias("last_purchase_value"),
+    )

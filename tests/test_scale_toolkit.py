@@ -103,3 +103,23 @@ def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
     assert "Exchange hashpartitioning" not in plan
     # and it computes the same result as the shuffled join
     assert j.count() == li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).count()
+
+
+def test_as_of_join_matches_bruteforce(spark):
+    from hiero_spark.operators.temporal import as_of_join
+
+    left = spark.createDataFrame(
+        [(1, 10), (1, 25), (1, 5), (2, 8), (2, 9), (3, 100)], "k long, lts long"
+    )
+    right = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (2, 9, "c"), (2, 9, "d")], "k long, rts long, v string"
+    )
+    got = {
+        (r["k"], r["lts"]): r["v"]
+        for r in as_of_join(left, right, "k", "lts", "rts", ["v"]).collect()
+    }
+    # brute force: latest rts <= lts; dup (k, ts) versions resolve to max
+    assert got == {
+        (1, 5): None, (1, 10): "a", (1, 25): "b",
+        (2, 8): None, (2, 9): "d", (3, 100): None,
+    }

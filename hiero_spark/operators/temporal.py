@@ -72,3 +72,40 @@ def as_of_join(
     )
     out = filled.filter(F.col("_side") == 1).select("_row.*", *payload)
     return out
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    lo: str,
+    hi: str,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Point-in-interval join without a cartesian product.
+
+    Both sides get a coarse time-bucket equi key — intervals explode into
+    every bucket they overlap (fan-out = span/bucket + 1, bounded and
+    tunable), points into exactly one — so the work is a plain hash join
+    on the bucket followed by the exact half-open containment filter
+    (point_ts in [lo, hi)). Without the bucket key Spark would fall back
+    to a broadcast-nested-loop over the full cross product, which is the
+    100 TB failure mode. Column names of the two inputs must be disjoint.
+    """
+    pb = points.withColumn(
+        "_bkt", F.floor(F.unix_timestamp(F.col(point_ts)) / bucket_seconds)
+    )
+    ib = intervals.withColumn(
+        "_bkt",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp(F.col(lo)) / bucket_seconds),
+                F.floor(F.unix_timestamp(F.col(hi)) / bucket_seconds),
+            )
+        ),
+    )
+    return (
+        pb.join(ib, "_bkt")
+        .filter((F.col(point_ts) >= F.col(lo)) & (F.col(point_ts) < F.col(hi)))
+        .drop("_bkt")
+    )

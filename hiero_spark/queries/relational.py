@@ -371,3 +371,37 @@ def ext_asof_join(spark, sf_dir):
         F.unix_timestamp("ts").alias("ts_s"),
         F.round("purchase_value", 2).alias("last_purchase_value"),
     )
+
+
+@query(
+    "ext_range_join",
+    group="EXT-ASOF",
+    doc="Range join: signup events falling in the hour after each purchase "
+        "— bucketed candidate generation (equi-join on a coarse time "
+        "bucket) then exact containment, never a cartesian product.",
+    oracle="""
+        WITH p AS (
+          SELECT event_id AS purchase_id, ts AS lo, ts + INTERVAL 1 HOUR AS hi
+          FROM events WHERE event_type = 'purchase'
+        ), s AS (
+          SELECT event_id AS signup_id, ts AS s_ts
+          FROM events WHERE event_type = 'signup'
+        )
+        SELECT purchase_id, signup_id
+        FROM p JOIN s ON s.s_ts >= p.lo AND s.s_ts < p.hi
+    """,
+)
+def ext_range_join(spark, sf_dir):
+    from hiero_spark.operators.temporal import range_join
+
+    ev = t(spark, sf_dir, "events")
+    intervals = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("lo"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("hi"),
+    )
+    points = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"), F.col("ts").alias("s_ts")
+    )
+    out = range_join(points, intervals, "s_ts", "lo", "hi")
+    return out.select("purchase_id", "signup_id")

@@ -123,3 +123,30 @@ def test_as_of_join_matches_bruteforce(spark):
         (1, 5): None, (1, 10): "a", (1, 25): "b",
         (2, 8): None, (2, 9): "d", (3, 100): None,
     }
+
+
+def test_range_join_boundaries_and_spans(spark):
+    import datetime as dt
+
+    from hiero_spark.operators.temporal import range_join
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts(minutes):
+        return base + dt.timedelta(minutes=minutes)
+
+    intervals = spark.createDataFrame(
+        [(1, ts(0), ts(90))],  # spans two 1h buckets
+        "iv_id long, lo timestamp, hi timestamp",
+    )
+    points = spark.createDataFrame(
+        [(10, ts(0)), (11, ts(89)), (12, ts(90)), (13, ts(-1)), (14, ts(70))],
+        "pt_id long, p_ts timestamp",
+    )
+    got = {
+        r["pt_id"]
+        for r in range_join(points, intervals, "p_ts", "lo", "hi").collect()
+    }
+    # [lo, hi): lo inclusive (10), hi exclusive (12 out), pre-lo out (13),
+    # and points in the interval's second bucket still match (11, 14)
+    assert got == {10, 11, 14}

@@ -15,7 +15,16 @@ level, confidence-tagged in SURVEY.md).
 """
 
 from hiero_spark.session import get_spark
-from hiero_spark.catalog import TABLES, load_tables, register_views
+from hiero_spark.catalog import TABLES, load_table, load_tables, register_views
+from hiero_spark.views import RecordOrder, View
 
-__all__ = ["get_spark", "load_tables", "register_views", "TABLES"]
+__all__ = [
+    "get_spark",
+    "load_table",
+    "load_tables",
+    "register_views",
+    "TABLES",
+    "RecordOrder",
+    "View",
+]
 __version__ = "0.1.0"

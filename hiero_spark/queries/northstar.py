@@ -407,3 +407,57 @@ def n1_dedup_clusters(spark, sf_dir):
         t(spark, sf_dir, "documents"), "text", "doc_id", k=3, threshold=0.4
     )
     return dd.dedup_clusters(pairs)
+
+
+@query(
+    "n5_curation_pipeline",
+    group="N5",
+    doc="The composed training-data curation pass: quality gate + language "
+        "gate + exact dedup in one plan (score, filter, fingerprint-group) "
+        "— a single scan plus one dedup shuffle.",
+    oracle="""
+        WITH m AS (
+          SELECT doc_id,
+                 CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tok,
+                 CAST(length(text) AS DOUBLE) AS n_chr
+          FROM documents
+        ), q AS (
+          SELECT doc_id,
+                 LEAST(CAST(n_tok AS DOUBLE) / 100.0, 1.0) * 0.6 +
+                 (CASE WHEN n_chr / CAST(n_tok AS DOUBLE) >= 3.0
+                        AND n_chr / CAST(n_tok AS DOUBLE) <= 10.0
+                       THEN 1.0 ELSE 0.5 END) * 0.4 AS quality
+          FROM m
+        ), l AS (
+          SELECT doc_id,
+                 CASE WHEN contains(' ' || lower(text) || ' ', ' the ') THEN 'en'
+                      WHEN contains(' ' || lower(text) || ' ', ' le ') THEN 'fr'
+                      WHEN contains(' ' || lower(text) || ' ', ' der ') THEN 'de'
+                      WHEN contains(' ' || lower(text) || ' ', ' el ') THEN 'es'
+                      WHEN contains(' ' || lower(text) || ' ', ' de ') THEN 'zh'
+                      ELSE 'und' END AS pred_lang
+          FROM documents
+        ), kept AS (
+          SELECT d.doc_id, md5(d.text) AS fp, q.quality
+          FROM documents d
+          JOIN q ON q.doc_id = d.doc_id
+          JOIN l ON l.doc_id = d.doc_id
+          WHERE q.quality >= 0.5 AND l.pred_lang = 'en'
+        )
+        SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_count,
+               ROUND(MIN(quality), 6) AS quality
+        FROM kept GROUP BY fp
+    """,
+)
+def n5_curation_pipeline(spark, sf_dir):
+    docs = tx.with_language_id(t(spark, sf_dir, "documents"), "text")
+    kept = (
+        docs.withColumn("quality", tx.quality_score(F.col("text")))
+        .filter((F.col("quality") >= 0.5) & (F.col("pred_lang") == "en"))
+        .withColumn("fp", F.md5(F.col("text")))
+    )
+    return kept.groupBy("fp").agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count(F.lit(1)).alias("dup_count"),
+        F.round(F.min("quality"), 6).alias("quality"),
+    ).drop("fp")

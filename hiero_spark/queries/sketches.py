@@ -389,3 +389,60 @@ def a10_distinct_sketch_merge(spark, sf_dir):
 def a8_heavy_hitters_approx(spark, sf_dir):
     out = sk.heavy_hitters_approx(t(spark, sf_dir, "part"), ["p_brand"], 0.05)
     return out.select(F.array_sort("p_brand_freqItems").alias("frequent_brands"))
+
+
+@query(
+    "a4_histogram_auto",
+    group="A4",
+    doc="Two-phase histogram, the real hiero flow: phase 1 sketches the data "
+        "range (A3), phase 2 buckets against it — the 1-row range is "
+        "broadcast so phase 2 stays a single scan.",
+    oracle="""
+        WITH r AS (
+          SELECT MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
+          FROM lineitem
+        )
+        SELECT CAST(LEAST(GREATEST(FLOOR(((l_extendedprice - lo) / (hi - lo)) * 10), 0), 9) AS BIGINT) AS bucket,
+               COUNT(*) AS bucket_count
+        FROM lineitem, r
+        WHERE l_extendedprice IS NOT NULL
+        GROUP BY 1
+    """,
+)
+def a4_histogram_auto(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    rng = li.agg(
+        F.min("l_extendedprice").alias("lo"), F.max("l_extendedprice").alias("hi")
+    )
+    x, lo, hi = F.col("l_extendedprice"), F.col("lo"), F.col("hi")
+    idx = F.floor(((x - lo) / (hi - lo)) * 10)
+    b = F.least(F.greatest(idx, F.lit(0)), F.lit(9)).cast("long")
+    return (
+        li.join(F.broadcast(rng))
+        .filter(x.isNotNull())
+        .groupBy(b.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("bucket_count"))
+    )
+
+
+@query(
+    "a11_quantiles_grouped",
+    group="A11",
+    doc="Per-group exact quantiles: median and p90 of extended price per "
+        "return flag (grouped percentile aggregation, partial+final).",
+    oracle="""
+        SELECT l_returnflag,
+               ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+               ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90
+        FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a11_quantiles_grouped(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
+        )
+    )

@@ -238,8 +238,10 @@ def x7_funnel_conversion(spark, sf_dir):
     "x8_retention_cohorts",
     group="X8",
     doc="Daily retention cohorts: users grouped by first-seen day, counted "
-        "by days-since-cohort activity — two grouped aggregations, the "
-        "cohort map is a broadcast-sized (users x 2) relation.",
+        "by days-since-cohort activity — two grouped aggregations joined on "
+        "user_id. No broadcast hint: the cohort map is O(users) and only "
+        "AQE should decide if it fits (at 100 TB it's a shuffle join on the "
+        "key both sides are already aggregated by).",
     oracle="""
         WITH firsts AS (
           SELECT user_id, MIN(date_trunc('day', ts)) AS cohort_day
@@ -257,7 +259,7 @@ def x8_retention_cohorts(spark, sf_dir):
     firsts = ev.groupBy("user_id").agg(
         F.date_trunc("day", F.min(F.date_trunc("day", "ts"))).alias("cohort_day")
     )
-    joined = ev.join(F.broadcast(firsts), "user_id")
+    joined = ev.join(firsts, "user_id")
     return (
         joined.groupBy(
             F.unix_timestamp("cohort_day").alias("cohort"),

@@ -81,8 +81,8 @@ def q3_shipping_priority(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        # customer is ~1.5% of lineitem: always broadcast-able
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        # customer scales with SF: no forced broadcast, AQE decides
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate")
         .agg(money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000).alias("revenue"))
         .select("l_orderkey", "revenue", day_str(F.col("o_orderdate")).alias("orderdate"))
@@ -124,9 +124,9 @@ def q5_local_supplier_volume(spark, sf_dir):
     reg = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(
-            F.broadcast(supp),
+            supp,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
@@ -280,7 +280,7 @@ def q7_nation_volume(spark, sf_dir):
     joined = (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
         .filter(F.col("cust_nation") != F.col("supp_nation"))
@@ -310,7 +310,7 @@ def q14_promo_revenue(spark, sf_dir):
         & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
     )
     part = t(spark, sf_dir, "part")
-    joined = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    joined = li.join(part, F.col("l_partkey") == F.col("p_partkey"))
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
     return joined.agg(
@@ -390,7 +390,7 @@ def q18_large_orders(spark, sf_dir):
 def q19_disjunctive_join(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem")
     part = t(spark, sf_dir, "part")
-    j = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    j = li.join(part, F.col("l_partkey") == F.col("p_partkey"))
     q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
     pred = (
         ((b == "Brand#1") & s.between(1, 15) & q.between(1, 20))

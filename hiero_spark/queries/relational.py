@@ -32,7 +32,7 @@ def ext_join_inner(spark, sf_dir):
     cust = t(spark, sf_dir, "customer")
     nat = t(spark, sf_dir, "nation")
     return (
-        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
         .agg(

@@ -40,6 +40,12 @@ def as_of_join(
 
     Output: all left columns + payload columns.
     """
+    clash = set(payload) & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"payload columns {sorted(clash)} already exist on the left side; "
+            "rename before joining"
+        )
     # one version per (key, ts): keep the lexicographically-last payload so
     # the match is deterministic on duplicate timestamps
     r = (
@@ -92,6 +98,11 @@ def range_join(
     to a broadcast-nested-loop over the full cross product, which is the
     100 TB failure mode. Column names of the two inputs must be disjoint.
     """
+    clash = set(points.columns) & set(intervals.columns)
+    if clash:
+        raise ValueError(
+            f"point/interval column names must be disjoint; clash: {sorted(clash)}"
+        )
     pb = points.withColumn(
         "_bkt", F.floor(F.unix_timestamp(F.col(point_ts)) / bucket_seconds)
     )

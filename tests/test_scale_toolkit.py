@@ -150,3 +150,14 @@ def test_range_join_boundaries_and_spans(spark):
     # [lo, hi): lo inclusive (10), hi exclusive (12 out), pre-lo out (13),
     # and points in the interval's second bucket still match (11, 14)
     assert got == {10, 11, 14}
+
+
+def test_temporal_joins_reject_column_clashes(spark):
+    from hiero_spark.operators.temporal import as_of_join, range_join
+
+    l = spark.createDataFrame([(1, 10, "x")], "k long, lts long, v string")
+    r = spark.createDataFrame([(1, 5, "a")], "k long, rts long, v string")
+    with pytest.raises(ValueError, match="payload"):
+        as_of_join(l, r, "k", "lts", "rts", ["v"])
+    with pytest.raises(ValueError, match="disjoint"):
+        range_join(l, r, "lts", "rts", "rts")

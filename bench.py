@@ -20,6 +20,7 @@ HEADLINE = [
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
     "q10_returned_items",
+    "q18_large_orders",
     "a4_histogram_numeric",
     "a6_heatmap",
     "a8_heavy_hitters",
@@ -27,6 +28,8 @@ HEADLINE = [
     "a13_next_k",
     "ext_window_rank",
     "x1_tumbling_window",
+    "x6_sessionization_batch",
+    "ext_asof_join",
     "n1_dedup_exact",
     "n1_minhash_near_dups",
     "n2_ann_brute_force",

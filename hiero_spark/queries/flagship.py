@@ -21,7 +21,7 @@ from hiero_spark.queries._util import day_str, money_sum, money_sum_sql, t
     oracle=f"""
         SELECT
           l_returnflag, l_linestatus,
-          SUM(CAST(l_quantity AS BIGINT))                       AS sum_qty,
+          CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)       AS sum_qty,
           {money_sum_sql('l_extendedprice')}                    AS sum_base_price,
           {money_sum_sql('l_extendedprice * (1 - l_discount)', 10000)} AS sum_disc_price,
           {money_sum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 1000000)} AS sum_charge,

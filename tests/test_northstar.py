@@ -99,6 +99,32 @@ def test_embedding_near_dup_pairs_symmetric_threshold(spark, sf_dir):
         assert r["cos_sim"] >= 0.8
 
 
+def test_embedding_near_dup_degenerate_bucket_bounded(spark):
+    """All-identical vectors collapse into one LSH bucket; the max_bucket
+    cap must drop it (pairs bounded, not O(N^2)) while distinct near-dup
+    pairs in normal-size buckets still come through."""
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(500)]  # degenerate blob
+    rows += [(1000, [0.0, 1.0, 0.005, 0.0]), (1001, [0.0, 1.0, 0.0, 0.005])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = sim.embedding_near_dup_pairs(
+        emb, threshold=0.9, bits=4, max_bucket=100
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in out}
+    assert (1000, 1001) in got          # real near-dup survives
+    assert len(got) <= 100 * 100        # degenerate blob never self-joined
+    assert not any(a < 500 and b < 500 for a, b in got)
+
+
+def test_embedding_near_dup_adaptive_bits(spark, sf_dir):
+    """bits=None sizes the signature from the corpus; result stays
+    symmetric-thresholded and bounded."""
+    emb = load_table(spark, sf_dir, "embeddings").limit(200)
+    out = sim.embedding_near_dup_pairs(emb, threshold=0.8).collect()
+    for r in out:
+        assert r["id_a"] < r["id_b"]
+        assert r["cos_sim"] >= 0.8
+
+
 def test_multimodal_feature_plumbing(spark, sf_dir):
     from hiero_spark.functions import multimodal as mm
 

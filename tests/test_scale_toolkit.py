@@ -125,6 +125,37 @@ def test_as_of_join_matches_bruteforce(spark):
     }
 
 
+def test_as_of_join_versions_are_atomic(spark):
+    """A matched version must be ONE right row: a NULL in the latest
+    version's payload stays NULL (no resurrection of the older value), and
+    duplicate-timestamp versions resolve to a single row, never a
+    column-wise mix."""
+    from hiero_spark.operators.temporal import as_of_join
+
+    left = spark.createDataFrame([(1, 30), (2, 30)], "k long, lts long")
+    right = spark.createDataFrame(
+        [
+            # k=1: latest version (ts=20) has v2=NULL — must NOT pick up 'old2'
+            (1, 10, "old1", "old2"),
+            (1, 20, "new1", None),
+            # k=2: duplicate-ts versions; winner must be one row ('b', 'bb'),
+            # not the per-column max mix ('b', 'aa'... actually max would give
+            # ('b','bb') here, so make the mix detectable: ('b','aa'))
+            (2, 10, "a", "zz"),
+            (2, 10, "b", "aa"),
+        ],
+        "k long, rts long, v1 string, v2 string",
+    )
+    got = {
+        r["k"]: (r["v1"], r["v2"])
+        for r in as_of_join(left, right, "k", "lts", "rts", ["v1", "v2"]).collect()
+    }
+    assert got[1] == ("new1", None)
+    # struct-max picks the row ('b', 'aa') atomically; a per-column max
+    # would have produced the frankenversion ('b', 'zz')
+    assert got[2] == ("b", "aa")
+
+
 def test_range_join_boundaries_and_spans(spark):
     import datetime as dt
 

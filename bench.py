@@ -54,6 +54,16 @@ def main() -> None:
     spark = get_spark("hiero_spark_bench")
     specs = all_queries()
 
+    # SPARK_GRAFT_MULTIFILE=1: rewrite the (single-row-group) testdata as 8
+    # files per table first, so scans run with real split parallelism — the
+    # shipped fixtures are 1 task/scan and hide scan-side behavior.
+    if os.environ.get("SPARK_GRAFT_MULTIFILE"):
+        from hiero_spark.sources.fixtures import materialize_multifile
+
+        sf_dir = materialize_multifile(
+            spark, sf_dir, f"/tmp/hiero_spark_multifile/sf{sf}", files_per_table=8
+        )
+
     # Warm run: JVM, parquet footers, and whole-stage-codegen compilation
     # for every headline plan shape. The timed loop below then measures
     # steady-state execution, which is what BASELINE.md's numbers claim.

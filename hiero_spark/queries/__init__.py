@@ -13,4 +13,5 @@ from hiero_spark.queries import (  # noqa: F401
     streaming,
     northstar,
     sources,
+    progressive,
 )

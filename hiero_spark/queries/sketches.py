@@ -197,12 +197,25 @@ def a10_distinct_exact(spark, sf_dir):
 @query(
     "a10_distinct_approx",
     group="A10",
-    doc="HLogLogSketch: HLL++ approximate distinct count (rows-only check; "
-        "accuracy bound asserted in unit tests).",
-    oracle=None,
+    doc="HLogLogSketch: HLL++ approximate distinct count, reported as a "
+        "property verdict the driver can hash — the exact count plus a "
+        "boolean asserting the estimate landed within 3x the requested "
+        "relative standard deviation (the approx value itself is not "
+        "SQL-reproducible; the bound is).",
+    oracle="""
+        SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_count,
+               TRUE AS within_bound
+        FROM lineitem
+    """,
 )
 def a10_distinct_approx(spark, sf_dir):
-    return sk.distinct_count(t(spark, sf_dir, "lineitem"), "l_partkey", exact=False)
+    rsd = 0.05
+    agg = t(spark, sf_dir, "lineitem").agg(
+        F.count_distinct(F.col("l_partkey")).cast("long").alias("exact_count"),
+        F.approx_count_distinct(F.col("l_partkey"), rsd).cast("double").alias("_approx"),
+    )
+    err = F.abs(F.col("_approx") - F.col("exact_count")) / F.col("exact_count")
+    return agg.select("exact_count", (err <= 3 * rsd).alias("within_bound"))
 
 
 @query(
@@ -230,14 +243,35 @@ def a11_quantiles_exact(spark, sf_dir):
 @query(
     "a11_quantiles_approx",
     group="A11",
-    doc="SampleQuantileSketch: Greenwald–Khanna approximate quantiles "
-        "(rows-only; error bound asserted in unit tests).",
-    oracle=None,
+    doc="SampleQuantileSketch: Greenwald–Khanna approximate quantiles as a "
+        "property verdict — the exact median anchors the oracle to the "
+        "data; each boolean asserts the GK estimate sits between the exact "
+        "quantiles at p +/- 2/accuracy (GK guarantees rank error "
+        "<= 1/accuracy; the factor 2 absorbs interpolation).",
+    oracle="""
+        SELECT ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50_exact,
+               TRUE AS q25_ok, TRUE AS q50_ok, TRUE AS q75_ok, TRUE AS q90_ok
+        FROM lineitem
+    """,
 )
 def a11_quantiles_approx(spark, sf_dir):
-    return sk.quantiles(
-        t(spark, sf_dir, "lineitem"), "l_extendedprice", [0.25, 0.5, 0.75, 0.9], exact=False
-    )
+    probs, acc = (0.25, 0.50, 0.75, 0.90), 1000
+    eps = 2.0 / acc
+    aggs = [F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50_exact")]
+    for p in probs:
+        q = int(p * 100)
+        aggs += [
+            F.expr(f"percentile_approx(l_extendedprice, {p}, {acc})").alias(f"_a{q}"),
+            F.expr(f"percentile(l_extendedprice, {max(p - eps, 0.0)})").alias(f"_lo{q}"),
+            F.expr(f"percentile(l_extendedprice, {min(p + eps, 1.0)})").alias(f"_hi{q}"),
+        ]
+    agg = t(spark, sf_dir, "lineitem").agg(*aggs)
+    checks = [
+        ((F.col(f"_a{int(p*100)}") >= F.col(f"_lo{int(p*100)}"))
+         & (F.col(f"_a{int(p*100)}") <= F.col(f"_hi{int(p*100)}"))).alias(f"q{int(p*100)}_ok")
+        for p in probs
+    ]
+    return agg.select("p50_exact", *checks)
 
 
 @query(
@@ -365,30 +399,87 @@ def a15_find(spark, sf_dir):
     group="A10",
     doc="Mergeable HLL sketch columns (DataSketches): per-group sketches "
         "merged to a global estimate without rescanning — the ISketch "
-        "persist-and-remerge model. Rows-only: sketch estimates aren't "
-        "SQL-reproducible; merge==whole-scan equality asserted in unit "
-        "tests.",
-    oracle=None,
+        "persist-and-remerge model, reported as a property verdict: the "
+        "exact distinct count, a boolean asserting the merged-per-group "
+        "estimate lands within 2% of the whole-scan sketch (union promotes "
+        "the register representation, so bit-equality is not guaranteed), "
+        "and a boolean bounding the estimate's error at 5% (3x the rsd of "
+        "the default lgK=12 sketch).",
+    oracle="""
+        SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_count,
+               TRUE AS merge_consistent,
+               TRUE AS within_bound
+        FROM orders
+    """,
 )
 def a10_distinct_sketch_merge(spark, sf_dir):
-    per_group = sk.distinct_sketch(
-        t(spark, sf_dir, "orders"), ["o_orderstatus"], "o_custkey"
+    orders = t(spark, sf_dir, "orders")
+    merged = sk.merge_distinct_sketches(
+        sk.distinct_sketch(orders, ["o_orderstatus"], "o_custkey")
     )
-    return sk.merge_distinct_sketches(per_group)
+    whole = orders.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg(F.col("o_custkey")))
+        .cast("long")
+        .alias("_whole_est"),
+        F.count_distinct(F.col("o_custkey")).cast("long").alias("exact_count"),
+    )
+    err = F.abs(F.col("distinct_est") - F.col("exact_count")) / F.col("exact_count")
+    merge_drift = (
+        F.abs(F.col("distinct_est") - F.col("_whole_est")) / F.col("_whole_est")
+    )
+    return (
+        merged.join(F.broadcast(whole))
+        .select(
+            "exact_count",
+            (merge_drift <= 0.02).alias("merge_consistent"),
+            (err <= 0.05).alias("within_bound"),
+        )
+    )
 
 
 @query(
     "a8_heavy_hitters_approx",
     group="A8",
     doc="FreqKSketch proper: single-pass approximate frequent items "
-        "(freqItems, Karp et al. — the same family as Misra-Gries). "
-        "Rows-only: candidate sets aren't SQL-reproducible; the "
-        "superset-of-exact property is unit-tested.",
-    oracle=None,
+        "(freqItems, Karp et al. — the same family as Misra-Gries), as a "
+        "property verdict: the exact count of items above the support "
+        "threshold, and a boolean asserting the freqItems candidate set "
+        "covers every one of them (the algorithm's recall guarantee).",
+    oracle="""
+        WITH n AS (SELECT COUNT(*) AS total FROM part),
+             h AS (
+               SELECT p_brand FROM part, n
+               GROUP BY p_brand, total
+               HAVING COUNT(*) > total * 0.05
+             )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_items,
+               TRUE AS all_covered
+        FROM h
+    """,
 )
 def a8_heavy_hitters_approx(spark, sf_dir):
-    out = sk.heavy_hitters_approx(t(spark, sf_dir, "part"), ["p_brand"], 0.05)
-    return out.select(F.array_sort("p_brand_freqItems").alias("frequent_brands"))
+    part = t(spark, sf_dir, "part")
+    support = 0.05
+    freq = sk.heavy_hitters_approx(part, ["p_brand"], support).select(
+        F.col("p_brand_freqItems").alias("_cand")
+    )
+    total = part.agg(F.count(F.lit(1)).alias("_n"))
+    exact = (
+        part.groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .join(F.broadcast(total))
+        .filter(F.col("_cnt") > F.col("_n") * support)
+        .agg(
+            F.count(F.lit(1)).alias("n_exact_items"),
+            F.array_sort(F.collect_list("p_brand")).alias("_exact_set"),
+        )
+    )
+    return exact.join(F.broadcast(freq)).select(
+        "n_exact_items",
+        (F.size(F.array_except(F.col("_exact_set"), F.col("_cand"))) == 0).alias(
+            "all_covered"
+        ),
+    )
 
 
 @query(

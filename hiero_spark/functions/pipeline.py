@@ -1,0 +1,120 @@
+"""Dataset-assembly operators for training-data pipelines (extends
+SURVEY.md §2.11): deterministic splits, vocabulary building, benchmark
+decontamination, and PII scrubbing.
+
+Everything is Catalyst expressions + joins — no Python in the hot path.
+Scale notes per operator:
+
+- splits are a pure narrow map (one pmod per row; no shuffle);
+- the vocabulary build is explode -> partial+final count (map-side combine
+  takes the shuffle down to distinct tokens per partition, not token
+  occurrences);
+- decontamination shuffles (token-window) shingle strings once for the
+  semi-join; at 100 TB you would join on xxhash64(shingle) longs instead
+  and accept the ~2^-64 false-positive rate — kept as strings here so the
+  DuckDB oracle reproduces results exactly;
+- PII scrubbing is a per-row regexp pass (codegen'd, no shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from hiero_spark.functions.dedup import shingles
+
+SPLIT_TRAIN, SPLIT_VAL, SPLIT_TEST = "train", "val", "test"
+
+# RFC-ish email and E.164-ish phone patterns — deliberately simple and
+# deterministic; precision over recall (a training-data scrubber wants no
+# false negatives on the obvious forms, and the rare fancy form is caught
+# by the quality filters upstream).
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9][0-9()\-\s]{6,}[0-9]"
+
+
+def assign_split(
+    df: DataFrame,
+    id_col: str,
+    train_pct: int = 80,
+    val_pct: int = 10,
+    buckets: int = 100,
+    out: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment from a stable integer id.
+
+    Uses pmod(id, buckets) so the DuckDB oracle can mirror it; production
+    pipelines hash first (`hash_split`) so clustered id ranges can't skew
+    a split. Assignment is stable under reruns and across engines — the
+    property that makes the split auditable."""
+    b = F.pmod(F.col(id_col), F.lit(buckets))
+    split = (
+        F.when(b < train_pct, SPLIT_TRAIN)
+        .when(b < train_pct + val_pct, SPLIT_VAL)
+        .otherwise(SPLIT_TEST)
+    )
+    return df.withColumn(out, split)
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    train_pct: int = 80,
+    val_pct: int = 10,
+    buckets: int = 100,
+    out: str = "split",
+) -> DataFrame:
+    """assign_split over xxhash64(id): unbiased under any id distribution."""
+    b = F.pmod(F.xxhash64(F.col(id_col)), F.lit(buckets))
+    split = (
+        F.when(b < train_pct, SPLIT_TRAIN)
+        .when(b < train_pct + val_pct, SPLIT_VAL)
+        .otherwise(SPLIT_TEST)
+    )
+    return df.withColumn(out, split)
+
+
+def token_vocab(df: DataFrame, text_col: str, k: int = 20) -> DataFrame:
+    """Top-k corpus vocabulary by token frequency (whitespace tokens,
+    lowercased). Partial+final count then TakeOrderedAndProject; ties break
+    on the token for a deterministic result."""
+    toks = df.select(
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    return (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("token"))
+        .limit(k)
+    )
+
+
+def contaminated_docs(
+    eval_df: DataFrame,
+    train_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: eval docs sharing ANY word k-gram with the
+    training corpus. Shingle both sides (same shingling as MinHash dedup),
+    distinct the train side, one semi-join. Returns distinct eval ids."""
+    ev = shingles(eval_df, text_col, id_col, k=k)
+    tr = shingles(train_df, text_col, id_col, k=k).select("shingle").distinct()
+    return (
+        ev.join(tr, "shingle", "left_semi")
+        .select(F.col("doc").alias(id_col))
+        .distinct()
+    )
+
+
+def scrub_pii(df: DataFrame, text_col: str, out: str = "clean_text") -> DataFrame:
+    """Redact emails/phones; keep per-row hit counts for audit columns."""
+    c = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(c, F.lit(EMAIL_RE), F.lit(0))).cast("long")
+    n_phones_src = F.size(F.regexp_extract_all(c, F.lit(PHONE_RE), F.lit(0))).cast("long")
+    cleaned = F.regexp_replace(
+        F.regexp_replace(c, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return df.withColumn("n_emails", n_emails).withColumn(
+        "n_phones", n_phones_src
+    ).withColumn(out, cleaned)

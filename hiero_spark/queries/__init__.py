@@ -14,4 +14,5 @@ from hiero_spark.queries import (  # noqa: F401
     northstar,
     sources,
     progressive,
+    pipeline,
 )

@@ -1,0 +1,93 @@
+"""Dataset-assembly queries (train splits, vocabulary, decontamination) —
+the training-data operators beyond the reference inventory, each with a
+DuckDB oracle. PII scrubbing (functions/pipeline.py:scrub_pii) is
+unit-tested with planted emails/phones instead of registered: the synthetic
+corpus contains neither, so its oracle would only ever hash zeros."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hiero_spark.functions import pipeline as pl
+from hiero_spark.registry import query
+from hiero_spark.queries._util import t
+
+
+@query(
+    "n6_train_split",
+    group="N6",
+    doc="Deterministic 80/10/10 train/val/test split of the document corpus "
+        "(pmod buckets on doc_id), audited as per-(split, lang) doc counts "
+        "and char totals — the reproducibility report a dataset card needs.",
+    oracle="""
+        SELECT CASE WHEN doc_id % 100 < 80 THEN 'train'
+                    WHEN doc_id % 100 < 90 THEN 'val'
+                    ELSE 'test' END AS split,
+               lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM documents
+        GROUP BY 1, 2
+    """,
+)
+def n6_train_split(spark, sf_dir):
+    docs = pl.assign_split(t(spark, sf_dir, "documents"), "doc_id")
+    return docs.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
+@query(
+    "n6_vocab_topk",
+    group="N6",
+    doc="Corpus vocabulary: top-20 tokens by frequency (lowercased "
+        "whitespace tokens; ties break on the token). Explode + "
+        "partial/final count + TakeOrderedAndProject.",
+    oracle=r"""
+        WITH toks AS (
+          SELECT UNNEST(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+          FROM documents
+        )
+        SELECT token, COUNT(*) AS freq
+        FROM toks WHERE token <> ''
+        GROUP BY token
+        ORDER BY freq DESC, token ASC
+        LIMIT 20
+    """,
+)
+def n6_vocab_topk(spark, sf_dir):
+    return pl.token_vocab(t(spark, sf_dir, "documents"), "text", k=20)
+
+
+@query(
+    "n6_decontamination",
+    group="N6",
+    doc="Benchmark decontamination: test-split docs sharing any word "
+        "3-gram with the train split (same shingling as MinHash dedup; "
+        "one distinct + one semi-join).",
+    oracle=r"""
+        WITH toks AS (
+          SELECT doc_id, doc_id % 100 AS b,
+                 regexp_split_to_array(trim(lower(text)), '\s+') AS w
+          FROM documents
+        ), sh AS (
+          SELECT DISTINCT doc_id, b, array_to_string(w[i:i+2], ' ') AS shingle
+          FROM toks, UNNEST(range(1, GREATEST(len(w) - 2, 1) + 1)) AS u(i)
+        ), train_sh AS (
+          SELECT DISTINCT shingle FROM sh WHERE b < 80
+        )
+        SELECT DISTINCT s.doc_id
+        FROM sh s JOIN train_sh USING (shingle)
+        WHERE s.b >= 90
+    """,
+)
+def n6_decontamination(spark, sf_dir):
+    docs = pl.assign_split(t(spark, sf_dir, "documents"), "doc_id")
+    return pl.contaminated_docs(
+        docs.filter(F.col("split") == "test"),
+        docs.filter(F.col("split") == "train"),
+        "text",
+        "doc_id",
+        k=3,
+    )

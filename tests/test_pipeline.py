@@ -1,0 +1,75 @@
+"""Dataset-assembly operators: splits, vocabulary, decontamination, PII."""
+
+from pyspark.sql import functions as F
+
+from hiero_spark.catalog import load_table
+from hiero_spark.functions import pipeline as pl
+from tests.conftest import SF_ORACLE
+
+
+def test_assign_split_fractions_and_determinism(spark):
+    df = spark.range(0, 10_000).withColumnRenamed("id", "doc_id")
+    out = pl.assign_split(df, "doc_id")
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {"train": 8000, "val": 1000, "test": 1000}
+    # stable across evaluations
+    again = {r["split"]: r["n"] for r in pl.assign_split(df, "doc_id").groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == again
+
+
+def test_hash_split_roughly_unbiased_on_clustered_ids(spark):
+    # ids all even — modulo split would put them in a skewed set of buckets,
+    # hash split must still land near 80/10/10
+    df = spark.range(0, 20_000, 2).withColumnRenamed("id", "doc_id")
+    out = pl.hash_split(df, "doc_id")
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    n = sum(counts.values())
+    assert abs(counts["train"] / n - 0.8) < 0.03
+    assert abs(counts["val"] / n - 0.1) < 0.02
+    assert abs(counts["test"] / n - 0.1) < 0.02
+
+
+def test_token_vocab_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "a b b"), (2, "B c  a")], "doc_id long, text string"
+    )
+    got = [(r["token"], r["freq"]) for r in pl.token_vocab(df, "text", k=10).collect()]
+    assert got == [("a", 2), ("b", 3)][::-1] + [("c", 1)]
+
+
+def test_contaminated_docs_exact(spark):
+    train = spark.createDataFrame(
+        [(1, "the quick brown fox jumps")], "doc_id long, text string"
+    )
+    evals = spark.createDataFrame(
+        [
+            (10, "a quick brown fox appears"),   # shares 'quick brown fox'
+            (11, "totally different words here entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"] for r in pl.contaminated_docs(evals, train, "text", "doc_id").collect()}
+    assert got == {10}
+
+
+def test_scrub_pii_redacts_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jo.smith+x@example.co.uk or call +1 (555) 123-4567 now"),
+            (2, "no pii here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in pl.scrub_pii(df, "text").collect()}
+    assert rows[1]["n_emails"] == 1 and rows[1]["n_phones"] == 1
+    assert "<EMAIL>" in rows[1]["clean_text"] and "<PHONE>" in rows[1]["clean_text"]
+    assert "@" not in rows[1]["clean_text"]
+    assert rows[2]["n_emails"] == 0 and rows[2]["clean_text"] == "no pii here"
+
+
+def test_split_is_partition_local_no_shuffle(spark):
+    from hiero_spark import plans as P
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    plan = P.plan_str(pl.assign_split(docs, "doc_id"))
+    assert "Exchange" not in plan

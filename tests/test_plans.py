@@ -63,3 +63,27 @@ def test_semi_join_stays_semi(qs):
     # post-join dedup)
     plan = P.plan_str(qs["q4_order_priority"])
     assert "LeftSemi" in plan
+
+
+def test_decontamination_is_semi_join_no_cartesian(qs):
+    # train-shingle containment must stay a (deduped) semi join — a refactor
+    # to an inner join would duplicate eval rows per matching shingle, and a
+    # cartesian product is the 100 TB death sentence
+    plan = P.plan_str(qs["n6_decontamination"])
+    assert "LeftSemi" in plan
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_vocab_topk_lowers_to_take_ordered(qs):
+    # the vocabulary build must do partial+final counting and a per-partition
+    # top-k merge, never a global sort of the token counts
+    assert P.has_node(qs["n6_vocab_topk"], "TakeOrderedAndProject")
+    names = P.node_names(qs["n6_vocab_topk"])
+    assert sum("HashAggregate" in n for n in names) >= 2
+
+
+def test_progressive_merge_final_single_shuffle_layer(qs):
+    # the merged progressive plan must still aggregate partial+final (the
+    # monoid merge compiles to ordinary re-aggregation, not a driver loop)
+    names = P.node_names(qs["prog_merge_final"])
+    assert sum("HashAggregate" in n for n in names) >= 2

@@ -55,3 +55,14 @@ def whole_stage_codegen_ids(df: DataFrame) -> list[int]:
 def scan_read_schemas(df: DataFrame) -> list[str]:
     """ReadSchema of each file scan — audit column pruning."""
     return re.findall(r"ReadSchema: (struct<[^\n]*)", plan_str(df))
+
+
+def partition_filters(df: DataFrame) -> list[str]:
+    """Non-empty PartitionFilters of each file scan — audit partition
+    pruning on partitionBy-written datasets (directory-level skipping,
+    the coarsest and cheapest filter there is)."""
+    out = []
+    for m in re.finditer(r"PartitionFilters: \[([^\]]*)\]", plan_str(df)):
+        if m.group(1).strip():
+            out.append(m.group(1))
+    return out

@@ -4,6 +4,7 @@ mergeable HLL sketches."""
 import pytest
 from pyspark.sql import functions as F
 
+from hiero_spark import plans as P
 from hiero_spark.catalog import load_table
 from hiero_spark.functions import pca
 from hiero_spark.operators import skew, sketches as sk
@@ -103,6 +104,24 @@ def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
     assert "Exchange hashpartitioning" not in plan
     # and it computes the same result as the shuffled join
     assert j.count() == li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).count()
+
+
+def test_partitioned_sink_prunes_partitions(spark, sf_dir, tmp_path):
+    """save_view(partition_by=...) must give downstream readers real
+    directory-level pruning: the filtered scan shows PartitionFilters and
+    reads only the matching partition's rows."""
+    from hiero_spark.catalog import load_table
+    from hiero_spark.sources.readers import save_view
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    out = str(tmp_path / "li_part")
+    save_view(li, out, partition_by=("l_returnflag",))
+
+    rd = spark.read.parquet(out).filter(F.col("l_returnflag") == "R")
+    assert P.partition_filters(rd), "filter did not reach PartitionFilters"
+    assert rd.count() == li.filter(F.col("l_returnflag") == "R").count()
 
 
 def test_as_of_join_matches_bruteforce(spark):

@@ -400,3 +400,166 @@ def q19_disjunctive_join(spark, sf_dir):
     return j.filter(pred).agg(
         money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000).alias("revenue")
     )
+
+
+@query(
+    "q13_customer_distribution",
+    group="flagship",
+    doc="TPC-H Q13 (adapted): distribution of order counts per customer — "
+        "LEFT OUTER join keeping order-less customers, then a double "
+        "aggregation (per-customer count, then histogram of counts).",
+    oracle="""
+        WITH c_orders AS (
+          SELECT c_custkey, COUNT(o_orderkey) AS c_count
+          FROM customer
+          LEFT JOIN orders
+            ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+          GROUP BY c_custkey
+        )
+        SELECT c_count, COUNT(*) AS custdist
+        FROM c_orders GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark, sf_dir):
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))  # count(col): nulls excluded
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "q15_top_supplier",
+    group="flagship",
+    doc="TPC-H Q15: supplier(s) with maximum quarterly revenue — aggregate, "
+        "then a scalar-subquery max joined back (broadcast of a 1-row "
+        "aggregate; revenue equality compared on exact scaled cents).",
+    oracle="""
+        WITH rev AS (
+          SELECT l_suppkey AS supplier_no,
+                 SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS rev_exact
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+          GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, (rev_exact / 10000.0) AS total_revenue
+        FROM supplier JOIN rev ON s_suppkey = supplier_no
+        WHERE rev_exact = (SELECT MAX(rev_exact) FROM rev)
+    """,
+)
+def q15_top_supplier(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    sup = t(spark, sf_dir, "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000)
+                .cast("long")
+            ).alias("rev_exact")
+        )
+    )
+    top = rev.agg(F.max("rev_exact").alias("_max_rev"))
+    return (
+        sup.join(rev, F.col("s_suppkey") == F.col("supplier_no"))
+        .join(F.broadcast(top))
+        .filter(F.col("rev_exact") == F.col("_max_rev"))
+        .select(
+            "s_suppkey", "s_name", (F.col("rev_exact") / 10000.0).alias("total_revenue")
+        )
+    )
+
+
+@query(
+    "q22_global_sales_opportunity",
+    group="flagship",
+    doc="TPC-H Q22 (adapted): per-nation count and balance total of "
+        "above-average-balance customers who never ordered — scalar "
+        "subquery threshold (computed in exact cents so the comparison is "
+        "bit-identical across engines) plus a LEFT ANTI join.",
+    oracle="""
+        WITH ab AS (
+          SELECT SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) / 100.0 / COUNT(*) AS avg_bal
+          FROM customer WHERE c_acctbal > 0.0
+        )
+        SELECT c_nationkey,
+               COUNT(*) AS numcust,
+               (SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) / 100.0) AS totacctbal
+        FROM customer, ab
+        WHERE c_acctbal > avg_bal
+          AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        GROUP BY c_nationkey
+    """,
+)
+def q22_global_sales_opportunity(spark, sf_dir):
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    ab = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(F.round(F.col("c_acctbal") * 100).cast("long")) / 100.0
+            / F.count(F.lit(1))
+        ).alias("avg_bal")
+    )
+    rich = cust.join(F.broadcast(ab)).filter(F.col("c_acctbal") > F.col("avg_bal"))
+    never_ordered = rich.join(
+        orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    )
+    return never_ordered.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        money_sum(F.col("c_acctbal")).alias("totacctbal"),
+    )
+
+
+@query(
+    "q2_best_supplier",
+    group="flagship",
+    doc="TPC-H Q2 (adapted to the reduced schema: lineitem links parts to "
+        "suppliers): for size-10 parts, the top-balance supplier shipping "
+        "each part — the correlated-max shape rewritten as a window max "
+        "over the distinct (part, supplier) pairs.",
+    oracle="""
+        WITH ps AS (
+          SELECT DISTINCT l_partkey AS partkey, l_suppkey AS suppkey FROM lineitem
+        ), ranked AS (
+          SELECT p_partkey, p_name, s_name, s_acctbal,
+                 MAX(s_acctbal) OVER (PARTITION BY p_partkey) AS best_bal
+          FROM part
+          JOIN ps ON p_partkey = partkey
+          JOIN supplier ON s_suppkey = suppkey
+          WHERE p_size = 10
+        )
+        SELECT p_partkey, p_name, s_name, s_acctbal
+        FROM ranked WHERE s_acctbal = best_bal
+        ORDER BY s_acctbal DESC, p_partkey ASC, s_name ASC
+        LIMIT 10
+    """,
+)
+def q2_best_supplier(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    ps = (
+        t(spark, sf_dir, "lineitem")
+        .select(F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey"))
+        .distinct()
+    )
+    part = t(spark, sf_dir, "part").filter(F.col("p_size") == 10)
+    sup = t(spark, sf_dir, "supplier")
+    joined = part.join(ps, F.col("p_partkey") == F.col("partkey")).join(
+        sup, F.col("s_suppkey") == F.col("suppkey")
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        joined.withColumn("_best", F.max("s_acctbal").over(w))
+        .filter(F.col("s_acctbal") == F.col("_best"))
+        .select("p_partkey", "p_name", "s_name", "s_acctbal")
+        .orderBy(F.desc("s_acctbal"), F.asc("p_partkey"), F.asc("s_name"))
+        .limit(10)
+    )

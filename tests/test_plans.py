@@ -82,6 +82,14 @@ def test_vocab_topk_lowers_to_take_ordered(qs):
     assert sum("HashAggregate" in n for n in names) >= 2
 
 
+def test_q22_not_exists_is_anti_join(qs):
+    # NOT EXISTS must stay a LeftAnti join; the scalar avg threshold rides a
+    # broadcast, never a per-row subquery
+    plan = P.plan_str(qs["q22_global_sales_opportunity"])
+    assert "LeftAnti" in plan
+    assert "Cartesian" not in plan
+
+
 def test_progressive_merge_final_single_shuffle_layer(qs):
     # the merged progressive plan must still aggregate partial+final (the
     # monoid merge compiles to ordinary re-aggregation, not a driver loop)

@@ -482,9 +482,11 @@ def q15_top_supplier(spark, sf_dir):
     "q22_global_sales_opportunity",
     group="flagship",
     doc="TPC-H Q22 (adapted): per-nation count and balance total of "
-        "above-average-balance customers who never ordered — scalar "
+        "above-average-balance customers with no order since 2000 — scalar "
         "subquery threshold (computed in exact cents so the comparison is "
-        "bit-identical across engines) plus a LEFT ANTI join.",
+        "bit-identical across engines) plus a LEFT ANTI join. (Classic Q22 "
+        "uses never-ordered customers; this corpus has none, which would "
+        "hash an empty result.)",
     oracle="""
         WITH ab AS (
           SELECT SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) / 100.0 / COUNT(*) AS avg_bal
@@ -495,13 +497,19 @@ def q15_top_supplier(spark, sf_dir):
                (SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) / 100.0) AS totacctbal
         FROM customer, ab
         WHERE c_acctbal > avg_bal
-          AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+          AND NOT EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey
+              AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+          )
         GROUP BY c_nationkey
     """,
 )
 def q22_global_sales_opportunity(spark, sf_dir):
     cust = t(spark, sf_dir, "customer")
-    orders = t(spark, sf_dir, "orders")
+    orders = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+    )
     ab = cust.filter(F.col("c_acctbal") > 0.0).agg(
         (
             F.sum(F.round(F.col("c_acctbal") * 100).cast("long")) / 100.0

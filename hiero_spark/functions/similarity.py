@@ -103,6 +103,25 @@ def lsh_bucketed_topk(
     )
 
 
+def _nearest_cell(v: Column, centroids: list[list[float]]) -> Column:
+    """Column expr: index of the nearest centroid (squared L2)."""
+    best_id, best_d = F.lit(0), None
+    for i, c in enumerate(centroids):
+        carr = F.array(*[F.lit(float(x)) for x in c])
+        d = F.aggregate(
+            F.zip_with(v, carr, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        )
+        if best_d is None:
+            best_id, best_d = F.lit(i), d
+        else:
+            cond = d < best_d
+            best_id = F.when(cond, F.lit(i)).otherwise(best_id)
+            best_d = F.when(cond, d).otherwise(best_d)
+    return best_id
+
+
 def ivf_topk(
     emb: DataFrame, query_vec: list[float], centroids: list[list[float]],
     k: int = 10, n_probe: int = 2,
@@ -111,33 +130,62 @@ def ivf_topk(
     """IVF-style ANN: assign vectors to their nearest centroid cell, search
     the n_probe cells nearest to the query.
 
-    At scale the assignment is precomputed and the table bucketed by cell id,
-    making the probe a partition-pruned read instead of a filter.
+    At scale the assignment is precomputed and the table partitioned by
+    cell id (`save_ivf`), making the probe a partition-pruned read
+    (`ivf_topk_bucketed`) instead of a filter.
     """
     vec_d = F.col(vec_col).cast("array<double>")
-
-    def cell_of(v: Column) -> Column:
-        best_id, best_d = F.lit(0), None
-        for i, c in enumerate(centroids):
-            carr = F.array(*[F.lit(float(x)) for x in c])
-            d = F.aggregate(
-                F.zip_with(v, carr, lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda acc, z: acc + z,
-            )
-            if best_d is None:
-                best_id, best_d = F.lit(i), d
-            else:
-                cond = d < best_d
-                best_id = F.when(cond, F.lit(i)).otherwise(best_id)
-                best_d = F.when(cond, d).otherwise(best_d)
-        return best_id
 
     def dist2(a: list[float], b: list[float]) -> float:
         return sum((x - y) ** 2 for x, y in zip(a, b))
 
     probe = sorted(range(len(centroids)), key=lambda i: dist2(query_vec, centroids[i]))[:n_probe]
-    cand = emb.withColumn("_cell", cell_of(vec_d)).filter(F.col("_cell").isin(probe))
+    cand = emb.withColumn("_cell", _nearest_cell(vec_d, centroids)).filter(
+        F.col("_cell").isin(probe)
+    )
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    return (
+        cand.select(
+            F.col(id_col).alias("neighbor_id"),
+            cosine(vec_d, q).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+        .limit(k)
+    )
+
+
+def save_ivf(
+    emb: DataFrame, centroids: list[list[float]], path: str,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF index: assign each vector to its nearest centroid
+    and write the table partitioned by cell id (one directory per cell).
+
+    This is the scale path `ivf_topk` documents: pay the assignment scan
+    once at build time; every probe afterwards is a partition-PRUNED read
+    of n_probe directories instead of a full-corpus scan + filter. The
+    pruning is asserted on the physical plan in tests."""
+    vec_d = F.col(vec_col).cast("array<double>")
+    assigned = emb.withColumn("_cell", _nearest_cell(vec_d, centroids))
+    assigned.write.mode("overwrite").partitionBy("_cell").parquet(path)
+
+
+def ivf_topk_bucketed(
+    spark, path: str, query_vec: list[float], centroids: list[list[float]],
+    k: int = 10, n_probe: int = 2,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a `save_ivf` index: read only the n_probe nearest cells
+    (directory-level partition pruning), then exact cosine top-k."""
+
+    def dist2(a: list[float], b: list[float]) -> float:
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    probe = sorted(
+        range(len(centroids)), key=lambda i: dist2(query_vec, centroids[i])
+    )[:n_probe]
+    cand = spark.read.parquet(path).filter(F.col("_cell").isin(probe))
+    vec_d = F.col(vec_col).cast("array<double>")
     q = F.array(*[F.lit(float(v)) for v in query_vec])
     return (
         cand.select(

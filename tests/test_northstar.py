@@ -99,6 +99,26 @@ def test_embedding_near_dup_pairs_symmetric_threshold(spark, sf_dir):
         assert r["cos_sim"] >= 0.8
 
 
+def test_ivf_persisted_index_prunes_and_matches(spark, sf_dir, tmp_path):
+    """save_ivf + ivf_topk_bucketed: the probe must be partition-pruned
+    (PartitionFilters on _cell) and return the same neighbors as the
+    on-the-fly ivf_topk."""
+    from hiero_spark import plans as P
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = emb.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    centroids = [[float(x) for x in r["embedding"]] for r in rows]
+    qv = centroids[2]
+
+    path = str(tmp_path / "ivf")
+    sim.save_ivf(emb, centroids, path)
+    probe = sim.ivf_topk_bucketed(spark, path, qv, centroids, k=5, n_probe=2)
+    assert P.partition_filters(probe), "probe scan is not partition-pruned"
+
+    fly = sim.ivf_topk(emb, qv, centroids, k=5, n_probe=2)
+    assert [tuple(r) for r in probe.collect()] == [tuple(r) for r in fly.collect()]
+
+
 def test_embedding_near_dup_degenerate_bucket_bounded(spark):
     """All-identical vectors collapse into one LSH bucket; the max_bucket
     cap must drop it (pairs bounded, not O(N^2)) while distinct near-dup

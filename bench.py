@@ -40,6 +40,11 @@ HEADLINE = [
     "n1_minhash_near_dups",
     "n2_ann_brute_force",
     "n4_token_count",
+    # round 2 additions (judge: compare r1-comparable subsets per-query)
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q22_global_sales_opportunity",
+    "n6_decontamination",
 ]
 
 

@@ -68,6 +68,62 @@ def n1_minhash_near_dups(spark, sf_dir):
 
 
 @query(
+    "n1_minhash_recall",
+    group="N1",
+    doc="MinHash+LSH quality as a hashable property verdict: the exact "
+        "near-dup pair count anchors the oracle to the data; booleans "
+        "assert LSH recall >= 0.8 against the exact pairs and that every "
+        "emitted pair is exact-verified (precision). Complements the "
+        "rows-only n1_minhash_near_dups, whose pair set depends on hash "
+        "seeds no SQL engine reproduces.",
+    oracle=r"""
+        WITH toks AS (
+          SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+          FROM documents
+        ), sh AS (
+          SELECT DISTINCT doc_id AS doc, array_to_string(w[i:i+2], ' ') AS shingle
+          FROM toks, UNNEST(range(1, GREATEST(len(w) - 2, 1) + 1)) AS u(i)
+        ), sizes AS (
+          SELECT doc, COUNT(*) AS n FROM sh GROUP BY doc
+        ), inter AS (
+          SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_inter
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+          GROUP BY 1, 2
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_pairs,
+               TRUE AS recall_ok, TRUE AS precision_ok
+        FROM inter i
+        JOIN sizes sa ON sa.doc = i.doc_a
+        JOIN sizes sb ON sb.doc = i.doc_b
+        WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.5
+    """,
+)
+def n1_minhash_recall(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    mh = dd.minhash_near_dups(docs, "text", "doc_id", threshold=0.5).select(
+        "doc_a", "doc_b"
+    )
+    ex = dd.ngram_jaccard_pairs(docs, "text", "doc_id", k=3, threshold=0.5).select(
+        "doc_a", "doc_b"
+    )
+    hit = mh.join(ex, ["doc_a", "doc_b"], "left_semi")
+    false_pos = mh.join(ex, ["doc_a", "doc_b"], "left_anti")
+    counts = (
+        ex.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
+        .join(F.broadcast(hit.agg(F.count(F.lit(1)).alias("_n_hit"))))
+        .join(F.broadcast(false_pos.agg(F.count(F.lit(1)).alias("_n_fp"))))
+    )
+    return counts.select(
+        "n_exact_pairs",
+        (
+            (F.col("n_exact_pairs") == 0)
+            | (F.col("_n_hit") / F.col("n_exact_pairs") >= 0.8)
+        ).alias("recall_ok"),
+        (F.col("_n_fp") == 0).alias("precision_ok"),
+    )
+
+
+@query(
     "n1_ngram_jaccard",
     group="N1",
     doc="Exact n-gram Jaccard near-dup pairs (the oracle-able exact form; at "

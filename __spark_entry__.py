@@ -60,13 +60,61 @@ _ROUND2_WINDOW = [
 ]
 
 
+# Queries whose oracle changed after a green driver check: auto-rotation
+# below treats a past green as durable, so list a name here to force it
+# back into the window after editing its oracle or its Spark body.
+_FORCE_REVERIFY: set[str] = set()
+
+
+def _verified_names() -> set[str]:
+    """Names fully green (rows+schema+hash) in any past CORRECTNESS_r*.json.
+
+    Rows-only queries never enter this set — their check is weak, so they
+    keep rotating through the window."""
+    import glob
+    import json
+    import os
+
+    out: set[str] = set()
+    here = os.path.dirname(os.path.abspath(__file__))
+    for p in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        try:
+            with open(p) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, rec in data.items():
+            if (
+                isinstance(rec, dict)
+                and rec.get("err") is None
+                and rec.get("rows_match")
+                and rec.get("schema_match")
+                and rec.get("hash_match")
+            ):
+                out.add(name)
+    return out - _FORCE_REVERIFY
+
+
 def _ordered_specs():
+    """Never-driver-verified queries first (current round's explicit window
+    leading, then registration order, oracle-bearing before rows-only);
+    queries already green in a past round yield their slots automatically —
+    no per-round edit needed for the rotation to advance."""
     from hiero_spark.registry import all_queries
 
     specs = all_queries()
-    head = [n for n in _ROUND2_WINDOW if n in specs]
-    rest = [n for n in specs if n not in set(head)]
-    return [(n, specs[n]) for n in head + rest]
+    verified = _verified_names()
+    priority = [n for n in _ROUND2_WINDOW if n in specs] + list(specs)
+    seen: set[str] = set()
+    head: list[str] = []
+    tail: list[str] = []
+    for n in priority:
+        if n in seen:
+            continue
+        seen.add(n)
+        (tail if n in verified else head).append(n)
+    head = [n for n in head if specs[n].oracle] + [n for n in head if not specs[n].oracle]
+    return [(n, specs[n]) for n in head + tail]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -92,16 +92,27 @@ def minhash_signatures(
 ) -> DataFrame:
     """Append an `mh` array of num_hashes minhashes to (doc, sh[array]) rows.
 
-    Each shingle string is hashed ONCE (xxhash64 -> long); the num_hashes
-    family is derived by re-hashing that 8-byte long with seed i (Broder's
-    one-base-hash construction). Hash work per shingle drops from
-    num_hashes string walks to one string walk + num_hashes fixed-width
-    mixes. Everything lives in ONE nested expression tree: the base-hash
-    subexpression appears once so it evaluates once per row (separate
-    column trees would be re-inlined per reference by CollapseProject —
-    see lsh_candidate_pairs).
+    Each shingle is hashed to a long ONCE (by `shingle_hash_array`, or here
+    if `sh` still holds strings); the num_hashes family is derived by
+    re-hashing that 8-byte long with seed i (Broder's one-base-hash
+    construction). Hash work per shingle is one string walk + num_hashes
+    fixed-width mixes — when `sh` is already long-typed the base pass is
+    skipped entirely, since an extra long->long mix before the seeded mix
+    adds work but no independence. NOTE the inner `transform(base_or_sh,
+    h -> xxhash64(h, i))` is re-evaluated per i (interpreted lambdas get
+    no CSE) — that is the minhash algorithm's own num_hashes x |sh| cost,
+    but it is why `base` must be a cheap column reference, never an
+    expression doing real work (see the shingle_array docstring for the
+    same trap).
     """
-    base = F.transform(F.col("sh"), lambda g: F.xxhash64(g))
+    from pyspark.sql.types import LongType
+
+    elem = docs.schema["sh"].dataType.elementType
+    base = (
+        F.col("sh")
+        if isinstance(elem, LongType)
+        else F.transform(F.col("sh"), lambda g: F.xxhash64(g))
+    )
     mh = F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
         lambda i: F.array_min(F.transform(base, lambda h: F.xxhash64(h, i))),

@@ -25,74 +25,35 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's correctness run covers the FIRST 50 queries in dict order
 # (observed in round 1: CORRECTNESS_r01.json == first 50 registered).  With
-# 105+ registered queries we rotate coverage across rounds.  Round 2 window:
-# the two round-1 hash-fails whose oracles were fixed (q1, a2) plus the 48
-# highest-risk never-driver-verified oracle-bearing queries (joins/windows/
-# set-ops, streaming batch twins, north-star dedup/ANN/text, derived tail,
-# sources).  Queries already green in CORRECTNESS_r01.json — protected by
-# tests/test_oracle_parity.py locally — yield their slots and re-enter in
-# later rounds.
-_ROUND2_WINDOW = [
-    # re-verify the round-1 hash-fail fixes (DuckDB HUGEINT casts)
-    "q1_pricing_summary", "a2_basic_col_stats",
-    # relational extensions: joins, grouping sets, set-ops, windows, as-of
-    "ext_join_inner", "ext_join_left", "ext_join_semi", "ext_join_anti",
-    "ext_groupby_agg", "ext_groupby_rollup", "ext_groupby_cube",
-    "ext_setop_intersect", "ext_setop_except", "ext_setop_union_distinct",
-    "ext_window_rank", "ext_window_running_sum", "ext_window_lag",
-    "ext_topk_orders", "ext_pivot", "ext_asof_join", "ext_range_join",
-    # streaming batch twins
-    "x1_tumbling_window", "x2_sliding_window", "x3_session_window",
-    "x5_dedup_keys", "x6_sessionization_batch", "x7_funnel_conversion",
-    "x8_retention_cohorts",
-    # north-star (oracle-bearing subset)
-    "n1_dedup_exact", "n1_shingle_count", "n1_ngram_jaccard",
-    "n1_dedup_clusters", "n2_ann_brute_force", "n2_ann_batch",
-    "n3_multimodal_bytes", "n4_token_count", "n4_quality_score",
-    "n4_lang_id", "n4_lang_histogram", "n4_fingerprint", "n4_punct_stats",
-    "n5_curation_pipeline",
-    # derived tail never reached in round 1
-    "f5_string_ops", "f6_log_bucket", "f7_linear_projection",
-    # sources
-    "s1_csv_roundtrip", "s1_csv_infer", "s3_json_roundtrip",
-    "s4_orc_roundtrip", "s7_log_reader", "s10_sink_roundtrip",
-    "s8_file_enumeration", "s9_synthetic",
+# 110+ registered queries we rotate coverage across rounds: never-verified
+# queries first, then everything else.  _WINDOW_HEAD pins the round's
+# highest-priority names to the very front (<= 50 names; tests enforce it).
+# Round 3: the 10 oracle-bearing queries that never appeared in any window.
+_WINDOW_HEAD = [
+    "q2_best_supplier", "q13_customer_distribution", "q15_top_supplier",
+    "q22_global_sales_opportunity", "n1_minhash_recall", "prog_merge_final",
+    "n6_train_split", "n6_vocab_topk", "n6_decontamination", "s9_synthetic",
 ]
 
 
-# Queries whose oracle changed after a green driver check: auto-rotation
-# below treats a past green as durable, so list a name here to force it
-# back into the window after editing its oracle or its Spark body.
+# Manual escape hatch: list a name here to force re-verification even if
+# its snapshot hash still matches (e.g. a helper it calls was refactored).
+# The mechanical guard lives in hiero_spark/evidence.py: a past green only
+# counts while sha256(oracle + fn source) equals the hash pinned in
+# ORACLE_SNAPSHOT.json at verification time, so editing a green query's
+# body or oracle automatically rotates it back into the window.
 _FORCE_REVERIFY: set[str] = set()
 
 
 def _verified_names() -> set[str]:
-    """Names fully green (rows+schema+hash) in any past CORRECTNESS_r*.json.
+    """Names green in a past round whose code+oracle hash is unchanged.
 
     Rows-only queries never enter this set — their check is weak, so they
     keep rotating through the window."""
-    import glob
-    import json
-    import os
+    from hiero_spark import evidence
+    from hiero_spark.registry import all_queries
 
-    out: set[str] = set()
-    here = os.path.dirname(os.path.abspath(__file__))
-    for p in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
-        try:
-            with open(p) as f:
-                data = json.load(f)
-        except (OSError, ValueError):
-            continue
-        for name, rec in data.items():
-            if (
-                isinstance(rec, dict)
-                and rec.get("err") is None
-                and rec.get("rows_match")
-                and rec.get("schema_match")
-                and rec.get("hash_match")
-            ):
-                out.add(name)
-    return out - _FORCE_REVERIFY
+    return evidence.verified_names(all_queries(), frozenset(_FORCE_REVERIFY))
 
 
 def _ordered_specs():
@@ -104,7 +65,7 @@ def _ordered_specs():
 
     specs = all_queries()
     verified = _verified_names()
-    priority = [n for n in _ROUND2_WINDOW if n in specs] + list(specs)
+    priority = [n for n in _WINDOW_HEAD if n in specs] + list(specs)
     seen: set[str] = set()
     head: list[str] = []
     tail: list[str] = []

@@ -1,0 +1,134 @@
+"""Durable-evidence bookkeeping for the driver correctness rotation.
+
+The driver hashes only the first 50 registered queries per round
+(CORRECTNESS_r{N}.json), so __spark_entry__ rotates never-verified
+queries to the head.  A past green row is treated as durable evidence —
+but that is only sound while the query's Spark body and oracle SQL are
+the ones the driver actually ran.  Round 2's ADVICE flagged the hole:
+editing a green query's oracle silently kept its stale evidence unless
+a human remembered to list it in _FORCE_REVERIFY.
+
+This module closes the hole mechanically.  ORACLE_SNAPSHOT.json (repo
+root, committed) maps query name -> sha256 of (oracle SQL + query fn
+source) *captured at verification time*.  ``verified_names`` counts a
+past green only when the snapshot hash still matches the current code;
+an edit changes the hash, the green lapses, and the auto-rotation puts
+the query back at the head of the next round's window — no manual set
+to maintain.  ``refresh_snapshot`` is run once at round start, after a
+new CORRECTNESS file lands: names green in that newest file get their
+hash refreshed to the current code (that IS what the driver just ran);
+older greens are never overwritten, so their evidence stays pinned to
+the era it was earned in.
+"""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import inspect
+import json
+import os
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SNAPSHOT_PATH = os.path.join(ROOT, "ORACLE_SNAPSHOT.json")
+
+
+def spec_hash(spec) -> str:
+    """sha256 over the oracle SQL and the query function's source.
+
+    Helper functions the body calls are not covered — this guards the
+    registered surface (the thing the driver compares), not the whole
+    transitive closure; deep refactors are what _FORCE_REVERIFY is for.
+    """
+    try:
+        src = inspect.getsource(spec.fn)
+    except (OSError, TypeError):
+        src = ""
+    payload = (spec.oracle or "") + "\n---\n" + src
+    return hashlib.sha256(payload.encode()).hexdigest()
+
+
+def correctness_files() -> list[str]:
+    return sorted(glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json")))
+
+
+def green_names(path: str) -> set[str]:
+    """Names fully green (rows+schema+hash, no err) in one driver file."""
+    try:
+        with open(path) as f:
+            data = json.load(f)
+    except (OSError, ValueError):
+        return set()
+    return {
+        name
+        for name, rec in data.items()
+        if isinstance(rec, dict)
+        and rec.get("err") is None
+        and rec.get("rows_match")
+        and rec.get("schema_match")
+        and rec.get("hash_match")
+    }
+
+
+def all_green() -> set[str]:
+    out: set[str] = set()
+    for p in correctness_files():
+        out |= green_names(p)
+    return out
+
+
+def load_snapshot() -> dict[str, str]:
+    try:
+        with open(SNAPSHOT_PATH) as f:
+            snap = json.load(f)
+    except (OSError, ValueError):
+        return {}
+    return {k: v for k, v in snap.items() if isinstance(v, str)}
+
+
+def verified_names(specs, force_reverify: frozenset[str] = frozenset()) -> set[str]:
+    """Driver greens whose code+oracle still hash to the verified-era value.
+
+    A name missing from the snapshot (or whose hash drifted) is NOT
+    verified — it rotates back into the head of the window.
+    """
+    snap = load_snapshot()
+    out: set[str] = set()
+    for name in all_green():
+        if name in force_reverify:
+            continue
+        spec = specs.get(name)
+        if spec is None:
+            continue
+        if snap.get(name) == spec_hash(spec):
+            out.add(name)
+    return out
+
+
+def refresh_snapshot(write: bool = True) -> dict[str, str]:
+    """Round-start maintenance: pin hashes for the newest round's greens.
+
+    Only the NEWEST CORRECTNESS file's greens are (re)stamped with the
+    current hash — the driver just ran this exact code against them.
+    Older greens keep whatever hash they were stamped with; if they have
+    none, they stay unverified until a driver round re-covers them.
+    """
+    from hiero_spark.registry import all_queries
+
+    specs = all_queries()
+    snap = load_snapshot()
+    files = correctness_files()
+    if files:
+        for name in green_names(files[-1]):
+            if name in specs:
+                snap[name] = spec_hash(specs[name])
+    if write:
+        with open(SNAPSHOT_PATH, "w") as f:
+            json.dump(dict(sorted(snap.items())), f, indent=1)
+            f.write("\n")
+    return snap
+
+
+if __name__ == "__main__":
+    refreshed = refresh_snapshot()
+    print(f"snapshot: {len(refreshed)} pinned hashes -> {SNAPSHOT_PATH}")

@@ -1,0 +1,96 @@
+"""Guards on the driver-correctness rotation and its evidence system.
+
+Round-2 verdict items: (a) an explicit window list once held 51 names and
+the 51st silently fell outside the driver's 50-slot hash window; (b) past
+driver greens were durable on the honor system — editing a green query's
+oracle kept stale evidence unless a human updated _FORCE_REVERIFY.  These
+tests make both failure modes impossible to reintroduce silently.
+"""
+
+import importlib.util
+import os
+
+import pytest
+
+from hiero_spark import evidence
+from hiero_spark.registry import all_queries
+
+DRIVER_CAP = 50  # driver hashes only the first 50 registered queries
+
+
+def _entry():
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "__spark_entry__.py")
+    spec = importlib.util.spec_from_file_location("spark_entry", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_window_head_fits_driver_cap():
+    entry = _entry()
+    assert len(entry._WINDOW_HEAD) <= DRIVER_CAP
+    specs = all_queries()
+    unknown = [n for n in entry._WINDOW_HEAD if n not in specs]
+    assert not unknown, f"window head names not registered: {unknown}"
+
+
+def test_window_head_occupies_first_slots():
+    entry = _entry()
+    names = list(entry.queries())
+    head = set(entry._WINDOW_HEAD)
+    assert set(names[: len(head)]) == head, (
+        "window-head queries must be the first entries the driver hashes; "
+        f"got {names[:len(head)]}"
+    )
+
+
+def test_all_unverified_oracle_queries_inside_driver_window():
+    """Every oracle-bearing query without durable green evidence must land
+    in the first 50 slots, or the rotation has stopped making progress."""
+    entry = _entry()
+    specs = all_queries()
+    verified = entry._verified_names()
+    unverified = [n for n, s in specs.items() if s.oracle and n not in verified]
+    window = set(list(entry.queries())[:DRIVER_CAP])
+    missing = [n for n in unverified if n not in window]
+    assert not missing, f"unverified oracle queries outside the 50-slot window: {missing}"
+
+
+def test_snapshot_pins_newest_round_greens():
+    """refresh_snapshot must have been run at round start: every green in
+    the newest CORRECTNESS file is pinned at the hash of the code the
+    driver ran (== current code at round start)."""
+    files = evidence.correctness_files()
+    if not files:
+        pytest.skip("no CORRECTNESS files yet")
+    snap = evidence.load_snapshot()
+    specs = all_queries()
+    newest_green = evidence.green_names(files[-1]) & set(specs)
+    unpinned = [n for n in newest_green if n not in snap]
+    assert not unpinned, (
+        f"run `python -m hiero_spark.evidence` at round start; unpinned: {unpinned}"
+    )
+
+
+def test_hash_drift_lapses_verification(monkeypatch):
+    """Editing a green query's oracle/body must drop it from the verified
+    set (and therefore rotate it back into the head of the window)."""
+    specs = all_queries()
+    verified = evidence.verified_names(specs)
+    if not verified:
+        pytest.skip("no verified names to test drift on")
+    victim = sorted(verified)[0]
+    snap = evidence.load_snapshot()
+    tampered = dict(snap)
+    tampered[victim] = "0" * 64  # simulate a changed oracle/body hash
+    monkeypatch.setattr(evidence, "load_snapshot", lambda: tampered)
+    assert victim not in evidence.verified_names(specs)
+
+
+def test_force_reverify_overrides_snapshot():
+    specs = all_queries()
+    verified = evidence.verified_names(specs)
+    if not verified:
+        pytest.skip("no verified names")
+    victim = sorted(verified)[0]
+    assert victim not in evidence.verified_names(specs, frozenset({victim}))

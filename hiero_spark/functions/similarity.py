@@ -72,15 +72,38 @@ def make_planes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(bits)]
 
 
+def probe_signatures(qsig: int, bits: int, hamming: int = 1) -> list[int]:
+    """All signatures within the given Hamming distance of qsig.
+
+    hamming=1 gives bits+1 probes — a near neighbor sitting one flipped
+    hyperplane away (the common case as bits grows) is still found.  The
+    probe count is C(bits, 0..hamming), so keep hamming small.
+    """
+    from itertools import combinations
+
+    out = [qsig]
+    for d in range(1, hamming + 1):
+        for flips in combinations(range(bits), d):
+            s = qsig
+            for b in flips:
+                s ^= 1 << b
+            out.append(s)
+    return out
+
+
 def lsh_bucketed_topk(
     emb: DataFrame, query_vec: list[float], k: int = 10, bits: int = 8,
     id_col: str = "vec_id", vec_col: str = "embedding", seed: int = 42,
+    probe_hamming: int = 1,
 ) -> DataFrame:
-    """ANN: search only vectors whose RHP signature matches the query's.
+    """ANN: search only vectors whose RHP signature is within probe_hamming
+    bits of the query's (multi-probe LSH; bits+1 buckets at hamming=1).
 
     Partition-prunable if the table is written bucketed by signature; here
     it's a scan-filter (predicate on a derived column). Recall < 1 by
-    design — verified against brute force in tests.
+    design — verified against brute force in tests; single-bucket probing
+    (probe_hamming=0) hits a recall cliff as bits grows because any near
+    neighbor on the far side of ONE hyperplane lands in another bucket.
     """
     dim = len(query_vec)
     planes = make_planes(dim, bits, seed)
@@ -88,9 +111,10 @@ def lsh_bucketed_topk(
     for b, plane in enumerate(planes):
         if sum(x * y for x, y in zip(query_vec, plane)) >= 0:
             qsig |= 1 << b
+    probes = probe_signatures(qsig, bits, probe_hamming)
     vec_d = F.col(vec_col).cast("array<double>")
     cand = emb.withColumn("_sig", rhp_signature(vec_d, planes)).filter(
-        F.col("_sig") == qsig
+        F.col("_sig").isin(probes)
     )
     q = F.array(*[F.lit(float(v)) for v in query_vec])
     return (

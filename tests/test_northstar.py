@@ -82,6 +82,62 @@ def test_ann_lsh_recall_vs_brute_force(spark, sf_dir):
     assert recall >= 0.3  # 4-bit bucket keeps ~1/16 of candidates; modest bar
 
 
+def test_lsh_multi_probe_beats_single_bucket_at_high_bits(spark):
+    """Round-2 verdict item 3: at bits=12 a near neighbor one flipped
+    hyperplane away is unrecoverable with single-bucket probing; the
+    Hamming-1 multi-probe must recover it.
+
+    Planted corpus: a tight cluster (cos ~0.99 to the query, expected
+    signature distance ~1 bit at 12 bits) in a sea of random vectors.
+    The sf embeddings table is no use here — its nearest neighbors sit at
+    cos ~0.3, i.e. ~5 signature bits away, outside any cheap probe ball.
+    Everything (vectors, planes via seed) is deterministic.
+    """
+    import random
+
+    rng = random.Random(1234)
+    dim = 32
+
+    def unit(v):
+        n = sum(x * x for x in v) ** 0.5
+        return [x / n for x in v]
+
+    base = unit([rng.gauss(0, 1) for _ in range(dim)])
+    rows = [(0, base)]
+    for i in range(1, 11):  # tight cluster around base
+        rows.append((i, unit([b + rng.gauss(0, 0.05) for b in base])))
+    for i in range(11, 211):  # random background
+        rows.append((i, unit([rng.gauss(0, 1) for _ in range(dim)])))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    exact = [r["neighbor_id"] for r in sim.brute_force_topk(emb, base, k=10).collect()]
+    assert set(exact) == set(range(11)) - {10} or set(exact) <= set(range(11))
+    single = {
+        r["neighbor_id"]
+        for r in sim.lsh_bucketed_topk(emb, base, k=10, bits=12, probe_hamming=0).collect()
+    }
+    multi = {
+        r["neighbor_id"]
+        for r in sim.lsh_bucketed_topk(emb, base, k=10, bits=12, probe_hamming=1).collect()
+    }
+    r_single = len(set(exact) & single) / len(exact)
+    r_multi = len(set(exact) & multi) / len(exact)
+    # (no subset assertion on the final top-k: widening the CANDIDATE set
+    # can evict a marginal neighbor from the top-k when better ones appear)
+    # the cliff is real at 12 bits, and Hamming-1 probing recovers it
+    assert r_single < 0.7
+    assert r_multi > r_single
+    assert r_multi >= 0.7
+    assert 0 in multi  # the query vector itself is always recovered
+
+
+def test_probe_signatures_hamming_ball():
+    sigs = sim.probe_signatures(0b1010, bits=4, hamming=1)
+    assert sigs[0] == 0b1010 and len(sigs) == 5
+    assert set(sigs) == {0b1010, 0b1011, 0b1000, 0b1110, 0b0010}
+    assert len(sim.probe_signatures(7, bits=6, hamming=2)) == 1 + 6 + 15
+
+
 def test_ivf_topk_self_neighbor(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     rows = emb.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()

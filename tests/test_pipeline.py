@@ -67,6 +67,39 @@ def test_scrub_pii_redacts_and_counts(spark):
     assert rows[2]["n_emails"] == 0 and rows[2]["clean_text"] == "no pii here"
 
 
+def test_scrub_pii_phone_forms_redacted(spark):
+    forms = [
+        "+1 (555) 123-4567", "555-123-4567", "(555) 123-4567",
+        "+44 20 7946 0958", "+15551234567", "555.123.4567",
+        "call 555 123 4567 now",
+    ]
+    df = spark.createDataFrame(list(enumerate(forms)), "doc_id long, text string")
+    rows = pl.scrub_pii(df, "text").collect()
+    for r in rows:
+        assert r["n_phones"] >= 1, r["text"]
+        assert "<PHONE>" in r["clean_text"], r["text"]
+
+
+def test_scrub_pii_leaves_dates_and_ids_alone(spark):
+    """Round-2 verdict item 4: the old pattern redacted any 8+ run of
+    digits/spaces/dashes — dates and numeric ids came out as <PHONE>."""
+    clean = [
+        "released 2026-08-13 and 2026 08 13 ok",
+        "eu style 13.08.2026 date",
+        "order 123456789 shipped",
+        "customer id 9876543210",
+        "sequential 12345678 block",
+        "ISBN 978-3-16-148410-0",
+        "pi is 3.14159265",
+        "semver v1.2.3 tagged",
+    ]
+    df = spark.createDataFrame(list(enumerate(clean)), "doc_id long, text string")
+    rows = pl.scrub_pii(df, "text").collect()
+    for r in rows:
+        assert r["n_phones"] == 0, r["text"]
+        assert r["clean_text"] == r["text"], r["text"]
+
+
 def test_split_is_partition_local_no_shuffle(spark):
     from hiero_spark import plans as P
 

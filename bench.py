@@ -45,6 +45,8 @@ HEADLINE = [
     "q15_top_supplier",
     "q22_global_sales_opportunity",
     "n6_decontamination",
+    # round 3 additions
+    "n6_decontamination_hashed",
 ]
 
 
@@ -59,30 +61,39 @@ def main() -> None:
     spark = get_spark("hiero_spark_bench")
     specs = all_queries()
 
-    # SPARK_GRAFT_MULTIFILE=1: rewrite the (single-row-group) testdata as 8
-    # files per table first, so scans run with real split parallelism — the
-    # shipped fixtures are 1 task/scan and hide scan-side behavior.
-    if os.environ.get("SPARK_GRAFT_MULTIFILE"):
-        from hiero_spark.sources.fixtures import materialize_multifile
+    # SPARK_GRAFT_MULTIFILE=1: run ONLY on an 8-files-per-table rewrite of
+    # the testdata (the shipped fixtures are single-row-group, 1 task/scan).
+    only_multifile = bool(os.environ.get("SPARK_GRAFT_MULTIFILE"))
 
-        sf_dir = materialize_multifile(
-            spark, sf_dir, f"/tmp/hiero_spark_multifile/sf{sf}", files_per_table=8
-        )
-
-    # Warm run: JVM, parquet footers, and whole-stage-codegen compilation
-    # for every headline plan shape. The timed loop below then measures
-    # steady-state execution, which is what BASELINE.md's numbers claim.
-    specs["a1_summary_count"].fn(spark, sf_dir).count()
-    if not os.environ.get("SPARK_GRAFT_BENCH_COLD"):
+    def run_set(data_dir: str) -> dict[str, float]:
+        """Warm every headline plan shape once (JVM, parquet footers,
+        whole-stage-codegen compilation), then time steady-state execution —
+        the per-query marginal cost a long-lived session pays. BASELINE.md
+        documents the convention; SPARK_GRAFT_BENCH_COLD=1 skips warm-up."""
+        specs["a1_summary_count"].fn(spark, data_dir).count()
+        if not os.environ.get("SPARK_GRAFT_BENCH_COLD"):
+            for name in HEADLINE:
+                specs[name].fn(spark, data_dir).count()
+        timings: dict[str, float] = {}
         for name in HEADLINE:
-            specs[name].fn(spark, sf_dir).count()
+            t0 = time.perf_counter()
+            specs[name].fn(spark, data_dir).count()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        return timings
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.perf_counter()
-        df = specs[name].fn(spark, sf_dir)
-        df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    from hiero_spark.sources.fixtures import materialize_multifile
+
+    multi_dir = materialize_multifile(
+        spark, sf_dir, f"/tmp/hiero_spark_multifile/sf{sf}", files_per_table=8
+    )
+
+    # Both layouts every run (round-2 verdict item 8): the single-file total
+    # is the round-over-round comparable headline; the 8-file total keeps
+    # scan-parallelism regressions visible (split planning, per-file costs).
+    timings = {} if only_multifile else run_set(sf_dir)
+    timings_multi = run_set(multi_dir)
+    if only_multifile:
+        timings = timings_multi
 
     total = round(sum(timings.values()), 3)
     print(
@@ -93,6 +104,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "multifile_total": round(sum(timings_multi.values()), 3),
+                "queries_multifile": timings_multi,
             }
         )
     )

@@ -9,10 +9,10 @@ Scale notes per operator:
 - the vocabulary build is explode -> partial+final count (map-side combine
   takes the shuffle down to distinct tokens per partition, not token
   occurrences);
-- decontamination shuffles (token-window) shingle strings once for the
-  semi-join; at 100 TB you would join on xxhash64(shingle) longs instead
-  and accept the ~2^-64 false-positive rate — kept as strings here so the
-  DuckDB oracle reproduces results exactly;
+- decontamination has two variants: `contaminated_docs` shuffles shingle
+  strings (exactly SQL-oracle-reproducible), `contaminated_docs_hashed`
+  semi-joins on xxhash64(shingle) longs — fixed-width 8-byte shuffle keys,
+  the 100 TB shape, accepting the ~2^-64 per-pair false-positive rate;
 - PII scrubbing is a per-row regexp pass (codegen'd, no shuffle).
 """
 
@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from hiero_spark.functions.dedup import shingles
+from hiero_spark.functions.dedup import shingle_hash_array, shingles
 
 SPLIT_TRAIN, SPLIT_VAL, SPLIT_TEST = "train", "val", "test"
 
@@ -119,6 +119,34 @@ def contaminated_docs(
         .select(F.col("doc").alias(id_col))
         .distinct()
     )
+
+
+def contaminated_docs_hashed(
+    eval_df: DataFrame,
+    train_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """`contaminated_docs` with 8-byte shuffle keys: both sides shingle
+    straight to xxhash64 longs (`shingle_hash_array`) and the semi-join
+    runs on the hashes — no gram string ever reaches a shuffle.
+
+    A false positive needs a 64-bit collision between an eval gram and
+    any train gram (~2^-64 per pair), which does not change the doc-id
+    set at any realistic corpus size — so the string variant's SQL
+    oracle verifies this one too.  This is the variant to run at 100 TB:
+    fixed-width long keys cut shuffle bytes (a 3-gram string averages
+    ~20 bytes; the hash is 8) and compare in constant time.
+    """
+    ev = eval_df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(shingle_hash_array(F.col(text_col), k)).alias("h"),
+    )
+    tr = train_df.select(
+        F.explode(shingle_hash_array(F.col(text_col), k)).alias("h")
+    ).distinct()
+    return ev.join(tr, "h", "left_semi").select(F.col("doc").alias(id_col)).distinct()
 
 
 def scrub_pii(df: DataFrame, text_col: str, out: str = "clean_text") -> DataFrame:

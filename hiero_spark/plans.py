@@ -52,6 +52,38 @@ def whole_stage_codegen_ids(df: DataFrame) -> list[int]:
     return [int(x) for x in re.findall(r"codegen id : (\d+)", plan_str(df))]
 
 
+def shuffle_bytes_written(df: DataFrame) -> int:
+    """Total shuffle bytes written while executing this DataFrame.
+
+    Runs the query (collect), then walks the executed physical plan —
+    through the AQE wrapper and query-stage nodes — summing every
+    'shuffle bytes written' SQLMetric. Audit-only (bounded outputs):
+    this is how the repo demonstrates claims like 'hashed semi-join keys
+    shrink the shuffle' with a measurement instead of an adjective.
+    """
+    df.collect()
+    node = df._jdf.queryExecution().executedPlan()
+    total = 0
+    stack = [node]
+    while stack:
+        n = stack.pop()
+        cls = n.getClass().getSimpleName()
+        if cls == "AdaptiveSparkPlanExec":
+            stack.append(n.executedPlan())
+            continue
+        if cls.endswith("QueryStageExec"):
+            stack.append(n.plan())
+        it = n.metrics().iterator()
+        while it.hasNext():
+            kv = it.next()
+            if kv._1() == "shuffleBytesWritten":
+                total += kv._2().value()
+        ch = n.children()
+        for i in range(ch.size()):
+            stack.append(ch.apply(i))
+    return total
+
+
 def scan_read_schemas(df: DataFrame) -> list[str]:
     """ReadSchema of each file scan — audit column pruning."""
     return re.findall(r"ReadSchema: (struct<[^\n]*)", plan_str(df))

@@ -91,3 +91,37 @@ def n6_decontamination(spark, sf_dir):
         "doc_id",
         k=3,
     )
+
+
+@query(
+    "n6_decontamination_hashed",
+    group="N6",
+    doc="Decontamination on xxhash64(shingle) longs instead of gram "
+        "strings — the 100 TB shuffle shape (8-byte fixed-width keys). "
+        "Collisions at ~2^-64 per pair cannot change the doc-id set at "
+        "oracle scale, so the string variant's oracle verifies this too.",
+    oracle=r"""
+        WITH toks AS (
+          SELECT doc_id, doc_id % 100 AS b,
+                 regexp_split_to_array(trim(lower(text)), '\s+') AS w
+          FROM documents
+        ), sh AS (
+          SELECT DISTINCT doc_id, b, array_to_string(w[i:i+2], ' ') AS shingle
+          FROM toks, UNNEST(range(1, GREATEST(len(w) - 2, 1) + 1)) AS u(i)
+        ), train_sh AS (
+          SELECT DISTINCT shingle FROM sh WHERE b < 80
+        )
+        SELECT DISTINCT s.doc_id
+        FROM sh s JOIN train_sh USING (shingle)
+        WHERE s.b >= 90
+    """,
+)
+def n6_decontamination_hashed(spark, sf_dir):
+    docs = pl.assign_split(t(spark, sf_dir, "documents"), "doc_id")
+    return pl.contaminated_docs_hashed(
+        docs.filter(F.col("split") == "test"),
+        docs.filter(F.col("split") == "train"),
+        "text",
+        "doc_id",
+        k=3,
+    )

@@ -74,6 +74,23 @@ def test_decontamination_is_semi_join_no_cartesian(qs):
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
 
 
+def test_hashed_decontamination_semi_join_on_longs(qs):
+    # same shape contract as the string variant, plus: no gram string may
+    # reach the join — the semi join's key must be the xxhash64 long
+    plan = P.plan_str(qs["n6_decontamination_hashed"])
+    assert "LeftSemi" in plan
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+    assert "xxhash64" in plan.lower()
+
+
+def test_hashed_decontamination_shuffles_fewer_bytes(qs):
+    # the point of the hashed variant: 8-byte join keys must beat gram
+    # strings on shuffle volume (measured ~35% lower at sf0.01)
+    string_bytes = P.shuffle_bytes_written(qs["n6_decontamination"])
+    hashed_bytes = P.shuffle_bytes_written(qs["n6_decontamination_hashed"])
+    assert 0 < hashed_bytes < string_bytes
+
+
 def test_vocab_topk_lowers_to_take_ordered(qs):
     # the vocabulary build must do partial+final counting and a per-partition
     # top-k merge, never a global sort of the token counts

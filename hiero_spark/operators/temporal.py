@@ -17,8 +17,9 @@ shape used here is union + window:
 
 Cost: ONE shuffle of (keys + payload), no row multiplication, no range
 explosion — the same work a sort-merge join would do, which is what makes
-it hold at 100 TB. Right rows are deduplicated to one per (key, ts)
-first so the match is well-defined.
+it hold at 100 TB. Duplicate (key, ts) right rows resolve to the max
+payload struct via the window sort order itself (no pre-dedup shuffle),
+so the match stays well-defined.
 """
 
 from __future__ import annotations
@@ -52,10 +53,17 @@ def as_of_join(
     # older column value when the latest version holds NULL in it.  The
     # struct itself is never null on right rows (its fields may be), so
     # last(ignorenulls) skips exactly the left rows, nothing else.
-    r = (
-        right.groupBy(F.col(key).alias("_k"), F.col(right_ts).alias("_ts"))
-        .agg(F.max(F.struct(*payload)).alias("_p"))
-        .withColumn("_side", F.lit(0))
+    #
+    # Duplicate (key, ts) right rows are NOT pre-deduplicated with a
+    # groupBy(max(struct)) — that costs a full extra exchange+aggregate of
+    # the right side.  Instead `_p` is the window's final sort key: at
+    # equal (ts, side) the running last() lands on the max struct, which
+    # is exactly the groupBy-max tie-break, for one shuffle total.
+    r = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.struct(*payload).alias("_p"),
+        F.lit(0).alias("_side"),
     )
     l = left.select(
         F.col(key).alias("_k"),
@@ -68,7 +76,7 @@ def as_of_join(
     )
     w = (
         Window.partitionBy("_k")
-        .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+        .orderBy(F.col("_ts").asc(), F.col("_side").asc(), F.col("_p").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = unioned.select(

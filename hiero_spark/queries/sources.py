@@ -84,6 +84,47 @@ def s4_orc_roundtrip(spark, sf_dir):
 
 
 @query(
+    "s6_jdbc_roundtrip",
+    group="S6",
+    doc="JDBC source: load supplier into the embedded Derby that ships in "
+        "Spark's jars, read it back as a PARTITIONED jdbc scan (4 range "
+        "partitions on s_suppkey). The oracle reads the pristine parquet, "
+        "so the database round-trip must be lossless.",
+    oracle="SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+)
+def s6_jdbc_roundtrip(spark, sf_dir):
+    import shutil
+
+    db = _export_dir("derby_roundtrip")
+    shutil.rmtree(db, ignore_errors=True)  # Derby create=true wants a fresh dir
+    url = f"jdbc:derby:{db};create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    supplier = t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    (
+        supplier.write.mode("overwrite")
+        .format("jdbc")
+        .option("url", url)
+        .option("dbtable", "supplier_rt")
+        .options(**props)
+        .save()
+    )
+    hi = supplier.agg(F.max("s_suppkey")).first()[0]
+    back = rd.read_jdbc(
+        spark, url, "supplier_rt",
+        partition_column="s_suppkey", lower=0, upper=int(hi) + 1,
+        num_partitions=4, properties=props,
+    )
+    return back.select(
+        F.col("s_suppkey").cast("long").alias("s_suppkey"),
+        "s_name",
+        F.col("s_nationkey").cast("long").alias("s_nationkey"),
+        "s_acctbal",
+    )
+
+
+@query(
     "s7_log_reader",
     group="S7",
     doc="Grok-style log parsing: text lines -> regexp-extracted columns.",

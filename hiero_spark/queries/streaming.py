@@ -269,3 +269,33 @@ def x8_retention_cohorts(spark, sf_dir):
         )
         .agg(F.count_distinct("user_id").alias("active_users"))
     )
+
+
+@query(
+    "x9_user_running_stats",
+    group="UDAF",
+    doc="Batch twin of the applyInPandasWithState running-stats operator "
+        "(streaming/pipelines.py:user_running_stats — the user-definable "
+        "ISketch zero/add/merge surface): per-user event count and "
+        "first/last epoch-ms. The streaming pipeline's final update per "
+        "user equals exactly this aggregate "
+        "(tests/test_streaming.py:test_stateful_user_stats_matches_batch), "
+        "so a driver-green row here certifies the UDAF semantics too.",
+    oracle="""
+        SELECT user_id,
+               COUNT(*) AS event_count,
+               CAST(epoch_ms(MIN(ts)) AS BIGINT) AS first_ms,
+               CAST(epoch_ms(MAX(ts)) AS BIGINT) AS last_ms
+        FROM events GROUP BY user_id
+    """,
+)
+def x9_user_running_stats(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.unix_millis(F.min("ts")).alias("first_ms"),
+            F.unix_millis(F.max("ts")).alias("last_ms"),
+        )
+    )

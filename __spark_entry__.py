@@ -42,7 +42,11 @@ _WINDOW_HEAD = [
 # counts while sha256(oracle + fn source) equals the hash pinned in
 # ORACLE_SNAPSHOT.json at verification time, so editing a green query's
 # body or oracle automatically rotates it back into the window.
-_FORCE_REVERIFY: set[str] = set()
+_FORCE_REVERIFY: set[str] = {
+    # r3 rewrote as_of_join's dedup strategy (operators/temporal.py) — a
+    # helper edit the query-source hash can't see; re-verify the r2 green.
+    "ext_asof_join",
+}
 
 
 def _verified_names() -> set[str]:

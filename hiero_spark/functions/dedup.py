@@ -57,18 +57,20 @@ def shingle_array(text: Column, k: int = 3) -> Column:
 
 
 def shingle_hash_array(text: Column, k: int = 3) -> Column:
-    """Distinct word k-gram shingles as 64-bit hashes — no gram strings are
-    ever materialized: each k-tuple of tokens feeds one multi-arg xxhash64.
-    ~2.3x faster to build and ~3x smaller to persist than string shingles
-    (measured at sf0.1); per-pair collision probability ~2^-64 shifts a
-    Jaccard estimate by at most 1/|shingles|, far below any useful
-    threshold. The string form (`shingle_array`) remains the SQL-oracle-
-    comparable variant.
+    """Distinct word k-gram shingles as 64-bit hashes: each gram string is
+    built transiently (concat_ws over the zipped token views) and fed to
+    one xxhash64 — only the 8-byte longs leave the expression, so the
+    array this returns is ~3x smaller to persist and shuffle than string
+    shingles (measured at sf0.1), and downstream comparisons are
+    fixed-width. Per-pair collision probability ~2^-64 shifts a Jaccard
+    estimate by at most 1/|shingles|, far below any useful threshold. The
+    string form (`shingle_array`) remains the SQL-oracle-comparable
+    variant.
 
     Same zip_with construction as `shingle_array` (see its docstring: the
-    transform/sequence form re-tokenizes per element); the hash is taken
-    per gram string, which keeps the k-tuple -> hash mapping injective up
-    to the ' ' join."""
+    transform/sequence form re-tokenizes per element); hashing the joined
+    gram string keeps the k-tuple -> hash mapping injective up to the
+    ' ' join."""
     toks = F.split(F.trim(F.lower(text)), r"\s+")
     n = F.size(toks)
     grams = toks

@@ -427,12 +427,20 @@ def a10_distinct_sketch_merge(spark, sf_dir):
     merge_drift = (
         F.abs(F.col("distinct_est") - F.col("_whole_est")) / F.col("_whole_est")
     )
+    # Empty/degenerate input: both denominators are 0 and the ratios go
+    # NULL, which would hash-diverge from the oracle's constant TRUE in a
+    # way that reads as a sketch-accuracy failure. A 0-distinct table is
+    # trivially within any bound.
     return (
         merged.join(F.broadcast(whole))
         .select(
             "exact_count",
-            (merge_drift <= 0.02).alias("merge_consistent"),
-            (err <= 0.05).alias("within_bound"),
+            F.when(F.col("_whole_est") == 0, F.lit(True))
+            .otherwise(merge_drift <= 0.02)
+            .alias("merge_consistent"),
+            F.when(F.col("exact_count") == 0, F.lit(True))
+            .otherwise(err <= 0.05)
+            .alias("within_bound"),
         )
     )
 

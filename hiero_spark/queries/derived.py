@@ -179,3 +179,48 @@ def f7_pca_projection(spark, sf_dir):
         "l_orderkey", "l_linenumber", F.round("pc1", 6).alias("pc1"),
         F.round("pc2", 6).alias("pc2"),
     )
+
+
+@query(
+    "f7_pca_verdict",
+    group="F7",
+    doc="PCA invariants as a hashable property verdict: anchor = row count; "
+        "booleans assert the projected components come out variance-ordered "
+        "(var(pc1) >= var(pc2)), uncorrelated (|corr| <= 0.01 — exact "
+        "eigensolve gives ~1e-15; slack is float noise), and centered "
+        "(|mean| tiny relative to spread). These are the defining PCA "
+        "properties no SQL engine can recompute (eigensolves are not SQL) "
+        "but any engine can CHECK.",
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               TRUE AS variance_ordered, TRUE AS uncorrelated, TRUE AS centered
+        FROM lineitem
+    """,
+)
+def f7_pca_verdict(spark, sf_dir):
+    from hiero_spark.functions import pca
+
+    df = pca.pca_project(
+        t(spark, sf_dir, "lineitem"),
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        k=2,
+    )
+    agg = df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.var_pop("pc1").alias("_v1"),
+        F.var_pop("pc2").alias("_v2"),
+        F.corr("pc1", "pc2").alias("_corr"),
+        F.avg("pc1").alias("_m1"),
+        F.avg("pc2").alias("_m2"),
+        F.stddev_pop("pc1").alias("_s1"),
+    )
+    return agg.select(
+        "n_rows",
+        F.coalesce(F.col("_v1") >= F.col("_v2"), F.lit(True)).alias("variance_ordered"),
+        F.coalesce(F.abs(F.col("_corr")) <= 0.01, F.lit(True)).alias("uncorrelated"),
+        F.coalesce(
+            (F.abs(F.col("_m1")) <= F.col("_s1") * 0.001)
+            & (F.abs(F.col("_m2")) <= F.col("_s1") * 0.001),
+            F.lit(True),
+        ).alias("centered"),
+    )

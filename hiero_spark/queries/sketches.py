@@ -377,6 +377,48 @@ def a14_random_sample(spark, sf_dir):
 
 
 @query(
+    "a14_random_sample_verdict",
+    group="A14/P8",
+    doc="Bernoulli sampling as a hashable property verdict: anchor = exact "
+        "corpus count; booleans assert the sample size sits within 6 sigma "
+        "of n*p (binomial bound — a seed/partitioning change moves the "
+        "draw, not the distribution) and that the sample is a multiset "
+        "subset of the base (per (orderkey, linenumber) key, never more "
+        "copies than the base holds — without-replacement; the synthetic "
+        "lineitem has duplicate keys, so plain distinctness would be wrong).",
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+               TRUE AS size_ok, TRUE AS subset_ok
+        FROM lineitem
+    """,
+)
+def a14_random_sample_verdict(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    p = 0.01
+    keys = ["l_orderkey", "l_linenumber"]
+    s = sk.random_sample(li, p).select(*keys)
+    sc = s.groupBy(*keys).agg(F.count(F.lit(1)).alias("_cs"))
+    bc = li.groupBy(*keys).agg(F.count(F.lit(1)).alias("_cb"))
+    viol = (
+        sc.join(bc, keys, "left")
+        .filter(F.col("_cs") > F.coalesce(F.col("_cb"), F.lit(0)))
+        .agg(F.count(F.lit(1)).alias("_n_viol"))
+    )
+    exp = F.col("n_total") * p
+    sigma = F.sqrt(F.col("n_total") * p * (1 - p))
+    return (
+        li.agg(F.count(F.lit(1)).alias("n_total"))
+        .join(F.broadcast(s.agg(F.count(F.lit(1)).alias("_n_s"))))
+        .join(F.broadcast(viol))
+        .select(
+            "n_total",
+            (F.abs(F.col("_n_s") - exp) <= 6 * sigma).alias("size_ok"),
+            (F.col("_n_viol") == 0).alias("subset_ok"),
+        )
+    )
+
+
+@query(
     "a15_find",
     group="A15",
     doc="FindSketch: first 5 parts whose name contains 'green', in key order.",

@@ -6,6 +6,7 @@ this package populates the registry. Grouping follows SURVEY.md §2.
 
 from hiero_spark.queries import (  # noqa: F401
     flagship,
+    flagship2,
     sketches,
     filters,
     derived,

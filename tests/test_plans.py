@@ -91,6 +91,21 @@ def test_hashed_decontamination_shuffles_fewer_bytes(qs):
     assert 0 < hashed_bytes < string_bytes
 
 
+def test_q21_exists_shapes_stay_semi_anti(qs):
+    # Q21's EXISTS/NOT EXISTS pair must lower to one semi and one anti
+    # join — an inner-join rewrite would duplicate (order, supplier) rows
+    # and a nested-loop over the fact table is the 100 TB death sentence
+    plan = P.plan_str(qs["q21_waiting_suppliers"])
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "Cartesian" not in plan
+
+
+def test_q20_heavy_supplier_chain_is_semi_join(qs):
+    plan = P.plan_str(qs["q20_green_part_suppliers"])
+    assert "LeftSemi" in plan
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
 def test_vocab_topk_lowers_to_take_ordered(qs):
     # the vocabulary build must do partial+final counting and a per-partition
     # top-k merge, never a global sort of the token counts

@@ -149,6 +149,56 @@ def contaminated_docs_hashed(
     return ev.join(tr, "h", "left_semi").select(F.col("doc").alias(id_col)).distinct()
 
 
+def pack_into_bins(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    budget: int,
+    shards: int = 8,
+) -> DataFrame:
+    """Token-budget packing — the concat-then-chunk shape pretraining
+    pipelines use to fill fixed context windows: documents are laid out in
+    a deterministic order, each starts at its running token offset, and
+    its bin is floor(start_offset / budget).  A document straddling a
+    boundary belongs to the bin it starts in (the chunker splits it there).
+
+    Scale shape: packing is inherently sequential, so it is SHARDED —
+    pmod(id, shards) partitions the corpus, each shard packs
+    independently under one window (partitionBy shard, orderBy id).  The
+    shuffle moves (id, weight) pairs only, parallelism = shards; at 100 TB
+    you raise `shards` to O(cluster cores) and bins stay reproducible
+    because shard assignment and intra-shard order are pure functions of
+    the id.  A single global window (shards=1) would serialize the whole
+    corpus through one task.
+
+    Output: id, shard, bin_id (bin numbering is per shard).
+    """
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        df.withColumn("shard", F.pmod(F.col(id_col), F.lit(shards)))
+        .withColumn("_start", F.coalesce(F.sum(weight_col).over(w), F.lit(0)))
+        .withColumn("bin_id", F.floor(F.col("_start") / budget))
+        .select(id_col, "shard", "bin_id")
+    )
+
+
+def mixture_sample(
+    df: DataFrame, domain_col: str, fractions: dict[str, float], seed: int = 42
+) -> DataFrame:
+    """Domain-mixture sampling: draw each domain (language, source, ...) at
+    its own rate to hit a target mix — `sampleBy`, a narrow per-row op (no
+    shuffle; each row keeps or drops itself by its domain's coin).  The
+    standard up/down-weighting step when assembling a training mix from
+    imbalanced sources."""
+    return df.sampleBy(domain_col, fractions, seed)
+
+
 def scrub_pii(df: DataFrame, text_col: str, out: str = "clean_text") -> DataFrame:
     """Redact emails/phones; keep per-row hit counts for audit columns."""
     c = F.col(text_col)

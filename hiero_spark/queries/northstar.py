@@ -689,3 +689,23 @@ def n5_curation_pipeline(spark, sf_dir):
         F.count(F.lit(1)).alias("dup_count"),
         F.round(F.min("quality"), 6).alias("quality"),
     ).drop("fp")
+
+
+@query(
+    "n4_bpe_token_count",
+    group="N4",
+    doc="BPE-ish pre-tokenizer count (word/digit/punct chunks — the regex "
+        "family BPE tokenizers pre-split on; both engines run the same "
+        "pattern, Java regex and RE2 agree on this subset).",
+    oracle=r"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+                    AS BIGINT) AS n_bpe_tokens
+        FROM documents
+    """,
+)
+def n4_bpe_token_count(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", tx.bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens")
+    )

@@ -125,3 +125,60 @@ def n6_decontamination_hashed(spark, sf_dir):
         "doc_id",
         k=3,
     )
+
+
+@query(
+    "n6_pack_bins",
+    group="N6",
+    doc="Token-budget packing (concat-then-chunk): documents laid out in "
+        "deterministic id order within 8 shards; bin = floor(running char "
+        "offset / 2000). Per-shard windows keep packing parallel AND "
+        "reproducible — the pretraining context-window fill step.",
+    oracle="""
+        SELECT doc_id, doc_id % 8 AS shard,
+               CAST(FLOOR(COALESCE(SUM(n_chars) OVER (
+                   PARTITION BY doc_id % 8 ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) / 2000) AS BIGINT) AS bin_id
+        FROM documents
+    """,
+)
+def n6_pack_bins(spark, sf_dir):
+    return pl.pack_into_bins(
+        t(spark, sf_dir, "documents"), "doc_id", "n_chars", budget=2000, shards=8
+    )
+
+
+@query(
+    "n6_mixture_sample",
+    group="N6",
+    doc="Domain-mixture sampling as a hashable property verdict: each "
+        "language drawn at its own rate (en down-weighted to 0.5, the rest "
+        "up at 1.0/0.8) via sampleBy — narrow, no shuffle. Anchor = exact "
+        "per-language corpus counts; boolean asserts every language's "
+        "sampled count sits within 6 sigma of its binomial target.",
+    oracle="""
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_lang, TRUE AS size_ok
+        FROM documents GROUP BY lang
+    """,
+)
+def n6_mixture_sample(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    fractions = {"en": 0.5, "zh": 1.0, "es": 1.0, "de": 0.8, "fr": 0.8}
+    sampled = pl.mixture_sample(docs, "lang", fractions)
+    s_counts = sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("_n_s"))
+    frac = F.create_map(*[F.lit(x) for kv in fractions.items() for x in kv])
+    base = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    p = frac[F.col("lang")]
+    exp = F.col("n_lang") * p
+    sigma = F.sqrt(F.col("n_lang") * p * (1 - p))
+    return (
+        base.join(s_counts, "lang", "left")
+        .select(
+            "lang",
+            "n_lang",
+            (
+                F.abs(F.coalesce(F.col("_n_s"), F.lit(0)) - exp) <= 6 * sigma + 1
+            ).alias("size_ok"),
+        )
+    )

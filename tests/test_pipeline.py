@@ -106,3 +106,42 @@ def test_split_is_partition_local_no_shuffle(spark):
     docs = load_table(spark, SF_ORACLE, "documents")
     plan = P.plan_str(pl.assign_split(docs, "doc_id"))
     assert "Exchange" not in plan
+
+
+def test_pack_into_bins_fills_under_budget(spark):
+    rows = [(i, 300) for i in range(40)]  # uniform 300-char docs
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    out = pl.pack_into_bins(df, "doc_id", "n_chars", budget=1000, shards=4).collect()
+    by_doc = {r["doc_id"]: (r["shard"], r["bin_id"]) for r in out}
+    assert len(by_doc) == 40
+    # shard = id % 4; within a shard, docs start at 0,300,600,900,1200,... so
+    # bins hold docs starting below each 1000 boundary: 4 docs, then 3, ...
+    assert by_doc[0] == (0, 0)
+    assert by_doc[12] == (0, 0)   # starts at 900 -> still bin 0 (straddles)
+    assert by_doc[16] == (0, 1)   # starts at 1200
+    # deterministic: same input -> same assignment
+    again = {r["doc_id"]: (r["shard"], r["bin_id"])
+             for r in pl.pack_into_bins(df, "doc_id", "n_chars", 1000, 4).collect()}
+    assert again == by_doc
+
+
+def test_pack_into_bins_is_sharded_not_global(spark):
+    from hiero_spark import plans as P
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    out = pl.pack_into_bins(docs, "doc_id", "n_chars", budget=2000, shards=8)
+    plan = P.plan_str(out)
+    # the packing window must partition by shard — a global window would
+    # funnel the whole corpus through one task (Exchange SinglePartition)
+    assert "Window" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_mixture_sample_respects_rates(spark):
+    docs = load_table(spark, SF_ORACLE, "documents")
+    frac = {"en": 0.1, "zh": 1.0, "es": 1.0, "de": 1.0, "fr": 1.0}
+    out = pl.mixture_sample(docs, "lang", frac)
+    base = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    got = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got["zh"] == base["zh"] and got["fr"] == base["fr"]  # rate 1.0 keeps all
+    assert got["en"] < base["en"] * 0.4  # en heavily down-sampled

@@ -344,27 +344,26 @@ def q14_promo_revenue(spark, sf_dir):
     """,
 )
 def q18_large_orders(spark, sf_dir):
+    # The HAVING aggregate already holds each big order's total quantity, so
+    # it joins back directly — the naive form (semi-join filter, then re-join
+    # lineitem and re-aggregate) scans and shuffles the fact table twice for
+    # numbers the first pass computed.  One scan, one agg, two dim joins.
     li = t(spark, sf_dir, "lineitem")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("_q"))
-        .filter(F.col("_q") > 150)
-        .select("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_qty"))
+        .filter(F.col("_qty") > 150)
     )
-    orders = t(spark, sf_dir, "orders").join(
-        big.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey", "left_semi"
-    )
+    orders = t(spark, sf_dir, "orders")
     cust = t(spark, sf_dir, "customer")
-    joined = cust.join(orders, F.col("c_custkey") == F.col("o_custkey")).join(
-        li, F.col("o_orderkey") == F.col("l_orderkey")
+    joined = big.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).join(
+        cust, F.col("o_custkey") == F.col("c_custkey")
     )
     return (
-        joined.groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.sum("l_quantity").cast("long").alias("total_qty"))
-        .select(
+        joined.select(
             "c_name", "c_custkey", "o_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
-            "o_totalprice", "total_qty",
+            "o_totalprice", F.col("_qty").cast("long").alias("total_qty"),
         )
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(20)

@@ -22,6 +22,18 @@ from pyspark.sql.window import Window
 from hiero_spark.functions.text import fingerprint
 
 
+def fan_out(df: DataFrame, key: str) -> DataFrame:
+    """Spread CPU-bound map work (tokenize/shingle/hash) over the session's
+    parallelism when the scan arrived narrower — a single-file table scans
+    as ONE task, serializing the dominant map stage onto one core. A no-op
+    on a real multi-file corpus; the repartition shuffles document rows
+    once and every downstream stage runs wide."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par, key)
+    return df
+
+
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Keep one representative (min id) per exact content fingerprint."""
     return (
@@ -224,7 +236,7 @@ def ngram_jaccard_pairs(
     the *verify* stage behind `minhash_near_dups`' LSH candidate filter,
     not a standalone pass.
     """
-    sh = shingles(df, text_col, id_col, k)
+    sh = shingles(fan_out(df, id_col), text_col, id_col, k)
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc").alias("doc_b"), "shingle")
@@ -312,9 +324,7 @@ def minhash_near_dups(
     arrive as 1-2 partitions, so fan out to the session's parallelism when
     the scan is narrower than that (a no-op on a real multi-file corpus).
     """
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        df = df.repartition(par, id_col)
+    df = fan_out(df, id_col)
     docs = df.select(
         F.col(id_col).alias("doc"), shingle_hash_array(F.col(text_col), k).alias("sh")
     ).persist()

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from hiero_spark.functions.dedup import fan_out as _fan_out
 from hiero_spark.functions.dedup import shingle_hash_array, shingles
 
 SPLIT_TRAIN, SPLIT_VAL, SPLIT_TEST = "train", "val", "test"
@@ -112,8 +113,10 @@ def contaminated_docs(
     """Benchmark decontamination: eval docs sharing ANY word k-gram with the
     training corpus. Shingle both sides (same shingling as MinHash dedup),
     distinct the train side, one semi-join. Returns distinct eval ids."""
-    ev = shingles(eval_df, text_col, id_col, k=k)
-    tr = shingles(train_df, text_col, id_col, k=k).select("shingle").distinct()
+    ev = shingles(_fan_out(eval_df, id_col), text_col, id_col, k=k)
+    tr = shingles(_fan_out(train_df, id_col), text_col, id_col, k=k).select(
+        "shingle"
+    ).distinct()
     return (
         ev.join(tr, "shingle", "left_semi")
         .select(F.col("doc").alias(id_col))
@@ -139,11 +142,11 @@ def contaminated_docs_hashed(
     fixed-width long keys cut shuffle bytes (a 3-gram string averages
     ~20 bytes; the hash is 8) and compare in constant time.
     """
-    ev = eval_df.select(
+    ev = _fan_out(eval_df, id_col).select(
         F.col(id_col).alias("doc"),
         F.explode(shingle_hash_array(F.col(text_col), k)).alias("h"),
     )
-    tr = train_df.select(
+    tr = _fan_out(train_df, id_col).select(
         F.explode(shingle_hash_array(F.col(text_col), k)).alias("h")
     ).distinct()
     return ev.join(tr, "h", "left_semi").select(F.col("doc").alias(id_col)).distinct()

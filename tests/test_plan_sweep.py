@@ -1,0 +1,70 @@
+"""Repo-wide scale-killer sweep: every registered query's physical plan is
+checked for the patterns that break at 100 TB.
+
+- CartesianProduct: never allowed, no exceptions.
+- BroadcastNestedLoopJoin: allowed ONLY on the documented allowlist —
+  every entry is either (a) a scalar-broadcast join (a 1-row aggregate
+  joined with no key: the standard scalar-subquery shape; the broadcast
+  side is one row by construction) or (b) a deliberately-quadratic
+  ground-truth audit arm that runs at oracle scale only.  A new query
+  that trips BNLJ must be fixed or consciously added here with a reason.
+
+The per-query plan tests in test_plans.py pin positive shapes (semi/anti
+joins, broadcasts, TakeOrdered); this sweep pins the absence of negative
+shapes across the WHOLE registry so a new query can't ship a scale
+killer unnoticed.
+"""
+
+import pytest
+
+from hiero_spark import plans as P
+from hiero_spark.registry import all_queries
+
+PLAN_SF = "/root/testdata/sf0.001"  # plan SHAPE only; smallest data is fine
+
+# name -> why BNLJ is acceptable there
+BNLJ_ALLOWED = {
+    "q22_global_sales_opportunity": "scalar broadcast: c_acctbal > 1-row avg_bal",
+    "q11_important_parts": "scalar broadcast: part_value > 1-row total",
+    "o2_quantile_scroll": "scalar broadcast: 1-row exact percentile anchor",
+    "a4_histogram_auto": "scalar broadcast: 1-row range sketch drives buckets",
+    "a8_heavy_hitters_approx": "scalar broadcast: 1-row verdict combine",
+    "a10_distinct_sketch_merge": "scalar broadcast: 1-row whole-scan estimate",
+    "a14_random_sample_verdict": "scalar broadcast: 1-row size/violation counts",
+    "n1_minhash_recall": "scalar broadcast: 1-row hit/false-positive counts",
+    "n2_ann_lsh_verdict": "scalar broadcast: 1-row hit/self counts",
+    "n2_embedding_near_dups_verdict": "all-pairs exact audit arm (oracle scale only) + 1-row combines",
+    "n2_ann_batch": "intended broadcast fan-out of the bounded query set",
+}
+
+_SPECS = all_queries()
+
+
+@pytest.fixture(scope="module")
+def sweep_plans(spark):
+    return {name: P.plan_str(spec.fn(spark, PLAN_SF)) for name, spec in _SPECS.items()}
+
+
+def test_no_cartesian_products_anywhere(sweep_plans):
+    offenders = [n for n, p in sweep_plans.items() if "CartesianProduct" in p]
+    assert not offenders, f"cartesian products in: {offenders}"
+
+
+def test_nested_loop_joins_only_on_allowlist(sweep_plans):
+    offenders = [
+        n
+        for n, p in sweep_plans.items()
+        if "BroadcastNestedLoop" in p and n not in BNLJ_ALLOWED
+    ]
+    assert not offenders, (
+        "unexpected BroadcastNestedLoopJoin (fix the join or allowlist with "
+        f"a reason): {offenders}"
+    )
+
+
+def test_allowlist_entries_still_trip_bnlj(sweep_plans):
+    # keep the allowlist honest: prune entries whose plans no longer need it
+    stale = [
+        n for n in BNLJ_ALLOWED if n in sweep_plans and "BroadcastNestedLoop" not in sweep_plans[n]
+    ]
+    assert not stale, f"allowlist entries no longer needed: {stale}"

@@ -127,6 +127,21 @@ def lsh_bucketed_topk(
     )
 
 
+def min_dist2(v: Column, centroids: list[list[float]]) -> Column:
+    """Column expr: squared L2 distance to the nearest centroid (the
+    per-row term of k-means SSE)."""
+    best = None
+    for c in centroids:
+        carr = F.array(*[F.lit(float(x)) for x in c])
+        d = F.aggregate(
+            F.zip_with(v, carr, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        )
+        best = d if best is None else F.least(best, d)
+    return best
+
+
 def _nearest_cell(v: Column, centroids: list[list[float]]) -> Column:
     """Column expr: index of the nearest centroid (squared L2)."""
     best_id, best_d = F.lit(0), None
@@ -176,6 +191,69 @@ def ivf_topk(
         .orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
         .limit(k)
     )
+
+
+def kmeans_fit(
+    emb: DataFrame,
+    k: int,
+    max_iter: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tol: float = 1e-4,
+) -> list[list[float]]:
+    """Distributed Lloyd's k-means — trains the IVF coarse quantizer so the
+    whole index build is in-engine (train -> assign -> `save_ivf`).
+
+    Scale shape per iteration: one scan assigns every vector to its nearest
+    centroid (`_nearest_cell`, a codegen'd column expression — no Python in
+    the map path), then ONE partial+final aggregation computes per-cell
+    mean vectors via element-wise array sums (`F.aggregate` over zipped
+    arrays, shuffling k rows of d floats — never vectors per row).  The
+    k x d centroid table lives on the driver between iterations, exactly
+    like the PCA eigensolve (functions/pca.py): driver work is O(k*d),
+    independent of corpus size.
+
+    Deterministic init: the k seed centroids are the vectors with the k
+    smallest ids (cheap, reproducible; k-means++ would cost k more scans).
+    Stops when no centroid moves more than `tol` (squared L2) or after
+    max_iter rounds.  Empty cells keep their previous centroid.
+    """
+    seed_rows = (
+        emb.orderBy(F.col(id_col).asc())
+        .limit(k)
+        .select(F.col(vec_col).cast("array<double>").alias("v"))
+        .collect()
+    )
+    centroids = [[float(x) for x in r["v"]] for r in seed_rows]
+    if len(centroids) < k:
+        return centroids
+    dim = len(centroids[0])
+    vec_d = F.col(vec_col).cast("array<double>")
+
+    for _ in range(max_iter):
+        assigned = emb.select(
+            _nearest_cell(vec_d, centroids).alias("_cell"), vec_d.alias("_v")
+        )
+        # per-dimension sums as d aggregate columns: partial+final merge,
+        # whole-stage codegen, no row buffers — the shuffle carries one
+        # (k x d) partial per task, never vectors per row
+        sums = assigned.groupBy("_cell").agg(
+            F.count(F.lit(1)).alias("_n"),
+            *[F.sum(F.col("_v")[i]).alias(f"_s{i}") for i in range(dim)],
+        )
+        rows = sums.collect()
+        new_centroids = list(centroids)
+        for r in rows:
+            c = r["_cell"]
+            new_centroids[c] = [r[f"_s{i}"] / r["_n"] for i in range(dim)]
+        shift = max(
+            sum((a - b) ** 2 for a, b in zip(old, new))
+            for old, new in zip(centroids, new_centroids)
+        )
+        centroids = new_centroids
+        if shift <= tol:
+            break
+    return centroids
 
 
 def save_ivf(

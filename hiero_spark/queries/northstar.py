@@ -709,3 +709,50 @@ def n4_bpe_token_count(spark, sf_dir):
     return docs.select(
         "doc_id", tx.bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens")
     )
+
+
+@query(
+    "n2_ivf_kmeans",
+    group="N2",
+    doc="In-engine IVF index training as a hashable property verdict: "
+        "distributed Lloyd's k-means (k=8, per-dimension partial+final "
+        "sums, deterministic lowest-id init) trains the coarse quantizer. "
+        "Anchor = corpus size; booleans assert training reduced (or held) "
+        "the within-cluster SSE vs the init centroids — Lloyd's is "
+        "monotone, so anything else is a bug — and that probing the "
+        "trained index finds the query vector itself.",
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+               TRUE AS sse_improved, TRUE AS self_found
+        FROM embeddings
+    """,
+)
+def n2_ivf_kmeans(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    vec_d = F.col("embedding").cast("array<double>")
+    init_rows = (
+        emb.orderBy(F.col("vec_id").asc()).limit(8)
+        .select(vec_d.alias("v")).collect()
+    )
+    init = [[float(x) for x in r["v"]] for r in init_rows]
+    trained = sim.kmeans_fit(emb, k=8, max_iter=10)
+    sse = emb.agg(
+        F.sum(sim.min_dist2(vec_d, init)).alias("_sse_init"),
+        F.sum(sim.min_dist2(vec_d, trained)).alias("_sse_trained"),
+    )
+    qv = _query_vec(spark, sf_dir)
+    probe = sim.ivf_topk(emb, qv, trained, k=1, n_probe=1).filter(
+        F.col("neighbor_id") == 0
+    )
+    return (
+        emb.agg(F.count(F.lit(1)).alias("n_vectors"))
+        .join(F.broadcast(sse))
+        .join(F.broadcast(probe.agg(F.count(F.lit(1)).alias("_n_self"))))
+        .select(
+            "n_vectors",
+            (F.col("_sse_trained") <= F.col("_sse_init") * 1.0000001).alias(
+                "sse_improved"
+            ),
+            (F.col("_n_self") == 1).alias("self_found"),
+        )
+    )

@@ -262,3 +262,31 @@ def test_dedup_clusters_chain_and_pair(spark):
     )
     got = {r["doc"]: r["canonical"] for r in dd.dedup_clusters(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_kmeans_fit_reduces_sse_and_converges(spark):
+    import random
+
+    rng = random.Random(7)
+    # three tight clusters in 8-d
+    centers = [[rng.gauss(0, 5) for _ in range(8)] for _ in range(3)]
+    rows = []
+    for i in range(300):
+        c = centers[i % 3]
+        rows.append((i, [x + rng.gauss(0, 0.1) for x in c]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    trained = sim.kmeans_fit(emb, k=3, max_iter=15)
+    assert len(trained) == 3
+    # every trained centroid sits on top of one true center
+    for tc in trained:
+        d = min(sum((a - b) ** 2 for a, b in zip(tc, c)) for c in centers)
+        assert d < 0.05, d
+    # assignment recovers the three planted clusters exactly
+    from hiero_spark.functions.similarity import _nearest_cell
+    assigned = emb.select(
+        "vec_id", _nearest_cell(F.col("embedding"), trained).alias("cell")
+    ).collect()
+    groups = {}
+    for r in assigned:
+        groups.setdefault(r["vec_id"] % 3, set()).add(r["cell"])
+    assert all(len(cells) == 1 for cells in groups.values())

@@ -299,3 +299,34 @@ def x9_user_running_stats(spark, sf_dir):
             F.unix_millis(F.max("ts")).alias("last_ms"),
         )
     )
+
+
+@query(
+    "x10_attribution_batch",
+    group="X6",
+    doc="Batch twin of the stream-stream interval join "
+        "(streaming/pipelines.py:attribution_join): every (view, click) "
+        "pair by the same user with the click inside the 30-minute window "
+        "after the view. Same column expressions run under readStream with "
+        "watermarks on both sides (equivalence asserted in "
+        "tests/test_streaming.py); the time-bounded condition is what "
+        "keeps stream-state finite.",
+    oracle="""
+        SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id
+        FROM events v
+        JOIN events c
+          ON v.user_id = c.user_id
+         AND c.ts >= v.ts
+         AND c.ts < v.ts + INTERVAL 30 MINUTE
+        WHERE v.event_type = 'view' AND c.event_type = 'click'
+    """,
+)
+def x10_attribution_batch(spark, sf_dir):
+    from hiero_spark.streaming.pipelines import attribution_join
+
+    ev = t(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view")
+    clicks = ev.filter(F.col("event_type") == "click")
+    # the same helper builds the batch plan (withWatermark is a no-op on
+    # batch DataFrames), so the driver hashes the exact streaming logic
+    return attribution_join(views, clicks)

@@ -72,6 +72,40 @@ def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     )
 
 
+def attribution_join(
+    views: DataFrame,
+    clicks: DataFrame,
+    attribution_window: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """X6: stream-stream INTERVAL join — attribute each click to the views
+    by the same user in the preceding attribution window (view <= click <
+    view + window).  The canonical Spark stream-stream inner join: both
+    sides carry watermarks and the join condition bounds event time on
+    both ends, so the state store holds only watermark + window of each
+    side per key — without the time bounds the state would grow forever
+    (Spark refuses unbounded stream-stream inner joins for exactly that
+    reason).  Batch twin: x10_attribution_batch (same expressions, DuckDB
+    oracle).
+    """
+    v = views.select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("view_ts"),
+    ).withWatermark("view_ts", watermark)
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", watermark)
+    cond = (
+        (F.col("v_user") == F.col("user_id"))
+        & (F.col("click_ts") >= F.col("view_ts"))
+        & (F.col("click_ts") < F.col("view_ts") + F.expr(f"INTERVAL {attribution_window}"))
+    )
+    return v.join(c, cond).select("user_id", "view_id", "click_id")
+
+
 def user_running_stats(events: DataFrame) -> DataFrame:
     """Custom stateful operator (SURVEY.md §2.10: the ISketch zero/add/merge
     surface, user-definable): per-user running (count, first_ms, last_ms),

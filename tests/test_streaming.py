@@ -149,3 +149,26 @@ def test_stateful_user_stats_matches_batch(spark, sf_dir, events_stream):
         r["user_id"]: (r["c"], r["first_ms"], r["last_ms"]) for r in batch.collect()
     }
     assert got == expected
+
+
+def test_stream_stream_attribution_matches_batch(spark, sf_dir, events_stream):
+    """Stream-stream interval join: the streaming (view, click) pair set
+    must equal the batch twin's (append mode; both sides watermarked)."""
+    views = events_stream.filter(F.col("event_type") == "view")
+    clicks = events_stream.filter(F.col("event_type") == "click")
+    pl.run_to_memory(
+        pl.attribution_join(views, clicks), "t_attr", output_mode="append"
+    )
+    got = {
+        (r["user_id"], r["view_id"], r["click_id"])
+        for r in spark.table("t_attr").collect()
+    }
+    ev = _batch_events(spark, sf_dir)
+    expected = {
+        (r["user_id"], r["view_id"], r["click_id"])
+        for r in pl.attribution_join(
+            ev.filter(F.col("event_type") == "view"),
+            ev.filter(F.col("event_type") == "click"),
+        ).collect()
+    }
+    assert got == expected and len(got) > 0

@@ -25,15 +25,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's correctness run covers the FIRST 50 queries in dict order
 # (observed in round 1: CORRECTNESS_r01.json == first 50 registered).  With
-# 110+ registered queries we rotate coverage across rounds: never-verified
-# queries first, then everything else.  _WINDOW_HEAD pins the round's
-# highest-priority names to the very front (<= 50 names; tests enforce it).
-# Round 3: the 10 oracle-bearing queries that never appeared in any window.
-_WINDOW_HEAD = [
-    "q2_best_supplier", "q13_customer_distribution", "q15_top_supplier",
-    "q22_global_sales_opportunity", "n1_minhash_recall", "prog_merge_final",
-    "n6_train_split", "n6_vocab_topk", "n6_decontamination", "s9_synthetic",
-]
+# 130+ registered queries we rotate coverage across rounds.  The window is
+# DERIVED, never hand-listed (round 3's stale hand list broke a test at the
+# round boundary):
+#   head = unverified queries (no durable green, or code/oracle hash drifted
+#          since the green was earned), oracle-bearing before rows-only;
+#   tail = verified queries, OLDEST evidence first, so the surplus driver
+#          slots re-confirm the stalest greens and fresh evidence rolls
+#          across the whole registry round after round.
+# _WINDOW_PIN is an optional manual override to put specific names at the
+# very front of the head (normally empty — derivation handles everything).
+_WINDOW_PIN: list[str] = []
 
 
 # Manual escape hatch: list a name here to force re-verification even if
@@ -42,11 +44,7 @@ _WINDOW_HEAD = [
 # counts while sha256(oracle + fn source) equals the hash pinned in
 # ORACLE_SNAPSHOT.json at verification time, so editing a green query's
 # body or oracle automatically rotates it back into the window.
-_FORCE_REVERIFY: set[str] = {
-    # r3 rewrote as_of_join's dedup strategy (operators/temporal.py) — a
-    # helper edit the query-source hash can't see; re-verify the r2 green.
-    "ext_asof_join",
-}
+_FORCE_REVERIFY: set[str] = set()
 
 
 def _verified_names() -> set[str]:
@@ -61,15 +59,17 @@ def _verified_names() -> set[str]:
 
 
 def _ordered_specs():
-    """Never-driver-verified queries first (current round's explicit window
-    leading, then registration order, oracle-bearing before rows-only);
-    queries already green in a past round yield their slots automatically —
-    no per-round edit needed for the rotation to advance."""
+    """Unverified first (pins, then oracle-bearing, registration order),
+    then verified oldest-evidence-first; queries already green yield their
+    slots automatically — no per-round edit needed for the rotation."""
+    from hiero_spark import evidence
     from hiero_spark.registry import all_queries
 
     specs = all_queries()
     verified = _verified_names()
-    priority = [n for n in _WINDOW_HEAD if n in specs] + list(specs)
+    green_round = evidence.latest_green_round()
+    reg_idx = {n: i for i, n in enumerate(specs)}
+    priority = [n for n in _WINDOW_PIN if n in specs] + list(specs)
     seen: set[str] = set()
     head: list[str] = []
     tail: list[str] = []
@@ -79,6 +79,7 @@ def _ordered_specs():
         seen.add(n)
         (tail if n in verified else head).append(n)
     head = [n for n in head if specs[n].oracle] + [n for n in head if not specs[n].oracle]
+    tail.sort(key=lambda n: (green_round.get(n, 0), reg_idx[n]))
     return [(n, specs[n]) for n in head + tail]
 
 

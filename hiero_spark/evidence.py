@@ -28,6 +28,8 @@ import hashlib
 import inspect
 import json
 import os
+import re
+import subprocess
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SNAPSHOT_PATH = os.path.join(ROOT, "ORACLE_SNAPSHOT.json")
@@ -77,6 +79,23 @@ def all_green() -> set[str]:
     return out
 
 
+def latest_green_round() -> dict[str, int]:
+    """name -> newest round number in which the driver saw it fully green.
+
+    Drives the rotation's oldest-evidence-first tail: once every query is
+    verified, the surplus driver slots re-confirm the stalest greens so
+    evidence keeps rolling across the registry instead of re-hashing the
+    same head every round.
+    """
+    out: dict[str, int] = {}
+    for p in correctness_files():
+        m = re.search(r"_r(\d+)\.json$", p)
+        rnum = int(m.group(1)) if m else 0
+        for name in green_names(p):
+            out[name] = max(out.get(name, 0), rnum)
+    return out
+
+
 def load_snapshot() -> dict[str, str]:
     try:
         with open(SNAPSHOT_PATH) as f:
@@ -105,16 +124,48 @@ def verified_names(specs, force_reverify: frozenset[str] = frozenset()) -> set[s
     return out
 
 
-def refresh_snapshot(write: bool = True) -> dict[str, str]:
+def dirty_python_files() -> list[str]:
+    """Uncommitted .py changes (tracked mods or untracked files) in the repo.
+
+    Provenance guard for refresh_snapshot: stamping is only sound while
+    the working tree's query code IS the code the driver just ran, i.e.
+    immediately at round start before any edits.  Non-.py noise (docs,
+    driver-written JSON) is ignored — it can't change a spec hash.
+    """
+    try:
+        out = subprocess.run(
+            ["git", "status", "--porcelain"],
+            capture_output=True, text=True, cwd=ROOT, check=True,
+        ).stdout
+    except (OSError, subprocess.SubprocessError):
+        return []  # not a git checkout: nothing to check against
+    return [
+        line[3:] for line in out.splitlines()
+        if line[3:].endswith(".py")
+    ]
+
+
+def refresh_snapshot(write: bool = True, force: bool = False) -> dict[str, str]:
     """Round-start maintenance: pin hashes for the newest round's greens.
 
     Only the NEWEST CORRECTNESS file's greens are (re)stamped with the
     current hash — the driver just ran this exact code against them.
     Older greens keep whatever hash they were stamped with; if they have
     none, they stay unverified until a driver round re-covers them.
+
+    Refuses to stamp while uncommitted .py edits exist (unless ``force``):
+    run after editing a green query and the stamp would certify code the
+    driver never executed — the provenance hole round-3 ADVICE flagged.
     """
     from hiero_spark.registry import all_queries
 
+    dirty = dirty_python_files()
+    if dirty and not force:
+        raise SystemExit(
+            "refresh_snapshot: uncommitted .py changes present — the current "
+            "code may not be what the driver ran. Run at round start before "
+            f"editing, or force=True. Dirty: {dirty}"
+        )
     specs = all_queries()
     snap = load_snapshot()
     files = correctness_files()

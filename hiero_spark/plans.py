@@ -64,6 +64,7 @@ def shuffle_bytes_written(df: DataFrame) -> int:
     df.collect()
     node = df._jdf.queryExecution().executedPlan()
     total = 0
+    seen_metric_ids: set[int] = set()
     stack = [node]
     while stack:
         n = stack.pop()
@@ -77,7 +78,13 @@ def shuffle_bytes_written(df: DataFrame) -> int:
         while it.hasNext():
             kv = it.next()
             if kv._1() == "shuffleBytesWritten":
-                total += kv._2().value()
+                # ReusedExchangeExec (and a QueryStageExec plus its wrapped
+                # exchange) expose the SAME SQLMetric accumulators — sum
+                # each accumulator id once or reuse double-counts.
+                mid = kv._2().id()
+                if mid not in seen_metric_ids:
+                    seen_metric_ids.add(mid)
+                    total += kv._2().value()
         ch = n.children()
         for i in range(ch.size()):
             stack.append(ch.apply(i))

@@ -86,10 +86,13 @@ def q8_market_share(spark, sf_dir):
 @query(
     "q9_product_profit",
     group="flagship",
-    doc="TPC-H Q9 (adapted): profit on 'green' parts by supplier nation and "
+    doc="TPC-H Q9 (adapted): profit on 'red' parts by supplier nation and "
         "order year. No partsupp table in this schema, so supply cost is "
         "proxied as 0.5 * p_retailprice * l_quantity — the join/agg shape "
-        "(fact + two dims + date extract, grouped two ways) is Q9's.",
+        "(fact + two dims + date extract, grouped two ways) is Q9's. "
+        "Round-3 verdict: TPC-H's canonical 'green' matches zero synthetic "
+        "part names, making the green vacuously empty — 'red' (257 parts "
+        "at sf0.01) exercises the arithmetic and grouping for real.",
     oracle=f"""
         SELECT sn.n_name AS nation,
                CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
@@ -99,7 +102,7 @@ def q8_market_share(spark, sf_dir):
         JOIN supplier ON l_suppkey = s_suppkey
         JOIN nation sn ON s_nationkey = sn.n_nationkey
         JOIN part     ON l_partkey = p_partkey
-        WHERE contains(p_name, 'green')
+        WHERE contains(p_name, 'red')
         GROUP BY 1, 2
     """,
 )
@@ -107,7 +110,7 @@ def q9_product_profit(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem")
     orders = t(spark, sf_dir, "orders")
     supp = t(spark, sf_dir, "supplier")
-    part = t(spark, sf_dir, "part").filter(F.col("p_name").contains("green"))
+    part = t(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
     nation = t(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("nation")
     )
@@ -276,20 +279,22 @@ def q17_small_quantity_revenue(spark, sf_dir):
     "q20_green_part_suppliers",
     group="flagship",
     doc="TPC-H Q20 (adapted, no partsupp): suppliers in NATION_7 who "
-        "shipped more than 100 units of 'green' parts during 1996 — the "
+        "shipped more than 40 units of 'red' parts during 1996 — the "
         "nested semi-join chain (part filter -> per-(supplier, part) "
         "quantity HAVING -> supplier semi-join) that must never become a "
-        "cartesian or a row-duplicating inner join.",
+        "cartesian or a row-duplicating inner join. ('red' not 'green': "
+        "zero 'green' parts exist in the synthetic names, which made the "
+        "round-2 green row vacuous — round-3 verdict item 2.)",
     oracle="""
-        WITH green AS (
-          SELECT p_partkey FROM part WHERE contains(p_name, 'green')
+        WITH red AS (
+          SELECT p_partkey FROM part WHERE contains(p_name, 'red')
         ), heavy AS (
           SELECT l_suppkey
-          FROM lineitem JOIN green ON l_partkey = p_partkey
+          FROM lineitem JOIN red ON l_partkey = p_partkey
           WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
             AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
           GROUP BY l_suppkey, l_partkey
-          HAVING SUM(l_quantity) > 100
+          HAVING SUM(l_quantity) > 40
         )
         SELECT DISTINCT s_suppkey, s_name
         FROM supplier
@@ -303,14 +308,14 @@ def q20_green_part_suppliers(spark, sf_dir):
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
     )
-    green = t(spark, sf_dir, "part").filter(F.col("p_name").contains("green")).select(
+    red = t(spark, sf_dir, "part").filter(F.col("p_name").contains("red")).select(
         "p_partkey"
     )
     heavy = (
-        li.join(F.broadcast(green), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(F.broadcast(red), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum("l_quantity").alias("_qty"))
-        .filter(F.col("_qty") > 100)
+        .filter(F.col("_qty") > 40)
         .select("l_suppkey")
     )
     supp = t(spark, sf_dir, "supplier")

@@ -26,21 +26,39 @@ def _entry():
     return mod
 
 
-def test_window_head_fits_driver_cap():
+def test_window_pin_fits_driver_cap():
     entry = _entry()
-    assert len(entry._WINDOW_HEAD) <= DRIVER_CAP
+    assert len(entry._WINDOW_PIN) <= DRIVER_CAP
     specs = all_queries()
-    unknown = [n for n in entry._WINDOW_HEAD if n not in specs]
-    assert not unknown, f"window head names not registered: {unknown}"
+    unknown = [n for n in entry._WINDOW_PIN if n not in specs]
+    assert not unknown, f"window pin names not registered: {unknown}"
 
 
-def test_window_head_occupies_first_slots():
+def test_unverified_queries_occupy_first_slots():
+    """The head is DERIVED from the unverified set (round-3 ADVICE: a
+    hand-maintained head list goes stale the moment the round's greens
+    land).  Whatever is currently unverified must lead the ordering."""
     entry = _entry()
     names = list(entry.queries())
-    head = set(entry._WINDOW_HEAD)
-    assert set(names[: len(head)]) == head, (
-        "window-head queries must be the first entries the driver hashes; "
-        f"got {names[:len(head)]}"
+    verified = entry._verified_names()
+    unverified = {n for n in all_queries() if n not in verified}
+    assert set(names[: len(unverified)]) == unverified, (
+        "unverified queries must be the first entries the driver hashes; "
+        f"got {names[:len(unverified)]}"
+    )
+
+
+def test_verified_tail_is_oldest_evidence_first():
+    """Surplus driver slots must re-confirm the stalest greens: within the
+    verified tail, a query whose newest green is from round N never sorts
+    after one whose newest green is from round M > N."""
+    entry = _entry()
+    names = list(entry.queries())
+    verified = entry._verified_names()
+    green_round = evidence.latest_green_round()
+    tail_rounds = [green_round.get(n, 0) for n in names if n in verified]
+    assert tail_rounds == sorted(tail_rounds), (
+        "verified tail must be ordered oldest-evidence-first"
     )
 
 

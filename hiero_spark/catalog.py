@@ -67,16 +67,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         return _TABLE_MEMO[key]
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS); with nanosAsLong=true it
-        # arrives as epoch-nanos bigint — convert to a timestamp column
-        # (microsecond precision, matching DuckDB's TIMESTAMP cast of the
-        # same value).
+        # Normalize events.ts to TimestampType regardless of how the driver
+        # generated the parquet. Seen in the wild across rounds:
+        #   - TIMESTAMP(NANOS): with nanosAsLong=true arrives as epoch-nanos
+        #     bigint -> timestamp_micros(ts DIV 1000);
+        #   - timestamp[us] without timezone: arrives as TIMESTAMP_NTZ, which
+        #     time functions like unix_millis reject -> cast to TIMESTAMP
+        #     (exact under the UTC session tz, and identical to how the
+        #     DuckDB oracle treats the same naive values).
         from pyspark.sql import functions as F
-        from pyspark.sql.types import LongType
+        from pyspark.sql.types import LongType, TimestampNTZType
 
         if isinstance(df.schema["ts"].dataType, LongType):
             # integer division: epoch-nanos exceeds double's exact range
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif isinstance(df.schema["ts"].dataType, TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     if caching:
         from pyspark.storagelevel import StorageLevel
 

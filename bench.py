@@ -65,6 +65,12 @@ def main() -> None:
     # the testdata (the shipped fixtures are single-row-group, 1 task/scan).
     only_multifile = bool(os.environ.get("SPARK_GRAFT_MULTIFILE"))
 
+    # Min-of-n (round-4 verdict item 2): each query is timed n_reps times and
+    # the per-query MIN is reported — the right estimator for steady-state
+    # marginal cost, and the only one robust to box contention (round 4's
+    # 2.7× "regression" was noise a single-shot timing couldn't refute).
+    n_reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+
     def run_set(data_dir: str) -> dict[str, float]:
         """Warm every headline plan shape once (JVM, parquet footers,
         whole-stage-codegen compilation), then time steady-state execution —
@@ -75,11 +81,51 @@ def main() -> None:
             for name in HEADLINE:
                 specs[name].fn(spark, data_dir).count()
         timings: dict[str, float] = {}
-        for name in HEADLINE:
-            t0 = time.perf_counter()
-            specs[name].fn(spark, data_dir).count()
-            timings[name] = round(time.perf_counter() - t0, 3)
+        for _ in range(n_reps):
+            for name in HEADLINE:
+                t0 = time.perf_counter()
+                specs[name].fn(spark, data_dir).count()
+                dt = round(time.perf_counter() - t0, 3)
+                if name not in timings or dt < timings[name]:
+                    timings[name] = dt
         return timings
+
+    def ann_payoff(data_dir: str) -> dict[str, float]:
+        """Round-3 item 8: quantify the IVF payoff. Build the index once
+        (k-means quantizer + cell-partitioned parquet), then time the
+        partition-pruned probe vs the full-scan exact top-k, min-of-n each.
+        The ratio is the 100 TB argument in a number: the probe reads
+        n_probe/n_cells of the corpus."""
+        from hiero_spark.functions.similarity import (
+            brute_force_topk, ivf_topk_bucketed, kmeans_fit, save_ivf,
+        )
+
+        emb = spark.read.parquet(f"{data_dir}/embeddings.parquet")
+        qv = [float(x) for x in emb.limit(1).collect()[0]["embedding"]]
+        n_cells, n_probe, k = 16, 2, 10
+        centroids = kmeans_fit(emb, n_cells, max_iter=5)
+        idx_path = f"/tmp/hiero_spark_bench_ivf/sf{sf}"
+        save_ivf(emb, centroids, idx_path)
+
+        def time_min(mk) -> float:
+            mk().count()  # warm
+            best = None
+            for _ in range(n_reps):
+                t0 = time.perf_counter()
+                mk().count()
+                dt = time.perf_counter() - t0
+                best = dt if best is None or dt < best else best
+            return round(best, 3)
+
+        return {
+            "brute_force_sec": time_min(lambda: brute_force_topk(emb, qv, k)),
+            "ivf_bucketed_sec": time_min(
+                lambda: ivf_topk_bucketed(spark, idx_path, qv, centroids, k, n_probe)
+            ),
+            "n_cells": n_cells,
+            "n_probe": n_probe,
+            "k": k,
+        }
 
     from hiero_spark.sources.fixtures import materialize_multifile
 
@@ -94,6 +140,7 @@ def main() -> None:
     timings_multi = run_set(multi_dir)
     if only_multifile:
         timings = timings_multi
+    ann = ann_payoff(sf_dir)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -104,8 +151,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "n_reps": n_reps,
+                "estimator": "min",
                 "multifile_total": round(sum(timings_multi.values()), 3),
                 "queries_multifile": timings_multi,
+                "ann_payoff": ann,
             }
         )
     )

@@ -57,6 +57,32 @@ def _ensure_session_confs(spark: SparkSession) -> None:
 _TABLE_MEMO: dict[tuple[str, str, str], DataFrame] = {}
 
 
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize events.ts to TimestampType regardless of how the driver
+    generated the parquet. One shared dispatch for the batch and streaming
+    readers (they must never drift). Seen in the wild across rounds:
+      - TIMESTAMP(NANOS): with nanosAsLong=true arrives as epoch-nanos
+        bigint -> timestamp_micros(ts DIV 1000);
+      - timestamp[us] without timezone: arrives as TIMESTAMP_NTZ, which
+        time functions like unix_millis reject -> cast to TIMESTAMP
+        (exact under the UTC session tz, and identical to how the
+        DuckDB oracle treats the same naive values);
+      - TimestampType: already normalized, no-op.
+    Works identically on batch and streaming DataFrames (pure projection,
+    dispatched on the analyzed schema).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, LongType):
+        # integer division: epoch-nanos exceeds double's exact range
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if isinstance(dt, TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
@@ -67,22 +93,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         return _TABLE_MEMO[key]
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
-        # Normalize events.ts to TimestampType regardless of how the driver
-        # generated the parquet. Seen in the wild across rounds:
-        #   - TIMESTAMP(NANOS): with nanosAsLong=true arrives as epoch-nanos
-        #     bigint -> timestamp_micros(ts DIV 1000);
-        #   - timestamp[us] without timezone: arrives as TIMESTAMP_NTZ, which
-        #     time functions like unix_millis reject -> cast to TIMESTAMP
-        #     (exact under the UTC session tz, and identical to how the
-        #     DuckDB oracle treats the same naive values).
-        from pyspark.sql import functions as F
-        from pyspark.sql.types import LongType, TimestampNTZType
-
-        if isinstance(df.schema["ts"].dataType, LongType):
-            # integer division: epoch-nanos exceeds double's exact range
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-        elif isinstance(df.schema["ts"].dataType, TimestampNTZType):
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        df = normalize_events_ts(df)
     if caching:
         from pyspark.storagelevel import StorageLevel
 

@@ -143,22 +143,27 @@ def min_dist2(v: Column, centroids: list[list[float]]) -> Column:
 
 
 def _nearest_cell(v: Column, centroids: list[list[float]]) -> Column:
-    """Column expr: index of the nearest centroid (squared L2)."""
-    best_id, best_d = F.lit(0), None
-    for i, c in enumerate(centroids):
+    """Column expr: index of the nearest centroid (squared L2).
+
+    Linear-size expression: one distance term per centroid collected into an
+    array, argmin via array_position(array_min). (The obvious chained-when
+    argmin nests the running best TWICE per step — the tree doubles per
+    centroid and analysis goes exponential; k=16 was minutes of planning.)
+    Ties resolve to the lowest cell id (array_position returns the first
+    match), matching the strict `<` semantics of a sequential scan.
+    """
+    dists = []
+    for c in centroids:
         carr = F.array(*[F.lit(float(x)) for x in c])
-        d = F.aggregate(
-            F.zip_with(v, carr, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, z: acc + z,
+        dists.append(
+            F.aggregate(
+                F.zip_with(v, carr, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, z: acc + z,
+            )
         )
-        if best_d is None:
-            best_id, best_d = F.lit(i), d
-        else:
-            cond = d < best_d
-            best_id = F.when(cond, F.lit(i)).otherwise(best_id)
-            best_d = F.when(cond, d).otherwise(best_d)
-    return best_id
+    darr = F.array(*dists)
+    return (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
 
 
 def ivf_topk(

@@ -17,12 +17,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hiero_spark.catalog import _ensure_session_confs, table_path
+from hiero_spark.catalog import _ensure_session_confs, normalize_events_ts, table_path
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (each file = one micro-batch
-    unit; in production this would be Kafka/files landing continuously)."""
+    unit; in production this would be Kafka/files landing continuously).
+
+    ts normalization is shared with the batch reader (catalog.normalize_events_ts)
+    so the two paths dispatch identically on whatever physical type the parquet
+    ships (epoch-nanos long / TIMESTAMP_NTZ / timestamp).
+    """
     _ensure_session_confs(spark)
     static = spark.read.parquet(table_path(sf_dir, "events"))
     # FileStreamSource needs a directory/glob, and the testdata table is a
@@ -31,7 +36,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema(static.schema)
         .parquet(f"{sf_dir}/events*.parquet")
     )
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return normalize_events_ts(stream)
 
 
 def tumbling_counts(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:

@@ -66,6 +66,66 @@ def with_language_id(df: DataFrame, text_col: str, out: str = "pred_lang") -> Da
     return df.drop("_lang_probe")
 
 
+def duplicate_line_fraction(text: Column) -> Column:
+    """Gopher-style repetition signal: fraction of a doc's lines that are
+    repeats of another line (1 - distinct/total). Boilerplate-heavy pages
+    (nav bars, cookie banners) score high. Pure array exprs — per-row
+    compute, no shuffle."""
+    lines = F.split(text, "\n")
+    n = F.size(lines)
+    return F.round((n - F.size(F.array_distinct(lines))).cast("double") / n, 6)
+
+
+def top_2gram_share(text: Column) -> Column:
+    """Gopher-style repetition signal: fraction of tokens covered by the most
+    frequent word 2-gram (count * 2 / n_tokens; 0 for docs under 2 tokens).
+
+    Linear per row and shuffle-free: build the bigram array, sort it, and
+    take the longest equal-run with one F.aggregate pass (a struct
+    accumulator of prev/run/best). The explode + groupBy(doc, bigram)
+    formulation computes the same number but shuffles 2x the corpus token
+    count; this stays a narrow map-only pass like the rest of this module.
+    """
+    toks = F.split(F.trim(text), r"\s+")
+    n = F.size(toks)
+    bigrams = F.array_sort(
+        F.zip_with(
+            F.slice(toks, F.lit(1), n - 1),
+            F.slice(toks, F.lit(2), n - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    )
+    run_of = lambda acc, x: F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1))
+    best = F.aggregate(
+        bigrams,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            run_of(acc, x).alias("run"),
+            F.greatest(acc.best, run_of(acc, x)).alias("best"),
+        ),
+        lambda acc: acc.best,
+    )
+    return F.when(n >= 2, F.round(best * 2.0 / n, 6)).otherwise(F.lit(0.0))
+
+
+# Chars counted as "symbols" for the symbol-to-word ratio: anything outside
+# alphanumerics, whitespace, and common prose punctuation. The class is
+# spelled identically in the DuckDB oracle — keep the two in sync.
+SYMBOL_REGEX = r"[A-Za-z0-9\s.,;:!?()-]"
+
+
+def symbol_word_ratio(text: Column) -> Column:
+    """Gopher-style repetition/quality signal: symbol chars per word (high on
+    markup residue, ASCII art, hashtag spam). Codegen'd regex, no shuffle."""
+    n_sym = F.length(F.regexp_replace(text, SYMBOL_REGEX, "")).cast("double")
+    return F.round(n_sym / token_count(text), 6)
+
+
 def fingerprint(text: Column) -> Column:
     """Document fingerprint: md5 content hash (exact-dup key).
 

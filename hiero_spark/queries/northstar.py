@@ -641,12 +641,15 @@ def n1_dedup_clusters(spark, sf_dir):
     "n5_curation_pipeline",
     group="N5",
     doc="The composed training-data curation pass: quality gate + language "
-        "gate + exact dedup in one plan (score, filter, fingerprint-group) "
-        "— a single scan plus one dedup shuffle.",
-    oracle="""
+        "gate + Gopher repetition gates (dup-line fraction <= 0.30, top "
+        "2-gram share <= 0.20, symbol-word ratio <= 0.10 — Rae et al. 2021 "
+        "thresholds) + exact dedup in one plan. All gates are per-row "
+        "expressions on the same scan; the only shuffle is the final dedup "
+        "groupBy.",
+    oracle=r"""
         WITH m AS (
           SELECT doc_id,
-                 CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tok,
+                 CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok,
                  CAST(length(text) AS DOUBLE) AS n_chr
           FROM documents
         ), q AS (
@@ -665,12 +668,39 @@ def n1_dedup_clusters(spark, sf_dir):
                       WHEN contains(' ' || lower(text) || ' ', ' de ') THEN 'zh'
                       ELSE 'und' END AS pred_lang
           FROM documents
+        ), t0 AS (
+          SELECT doc_id,
+                 regexp_split_to_array(text, '\n') AS lines,
+                 regexp_split_to_array(trim(text), '\s+') AS toks,
+                 length(regexp_replace(text, '[A-Za-z0-9\s.,;:!?()-]', '', 'g')) AS n_sym
+          FROM documents
+        ), b AS (
+          SELECT doc_id, len(toks) AS n_tok,
+                 unnest(list_transform(range(1, len(toks)),
+                                       i -> toks[i] || ' ' || toks[i+1])) AS bigram
+          FROM t0 WHERE len(toks) >= 2
+        ), c AS (
+          SELECT doc_id, n_tok, bigram, COUNT(*) AS cnt
+          FROM b GROUP BY doc_id, n_tok, bigram
+        ), tg AS (
+          SELECT doc_id, ROUND(MAX(cnt) * 2.0 / n_tok, 6) AS top2gram_share
+          FROM c GROUP BY doc_id, n_tok
+        ), r AS (
+          SELECT t0.doc_id AS doc_id,
+                 ROUND(CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
+                       / len(lines), 6) AS dup_line_frac,
+                 COALESCE(tg.top2gram_share, 0.0) AS top2gram_share,
+                 ROUND(CAST(n_sym AS DOUBLE) / len(toks), 6) AS symbol_word_ratio
+          FROM t0 LEFT JOIN tg ON t0.doc_id = tg.doc_id
         ), kept AS (
           SELECT d.doc_id, md5(d.text) AS fp, q.quality
           FROM documents d
           JOIN q ON q.doc_id = d.doc_id
           JOIN l ON l.doc_id = d.doc_id
+          JOIN r ON r.doc_id = d.doc_id
           WHERE q.quality >= 0.5 AND l.pred_lang = 'en'
+            AND r.dup_line_frac <= 0.30 AND r.top2gram_share <= 0.20
+            AND r.symbol_word_ratio <= 0.10
         )
         SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_count,
                ROUND(MIN(quality), 6) AS quality
@@ -681,7 +711,16 @@ def n5_curation_pipeline(spark, sf_dir):
     docs = tx.with_language_id(t(spark, sf_dir, "documents"), "text")
     kept = (
         docs.withColumn("quality", tx.quality_score(F.col("text")))
-        .filter((F.col("quality") >= 0.5) & (F.col("pred_lang") == "en"))
+        .withColumn("dup_line_frac", tx.duplicate_line_fraction(F.col("text")))
+        .withColumn("top2gram_share", tx.top_2gram_share(F.col("text")))
+        .withColumn("symbol_word_ratio", tx.symbol_word_ratio(F.col("text")))
+        .filter(
+            (F.col("quality") >= 0.5)
+            & (F.col("pred_lang") == "en")
+            & (F.col("dup_line_frac") <= 0.30)
+            & (F.col("top2gram_share") <= 0.20)
+            & (F.col("symbol_word_ratio") <= 0.10)
+        )
         .withColumn("fp", F.md5(F.col("text")))
     )
     return kept.groupBy("fp").agg(
@@ -708,6 +747,51 @@ def n4_bpe_token_count(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
     return docs.select(
         "doc_id", tx.bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens")
+    )
+
+
+@query(
+    "n4_repetition_stats",
+    group="N4",
+    doc="Gopher-style repetition filters (Rae et al. 2021 §A1.1): "
+        "duplicate-line fraction, top word-2-gram share, symbol-to-word "
+        "ratio. Spark side is shuffle-free (sorted-array run-length for the "
+        "2-gram, one F.aggregate pass); the oracle recomputes the 2-gram "
+        "share the slow unnest+groupBy way — same numbers.",
+    oracle=r"""
+        WITH t0 AS (
+          SELECT doc_id, text,
+                 regexp_split_to_array(text, '\n') AS lines,
+                 regexp_split_to_array(trim(text), '\s+') AS toks
+          FROM documents
+        ), b AS (
+          SELECT doc_id, len(toks) AS n_tok,
+                 unnest(list_transform(range(1, len(toks)),
+                                       i -> toks[i] || ' ' || toks[i+1])) AS bigram
+          FROM t0 WHERE len(toks) >= 2
+        ), c AS (
+          SELECT doc_id, n_tok, bigram, COUNT(*) AS cnt
+          FROM b GROUP BY doc_id, n_tok, bigram
+        ), m AS (
+          SELECT doc_id, ROUND(MAX(cnt) * 2.0 / n_tok, 6) AS top2gram_share
+          FROM c GROUP BY doc_id, n_tok
+        )
+        SELECT t0.doc_id AS doc_id,
+               ROUND(CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
+                     / len(lines), 6) AS dup_line_frac,
+               COALESCE(m.top2gram_share, 0.0) AS top2gram_share,
+               ROUND(CAST(length(regexp_replace(text, '[A-Za-z0-9\s.,;:!?()-]', '', 'g')) AS DOUBLE)
+                     / len(toks), 6) AS symbol_word_ratio
+        FROM t0 LEFT JOIN m ON t0.doc_id = m.doc_id
+    """,
+)
+def n4_repetition_stats(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        tx.duplicate_line_fraction(F.col("text")).alias("dup_line_frac"),
+        tx.top_2gram_share(F.col("text")).alias("top2gram_share"),
+        tx.symbol_word_ratio(F.col("text")).alias("symbol_word_ratio"),
     )
 
 

@@ -290,3 +290,53 @@ def test_kmeans_fit_reduces_sse_and_converges(spark):
     for r in assigned:
         groups.setdefault(r["vec_id"] % 3, set()).add(r["cell"])
     assert all(len(cells) == 1 for cells in groups.values())
+
+
+def test_repetition_stats_known_values(spark):
+    docs = spark.createDataFrame(
+        [
+            # 4 lines, "a b" twice -> dup_line_frac 0.25
+            (1, "a b\na c\nd e\na b"),
+            # "x y" bigram 3 times out of 5 bigrams, 6 tokens -> share 3*2/6=1.0
+            (2, "x y x y x y"),
+            # no repeated lines or bigrams, one '#' symbol, 4 words
+            (3, "plain text with #hash"),
+            (4, "single"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in docs.select(
+            "doc_id",
+            tx.duplicate_line_fraction(F.col("text")).alias("dlf"),
+            tx.top_2gram_share(F.col("text")).alias("t2g"),
+            tx.symbol_word_ratio(F.col("text")).alias("swr"),
+        ).collect()
+    }
+    assert out[1]["dlf"] == 0.25
+    # doc 2: bigrams [x y, y x, x y, y x, x y] -> max run 3, 6 tokens
+    assert out[2]["t2g"] == 1.0
+    assert out[2]["dlf"] == 0.0
+    assert out[3]["t2g"] == 0.5  # 3 bigrams all distinct -> 1*2/4
+    assert out[3]["swr"] == 0.25  # one '#' / 4 words
+    assert out[4]["t2g"] == 0.0  # under 2 tokens
+    assert out[4]["swr"] == 0.0
+
+
+def test_curation_pipeline_repetition_gate(spark, tmp_path):
+    """A high-quality English doc that is pure repetition must be dropped by
+    the Gopher gates even though quality/language pass."""
+    spam = " ".join(["click here"] * 60)  # top2gram_share ~1.0
+    clean = ("the quick brown fox jumps over the lazy dog and then "
+             "writes a reasonably long sentence about the weather today ") * 3
+    docs = spark.createDataFrame(
+        [(1, spam, "en"), (2, clean, "en")], "doc_id long, text string, lang string"
+    )
+    sf = str(tmp_path / "sfx")
+    docs.write.parquet(f"{sf}/documents.parquet")
+    from hiero_spark.registry import all_queries
+
+    kept = all_queries()["n5_curation_pipeline"].fn(spark, sf).collect()
+    ids = {r["keep_id"] for r in kept}
+    assert 2 in ids and 1 not in ids

@@ -45,6 +45,46 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def canonicalize_url(url: Column) -> Column:
+    """URL canonicalization for dedup keys — the one dedup axis real web
+    corpora lean on hardest: the same page arrives under http/https,
+    with/without www, with tracking params, fragments, and trailing
+    slashes. Produces a canonical KEY (not a fetchable rewrite):
+    lowercase, fragment dropped, utm_* params dropped, scheme and leading
+    www. stripped, trailing slash stripped. Pure codegen'd regex chain —
+    no shuffle; the dedup that follows is the same one-groupBy shape as
+    exact_dedup."""
+    u = F.lower(url)
+    u = F.regexp_replace(u, r"#.*$", "")        # fragment
+    u = F.regexp_replace(u, r"utm_[^&#]*&", "") # utm param followed by more
+    u = F.regexp_replace(u, r"[?&]utm_[^&#]*$", "")  # utm as last param
+    u = F.regexp_replace(u, r"^https?://", "")
+    u = F.regexp_replace(u, r"^www\.", "")
+    u = F.regexp_replace(u, r"/$", "")
+    return u
+
+
+def url_domain(canon_url: Column) -> Column:
+    """Domain of an already-canonicalized URL (host part up to / or ?)."""
+    return F.regexp_extract(canon_url, r"^([^/?]*)", 1)
+
+
+def url_dedup(df: DataFrame, url_col: str, id_col: str) -> DataFrame:
+    """Keep one representative (min id) per canonical URL; also reports the
+    domain for per-site rollups. Identical scale shape to exact_dedup: one
+    shuffle of (canonical_url, id) — document bodies never move."""
+    canon = canonicalize_url(F.col(url_col))
+    return (
+        df.withColumn("canon_url", canon)
+        .withColumn("domain", url_domain(F.col("canon_url")))
+        .groupBy("canon_url", "domain")
+        .agg(
+            F.min(F.col(id_col)).alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
 def shingle_array(text: Column, k: int = 3) -> Column:
     """Distinct word k-gram shingles as an array column (no explode).
 

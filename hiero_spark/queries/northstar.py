@@ -638,6 +638,64 @@ def n1_dedup_clusters(spark, sf_dir):
 
 
 @query(
+    "n1_url_dedup",
+    group="N1",
+    doc="URL/domain canonicalization + dedup — the dedup axis web corpora "
+        "lean on hardest. documents has no URL column, so both engines "
+        "synthesize the same deterministic messy URLs (scheme/www case, "
+        "trailing slash, utm_* params, fragments varying by doc_id) from "
+        "(source, doc_id), then canonicalize (lowercase, strip fragment/"
+        "utm/scheme/www/trailing-slash) and groupBy-min like exact_dedup: "
+        "one shuffle of (canonical_url, id), bodies never move.",
+    oracle=r"""
+        WITH u AS (
+          SELECT doc_id,
+                 (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTP://' END)
+                 || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE 'www.' END)
+                 || source || '.example.com/articles/'
+                 || CAST(doc_id % 50 AS VARCHAR)
+                 || (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END)
+                 || (CASE WHEN doc_id % 3 = 0
+                          THEN '?utm_source=rss&utm_medium=feed' ELSE '' END)
+                 || (CASE WHEN doc_id % 5 = 0 THEN '#section-2' ELSE '' END)
+                 AS url
+          FROM documents
+        ), c AS (
+          SELECT doc_id,
+                 regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                   regexp_replace(regexp_replace(lower(url),
+                     '#.*$', ''),
+                     'utm_[^&#]*&', '', 'g'),
+                     '[?&]utm_[^&#]*$', ''),
+                     '^https?://', ''),
+                     '^www\.', ''),
+                     '/$', '') AS canon_url
+          FROM u
+        )
+        SELECT canon_url,
+               regexp_extract(canon_url, '^([^/?]*)', 1) AS domain,
+               MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+        FROM c GROUP BY canon_url
+    """,
+)
+def n1_url_dedup(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("https://")).otherwise(F.lit("HTTP://")),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("WWW.")).otherwise(F.lit("www.")),
+        F.col("source"),
+        F.lit(".example.com/articles/"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 3 == 0, F.lit("?utm_source=rss&utm_medium=feed")
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("#section-2")).otherwise(F.lit("")),
+    )
+    return dd.url_dedup(docs.withColumn("url", url), "url", "doc_id")
+
+
+@query(
     "n5_curation_pipeline",
     group="N5",
     doc="The composed training-data curation pass: quality gate + language "

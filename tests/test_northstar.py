@@ -340,3 +340,23 @@ def test_curation_pipeline_repetition_gate(spark, tmp_path):
     kept = all_queries()["n5_curation_pipeline"].fn(spark, sf).collect()
     ids = {r["keep_id"] for r in kept}
     assert 2 in ids and 1 not in ids
+
+
+def test_url_canonicalization_variants_collapse(spark):
+    variants = [
+        (1, "https://www.Site.example.com/a/b/"),
+        (2, "HTTP://site.example.com/a/b"),
+        (3, "https://WWW.site.example.com/a/b?utm_source=x&utm_medium=y"),
+        (4, "http://www.site.example.com/a/b#frag"),
+        (5, "https://site.example.com/a/b/?utm_campaign=z"),
+        (10, "https://other.example.com/a/b"),       # different domain survives
+        (11, "https://site.example.com/a/b?id=7"),   # real param survives
+    ]
+    df = spark.createDataFrame(variants, "doc_id long, url string")
+    out = {r["canon_url"]: r for r in dd.url_dedup(df, "url", "doc_id").collect()}
+    assert out["site.example.com/a/b"]["dup_count"] == 5
+    assert out["site.example.com/a/b"]["keep_id"] == 1
+    assert out["site.example.com/a/b"]["domain"] == "site.example.com"
+    assert out["other.example.com/a/b"]["dup_count"] == 1
+    assert out["site.example.com/a/b?id=7"]["dup_count"] == 1
+    assert out["site.example.com/a/b?id=7"]["domain"] == "site.example.com"

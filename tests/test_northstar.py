@@ -245,11 +245,14 @@ def test_multimodal_resize_plumbing(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents").limit(50)
     media = mm.synthetic_media(spark, docs)
-    out = mm.resize_stub(media, 32, 32)
+    out = mm.resize_images(media, 32, 32)
     rows = out.collect()
     assert len(rows) == 50
-    assert all(r["width"] == 32 and r["height"] == 32 and r["resized"] for r in rows)
-    # stub passes payload bytes through unchanged
+    assert all(r["width"] == 32 and r["height"] == 32 for r in rows)
+    # synthetic payloads aren't decodable images: bytes pass through
+    # unchanged and resized=False records that no pixels were touched
+    # (with PIL installed and real images, resized would be True)
+    assert not any(r["resized"] for r in rows)
     orig = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
     assert all(bytes(r["payload"]) == orig[r["media_id"]] for r in rows)
 
@@ -360,3 +363,57 @@ def test_url_canonicalization_variants_collapse(spark):
     assert out["other.example.com/a/b"]["dup_count"] == 1
     assert out["site.example.com/a/b?id=7"]["dup_count"] == 1
     assert out["site.example.com/a/b?id=7"]["domain"] == "site.example.com"
+
+
+def test_decode_image_falls_back_to_stub_on_non_image_bytes():
+    """Non-image payloads must produce the SAME features whether or not PIL
+    is installed — n3 outputs are environment-independent by construction."""
+    from hiero_spark.functions import multimodal as mm
+
+    payload = b"just some utf-8 text, definitely not a PNG"
+    assert mm.decode_image(payload) == mm.decode_image_stub(payload)
+    assert mm.decode_audio(payload) == mm.decode_image_stub(payload)
+
+
+def test_decode_image_real_when_pil_available(spark):
+    """Real-codec path: only runs where PIL exists (skipped in this
+    container). A 4x4 red PNG must decode via actual pixels, not the
+    digest stub, and survive the mapInPandas pipeline."""
+    PIL = pytest.importorskip("PIL")
+    import io
+    from PIL import Image
+    from hiero_spark.functions import multimodal as mm
+
+    buf = io.BytesIO()
+    Image.new("RGB", (4, 4), (255, 0, 0)).save(buf, format="PNG")
+    png = buf.getvalue()
+
+    feat = mm.decode_image(png)
+    assert feat != mm.decode_image_stub(png)
+    assert feat[0] == 4 / 4096.0 and feat[1] == 4 / 4096.0  # true dims
+    # red -> grayscale ~76/255 in all four thumbnail cells
+    assert all(abs(p - 76 / 255.0) < 0.02 for p in feat[4:8])
+
+    media = spark.createDataFrame([(1, png)], "media_id long, payload binary")
+    row = mm.extract_features(media).collect()[0]
+    assert list(row["feat"]) == pytest.approx(feat)
+    resized = mm.resize_images(media, 2, 2).collect()[0]
+    assert resized["resized"] is True
+    assert Image.open(io.BytesIO(bytes(resized["payload"]))).size == (2, 2)
+
+
+def test_decode_audio_real_when_soundfile_available():
+    """Real audio path: only runs where libsndfile exists (skipped here)."""
+    sf = pytest.importorskip("soundfile")
+    import io
+    import numpy as np
+    from hiero_spark.functions import multimodal as mm
+
+    rate, secs = 8000, 1
+    t = np.arange(rate * secs) / rate
+    wave = (0.5 * np.sin(2 * np.pi * 440 * t)).astype("float32")
+    buf = io.BytesIO()
+    sf.write(buf, wave, rate, format="WAV")
+    feat = mm.decode_audio(buf.getvalue())
+    assert abs(feat[0] - secs) < 0.01            # duration
+    assert abs(feat[3] - 0.5 / 2 ** 0.5) < 0.01  # RMS of 0.5-amp sine

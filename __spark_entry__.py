@@ -39,11 +39,13 @@ _WINDOW_PIN: list[str] = []
 
 
 # Manual escape hatch: list a name here to force re-verification even if
-# its snapshot hash still matches (e.g. a helper it calls was refactored).
-# The mechanical guard lives in hiero_spark/evidence.py: a past green only
-# counts while sha256(oracle + fn source) equals the hash pinned in
-# ORACLE_SNAPSHOT.json at verification time, so editing a green query's
-# body or oracle automatically rotates it back into the window.
+# its snapshot hash still matches (normally empty — the mechanical guard
+# in hiero_spark/evidence.py hashes the oracle + fn source + the SOURCES
+# of every hiero_spark module the query's module transitively imports, so
+# editing a green query's body, its oracle, or any helper module it
+# depends on automatically rotates dependents back into the window).
+# Residual gap: a helper defined in the SAME queries module as the fn is
+# covered only via the fn's own source.
 _FORCE_REVERIFY: set[str] = set()
 
 

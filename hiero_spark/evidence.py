@@ -35,18 +35,125 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SNAPSHOT_PATH = os.path.join(ROOT, "ORACLE_SNAPSHOT.json")
 
 
-def spec_hash(spec) -> str:
-    """sha256 over the oracle SQL and the query function's source.
+PKG_DIR = os.path.join(ROOT, "hiero_spark")
 
-    Helper functions the body calls are not covered — this guards the
-    registered surface (the thing the driver compares), not the whole
-    transitive closure; deep refactors are what _FORCE_REVERIFY is for.
+
+def _py_modules() -> dict[str, str]:
+    """module name -> file path for every .py under hiero_spark/."""
+    out: dict[str, str] = {}
+    for dirpath, _dirs, files in os.walk(PKG_DIR):
+        for fname in files:
+            if not fname.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, fname)
+            rel = os.path.relpath(path, ROOT)
+            mod = rel[:-3].replace(os.sep, ".")
+            if mod.endswith(".__init__"):
+                mod = mod[: -len(".__init__")]
+            out[mod] = path
+    return out
+
+
+def _module_deps(modules: dict[str, str]) -> dict[str, set[str]]:
+    """Direct hiero_spark-internal imports per module, via ast.
+
+    `from hiero_spark.functions import dedup` resolves to the submodule
+    hiero_spark.functions.dedup when one exists, else to the named module.
+    """
+    import ast
+
+    deps: dict[str, set[str]] = {m: set() for m in modules}
+    for mod, path in modules.items():
+        try:
+            with open(path) as f:
+                tree = ast.parse(f.read())
+        except (OSError, SyntaxError):
+            continue
+        for node in ast.walk(tree):
+            if isinstance(node, ast.Import):
+                for alias in node.names:
+                    if alias.name in modules:
+                        deps[mod].add(alias.name)
+            elif isinstance(node, ast.ImportFrom) and node.module:
+                if not node.module.startswith("hiero_spark"):
+                    continue
+                for alias in node.names:
+                    sub = f"{node.module}.{alias.name}"
+                    deps[mod].add(sub if sub in modules else node.module)
+        deps[mod] = {d for d in deps[mod] if d in modules}
+    # registry.all_queries() imports the queries package purely for its
+    # registration side effects; without cutting that edge every query
+    # module would transitively depend on every OTHER query module (via
+    # registry -> queries/__init__ -> *), making the blast radius global.
+    # A query's behavior never depends on sibling query modules it doesn't
+    # import directly.
+    deps["hiero_spark.registry"] = {
+        d for d in deps.get("hiero_spark.registry", set())
+        if not d.startswith("hiero_spark.queries")
+    }
+    return deps
+
+
+_CLOSURE_CACHE: dict[str, str] = {}
+_GRAPH_CACHE: list = []
+
+
+def _file_digest(path: str) -> str:
+    with open(path, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()
+
+
+def _graph() -> tuple[dict[str, str], dict[str, set[str]]]:
+    """(module -> path, module -> direct deps), cached per process —
+    evidence checks run against an immutable checkout."""
+    if not _GRAPH_CACHE:
+        modules = _py_modules()
+        _GRAPH_CACHE.append((modules, _module_deps(modules)))
+    return _GRAPH_CACHE[0]
+
+
+def _dep_closure_digest(mod: str) -> str:
+    """sha256 over the SOURCES of every hiero_spark module `mod` transitively
+    imports (excluding `mod` itself — the registered fn's own source is
+    already in the payload)."""
+    if mod in _CLOSURE_CACHE:
+        return _CLOSURE_CACHE[mod]
+    modules, deps = _graph()
+    seen: set[str] = set()
+    stack = list(deps.get(mod, ()))
+    while stack:
+        m = stack.pop()
+        if m in seen:
+            continue
+        seen.add(m)
+        stack.extend(deps.get(m, ()))
+    seen.discard(mod)
+    h = hashlib.sha256()
+    for m in sorted(seen):
+        h.update(m.encode())
+        h.update(_file_digest(modules[m]).encode())
+    _CLOSURE_CACHE[mod] = h.hexdigest()
+    return _CLOSURE_CACHE[mod]
+
+
+def spec_hash(spec) -> str:
+    """sha256 over the oracle SQL, the query function's source, AND a digest
+    of every hiero_spark module its defining module transitively imports.
+
+    Closes the round-4 helper hole: editing operators/sketches.py (or any
+    helper module) changes the closure digest of every query module that
+    imports it, so dependent greens lapse and rotate back into the
+    verification window automatically.  Residual gap, documented: a
+    same-module helper (defined next to the query, not imported) is
+    covered only if the registered fn's own source changed — module-level
+    granularity, not call-graph granularity.
     """
     try:
         src = inspect.getsource(spec.fn)
     except (OSError, TypeError):
         src = ""
-    payload = (spec.oracle or "") + "\n---\n" + src
+    closure = _dep_closure_digest(getattr(spec.fn, "__module__", "") or "")
+    payload = (spec.oracle or "") + "\n---\n" + src + "\n---\n" + closure
     return hashlib.sha256(payload.encode()).hexdigest()
 
 

@@ -64,14 +64,24 @@ def test_verified_tail_is_oldest_evidence_first():
 
 def test_all_unverified_oracle_queries_inside_driver_window():
     """Every oracle-bearing query without durable green evidence must land
-    in the first 50 slots, or the rotation has stopped making progress."""
+    in the first 50 slots, or the rotation has stopped making progress.
+
+    After a core-module edit (e.g. catalog.py) the transitive spec-hash
+    lapses MORE than 50 greens at once — then the weaker invariant is
+    that every window slot re-verifies an unverified oracle query (none
+    wasted on still-verified names) and the overflow drains in FIFO
+    registration order across subsequent rounds."""
     entry = _entry()
     specs = all_queries()
     verified = entry._verified_names()
     unverified = [n for n, s in specs.items() if s.oracle and n not in verified]
-    window = set(list(entry.queries())[:DRIVER_CAP])
-    missing = [n for n in unverified if n not in window]
-    assert not missing, f"unverified oracle queries outside the 50-slot window: {missing}"
+    window = list(entry.queries())[:DRIVER_CAP]
+    if len(unverified) <= DRIVER_CAP:
+        missing = [n for n in unverified if n not in set(window)]
+        assert not missing, f"unverified oracle queries outside the 50-slot window: {missing}"
+    else:
+        wasted = [n for n in window if n not in set(unverified)]
+        assert not wasted, f"window slots wasted on verified/rows-only names: {wasted}"
 
 
 def test_snapshot_pins_newest_round_greens():
@@ -112,3 +122,58 @@ def test_force_reverify_overrides_snapshot():
         pytest.skip("no verified names")
     victim = sorted(verified)[0]
     assert victim not in evidence.verified_names(specs, frozenset({victim}))
+
+
+def test_helper_edit_lapses_dependent_greens(monkeypatch):
+    """Round-4 verdict item 6: the spec hash must cover helper MODULES the
+    query's module transitively imports, so editing e.g.
+    operators/sketches.py rotates every dependent green back into the
+    window — simulated here by perturbing that one file's digest."""
+    specs = all_queries()
+    victim = "a1_summary_count"  # queries/sketches.py -> operators/sketches.py
+    spec = specs[victim]
+
+    modules, deps = evidence._graph()
+    target = "hiero_spark.operators.sketches"
+    assert target in modules
+    closure = set()
+    stack = list(deps[spec.fn.__module__])
+    while stack:
+        m = stack.pop()
+        if m not in closure:
+            closure.add(m)
+            stack.extend(deps.get(m, ()))
+    assert target in closure, "dependency graph lost the operators/sketches edge"
+
+    h0 = evidence.spec_hash(spec)
+    real_digest = evidence._file_digest
+
+    def tampered(path):
+        if path == modules[target]:
+            return "f" * 64  # simulate an edited helper file
+        return real_digest(path)
+
+    monkeypatch.setattr(evidence, "_CLOSURE_CACHE", {})
+    monkeypatch.setattr(evidence, "_file_digest", tampered)
+    h1 = evidence.spec_hash(spec)
+    assert h1 != h0, "helper edit did not change the spec hash"
+
+    # end-to-end: a green pinned at h0 is no longer verified after the edit
+    monkeypatch.setattr(evidence, "load_snapshot", lambda: {victim: h0})
+    monkeypatch.setattr(evidence, "all_green", lambda: {victim})
+    assert victim not in evidence.verified_names(specs)
+
+    # and an unrelated module's edit does NOT lapse it (blast radius is the
+    # import closure, not the whole tree)
+    monkeypatch.setattr(evidence, "_CLOSURE_CACHE", {})
+    unrelated = "hiero_spark.streaming.pipelines"
+    assert unrelated in modules and unrelated not in closure
+
+    def tampered2(path):
+        if path == modules[unrelated]:
+            return "e" * 64
+        return real_digest(path)
+
+    monkeypatch.setattr(evidence, "_file_digest", tampered2)
+    assert evidence.spec_hash(spec) == h0
+    assert victim in evidence.verified_names(specs)

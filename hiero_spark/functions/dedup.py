@@ -85,6 +85,51 @@ def url_dedup(df: DataFrame, url_col: str, id_col: str) -> DataFrame:
     )
 
 
+def remove_boilerplate_lines(
+    df: DataFrame, text_col: str, id_col: str, min_docs: int = 5
+) -> DataFrame:
+    """Cross-document boilerplate removal (CCNet-style line dedup): drop
+    every line that appears in >= min_docs DISTINCT documents (cookie
+    banners, nav bars, copyright footers), reconstruct each doc's
+    remaining lines in original order. Returns (id, clean_text) for EVERY
+    input doc — a doc that was pure boilerplate comes back as ''.
+
+    Scale shape: posexplode to (id, pos, line) rows — linear in corpus
+    line count; one groupBy(line) counts distinct docs (partial+final);
+    one left_anti join removes hot lines; one groupBy(id) reassembles
+    (array_sort on (pos, line) structs, no window). Lines shuffle as
+    strings here because the DuckDB oracle must reproduce the keys
+    exactly; at 100 TB shuffle xxhash64(line) longs instead, the same
+    trade `contaminated_docs_hashed` documents (2^-64 collision risk vs
+    ~8x less shuffle traffic).
+    """
+    lines = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line"),
+    )
+    hot = (
+        lines.groupBy("_line")
+        .agg(F.count_distinct("_id").alias("_n_docs"))
+        .filter(F.col("_n_docs") >= min_docs)
+        .select("_line")
+    )
+    kept = lines.join(hot, "_line", "left_anti")
+    rebuilt = kept.groupBy("_id").agg(
+        F.concat_ws(
+            "\n",
+            F.array_sort(F.collect_list(F.struct("_pos", "_line"))).getField("_line"),
+        ).alias("clean_text")
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(rebuilt, F.col(id_col) == F.col("_id"), "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )
+
+
 def shingle_array(text: Column, k: int = 3) -> Column:
     """Distinct word k-gram shingles as an array column (no explode).
 

@@ -809,6 +809,55 @@ def n4_bpe_token_count(spark, sf_dir):
 
 
 @query(
+    "n5_boilerplate_removal",
+    group="N5",
+    doc="Cross-document boilerplate line removal (CCNet-style): lines "
+        "appearing in >= 3 distinct docs are dropped, docs reconstructed "
+        "in original line order. The corpus has no newlines, so both "
+        "engines plant identical boilerplate (per-source cookie header + "
+        "global footer around each body); the op must strip exactly the "
+        "planted lines — clean_text must equal the original body, making "
+        "the oracle self-checking and non-vacuous.",
+    oracle=r"""
+        WITH planted AS (
+          SELECT doc_id,
+                 'COOKIE NOTICE ' || source || chr(10) || text ||
+                 chr(10) || 'COPYRIGHT FOOTER' AS text
+          FROM documents
+        ), t0 AS (
+          SELECT doc_id, regexp_split_to_array(text, chr(10)) AS ln FROM planted
+        ), l AS (
+          SELECT doc_id, i AS pos, ln[i] AS line
+          FROM t0, UNNEST(range(1, len(ln) + 1)) AS u(i)
+        ), hot AS (
+          SELECT line FROM l GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 3
+        ), kept AS (
+          SELECT doc_id, pos, line FROM l
+          WHERE line NOT IN (SELECT line FROM hot)
+        ), agg AS (
+          SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text
+          FROM kept GROUP BY doc_id
+        )
+        SELECT t0.doc_id AS doc_id, COALESCE(agg.clean_text, '') AS clean_text
+        FROM t0 LEFT JOIN agg ON t0.doc_id = agg.doc_id
+    """,
+)
+def n5_boilerplate_removal(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("COOKIE NOTICE "),
+            F.col("source"),
+            F.lit("\n"),
+            F.col("text"),
+            F.lit("\nCOPYRIGHT FOOTER"),
+        ).alias("text"),
+    )
+    return dd.remove_boilerplate_lines(planted, "text", "doc_id", min_docs=3)
+
+
+@query(
     "n4_repetition_stats",
     group="N4",
     doc="Gopher-style repetition filters (Rae et al. 2021 §A1.1): "

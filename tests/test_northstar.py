@@ -417,3 +417,26 @@ def test_decode_audio_real_when_soundfile_available():
     feat = mm.decode_audio(buf.getvalue())
     assert abs(feat[0] - secs) < 0.01            # duration
     assert abs(feat[3] - 0.5 / 2 ** 0.5) < 0.01  # RMS of 0.5-amp sine
+
+
+def test_remove_boilerplate_lines(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "COOKIE\nunique one\nFOOTER"),
+            (2, "COOKIE\nunique two\nFOOTER"),
+            (3, "COOKIE\nunique three\nFOOTER\nextra tail"),
+            (4, "COOKIE\nFOOTER"),          # pure boilerplate -> ''
+            (5, "standalone doc"),           # untouched
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["clean_text"]
+        for r in dd.remove_boilerplate_lines(docs, "text", "doc_id", min_docs=3).collect()
+    }
+    assert out[1] == "unique one"
+    assert out[2] == "unique two"
+    assert out[3] == "unique three\nextra tail"  # order preserved
+    assert out[4] == ""                          # fully-boilerplate doc kept as empty
+    assert out[5] == "standalone doc"
+    assert len(out) == 5

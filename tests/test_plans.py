@@ -127,3 +127,28 @@ def test_progressive_merge_final_single_shuffle_layer(qs):
     # monoid merge compiles to ordinary re-aggregation, not a driver loop)
     names = P.node_names(qs["prog_merge_final"])
     assert sum("HashAggregate" in n for n in names) >= 2
+
+
+def test_repetition_stats_is_shuffle_free(qs):
+    """Gopher repetition signals are per-row exprs: one scan + project, no
+    Exchange anywhere (the sorted-array run-length replaces the obvious
+    explode+groupBy 2-gram count, which would shuffle 2x the token count)."""
+    names = P.node_names(qs["n4_repetition_stats"])
+    assert not any("Exchange" in n for n in names), names
+
+
+def test_url_dedup_single_aggregation_shuffle(qs):
+    """URL dedup = canonicalize (narrow) + one groupBy: exactly one
+    exchange layer, partial+final aggregation on either side of it."""
+    names = P.node_names(qs["n1_url_dedup"])
+    assert sum("Exchange" in n for n in names) == 1, names
+    assert sum("HashAggregate" in n for n in names) >= 2, names
+
+
+def test_boilerplate_removal_uses_anti_join_no_sort(qs):
+    """Hot-line removal must lower to a (broadcast|shuffled) anti join and
+    reassembly must be agg-side (array_sort expr), never a global Sort."""
+    plan = P.plan_str(qs["n5_boilerplate_removal"])
+    assert "LeftAnti" in plan, plan[:800]
+    names = P.node_names(qs["n5_boilerplate_removal"])
+    assert not any(n.strip() == "Sort" for n in names), names

@@ -47,6 +47,10 @@ HEADLINE = [
     "n6_decontamination",
     # round 3 additions
     "n6_decontamination_hashed",
+    # round 5 additions (judge: r1/r2/r3-comparable subsets per-query)
+    "n4_repetition_stats",
+    "n1_url_dedup",
+    "n5_boilerplate_removal",
 ]
 
 
@@ -117,6 +121,22 @@ def main() -> None:
                 best = dt if best is None or dt < best else best
             return round(best, 3)
 
+        # Rows the pruned probe actually reads vs the full corpus: the
+        # wall-clock delta at sf scale is overhead-dominated (two parquet
+        # directories vs one small file), so the scan fraction is the
+        # number that extrapolates to 100 TB.
+        from pyspark.sql import functions as F
+
+        rows_total = emb.count()
+        probe_cells = sorted(
+            range(n_cells),
+            key=lambda i: sum((a - b) ** 2 for a, b in zip(qv, centroids[i])),
+        )[:n_probe]
+        rows_scanned = (
+            spark.read.parquet(idx_path)
+            .filter(F.col("_cell").isin(probe_cells))
+            .count()
+        )
         return {
             "brute_force_sec": time_min(lambda: brute_force_topk(emb, qv, k)),
             "ivf_bucketed_sec": time_min(
@@ -125,6 +145,8 @@ def main() -> None:
             "n_cells": n_cells,
             "n_probe": n_probe,
             "k": k,
+            "rows_total": rows_total,
+            "rows_scanned": rows_scanned,
         }
 
     from hiero_spark.sources.fixtures import materialize_multifile

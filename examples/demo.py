@@ -69,6 +69,28 @@ def main(sf_dir: str = "/root/testdata/sf0.001", out=print) -> None:
     for row in page["rows"]:
         out("  " + " | ".join(str(v) for v in row))
 
+    # 6. training-data curation on the documents table: language + quality
+    #    + Gopher repetition gates, then exact dedup — one composed plan
+    from hiero_spark.functions import dedup as dd
+    from hiero_spark.functions import text as tx
+
+    docs = load_table(spark, sf_dir, "documents")
+    gated = (
+        tx.with_language_id(docs, "text")
+        .withColumn("quality", tx.quality_score(F.col("text")))
+        .withColumn("top2gram", tx.top_2gram_share(F.col("text")))
+        .filter(
+            (F.col("pred_lang") == "en")
+            & (F.col("quality") >= 0.5)
+            & (F.col("top2gram") <= 0.2)
+        )
+    )
+    survivors = dd.exact_dedup(gated, "text", "doc_id")
+    out(
+        f"\ncuration: {docs.count()} docs -> {gated.count()} past gates "
+        f"-> {survivors.count()} after exact dedup"
+    )
+
 
 if __name__ == "__main__":
     main(*sys.argv[1:2])

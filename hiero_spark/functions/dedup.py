@@ -58,9 +58,13 @@ def canonicalize_url(url: Column) -> Column:
     u = F.regexp_replace(u, r"#.*$", "")        # fragment
     u = F.regexp_replace(u, r"utm_[^&#]*&", "") # utm param followed by more
     u = F.regexp_replace(u, r"[?&]utm_[^&#]*$", "")  # utm as last param
-    u = F.regexp_replace(u, r"^https?://", "")
-    u = F.regexp_replace(u, r"^www\.", "")
-    u = F.regexp_replace(u, r"/$", "")
+    # (...)+: repeated prefixes/slashes collapse in ONE pass, keeping the
+    # canonical form a fixed point — canonicalize(canonicalize(u)) ==
+    # canonicalize(u), property-tested (hypothesis found 'x.com//' needing
+    # two passes under the /$ form)
+    u = F.regexp_replace(u, r"^(https?://)+", "")
+    u = F.regexp_replace(u, r"^(www\.)+", "")
+    u = F.regexp_replace(u, r"/+$", "")
     return u
 
 

@@ -667,9 +667,9 @@ def n1_dedup_clusters(spark, sf_dir):
                      '#.*$', ''),
                      'utm_[^&#]*&', '', 'g'),
                      '[?&]utm_[^&#]*$', ''),
-                     '^https?://', ''),
-                     '^www\.', ''),
-                     '/$', '') AS canon_url
+                     '^(https?://)+', ''),
+                     '^(www\.)+', ''),
+                     '/+$', '') AS canon_url
           FROM u
         )
         SELECT canon_url,

@@ -440,3 +440,65 @@ def test_remove_boilerplate_lines(spark):
     assert out[4] == ""                          # fully-boilerplate doc kept as empty
     assert out[5] == "standalone doc"
     assert len(out) == 5
+
+
+# -- property tests (hypothesis): curation expression semantics --------------
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+_url_part = st.text(
+    alphabet="abcXYZ019-._", min_size=0, max_size=8
+)
+_urls = st.lists(
+    st.tuples(
+        st.sampled_from(["http://", "https://", "HTTPS://", ""]),
+        st.sampled_from(["www.", "WWW.", ""]),
+        _url_part,  # host seed
+        _url_part,  # path seed
+        st.sampled_from(["", "?utm_source=x", "?id=1&utm_medium=y", "?a=1"]),
+        st.sampled_from(["", "#frag", "/"]),
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(urls=_urls)
+def test_canonicalize_url_idempotent_property(spark, urls):
+    """canonicalize(canonicalize(u)) == canonicalize(u) — a canonical form
+    must be a fixed point, else dedup keys depend on how many times a
+    pipeline stage ran."""
+    rows = [(i, s + w + h + ".com/" + p + q + t)
+            for i, (s, w, h, p, q, t) in enumerate(urls)]
+    df = spark.createDataFrame(rows, "id long, url string")
+    out = df.select(
+        dd.canonicalize_url(F.col("url")).alias("c1"),
+        dd.canonicalize_url(dd.canonicalize_url(F.col("url"))).alias("c2"),
+    ).collect()
+    for r in out:
+        assert r["c1"] == r["c2"], r
+
+
+_texts = st.lists(
+    st.text(alphabet="ab #\n.", min_size=0, max_size=40), min_size=1, max_size=10
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=_texts)
+def test_repetition_stats_bounds_property(spark, texts):
+    """dup_line_frac and top2gram_share stay in [0,1]; symbol_word_ratio is
+    non-negative; none of them are ever null on non-null input."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = df.select(
+        tx.duplicate_line_fraction(F.col("text")).alias("dlf"),
+        tx.top_2gram_share(F.col("text")).alias("t2g"),
+        tx.symbol_word_ratio(F.col("text")).alias("swr"),
+    ).collect()
+    for r in out:
+        assert r["dlf"] is not None and 0.0 <= r["dlf"] <= 1.0, r
+        assert r["t2g"] is not None and 0.0 <= r["t2g"] <= 1.0, r
+        assert r["swr"] is not None and r["swr"] >= 0.0, r

@@ -157,6 +157,67 @@ def user_running_stats(events: DataFrame) -> DataFrame:
     )
 
 
+def user_running_stats_tws(events: DataFrame) -> DataFrame:
+    """The same per-user running (count, first_ms, last_ms) operator as
+    `user_running_stats`, expressed on Spark 4's arbitrary-state API
+    (`transformWithStateInPandas` + StatefulProcessor + ValueState) instead
+    of the classic `applyInPandasWithState`/GroupState.
+
+    Why both exist: transformWithState is the forward path — typed state
+    variables (value/list/map) with per-state TTL, timers, and initial
+    state, over the RocksDB state store provider (required; the session
+    factory leaves the default HDFS-backed store for the classic op, so
+    tests set the provider conf explicitly). Runtime deps: the API's
+    state-server protocol needs google.protobuf, absent in this container
+    — the equivalence test (tests/test_streaming.py) is skipped-unless-
+    protobuf, and the classic GroupState twin remains the always-tested
+    path. Same state shape either way: one fixed-width tuple per user
+    key.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = "user_id long, event_count long, first_ms long, last_ms long"
+
+    class RunningStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "stats", "event_count long, first_ms long, last_ms long"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            count, first_ms, last_ms = (
+                self._state.get() if self._state.exists() else (0, None, None)
+            )
+            for pdf in rows:
+                if pdf.empty:
+                    continue
+                ms = pdf["ts"].astype("int64") // 1_000_000
+                count += len(pdf)
+                lo, hi = int(ms.min()), int(ms.max())
+                first_ms = lo if first_ms is None else min(first_ms, lo)
+                last_ms = hi if last_ms is None else max(last_ms, hi)
+            self._state.update((count, first_ms, last_ms))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "event_count": [count],
+                    "first_ms": [first_ms],
+                    "last_ms": [last_ms],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        RunningStats(), out_schema, "Update", "None"
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete",
                   timeout_s: int = 120):
     """Drain a streaming query into an in-memory table (availableNow: process

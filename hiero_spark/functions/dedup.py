@@ -190,6 +190,55 @@ def shingles(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame
     )
 
 
+def repeated_span_pairs(
+    df: DataFrame, text_col: str, id_col: str, k: int = 16,
+    max_span_docs: int = 200,
+) -> DataFrame:
+    """Exact long-span overlap detection (the Lee et al. 2022 'Deduplicating
+    Training Data Makes Language Models Better' signal, reduced to doc
+    pairs): two docs sharing ANY verbatim k-token span (k≈16-50) almost
+    certainly share copied text even when whole-doc Jaccard is low — the
+    case MinHash misses (a paragraph quoted inside an otherwise-unique
+    doc).
+
+    Shape: reuse the shingle machinery at large k — per-row span arrays
+    (no explode until the set form), md5 each span so only 16-byte keys
+    shuffle, one groupBy(span) collecting doc ids, pairs emitted within
+    spans only. `max_span_docs` caps degenerate spans (a boilerplate
+    sentence present in thousands of docs would emit O(n²) pairs — those
+    belong to `remove_boilerplate_lines`, not pair output). Output:
+    (doc_a, doc_b, n_shared_spans), doc_a < doc_b.
+    """
+    sp = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(shingle_array(F.col(text_col), k)).alias("_span"),
+    ).select("doc", F.md5(F.col("_span")).alias("_h"))
+    grouped = sp.groupBy("_h").agg(F.collect_set("doc").alias("_docs"))
+    small = grouped.filter(
+        (F.size("_docs") >= 2) & (F.size("_docs") <= max_span_docs)
+    )
+    pairs = small.select(
+        F.explode(
+            F.filter(
+                F.flatten(
+                    F.transform(
+                        F.col("_docs"),
+                        lambda a: F.transform(
+                            F.col("_docs"),
+                            lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
+                        ),
+                    )
+                ),
+                lambda s: s.doc_a < s.doc_b,
+            )
+        ).alias("_p")
+    ).select("_p.doc_a", "_p.doc_b")
+    return (
+        pairs.groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_spans"))
+    )
+
+
 def minhash_signatures(
     docs: DataFrame, num_hashes: int = 64
 ) -> DataFrame:

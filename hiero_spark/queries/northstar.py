@@ -157,6 +157,40 @@ def n1_ngram_jaccard(spark, sf_dir):
 
 
 @query(
+    "n1_repeated_span_pairs",
+    group="N1",
+    doc="Exact long-span overlap (Lee et al. 2022 'Deduplicating Training "
+        "Data' signal at pair granularity): doc pairs sharing any verbatim "
+        "16-token span — catches copied paragraphs inside otherwise-unique "
+        "docs, the case whole-doc MinHash misses. Spark groups md5(span) "
+        "16-byte keys; oracle recomputes span strings directly (identical "
+        "partition of spans, 2^-128 collision risk).",
+    oracle=r"""
+        WITH toks AS (
+          SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+          FROM documents
+        ), sp AS (
+          SELECT DISTINCT doc_id AS doc, array_to_string(w[i:i+15], ' ') AS span
+          FROM toks, UNNEST(range(1, GREATEST(len(w) - 15, 1) + 1)) AS u(i)
+        ), counts AS (
+          SELECT span, COUNT(*) AS nd FROM sp GROUP BY span
+        ), ok AS (
+          SELECT span FROM counts WHERE nd BETWEEN 2 AND 200
+        )
+        SELECT a.doc AS doc_a, b.doc AS doc_b,
+               COUNT(*) AS n_shared_spans
+        FROM sp a JOIN sp b ON a.span = b.span AND a.doc < b.doc
+        JOIN ok ON ok.span = a.span
+        GROUP BY 1, 2
+    """,
+)
+def n1_repeated_span_pairs(spark, sf_dir):
+    return dd.repeated_span_pairs(
+        t(spark, sf_dir, "documents"), "text", "doc_id", k=16, max_span_docs=200
+    )
+
+
+@query(
     "n1_simhash",
     group="N1",
     doc="64-bit SimHash per document (rows-only; Hamming-distance behavior "

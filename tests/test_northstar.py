@@ -502,3 +502,24 @@ def test_repetition_stats_bounds_property(spark, texts):
         assert r["dlf"] is not None and 0.0 <= r["dlf"] <= 1.0, r
         assert r["t2g"] is not None and 0.0 <= r["t2g"] <= 1.0, r
         assert r["swr"] is not None and r["swr"] >= 0.0, r
+
+
+def test_repeated_span_pairs_planted(spark):
+    """A 16-token paragraph copied between two otherwise-unrelated docs must
+    pair them; unrelated docs must not pair; a span present in MANY docs is
+    capped out (boilerplate belongs to line removal, not pair output)."""
+    para = " ".join(f"tok{i}" for i in range(16))
+    rows = [
+        (1, "alpha beta " + para + " gamma delta"),
+        (2, para + " totally different tail words here"),
+        (3, "unrelated document with its own words entirely " * 3),
+    ]
+    # plant a boilerplate span in 10 more docs; cap=5 must suppress it
+    boiler = " ".join(f"b{i}" for i in range(16))
+    rows += [(10 + i, boiler + f" unique{i}") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dd.repeated_span_pairs(df, "text", "doc_id", k=16, max_span_docs=5)
+    pairs = {(r["doc_a"], r["doc_b"]): r["n_shared_spans"] for r in out.collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 1
+    assert not any(3 in p for p in pairs)
+    assert not any(a >= 10 and b >= 10 for a, b in pairs), pairs

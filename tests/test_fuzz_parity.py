@@ -1,0 +1,125 @@
+"""Differential fuzzing: hypothesis-generated filter/aggregate queries run
+through BOTH engines (Spark DataFrame plan vs DuckDB SQL) on the same
+parquet must agree exactly.
+
+The curated oracle suite (test_oracle_parity.py) checks the 130+
+hand-written queries; this file covers the space BETWEEN them — arbitrary
+predicate/aggregate combinations nobody thought to write down — so an
+expression-semantics divergence (null handling, numeric overflow, date
+comparison) surfaces as a failing example instead of a silent wrong answer
+in some future query.
+
+Determinism notes baked into the generator:
+- SUM over l_quantity/l_extendedprice uses the scaled-bigint trick
+  (values have <= 2 decimal digits) so float summation order can't break
+  equality — same convention as queries/_util.py.
+- COUNT/MIN/MAX are order-insensitive by construction.
+- Predicates compare to literals drawn from the actual column domains so
+  filters are routinely non-vacuous (all-rows-filtered examples are still
+  valid — both engines must agree on empty).
+"""
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from hiero_spark.catalog import load_table, table_path
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# (column, kind, sample literals from the column's domain)
+NUM_COLS = (
+    ("l_quantity", (1.0, 17.0, 30.5, 50.0)),
+    ("l_extendedprice", (900.0, 20000.0, 60000.0, 104949.5)),
+    ("l_discount", (0.0, 0.04, 0.1)),
+    ("l_linenumber", (1.0, 3.0, 7.0)),
+)
+STR_COLS = (
+    ("l_returnflag", ("A", "N", "R")),
+    ("l_linestatus", ("F", "O")),
+)
+
+_num_pred = st.tuples(
+    st.sampled_from(NUM_COLS),
+    st.sampled_from(["<", "<=", ">", ">=", "="]),
+    st.integers(0, 3),
+)
+_str_pred = st.tuples(st.sampled_from(STR_COLS), st.integers(0, 3))
+_preds = st.lists(st.one_of(_num_pred, _str_pred), min_size=0, max_size=3)
+
+
+def _build(preds):
+    """-> (spark_condition_builder, sql_where) from generated predicate specs."""
+    sql_parts, spark_parts = [], []
+    for p in preds:
+        if len(p) == 3:  # numeric
+            (col, lits), op, li = p
+            lit = lits[li % len(lits)]
+            sql_parts.append(f"{col} {op} {lit!r}")
+            spark_parts.append((col, op, lit))
+        else:
+            (col, lits), li = p
+            lit = lits[li % len(lits)]
+            sql_parts.append(f"{col} = '{lit}'")
+            spark_parts.append((col, "=s", lit))
+    return spark_parts, (" AND ".join(sql_parts) or "TRUE")
+
+
+_OPS = {
+    "<": lambda c, v: c < v,
+    "<=": lambda c, v: c <= v,
+    ">": lambda c, v: c > v,
+    ">=": lambda c, v: c >= v,
+    "=": lambda c, v: c == v,
+    "=s": lambda c, v: c == v,
+}
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    c.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{table_path(SF_DIR, 'lineitem')}')"
+    )
+    return c
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(preds=_preds, group=st.sampled_from([None, "l_returnflag", "l_linestatus"]))
+def test_generated_filter_aggregate_parity(spark, con, preds, group):
+    li = load_table(spark, SF_DIR, "lineitem")
+    spark_parts, where = _build(preds)
+
+    cond = F.lit(True)
+    for col, op, lit in spark_parts:
+        cond = cond & _OPS[op](F.col(col), F.lit(lit))
+    filtered = li.filter(cond)
+
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("l_quantity") * 100).cast("long")).alias("sq100"),
+        F.min("l_orderkey").alias("min_ok"),
+        F.max("l_orderkey").alias("max_ok"),
+    ]
+    sql_aggs = (
+        "COUNT(*) AS n, SUM(CAST(l_quantity * 100 AS BIGINT)) AS sq100, "
+        "MIN(l_orderkey) AS min_ok, MAX(l_orderkey) AS max_ok"
+    )
+    if group is None:
+        got = [tuple(r) for r in filtered.agg(*aggs).collect()]
+        exp = con.execute(
+            f"SELECT {sql_aggs} FROM lineitem WHERE {where}"
+        ).fetchall()
+    else:
+        got = sorted(
+            tuple(r) for r in filtered.groupBy(group).agg(*aggs).collect()
+        )
+        exp = sorted(
+            con.execute(
+                f"SELECT {group}, {sql_aggs} FROM lineitem WHERE {where} "
+                f"GROUP BY {group}"
+            ).fetchall()
+        )
+    assert got == exp, (where, group)

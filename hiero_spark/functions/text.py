@@ -134,6 +134,52 @@ def fingerprint(text: Column) -> Column:
     return F.md5(text)
 
 
+def tf_idf_keywords(
+    df: DataFrame, text_col: str, id_col: str, k: int = 3
+) -> DataFrame:
+    """Per-document top-k keywords by TF-IDF.
+
+    IDF uses the smooth RATIO form (N+1)/(df+1) instead of its logarithm:
+    ln() is not guaranteed ulp-identical across engines (Java Math.log vs
+    DuckDB's libm) and the oracle hash-compares doubles, while +,*,/ are
+    IEEE-defined — so score = tf * (N+1)/(df+1) is bit-identical in both.
+    Monotone in the classic ln formula for fixed tf, so top-k ranking is
+    unchanged for single-term comparisons at equal tf; documented
+    determinism trade.
+
+    Scale shape: explode tokens once; tf = groupBy(id, tok) partial+final;
+    doc-frequency = groupBy(tok) over distinct (id, tok) rows (reuses the
+    tf output — no second explode); corpus size N is one scalar join;
+    per-doc top-k via a single (id)-partitioned window. Shuffles carry
+    (token, counts) pairs, never documents.
+    """
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok"),
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    doc_freq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df_docs"))
+    n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(doc_freq, "tok")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf") * (F.col("n_docs") + 1) / (F.col("df_docs") + 1), 6
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("tok"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", F.col("tok").alias("keyword"), "rank", "score")
+    )
+
+
 def simhash64(df: DataFrame, text_col: str, out: str = "simhash") -> DataFrame:
     """64-bit SimHash over whitespace tokens via xxhash64.
 

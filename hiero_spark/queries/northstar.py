@@ -843,6 +843,41 @@ def n4_bpe_token_count(spark, sf_dir):
 
 
 @query(
+    "n4_tfidf_keywords",
+    group="N4",
+    doc="Per-document top-3 keywords by TF-IDF. IDF is the smooth RATIO "
+        "(N+1)/(df+1) rather than its ln(): +,*,/ are IEEE-defined and "
+        "bit-identical across engines while ln() is not ulp-guaranteed, "
+        "and the driver hash-compares doubles. Ties broken by token asc.",
+    oracle=r"""
+        WITH toks AS (
+          SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+          FROM documents
+        ), tf AS (
+          SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok
+        ), dfreq AS (
+          SELECT tok, COUNT(*) AS df_docs FROM tf GROUP BY tok
+        ), n AS (
+          SELECT COUNT(*) AS n_docs FROM documents
+        ), scored AS (
+          SELECT tf.doc_id, tf.tok,
+                 ROUND(tf.tf * (n.n_docs + 1) / (dfreq.df_docs + 1), 6) AS score
+          FROM tf JOIN dfreq ON tf.tok = dfreq.tok CROSS JOIN n
+        ), ranked AS (
+          SELECT doc_id, tok, score,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                                    ORDER BY score DESC, tok ASC) AS rank
+          FROM scored
+        )
+        SELECT doc_id, tok AS keyword, rank, score
+        FROM ranked WHERE rank <= 3
+    """,
+)
+def n4_tfidf_keywords(spark, sf_dir):
+    return tx.tf_idf_keywords(t(spark, sf_dir, "documents"), "text", "doc_id", k=3)
+
+
+@query(
     "n5_boilerplate_removal",
     group="N5",
     doc="Cross-document boilerplate line removal (CCNet-style): lines "

@@ -523,3 +523,18 @@ def test_repeated_span_pairs_planted(spark):
     assert (1, 2) in pairs and pairs[(1, 2)] >= 1
     assert not any(3 in p for p in pairs)
     assert not any(a >= 10 and b >= 10 for a, b in pairs), pairs
+
+
+def test_tfidf_rare_term_outranks_common(spark):
+    """A term unique to one doc must outrank corpus-wide terms within that
+    doc; rank ties break by token asc."""
+    rows = [(i, "common words shared everywhere") for i in range(5)]
+    rows.append((9, "common words shared everywhere plus zebra zebra"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = tx.tf_idf_keywords(df, "text", "doc_id", k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append((r["rank"], r["keyword"]))
+    assert sorted(by_doc[9])[0] == (1, "zebra")  # tf=2, df=1 dominates
+    # docs 0-4: all terms have identical tf/df -> alphabetical tie-break
+    assert sorted(by_doc[0]) == [(1, "common"), (2, "everywhere")]

@@ -123,3 +123,72 @@ def test_generated_filter_aggregate_parity(spark, con, preds, group):
             ).fetchall()
         )
     assert got == exp, (where, group)
+
+
+ORD_NUM = (("o_totalprice", (1000.0, 50000.0, 150000.0, 400000.0)),)
+ORD_STR = (("o_orderstatus", ("F", "O", "P")),)
+
+_ord_pred = st.one_of(
+    st.tuples(st.sampled_from(ORD_NUM), st.sampled_from(["<", "<=", ">", ">="]),
+              st.integers(0, 3)),
+    st.tuples(st.sampled_from(ORD_STR), st.integers(0, 3)),
+)
+_ord_preds = st.lists(_ord_pred, min_size=0, max_size=2)
+
+
+@pytest.fixture(scope="module")
+def con2(con):
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{table_path(SF_DIR, 'orders')}')"
+    )
+    return con
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(li_preds=_preds, o_preds=_ord_preds,
+       join_type=st.sampled_from(["inner", "left_semi", "left_anti"]))
+def test_generated_join_parity(spark, con2, li_preds, o_preds, join_type):
+    """Generated two-table queries: filtered lineitem joined to filtered
+    orders (inner / semi / anti) must produce the same aggregate row as
+    DuckDB's equivalent (JOIN / IN / NOT IN) — exercising Catalyst's join
+    strategy choices against an independent executor."""
+    li = load_table(spark, SF_DIR, "lineitem")
+    orders = load_table(spark, SF_DIR, "orders")
+    li_parts, li_where = _build(li_preds)
+    o_parts, o_where = _build(o_preds)
+
+    cond = F.lit(True)
+    for col, op, lit in li_parts:
+        cond = cond & _OPS[op](F.col(col), F.lit(lit))
+    fl = li.filter(cond)
+    cond_o = F.lit(True)
+    for col, op, lit in o_parts:
+        cond_o = cond_o & _OPS[op](F.col(col), F.lit(lit))
+    fo = orders.filter(cond_o)
+
+    joined = fl.join(fo, fl.l_orderkey == fo.o_orderkey, join_type)
+    got = [
+        tuple(r)
+        for r in joined.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("l_quantity") * 100).cast("long")).alias("sq100"),
+            F.min("l_orderkey").alias("min_ok"),
+        ).collect()
+    ]
+    sub = f"SELECT o_orderkey FROM orders WHERE {o_where}"
+    if join_type == "inner":
+        sql = (
+            "SELECT COUNT(*) AS n, SUM(CAST(l_quantity * 100 AS BIGINT)) AS sq100, "
+            f"MIN(l_orderkey) AS min_ok FROM lineitem JOIN ({sub}) o "
+            f"ON l_orderkey = o.o_orderkey WHERE {li_where}"
+        )
+    else:
+        op = "IN" if join_type == "left_semi" else "NOT IN"
+        sql = (
+            "SELECT COUNT(*) AS n, SUM(CAST(l_quantity * 100 AS BIGINT)) AS sq100, "
+            f"MIN(l_orderkey) AS min_ok FROM lineitem WHERE {li_where} "
+            f"AND l_orderkey {op} ({sub})"
+        )
+    exp = con2.execute(sql).fetchall()
+    assert got == exp, (li_where, o_where, join_type)

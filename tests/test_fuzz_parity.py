@@ -192,3 +192,63 @@ def test_generated_join_parity(spark, con2, li_preds, o_preds, join_type):
         )
     exp = con2.execute(sql).fetchall()
     assert got == exp, (li_where, o_where, join_type)
+
+
+_ts_lits = ("2024-01-05 00:00:00", "2024-01-12 12:00:00", "2024-01-25 06:30:00")
+_ts_pred = st.tuples(st.sampled_from(["<", ">="]), st.integers(0, 2))
+_ts_preds = st.lists(_ts_pred, min_size=0, max_size=2)
+
+
+@pytest.fixture(scope="module")
+def con3(con):
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{table_path(SF_DIR, 'events')}')"
+    )
+    return con
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(ts_preds=_ts_preds,
+       bucket=st.sampled_from(["1 hour", "1 day"]),
+       group_type=st.booleans())
+def test_generated_events_time_parity(spark, con3, ts_preds, bucket, group_type):
+    """Generated time-window aggregations over events: the ts normalization
+    path (catalog.normalize_events_ts — the exact code that broke round 4)
+    feeds date_trunc buckets under generated timestamp predicates; both
+    engines must agree on bucket counts and epoch extremes. The UTC
+    session timezone makes Spark's TIMESTAMP cast of the NTZ parquet
+    values match DuckDB's naive reading."""
+    ev = load_table(spark, SF_DIR, "events")
+
+    conds, sqls = F.lit(True), []
+    for op, li in ts_preds:
+        lit = _ts_lits[li]
+        conds = conds & _OPS[op](F.col("ts"), F.to_timestamp(F.lit(lit)))
+        sqls.append(f"ts {op} TIMESTAMP '{lit}'")
+    where = " AND ".join(sqls) or "TRUE"
+    unit = "hour" if bucket == "1 hour" else "day"
+    groups = ["w"] + (["event_type"] if group_type else [])
+    got = sorted(
+        tuple(r)
+        for r in ev.filter(conds)
+        .withColumn("w", F.unix_seconds(F.date_trunc(unit, "ts")))
+        .groupBy(*groups)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.unix_micros("ts")).alias("first_us"),
+            F.max(F.unix_micros("ts")).alias("last_us"),
+        )
+        .collect()
+    )
+    gcols = "w" + (", event_type" if group_type else "")
+    exp = sorted(
+        con3.execute(
+            f"SELECT CAST(epoch(date_trunc('{unit}', ts)) AS BIGINT) AS w"
+            + (", event_type" if group_type else "")
+            + ", COUNT(*) AS n, MIN(epoch_us(ts)) AS first_us, "
+            f"MAX(epoch_us(ts)) AS last_us FROM events WHERE {where} "
+            f"GROUP BY {gcols}"
+        ).fetchall()
+    )
+    assert got == exp, (where, unit, group_type)

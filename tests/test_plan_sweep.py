@@ -36,6 +36,7 @@ BNLJ_ALLOWED = {
     "n2_embedding_near_dups_verdict": "all-pairs exact audit arm (oracle scale only) + 1-row combines",
     "n2_ann_batch": "intended broadcast fan-out of the bounded query set",
     "n2_ivf_kmeans": "scalar broadcast: 1-row SSE/self-probe combines",
+    "n4_tfidf_keywords": "scalar broadcast: 1-row corpus size joins the tf table",
 }
 
 _SPECS = all_queries()

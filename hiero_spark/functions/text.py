@@ -78,7 +78,11 @@ def duplicate_line_fraction(text: Column) -> Column:
 
 def top_2gram_share(text: Column) -> Column:
     """Gopher-style repetition signal: fraction of tokens covered by the most
-    frequent word 2-gram (count * 2 / n_tokens; 0 for docs under 2 tokens).
+    frequent word 2-gram (min(count * 2, n_tokens) / n_tokens; 0 for docs
+    under 2 tokens).  Occurrences of a self-pair bigram overlap — "a a a"
+    has 2 occurrences of "a a" over only 3 tokens — so raw count*2 can
+    exceed n; the LEAST cap keeps the share inside its documented [0,1]
+    bound (round-5 red-gate fix, caught by the bounds property test).
 
     Linear per row and shuffle-free: build the bigram array, sort it, and
     take the longest equal-run with one F.aggregate pass (a struct
@@ -110,7 +114,8 @@ def top_2gram_share(text: Column) -> Column:
         ),
         lambda acc: acc.best,
     )
-    return F.when(n >= 2, F.round(best * 2.0 / n, 6)).otherwise(F.lit(0.0))
+    covered = F.least(best * 2.0, n.cast("double"))
+    return F.when(n >= 2, F.round(covered / n, 6)).otherwise(F.lit(0.0))
 
 
 # Chars counted as "symbols" for the symbol-to-word ratio: anything outside

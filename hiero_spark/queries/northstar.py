@@ -775,7 +775,9 @@ def n1_url_dedup(spark, sf_dir):
           SELECT doc_id, n_tok, bigram, COUNT(*) AS cnt
           FROM b GROUP BY doc_id, n_tok, bigram
         ), tg AS (
-          SELECT doc_id, ROUND(MAX(cnt) * 2.0 / n_tok, 6) AS top2gram_share
+          SELECT doc_id,
+                 ROUND(LEAST(MAX(cnt) * 2.0, CAST(n_tok AS DOUBLE)) / n_tok,
+                       6) AS top2gram_share
           FROM c GROUP BY doc_id, n_tok
         ), r AS (
           SELECT t0.doc_id AS doc_id,
@@ -949,7 +951,9 @@ def n5_boilerplate_removal(spark, sf_dir):
           SELECT doc_id, n_tok, bigram, COUNT(*) AS cnt
           FROM b GROUP BY doc_id, n_tok, bigram
         ), m AS (
-          SELECT doc_id, ROUND(MAX(cnt) * 2.0 / n_tok, 6) AS top2gram_share
+          SELECT doc_id,
+                 ROUND(LEAST(MAX(cnt) * 2.0, CAST(n_tok AS DOUBLE)) / n_tok,
+                       6) AS top2gram_share
           FROM c GROUP BY doc_id, n_tok
         )
         SELECT t0.doc_id AS doc_id,

@@ -444,7 +444,7 @@ def test_remove_boilerplate_lines(spark):
 
 # -- property tests (hypothesis): curation expression semantics --------------
 
-from hypothesis import HealthCheck, given, settings, strategies as st
+from hypothesis import HealthCheck, example, given, settings, strategies as st
 
 _url_part = st.text(
     alphabet="abcXYZ019-._", min_size=0, max_size=8
@@ -487,6 +487,7 @@ _texts = st.lists(
 
 @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
 @given(texts=_texts)
+@example(texts=["a a a"])  # r5 falsifying example: overlapping "a a" bigrams
 def test_repetition_stats_bounds_property(spark, texts):
     """dup_line_frac and top2gram_share stay in [0,1]; symbol_word_ratio is
     non-negative; none of them are ever null on non-null input."""

@@ -12,13 +12,18 @@ from pyspark.sql import functions as F
 
 # A tiny per-language marker list for the n-gram/stopword language heuristic.
 # Deliberately deterministic + SQL-expressible so the oracle can mirror it.
+# zh is NOT marker-based: Chinese has no space-delimited stopwords, so it is
+# detected first by CJK-ideograph fraction (see with_language_id).
 LANG_MARKERS = (
     ("en", " the "),
     ("fr", " le "),
     ("de", " der "),
     ("es", " el "),
-    ("zh", " de "),
 )
+
+# CJK Unified Ideographs block (U+4E00-U+9FFF) spelled as literal chars so
+# the identical pattern string works in Java regex and DuckDB's RE2.
+CJK_REGEX = "[一-鿿]"
 
 
 def token_count(text: Column) -> Column:
@@ -50,20 +55,32 @@ def quality_score(text: Column) -> Column:
     return len_term * 0.6 + word_term * 0.4
 
 
-def language_id(text: Column) -> Column:
-    """Marker-based language guess (first matching marker wins)."""
+def language_id(probe: Column) -> Column:
+    """Marker-based language guess over a padded lowercase probe (first
+    matching marker wins; zh is handled upstream by CJK fraction)."""
     expr = F.lit("und")
     for lang, marker in reversed(LANG_MARKERS):
-        expr = F.when(F.col("_lang_probe").contains(marker), lang).otherwise(expr)
-    # Work on a padded lowercase probe so edge tokens match.
+        expr = F.when(probe.contains(marker), lang).otherwise(expr)
     return expr
 
 
+def cjk_char_count(text: Column) -> Column:
+    """Count of CJK Unified Ideograph codepoints (strip-and-diff: no
+    regexp_count dependency, identical formulation in the oracle)."""
+    return F.length(text) - F.length(F.regexp_replace(text, CJK_REGEX, ""))
+
+
 def with_language_id(df: DataFrame, text_col: str, out: str = "pred_lang") -> DataFrame:
-    probe = F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
-    df = df.withColumn("_lang_probe", probe)
-    df = df.withColumn(out, language_id(F.col("_lang_probe")))
-    return df.drop("_lang_probe")
+    """zh first — >=30% CJK ideograph chars (integer cross-multiply, no
+    doubles to drift) — then the stopword-marker chain. A lone quoted
+    ideograph in Latin prose stays under the fraction gate."""
+    text = F.col(text_col)
+    n_cjk = cjk_char_count(text)
+    probe = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    pred = F.when(
+        (n_cjk > 0) & (n_cjk * 10 >= F.length(text) * 3), "zh"
+    ).otherwise(language_id(probe))
+    return df.withColumn(out, pred)
 
 
 def duplicate_line_fraction(text: Column) -> Column:

@@ -531,14 +531,18 @@ def n4_quality_score(spark, sf_dir):
         "the lang label asserted in unit tests).",
     oracle="""
         WITH probe AS (
-          SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents
+          SELECT doc_id, ' ' || lower(text) || ' ' AS p,
+                 length(text) - length(regexp_replace(text, '[一-鿿]', '', 'g'))
+                   AS n_cjk,
+                 length(text) AS n_chr
+          FROM documents
         )
         SELECT doc_id,
-               CASE WHEN contains(p, ' the ') THEN 'en'
+               CASE WHEN n_cjk > 0 AND n_cjk * 10 >= n_chr * 3 THEN 'zh'
+                    WHEN contains(p, ' the ') THEN 'en'
                     WHEN contains(p, ' le ') THEN 'fr'
                     WHEN contains(p, ' der ') THEN 'de'
                     WHEN contains(p, ' el ') THEN 'es'
-                    WHEN contains(p, ' de ') THEN 'zh'
                     ELSE 'und' END AS pred_lang
         FROM probe
     """,
@@ -753,11 +757,13 @@ def n1_url_dedup(spark, sf_dir):
           FROM m
         ), l AS (
           SELECT doc_id,
-                 CASE WHEN contains(' ' || lower(text) || ' ', ' the ') THEN 'en'
+                 CASE WHEN length(text) - length(regexp_replace(text, '[一-鿿]', '', 'g')) > 0
+                       AND (length(text) - length(regexp_replace(text, '[一-鿿]', '', 'g'))) * 10
+                           >= length(text) * 3 THEN 'zh'
+                      WHEN contains(' ' || lower(text) || ' ', ' the ') THEN 'en'
                       WHEN contains(' ' || lower(text) || ' ', ' le ') THEN 'fr'
                       WHEN contains(' ' || lower(text) || ' ', ' der ') THEN 'de'
                       WHEN contains(' ' || lower(text) || ' ', ' el ') THEN 'es'
-                      WHEN contains(' ' || lower(text) || ' ', ' de ') THEN 'zh'
                       ELSE 'und' END AS pred_lang
           FROM documents
         ), t0 AS (

@@ -231,6 +231,22 @@ def test_multimodal_frame_sampling(spark, sf_dir):
         assert counts[mid] == dur // 500 + 1
 
 
+def test_language_id_cjk_positive(spark):
+    """zh fires on majority-CJK text via codepoint fraction (there is no
+    space-delimited zh stopword to mark on); a lone quoted ideograph in
+    English prose must NOT flip the doc to zh."""
+    rows = [
+        (1, "这是一个中文文档的测试内容"),                     # pure CJK -> zh
+        (2, "机器学习 深度学习 大模型 训练数据"),               # CJK w/ spaces -> zh
+        (3, "the character 中 appears once in the english text"),  # -> en
+        (4, "le modèle est entraîné sur des données"),        # -> fr
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["pred_lang"]
+           for r in tx.with_language_id(df, "text").collect()}
+    assert got == {1: "zh", 2: "zh", 3: "en", 4: "fr"}, got
+
+
 def test_language_id_accuracy(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     pred = tx.with_language_id(docs, "text")

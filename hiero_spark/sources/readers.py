@@ -145,6 +145,38 @@ def synthetic_table(spark: SparkSession, n: int = 1000, partitions: int | None =
     )
 
 
+def synthetic_embeddings(
+    spark: SparkSession, n: int, dim: int = 64, n_clusters: int = 32,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic synthetic embedding corpus (S9 family) for ANN
+    benchmarks at sizes the fixtures don't ship.
+
+    Clustered, not uniform: each vector = its cluster's centroid + small
+    hash-noise, so an IVF coarse quantizer has real structure to learn and
+    a nearest-cell probe has real recall — uniform random vectors make
+    every cell equidistant and IVF look uselessly pessimistic. All values
+    are pure integer-hash functions of (id, dimension), so the corpus is
+    bit-identical at any parallelism (same contract as synthetic_table).
+    """
+    rng = spark.range(0, n, 1, partitions) if partitions else spark.range(n)
+    cluster = (F.col("id") % n_clusters).alias("_c")
+    idx = F.sequence(F.lit(0), F.lit(dim - 1))
+    return (
+        rng.select(F.col("id").alias("vec_id"), cluster)
+        .select(
+            "vec_id",
+            F.transform(
+                idx,
+                lambda i: (
+                    F.pmod(F.xxhash64(F.col("_c"), i), F.lit(2000)) / 1000.0 - 1.0
+                    + F.pmod(F.xxhash64(F.col("vec_id"), i), F.lit(200)) / 1000.0 - 0.1
+                ).cast("float"),
+            ).alias("embedding"),
+        )
+    )
+
+
 # -- S10: sinks -----------------------------------------------------------------
 
 def save_view(df: DataFrame, path: str, fmt: str = "parquet",

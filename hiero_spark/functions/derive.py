@@ -39,10 +39,14 @@ def derive_pandas(df: DataFrame, name: str, fn: Callable[[pd.Series], pd.Series]
 
 
 def convert_column(df: DataFrame, col: str, to: str, new_name: str | None = None) -> DataFrame:
-    """F2 ConvertColumnMap: kind conversion (int/double/string/date).
+    """F2 ConvertColumnMap: kind conversion (int/double/string/date/interval).
 
     `to` is a Spark type name ("long", "double", "string", "timestamp",
     "date") — hiero's Category kind maps to plain string (SURVEY.md §1.2).
+    The Duration kind maps to DayTimeIntervalType: "interval_day" /
+    "interval_second" convert a numeric day/second count into a real
+    interval column that supports comparisons against INTERVAL literals,
+    date/timestamp arithmetic, and min/max/avg aggregation.
     """
     target = new_name or col
     c = F.col(col)
@@ -50,6 +54,10 @@ def convert_column(df: DataFrame, col: str, to: str, new_name: str | None = None
         expr = F.to_timestamp(c)
     elif to == "date":
         expr = F.to_date(c)
+    elif to == "interval_day":
+        expr = F.make_dt_interval(days=c.cast("int"))
+    elif to == "interval_second":
+        expr = F.make_dt_interval(secs=c.cast("double"))
     else:
         expr = c.cast(to)
     return df.withColumn(target, expr)

@@ -48,6 +48,74 @@ def f2_convert_column(spark, sf_dir):
 
 
 @query(
+    "f2_interval_lag",
+    group="F2",
+    doc="Duration column kind (hiero ContentsKind.Duration -> Spark "
+        "DayTimeIntervalType, SURVEY.md §1.2): the order-to-ship lag "
+        "becomes a real interval column, is compared against INTERVAL "
+        "literals for bucketing, added back to the order timestamp "
+        "(interval arithmetic must round-trip to the ship date), and "
+        "max-aggregated as an interval. Final projection extracts day "
+        "counts because the driver hash-compares primitive values; the "
+        "interval type is exercised on every intermediate step.",
+    oracle="""
+        WITH l AS (
+          SELECT to_days(CAST(date_diff('day', o_orderdate, l_shipdate) AS INT))
+                   AS lag_iv,
+                 o_orderdate, l_shipdate
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ), b AS (
+          SELECT CASE WHEN lag_iv <= INTERVAL '30' DAY THEN '0-30d'
+                      WHEN lag_iv <= INTERVAL '90' DAY THEN '31-90d'
+                      ELSE '>90d' END AS lag_bucket,
+                 lag_iv,
+                 CASE WHEN CAST(o_orderdate AS TIMESTAMP) + lag_iv
+                           = CAST(l_shipdate AS TIMESTAMP)
+                      THEN 1 ELSE 0 END AS rt_ok
+          FROM l
+        )
+        SELECT lag_bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(date_part('day', MAX(lag_iv)) AS BIGINT) AS max_lag_days,
+               CAST(SUM(rt_ok) AS BIGINT) AS n_roundtrip_ok
+        FROM b GROUP BY lag_bucket
+    """,
+)
+def f2_interval_lag(spark, sf_dir):
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .join(
+            t(spark, sf_dir, "orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .withColumn("_lag_days", F.datediff("l_shipdate", "o_orderdate"))
+    )
+    df = dv.convert_column(li, "_lag_days", "interval_day", "lag_iv")
+    bucket = (
+        F.when(F.col("lag_iv") <= F.expr("INTERVAL '30' DAY"), "0-30d")
+        .when(F.col("lag_iv") <= F.expr("INTERVAL '90' DAY"), "31-90d")
+        .otherwise(">90d")
+    )
+    rt_ok = F.when(
+        F.col("o_orderdate").cast("timestamp") + F.col("lag_iv")
+        == F.col("l_shipdate").cast("timestamp"),
+        1,
+    ).otherwise(0)
+    return (
+        df.withColumn("lag_bucket", bucket)
+        .withColumn("rt_ok", rt_ok)
+        .groupBy("lag_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.expr("CAST(extract(DAY FROM max(lag_iv)) AS BIGINT)").alias(
+                "max_lag_days"
+            ),
+            F.sum("rt_ok").cast("long").alias("n_roundtrip_ok"),
+        )
+    )
+
+
+@query(
     "f3_json_extract",
     group="F3",
     doc="JSON field extraction from the events.props Json column.",

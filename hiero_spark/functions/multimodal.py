@@ -2,9 +2,17 @@
 
 Images/audio/video are opaque `binary` columns plus a typed metadata
 struct. The Spark-side plumbing — schema, Arrow batch shape, mapInPandas
-signatures, partition sizing — is real and tested; the actual codec calls
-are STUBBED (image/audio libraries are not in this container) behind
-`decode_image_stub`, a deterministic fake keyed on the payload hash.
+signatures, partition sizing — is real and tested. Codec resolution is a
+three-step ladder, decided per payload inside the worker:
+
+1. real library (PIL / soundfile) when importable and the bytes parse;
+2. vendored pure-Python decoders for uncompressed 24bpp BMP and PCM16 WAV
+   (`_decode_bmp` / `_decode_wav`, stdlib struct only) — these run
+   UNSKIPPED in this container, so the real-decode feature path is
+   exercised under test even with no image/audio libs installed;
+3. `decode_image_stub`, a deterministic fake keyed on the payload hash,
+   for bytes nothing recognizes (this container's synthetic payloads are
+   utf-8 text).
 
 At 100 TB the pattern is: keep payloads in their own parquet column
 (column pruning means metadata-only queries never read bytes), size
@@ -87,16 +95,73 @@ def _soundfile():
     return _SOUNDFILE
 
 
+def _decode_bmp(payload: bytes):
+    """Pure-stdlib decode of uncompressed 24bpp BMP (the one raster format
+    writable and readable with `struct` alone). Returns (width, height,
+    rows of (r, g, b)) or None if the bytes aren't such a BMP. Exists so
+    the real-decode branch has an executable path in lib-free containers;
+    anything fancier (compression, other depths) belongs to PIL."""
+    import struct
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        return None
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    if hdr_size < 40:
+        return None
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    comp = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or comp != 0 or w <= 0 or h == 0:
+        return None
+    bottom_up, h_abs = h > 0, abs(h)
+    row_size = (w * 3 + 3) & ~3
+    if len(payload) < data_off + row_size * h_abs:
+        return None
+    rows = []
+    for r in range(h_abs):
+        src = data_off + row_size * r
+        rows.append(
+            [
+                (payload[src + 3 * c + 2], payload[src + 3 * c + 1], payload[src + 3 * c])
+                for c in range(w)
+            ]
+        )
+    if bottom_up:
+        rows.reverse()
+    return w, h_abs, rows
+
+
+def _bmp_features(decoded) -> list[float]:
+    """Same 8-dim shape as the PIL branch: normalized width/height/bands, a
+    1.0 real-decode marker, and a 2x2 grayscale thumbnail (box average +
+    ITU-R 601-2 luma; documented as not bit-identical to PIL's bicubic)."""
+    w, h, rows = decoded
+    thumb = []
+    for qr in range(2):
+        for qc in range(2):
+            r0, r1 = (h * qr) // 2, max((h * (qr + 1)) // 2, (h * qr) // 2 + 1)
+            c0, c1 = (w * qc) // 2, max((w * (qc + 1)) // 2, (w * qc) // 2 + 1)
+            acc = n = 0
+            for r in range(r0, min(r1, h)):
+                for c in range(c0, min(c1, w)):
+                    pr, pg, pb = rows[r][c]
+                    acc += (299 * pr + 587 * pg + 114 * pb) // 1000
+                    n += 1
+            thumb.append((acc // max(n, 1)) / 255.0)
+    return [w / 4096.0, h / 4096.0, 3 / 4.0, 1.0] + thumb
+
+
 def decode_image(payload: bytes) -> list[float]:
     """Decode + feature-extract with a real codec where one exists.
 
     If PIL is importable AND the payload is an image it recognizes, the
     feature is computed from the actual pixels (8-dim: normalized width,
-    height, band count, a constant marker, and a 2x2 grayscale thumbnail).
-    Otherwise — no PIL in the environment, or bytes that aren't an image
-    (this container's synthetic payloads are utf-8 text) — falls back to
-    the deterministic stub, so outputs are unchanged in the stub
-    environment.
+    height, band count, a 1.0 real-decode marker, and a 2x2 grayscale
+    thumbnail). Without PIL, uncompressed 24bpp BMP payloads still take a
+    real pixel path via the vendored `_decode_bmp`. Only bytes neither
+    recognizes (this container's synthetic payloads are utf-8 text) fall
+    back to the deterministic stub.
     """
     if payload is None:
         raise NotImplementedError("payload must be non-null")
@@ -115,16 +180,69 @@ def decode_image(payload: bytes) -> list[float]:
                 1.0,
             ] + [p / 255.0 for p in thumb]
         except Exception:
-            pass  # not an image (or truncated): use the stub path
+            pass  # not an image (or truncated): try BMP, then stub
+    decoded = _decode_bmp(payload)
+    if decoded is not None:
+        return _bmp_features(decoded)
     return decode_image_stub(payload)
+
+
+def _decode_wav(payload: bytes):
+    """Pure-stdlib decode of PCM16 RIFF/WAVE. Returns (mono float samples
+    in [-1, 1), sample_rate, n_channels) or None. Same role as
+    `_decode_bmp`: a real decode path that needs no libsndfile."""
+    import struct
+
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None or len(fmt) < 16:
+        return None
+    audio_fmt, channels, rate, _, _, bits = struct.unpack_from("<HHIIHH", fmt, 0)
+    if audio_fmt != 1 or bits != 16 or channels < 1 or rate == 0:
+        return None
+    import array
+
+    n_frames = len(data) // (2 * channels)
+    pcm = array.array("h")
+    pcm.frombytes(data[: n_frames * 2 * channels])
+    mono = [
+        sum(pcm[f * channels + c] for c in range(channels)) / channels / 32768.0
+        for f in range(n_frames)
+    ]
+    return mono, rate, channels
+
+
+def _wav_features(mono, rate: int, channels: int) -> list[float]:
+    """Same 8-dim shape as the soundfile branch: duration s, rate/1e5,
+    channels/8, RMS, peak, 3 thirds-energy bins."""
+    n = len(mono)
+    third = max(n // 3, 1)
+    energies = []
+    for i in range(3):
+        seg = mono[i * third:(i + 1) * third]
+        energies.append(sum(v * v for v in seg) / len(seg) if seg else 0.0)
+    rms = (sum(v * v for v in mono) / n) ** 0.5 if n else 0.0
+    peak = max(abs(v) for v in mono) if n else 0.0
+    return [n / float(rate), rate / 1e5, channels / 8.0, rms, peak] + energies
 
 
 def decode_audio(payload: bytes) -> list[float]:
     """Audio decode + feature-extract: real via soundfile when available
     (8-dim: duration s, sample rate / 1e5, channel count / 8, RMS, peak,
-    and 3 coarse thirds-energy bins), deterministic stub fallback
-    otherwise (same digest features as images — the plumbing is the
-    point in the stub environment)."""
+    and 3 coarse thirds-energy bins); PCM16 WAV still decodes for real via
+    the vendored `_decode_wav` when soundfile is absent; only unrecognized
+    bytes fall back to the deterministic stub (same digest features as
+    images — the plumbing is the point in the stub environment)."""
     if payload is None:
         raise NotImplementedError("payload must be non-null")
     sf = _soundfile()
@@ -149,6 +267,9 @@ def decode_audio(payload: bytes) -> list[float]:
             ] + energies
         except Exception:
             pass
+    decoded = _decode_wav(payload)
+    if decoded is not None:
+        return _wav_features(*decoded)
     return decode_image_stub(payload)
 
 
@@ -193,16 +314,34 @@ RESIZED_SCHEMA = (
 )
 
 
+def _encode_bmp(rows) -> bytes:
+    """Encode (r, g, b) pixel rows as an uncompressed 24bpp bottom-up BMP."""
+    import struct
+
+    h, w = len(rows), len(rows[0])
+    row_size = (w * 3 + 3) & ~3
+    pad = b"\x00" * (row_size - w * 3)
+    body = b"".join(
+        b"".join(bytes((pb, pg, pr)) for pr, pg, pb in rows[r]) + pad
+        for r in range(h - 1, -1, -1)
+    )
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return header + info + body
+
+
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     """Image resize as mapInPandas over binary batches.
 
     Pixel transform is real when PIL can decode the payload (decode →
-    resize → re-encode PNG inside the batch loop); otherwise the bytes
-    pass through unchanged with resized=False (no image libs in this
-    container, and the synthetic payloads are text). The Spark-side
-    contract is identical either way — binary in/binary out keeps
-    payloads off the driver, metadata updated in the same pass, Arrow
-    batch shape the same as production.
+    resize → re-encode PNG inside the batch loop); without PIL, 24bpp BMP
+    payloads are resized for real via the vendored decoder (nearest
+    neighbor, re-encoded as BMP). Bytes neither path can decode pass
+    through unchanged with resized=False and NULL width/height — emitting
+    the requested dimensions there would misdescribe untouched bytes
+    (round-5 ADVICE). The Spark-side contract is identical either way —
+    binary in/binary out keeps payloads off the driver, metadata updated
+    in the same pass, Arrow batch shape the same as production.
     """
 
     def resize_one(payload):
@@ -219,18 +358,27 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
                 return out.getvalue(), True
             except Exception:
                 pass
+        decoded = _decode_bmp(payload)
+        if decoded is not None:
+            w0, h0, rows = decoded
+            resized = [
+                [rows[(r * h0) // height][(c * w0) // width] for c in range(width)]
+                for r in range(height)
+            ]
+            return _encode_bmp(resized), True
         return payload, False
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             done = pdf["payload"].map(resize_one)
+            ok = done.map(lambda t: t[1])
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "payload": done.map(lambda t: t[0]),
-                    "width": width,
-                    "height": height,
-                    "resized": done.map(lambda t: t[1]),
+                    "width": ok.map(lambda b: width if b else None),
+                    "height": ok.map(lambda b: height if b else None),
+                    "resized": ok,
                 }
             )
 

@@ -264,11 +264,12 @@ def test_multimodal_resize_plumbing(spark, sf_dir):
     out = mm.resize_images(media, 32, 32)
     rows = out.collect()
     assert len(rows) == 50
-    assert all(r["width"] == 32 and r["height"] == 32 for r in rows)
     # synthetic payloads aren't decodable images: bytes pass through
-    # unchanged and resized=False records that no pixels were touched
-    # (with PIL installed and real images, resized would be True)
+    # unchanged, resized=False records that no pixels were touched, and
+    # width/height are NULL — emitting the requested 32x32 would
+    # misdescribe the untouched bytes (round-5 ADVICE fix)
     assert not any(r["resized"] for r in rows)
+    assert all(r["width"] is None and r["height"] is None for r in rows)
     orig = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
     assert all(bytes(r["payload"]) == orig[r["media_id"]] for r in rows)
 

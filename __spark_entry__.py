@@ -35,7 +35,21 @@ def entry(spark: SparkSession) -> DataFrame:
 #          across the whole registry round after round.
 # _WINDOW_PIN is an optional manual override to put specific names at the
 # very front of the head (normally empty — derivation handles everything).
-_WINDOW_PIN: list[str] = []
+# Round 6: the spec-hash format gained the defining module's own file
+# digest (evidence.py), a one-time global lapse — so front-load the names
+# that most need driver evidence this round: the five r5 queries the
+# driver never saw, plus everything whose formula/oracle changed in r6.
+_WINDOW_PIN: list[str] = [
+    "n1_url_dedup",
+    "n1_repeated_span_pairs",
+    "n4_repetition_stats",
+    "n4_tfidf_keywords",
+    "n5_boilerplate_removal",
+    "n4_lang_id",
+    "n5_curation_pipeline",
+    "f2_interval_lag",
+    "n2_ivf_kmeans",
+]
 
 
 # Manual escape hatch: list a name here to force re-verification even if
@@ -44,8 +58,9 @@ _WINDOW_PIN: list[str] = []
 # of every hiero_spark module the query's module transitively imports, so
 # editing a green query's body, its oracle, or any helper module it
 # depends on automatically rotates dependents back into the window).
-# Residual gap: a helper defined in the SAME queries module as the fn is
-# covered only via the fn's own source.
+# Since round 6 the hash also covers the fn's own defining module file,
+# so same-module helpers/constants lapse their siblings too — the manual
+# list should stay empty in practice.
 _FORCE_REVERIFY: set[str] = set()
 
 

@@ -137,23 +137,36 @@ def _dep_closure_digest(mod: str) -> str:
 
 
 def spec_hash(spec) -> str:
-    """sha256 over the oracle SQL, the query function's source, AND a digest
-    of every hiero_spark module its defining module transitively imports.
+    """sha256 over the oracle SQL, the query function's source, the file
+    digest of the fn's own defining module, AND a digest of every
+    hiero_spark module that module transitively imports.
 
-    Closes the round-4 helper hole: editing operators/sketches.py (or any
-    helper module) changes the closure digest of every query module that
-    imports it, so dependent greens lapse and rotate back into the
-    verification window automatically.  Residual gap, documented: a
-    same-module helper (defined next to the query, not imported) is
-    covered only if the registered fn's own source changed — module-level
-    granularity, not call-graph granularity.
+    The closure term closes the round-4 helper hole (editing
+    operators/sketches.py lapses every query module that imports it); the
+    own-module digest closes the round-5 ADVICE hole: a module-level
+    helper or constant defined NEXT TO the queries could previously change
+    sibling queries' behavior without lapsing their pins, because the
+    closure deliberately excluded the defining module.  Editing a queries
+    module now conservatively lapses all queries defined in it — the
+    rotation re-earns them at 50/round, which is the cost of making the
+    guarantee module-complete.  (Format change = a one-time global lapse
+    at round 6; __spark_entry__._WINDOW_PIN fronts the names that most
+    need fresh driver evidence that round.)
     """
     try:
         src = inspect.getsource(spec.fn)
     except (OSError, TypeError):
         src = ""
-    closure = _dep_closure_digest(getattr(spec.fn, "__module__", "") or "")
-    payload = (spec.oracle or "") + "\n---\n" + src + "\n---\n" + closure
+    mod = getattr(spec.fn, "__module__", "") or ""
+    closure = _dep_closure_digest(mod)
+    modules, _deps = _graph()
+    own = _file_digest(modules[mod]) if mod in modules else ""
+    payload = (
+        (spec.oracle or "")
+        + "\n---\n" + src
+        + "\n---\n" + own
+        + "\n---\n" + closure
+    )
     return hashlib.sha256(payload.encode()).hexdigest()
 
 

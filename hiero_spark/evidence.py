@@ -170,6 +170,53 @@ def spec_hash(spec) -> str:
     return hashlib.sha256(payload.encode()).hexdigest()
 
 
+def _legacy_spec_hash(spec) -> str:
+    """The pre-round-6 hash format (no own-module digest). Kept ONLY for
+    migrate_snapshot_format; never used for new pins."""
+    try:
+        src = inspect.getsource(spec.fn)
+    except (OSError, TypeError):
+        src = ""
+    closure = _dep_closure_digest(getattr(spec.fn, "__module__", "") or "")
+    payload = (spec.oracle or "") + "\n---\n" + src + "\n---\n" + closure
+    return hashlib.sha256(payload.encode()).hexdigest()
+
+
+def migrate_snapshot_format(write: bool = True) -> tuple[int, int]:
+    """One-off round-6 migration: re-express still-valid pins in the new
+    hash format instead of blanket-lapsing 129 greens.
+
+    Soundness: a name migrates only when its LEGACY hash computed on the
+    CURRENT code equals the pinned legacy hash — i.e. the query's oracle,
+    fn source, and dependency closure are byte-identical to the state the
+    driver verified. For such names the new-format pin carries exactly
+    the assurance the old pin did (no more: edits the old format couldn't
+    see are equally invisible to a blanket lapse); names edited this
+    round fail the legacy comparison and stay lapsed for re-verification.
+    Returns (migrated, lapsed).
+    """
+    from hiero_spark.registry import all_queries
+
+    dirty = dirty_python_files()
+    if dirty:
+        raise SystemExit(f"migrate: commit .py edits first: {dirty}")
+    specs = all_queries()
+    snap = load_snapshot()
+    migrated = lapsed = 0
+    for name, pinned in list(snap.items()):
+        spec = specs.get(name)
+        if spec is not None and _legacy_spec_hash(spec) == pinned:
+            snap[name] = spec_hash(spec)
+            migrated += 1
+        else:
+            lapsed += 1
+    if write:
+        with open(SNAPSHOT_PATH, "w") as f:
+            json.dump(dict(sorted(snap.items())), f, indent=1)
+            f.write("\n")
+    return migrated, lapsed
+
+
 def correctness_files() -> list[str]:
     return sorted(glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json")))
 

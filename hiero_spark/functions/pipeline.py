@@ -202,6 +202,115 @@ def mixture_sample(
     return df.sampleBy(domain_col, fractions, seed)
 
 
+# Knuth's multiplicative constant and a large prime modulus: a mirrorable
+# pseudorandom permutation key (plain integer arithmetic exists in every
+# SQL engine, unlike xxhash64). Values stay < 2^63 for ids < ~2.1e9;
+# production corpora with wider id spaces use shuffle_key(mirrorable=False).
+_LCG_MULT = 2654435761
+_LCG_MOD = 4294967291
+
+
+def shuffle_key(id_col: Column, seed: int = 0, mirrorable: bool = True) -> Column:
+    """Deterministic pseudorandom sort key for a stable integer id.
+
+    mirrorable=True uses a multiplicative-hash permutation DuckDB can
+    recompute exactly (the cross-engine-checkable form); False uses
+    xxhash64(id, seed) — 64-bit mixing for production id spaces, not
+    SQL-mirrorable. The seed offsets the id BEFORE the multiplication:
+    (id + seed) * M mod p. An additive-after form (id*M + seed) shifts
+    every key by the same constant, which preserves the relative order
+    almost everywhere — the determinism property test caught seeds 3 and
+    4 producing the identical sample. Ties (the modulus collides ids 2^32
+    apart) break on the id itself downstream, keeping the order total."""
+    if mirrorable:
+        return F.pmod(
+            (id_col.cast("long") + F.lit(seed)) * F.lit(_LCG_MULT), F.lit(_LCG_MOD)
+        )
+    return F.xxhash64(id_col, F.lit(seed))
+
+
+def global_shuffle(df: DataFrame, id_col: str, seed: int = 0,
+                   mirrorable: bool = True) -> DataFrame:
+    """Deterministic global shuffle — the required last step before
+    training-example export (clustered sources otherwise feed the model
+    long runs of one domain).
+
+    orderBy on the pseudorandom key is a range-partitioned sort (Spark
+    samples key boundaries, then sorts partitions independently — the
+    terasort shape), so it scales to any corpus size without a single
+    reduce point; determinism comes from the key being a pure function of
+    (id, seed), so re-runs and engines agree row-for-row."""
+    return df.orderBy(
+        shuffle_key(F.col(id_col), seed, mirrorable).asc(), F.col(id_col).asc()
+    )
+
+
+def chunk_documents(
+    df: DataFrame, text_col: str, id_col: str,
+    chunk_tokens: int = 128, overlap: int = 32,
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks (the standard
+    pre-embedding / pre-training step for long documents).
+
+    Chunk i covers tokens [i*stride, i*stride + chunk_tokens); stride =
+    chunk_tokens - overlap; the last chunk is the final partial window.
+    Pure codegen exprs — split once, posexplode a chunk-index sequence,
+    slice the token array per chunk — so the op is a narrow per-row
+    fan-out: no shuffle, parallel per input split, and the token array is
+    built once per document, not once per chunk."""
+    stride = chunk_tokens - overlap
+    if stride <= 0:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap)).cast("double") / F.lit(stride)).cast("int"),
+        F.lit(1),
+    )
+    with_toks = df.select(
+        F.col(id_col).alias("doc_id"), toks.alias("_toks"), n_chunks.alias("_nc")
+    )
+    exploded = with_toks.select(
+        "doc_id",
+        F.posexplode(F.sequence(F.lit(0), F.col("_nc") - 1)).alias("chunk_id", "_i"),
+        F.col("_toks"),
+    )
+    chunk = F.slice(
+        F.col("_toks"), F.col("chunk_id") * stride + 1, chunk_tokens
+    )
+    return exploded.select(
+        "doc_id",
+        "chunk_id",
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+    )
+
+
+def stratified_sample(
+    df: DataFrame, strata_col: str, id_col: str, n_per_stratum: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Exact-quota stratified sample: the n_per_stratum pseudorandom-first
+    rows of every stratum (language, source, quality band...).
+
+    sampleBy (mixture_sample) gives RATE-based draws with binomial
+    wobble; dataset cards and eval sets need exact counts. One shuffle on
+    the stratum key + a per-stratum window rank over the deterministic
+    shuffle_key: reproducible across runs and engines. Skew note: a
+    stratum's rank pass is linear in its size and windows spill; for
+    quotas from pathologically hot strata, pre-filter with a cheap
+    per-partition top-n before the window if it ever shows in profiles."""
+    from pyspark.sql.window import Window
+
+    key = shuffle_key(F.col(id_col), seed)
+    w = Window.partitionBy(strata_col).orderBy(key.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_rank", F.row_number().over(w))
+        .filter(F.col("_rank") <= n_per_stratum)
+        .drop("_rank")
+    )
+
+
 def scrub_pii(df: DataFrame, text_col: str, out: str = "clean_text") -> DataFrame:
     """Redact emails/phones; keep per-row hit counts for audit columns."""
     c = F.col(text_col)

@@ -182,3 +182,107 @@ def n6_mixture_sample(spark, sf_dir):
             ).alias("size_ok"),
         )
     )
+
+
+@query(
+    "n6_global_shuffle",
+    group="N6",
+    doc="Deterministic global shuffle (the required pre-export step — "
+        "clustered sources otherwise feed training long single-domain "
+        "runs): range-partitioned sort on a mirrorable multiplicative-hash "
+        "permutation of doc_id (terasort shape, no single reduce point). "
+        "Output = the first 200 shuffled docs WITH their positions, so the "
+        "oracle checks the order itself, not just membership (the driver's "
+        "value hash is order-insensitive).",
+    oracle=f"""
+        WITH k AS (
+          SELECT doc_id,
+                 ((doc_id + 7) * {pl._LCG_MULT}) % {pl._LCG_MOD} AS skey
+          FROM documents
+        )
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY skey, doc_id) AS INT) AS pos,
+               doc_id, skey
+        FROM k
+        ORDER BY skey, doc_id
+        LIMIT 200
+    """,
+)
+def n6_global_shuffle(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    docs = t(spark, sf_dir, "documents")
+    key = pl.shuffle_key(F.col("doc_id"), seed=7)
+    # TakeOrderedAndProject for the top-200 (scale-safe); the row_number
+    # window then runs over 200 rows, not the corpus.
+    top = (
+        docs.select("doc_id", key.alias("skey"))
+        .orderBy(F.col("skey").asc(), F.col("doc_id").asc())
+        .limit(200)
+    )
+    w = Window.orderBy(F.col("skey").asc(), F.col("doc_id").asc())
+    return top.withColumn("pos", F.row_number().over(w)).select(
+        "pos", "doc_id", "skey"
+    )
+
+
+@query(
+    "n6_chunk_documents",
+    group="N6",
+    doc="Overlapping token-window chunking (pre-embedding / pre-training "
+        "step for long docs): 32-token chunks, 8-token overlap, stride 24. "
+        "Narrow per-row fan-out — split once, posexplode a chunk-index "
+        "sequence, slice per chunk; no shuffle. The oracle recomputes "
+        "chunk boundaries with DuckDB list slicing.",
+    oracle=r"""
+        WITH t0 AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+          FROM documents
+        ), c AS (
+          SELECT doc_id, toks,
+                 GREATEST(CAST(CEIL((len(toks) - 8) / 24.0) AS INT), 1)
+                   AS n_chunks
+          FROM t0
+        ), e AS (
+          SELECT doc_id, toks, UNNEST(range(0, n_chunks)) AS cid FROM c
+        )
+        SELECT doc_id, CAST(cid AS INT) AS chunk_id,
+               array_to_string(list_slice(toks, cid * 24 + 1, cid * 24 + 32),
+                               ' ') AS chunk_text,
+               CAST(len(list_slice(toks, cid * 24 + 1, cid * 24 + 32))
+                    AS BIGINT) AS n_tokens
+        FROM e
+    """,
+)
+def n6_chunk_documents(spark, sf_dir):
+    return pl.chunk_documents(
+        t(spark, sf_dir, "documents"), "text", "doc_id",
+        chunk_tokens=32, overlap=8,
+    )
+
+
+@query(
+    "n6_stratified_sample",
+    group="N6",
+    doc="Exact-quota stratified sample: the 50 pseudorandom-first docs of "
+        "every language (mixture_sample's sampleBy draws have binomial "
+        "wobble; eval sets need exact counts). One shuffle on the stratum "
+        "key + per-stratum window rank over the mirrorable shuffle key — "
+        "bit-reproducible across runs and engines.",
+    oracle=f"""
+        WITH r AS (
+          SELECT lang, doc_id,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY ((doc_id + 3) * {pl._LCG_MULT}) % {pl._LCG_MOD},
+                            doc_id
+                 ) AS rk
+          FROM documents
+        )
+        SELECT lang, doc_id FROM r WHERE rk <= 50
+    """,
+)
+def n6_stratified_sample(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    return pl.stratified_sample(docs, "lang", "doc_id", 50, seed=3).select(
+        "lang", "doc_id"
+    )

@@ -145,3 +145,70 @@ def test_mixture_sample_respects_rates(spark):
     got = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert got["zh"] == base["zh"] and got["fr"] == base["fr"]  # rate 1.0 keeps all
     assert got["en"] < base["en"] * 0.4  # en heavily down-sampled
+
+
+def test_chunk_documents_reconstruction(spark):
+    """Dropping each chunk's leading overlap and concatenating must rebuild
+    the exact token stream; every chunk fits the window; consecutive
+    chunks share exactly `overlap` tokens while full."""
+    from hiero_spark.functions import pipeline as pl
+
+    texts = [
+        (1, " ".join(f"t{i}" for i in range(100))),  # 100 toks -> 4+1 chunks
+        (2, " ".join(f"u{i}" for i in range(32))),   # exactly one window
+        (3, "a b c"),                                # shorter than overlap
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    out = pl.chunk_documents(df, "text", "doc_id", chunk_tokens=32, overlap=8)
+    rows = sorted(
+        ((r["doc_id"], r["chunk_id"], r["chunk_text"].split(" "), r["n_tokens"])
+         for r in out.collect())
+    )
+    by_doc = {}
+    for doc, cid, toks, n in rows:
+        assert len(toks) == n <= 32
+        by_doc.setdefault(doc, []).append((cid, toks))
+    for doc, text in texts:
+        orig = text.split(" ")
+        chunks = [tk for _, tk in sorted(by_doc[doc])]
+        rebuilt = list(chunks[0]) + [tok for c in chunks[1:] for tok in c[8:]]
+        assert rebuilt == orig, doc
+        for a, b in zip(chunks, chunks[1:]):
+            assert a[-8:] == b[:8]  # stride-24 windows share the overlap
+
+
+def test_stratified_sample_exact_quota_and_determinism(spark, sf_dir):
+    from hiero_spark.catalog import load_table
+    from hiero_spark.functions import pipeline as pl
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = {r["lang"]: r["n"] for r in
+            docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    s1 = pl.stratified_sample(docs, "lang", "doc_id", 10, seed=3)
+    got = {r["lang"]: r["n"] for r in
+           s1.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == {lang: min(10, n) for lang, n in base.items()}
+    ids1 = sorted(r["doc_id"] for r in s1.collect())
+    ids2 = sorted(
+        r["doc_id"]
+        for r in pl.stratified_sample(docs, "lang", "doc_id", 10, seed=3).collect()
+    )
+    assert ids1 == ids2  # bit-reproducible
+    ids_other_seed = sorted(
+        r["doc_id"]
+        for r in pl.stratified_sample(docs, "lang", "doc_id", 10, seed=4).collect()
+    )
+    assert ids1 != ids_other_seed  # the seed actually steers the draw
+
+
+def test_global_shuffle_is_permutation(spark, sf_dir):
+    from hiero_spark.catalog import load_table
+    from hiero_spark.functions import pipeline as pl
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    out = pl.global_shuffle(docs, "doc_id", seed=7).collect()
+    ids = [r["doc_id"] for r in out]
+    assert sorted(ids) == sorted(r["doc_id"] for r in docs.collect())
+    assert ids != sorted(ids)  # actually permuted, not id order
+    again = [r["doc_id"] for r in pl.global_shuffle(docs, "doc_id", seed=7).collect()]
+    assert ids == again

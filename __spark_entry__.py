@@ -49,6 +49,7 @@ _WINDOW_PIN: list[str] = [
     "n5_curation_pipeline",
     "f2_interval_lag",
     "n2_ivf_kmeans",
+    "n6_decontamination_bloom",
 ]
 
 

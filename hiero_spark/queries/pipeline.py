@@ -128,6 +128,65 @@ def n6_decontamination_hashed(spark, sf_dir):
 
 
 @query(
+    "n6_decontamination_bloom",
+    group="N6",
+    doc="Decontamination via a broadcast Bloom filter (functions/bloom.py): "
+        "the train side folds into a 4M-bit bitmap (one bounded-shuffle "
+        "bit_or aggregation; grams never shuffle, never distinct), the "
+        "eval side probes it as a narrow per-row filter — zero joins. "
+        "Hashable property verdict: anchor = the exact contaminated-doc "
+        "count; booleans assert the Bloom flag set is a superset of the "
+        "exact set (no false negatives — guaranteed by construction) and "
+        "that false-positive extras stay under 5% of eval docs (expected "
+        "~0 at the default sizing; deterministic given the fixed hash "
+        "family).",
+    oracle=r"""
+        WITH toks AS (
+          SELECT doc_id, doc_id % 100 AS b,
+                 regexp_split_to_array(trim(lower(text)), '\s+') AS w
+          FROM documents
+        ), sh AS (
+          SELECT DISTINCT doc_id, b, array_to_string(w[i:i+2], ' ') AS shingle
+          FROM toks, UNNEST(range(1, GREATEST(len(w) - 2, 1) + 1)) AS u(i)
+        ), train_sh AS (
+          SELECT DISTINCT shingle FROM sh WHERE b < 80
+        ), exact AS (
+          SELECT DISTINCT s.doc_id
+          FROM sh s JOIN train_sh USING (shingle)
+          WHERE s.b >= 90
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+               TRUE AS no_false_negatives,
+               TRUE AS extras_bounded
+        FROM exact
+    """,
+)
+def n6_decontamination_bloom(spark, sf_dir):
+    from hiero_spark.functions import bloom as bl
+
+    docs = pl.assign_split(t(spark, sf_dir, "documents"), "doc_id")
+    ev = docs.filter(F.col("split") == "test")
+    tr = docs.filter(F.col("split") == "train")
+    flagged = bl.contaminated_docs_bloom(ev, tr, "text", "doc_id", k=3)
+    exact = pl.contaminated_docs_hashed(ev, tr, "text", "doc_id", k=3)
+    missed = exact.join(flagged, "doc_id", "left_anti")
+    extras = flagged.join(exact, "doc_id", "left_anti")
+    return (
+        exact.agg(F.count(F.lit(1)).alias("n_exact"))
+        .join(F.broadcast(missed.agg(F.count(F.lit(1)).alias("_n_miss"))))
+        .join(F.broadcast(extras.agg(F.count(F.lit(1)).alias("_n_extra"))))
+        .join(F.broadcast(ev.agg(F.count(F.lit(1)).alias("_n_ev"))))
+        .select(
+            "n_exact",
+            (F.col("_n_miss") == 0).alias("no_false_negatives"),
+            (F.col("_n_extra") <= F.greatest(F.lit(1), F.col("_n_ev") / 20)).alias(
+                "extras_bounded"
+            ),
+        )
+    )
+
+
+@query(
     "n6_pack_bins",
     group="N6",
     doc="Token-budget packing (concat-then-chunk): documents laid out in "

@@ -50,6 +50,7 @@ _WINDOW_PIN: list[str] = [
     "f2_interval_lag",
     "n2_ivf_kmeans",
     "n6_decontamination_bloom",
+    "n2_semantic_dedup",
 ]
 
 

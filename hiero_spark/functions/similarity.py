@@ -370,6 +370,67 @@ def embedding_near_dup_pairs(
     )
 
 
+def semantic_dedup(
+    emb: DataFrame, centroids: list[list[float]], threshold: float = 0.95,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    max_cluster: int = 10_000,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings with the in-engine k-means
+    quantizer, then inside each cluster drop every vector that has a
+    LOWER-id neighbor above the cosine threshold — one representative
+    survives per tight semantic group.
+
+    Scale shape: the quadratic step is confined within clusters — one
+    shuffle on the cell id, then a per-cell self-join whose cost is
+    sum(|cell|^2) ~ N^2/k.  Production corpora size k so clusters average
+    ~100-1000 vectors (SemDeDup used 50k clusters for LAION); here k is a
+    parameter of the caller-trained `kmeans_fit` centroids.  `max_cluster`
+    is the skew guard: cells above it skip pair generation entirely (all
+    members conservatively KEPT — a recall trade on degenerate clusters,
+    mirroring `embedding_near_dup_pairs.max_bucket`; identical-vector
+    blowups belong to exact dedup upstream).
+
+    Greedy lowest-id-wins policy: a vector is dropped iff SOME smaller-id
+    same-cell vector is within the threshold — deterministic, one
+    pass, no iteration to a fixed point.  (Chained groups a~b~c with
+    a!~c drop both b and c; the canonical SemDeDup keep-one-per-ball has
+    the same property.)  Cross-cluster near-dups are missed by design —
+    that is the k-means approximation SemDeDup trades for tractability.
+
+    Returns (id_col, _cell, kept) for every input vector.
+    """
+    from pyspark.sql.window import Window
+
+    vec_d = F.col(vec_col).cast("array<double>")
+    assigned = emb.select(
+        F.col(id_col).alias("_id"),
+        vec_d.alias("_v"),
+        _nearest_cell(vec_d, centroids).alias("_cell"),
+    )
+    sized = assigned.withColumn(
+        "_csize", F.count(F.lit(1)).over(Window.partitionBy("_cell"))
+    )
+    small = sized.filter(F.col("_csize") <= max_cluster)
+    a = small.select("_cell", F.col("_id").alias("_ida"), F.col("_v").alias("_va"))
+    b = small.select("_cell", F.col("_id").alias("_idb"), F.col("_v").alias("_vb"))
+    dropped = (
+        a.join(b, "_cell")
+        .filter(F.col("_ida") < F.col("_idb"))
+        .filter(cosine(F.col("_va"), F.col("_vb")) >= threshold)
+        .select(F.col("_idb").alias("_id"))
+        .distinct()
+    )
+    return (
+        assigned.join(dropped.withColumn("_dropped", F.lit(True)), "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "_cell",
+            F.coalesce(~F.col("_dropped"), F.lit(True)).alias("kept"),
+        )
+    )
+
+
 def batch_topk(
     emb: DataFrame, queries: DataFrame, k: int = 10,
     id_col: str = "vec_id", vec_col: str = "embedding",

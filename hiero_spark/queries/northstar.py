@@ -435,6 +435,62 @@ def n2_embedding_near_dups_verdict(spark, sf_dir):
     )
 
 
+@query(
+    "n2_semantic_dedup",
+    group="N2",
+    doc="SemDeDup semantic deduplication (arXiv:2303.09540): k-means "
+        "clusters confine the quadratic step (N^2/k pairs), then every "
+        "vector with a lower-id same-cell neighbor above cos 0.99 is "
+        "dropped. Non-vacuous by planted structure: the 20 lowest-id "
+        "vectors are duplicated under shifted ids — identical vectors "
+        "land in the same cell whatever k-means converges to, so every "
+        "planted copy MUST drop and (random 64-dim corpus, no natural "
+        "0.99-pairs) every original survives. Anchor = corpus size + "
+        "plants; booleans are robust to float-sum nondeterminism in the "
+        "centroid averages because they never depend on borderline cell "
+        "assignments.",
+    oracle="""
+        SELECT CAST(COUNT(*) + 20 AS BIGINT) AS n_input,
+               TRUE AS planted_dropped,
+               TRUE AS originals_kept
+        FROM embeddings
+    """,
+)
+def n2_semantic_dedup(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    orig20 = emb.orderBy("vec_id").limit(20)
+    copies = orig20.select(
+        (F.col("vec_id") + F.lit(100_000)).alias("vec_id"), "embedding"
+    )
+    aug = emb.unionByName(copies)
+    cents = sim.kmeans_fit(aug, k=8, max_iter=4)
+    marked = sim.semantic_dedup(aug, cents, threshold=0.99)
+    planted = marked.filter(F.col("vec_id") >= 100_000)
+    originals = marked.join(
+        F.broadcast(orig20.select("vec_id")), "vec_id", "left_semi"
+    )
+    kept_int = F.col("kept").cast("int")
+    return (
+        marked.agg(F.count(F.lit(1)).alias("n_input"))
+        .join(
+            F.broadcast(
+                planted.agg(
+                    F.sum(kept_int).alias("_n_planted_kept"),
+                    F.count(F.lit(1)).alias("_n_planted"),
+                )
+            )
+        )
+        .join(F.broadcast(originals.agg(F.sum(kept_int).alias("_n_orig_kept"))))
+        .select(
+            "n_input",
+            (
+                (F.col("_n_planted_kept") == 0) & (F.col("_n_planted") == 20)
+            ).alias("planted_dropped"),
+            (F.col("_n_orig_kept") >= 18).alias("originals_kept"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # N3 — multimodal plumbing
 # ---------------------------------------------------------------------------

@@ -51,6 +51,7 @@ _WINDOW_PIN: list[str] = [
     "n2_ivf_kmeans",
     "n6_decontamination_bloom",
     "n2_semantic_dedup",
+    "n4_trained_classifier",
 ]
 
 

@@ -491,6 +491,69 @@ def n2_semantic_dedup(spark, sf_dir):
     )
 
 
+@query(
+    "n4_trained_classifier",
+    group="N4",
+    doc="In-engine trained text classifier (fastText-shaped hashed "
+        "bag-of-words logistic regression, functions/classifier.py): "
+        "distributed full-batch GD over standardized features, driver "
+        "state O(dim), 2 bounded shuffles per iteration. Target = a "
+        "signal genuinely derivable from text (count('the') > "
+        "count('a') — linearly separable in mean-pooled features, and "
+        "SQL-mirrorable so the positive count anchors the oracle). "
+        "Booleans: training reduced the loss and train accuracy >= 0.9 "
+        "(measured 0.97; robust to float-sum nondeterminism in the "
+        "gradient aggregations).",
+    oracle=r"""
+        WITH lab AS (
+          SELECT CASE WHEN
+            len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                t -> t = 'the'))
+            > len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                t -> t = 'a'))
+          THEN 1 ELSE 0 END AS y
+          FROM documents
+        )
+        SELECT CAST(SUM(y) AS BIGINT) AS n_pos,
+               TRUE AS loss_decreased,
+               TRUE AS train_acc_ok
+        FROM lab
+    """,
+)
+def n4_trained_classifier(spark, sf_dir):
+    from hiero_spark.functions import classifier as clf
+
+    docs = t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    y = (
+        F.size(F.filter(toks, lambda x: x == "the"))
+        > F.size(F.filter(toks, lambda x: x == "a"))
+    ).cast("int")
+    docs = docs.withColumn("_y", y)
+    model = clf.train_text_classifier(
+        docs, "text", "_y", "doc_id", dim=512, iters=8, lr=3.0
+    )
+    h = model["loss_history"]
+    scored = clf.score_text(docs, "text", "doc_id", model)
+    acc = (
+        scored.join(docs.select("doc_id", "_y"), "doc_id")
+        .agg(
+            F.mean(
+                ((F.col("score") >= 0.5).cast("int") == F.col("_y")).cast("double")
+            ).alias("_acc")
+        )
+    )
+    return (
+        docs.agg(F.sum("_y").cast("long").alias("n_pos"))
+        .join(F.broadcast(acc))
+        .select(
+            "n_pos",
+            F.lit(bool(h[-1] < h[0])).alias("loss_decreased"),
+            (F.col("_acc") >= 0.9).alias("train_acc_ok"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # N3 — multimodal plumbing
 # ---------------------------------------------------------------------------

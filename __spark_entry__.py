@@ -53,6 +53,7 @@ _WINDOW_PIN: list[str] = [
     "n2_semantic_dedup",
     "n4_trained_classifier",
     "s11_zorder_pruned_read",
+    "n4_lm_perplexity",
 ]
 
 

@@ -187,6 +187,67 @@ def n6_decontamination_bloom(spark, sf_dir):
 
 
 @query(
+    "n4_lm_perplexity",
+    group="N4",
+    doc="CCNet-style LM quality signal (functions/lm.py): a Laplace-"
+        "smoothed bigram model trained on the train split scores every "
+        "test-split doc by mean log p(w2|w1) — low = fluent-like-train, "
+        "high = boilerplate/gibberish. Train = two count aggregations "
+        "(model stays a distributed DataFrame pair; V is the only driver "
+        "scalar); score = two left joins on gram keys + one groupBy. The "
+        "oracle recomputes the entire model in SQL; ln agrees to ~1e-15 "
+        "across engines, rounded to 6 decimals.",
+    oracle=r"""
+        WITH toks AS (
+          SELECT doc_id, doc_id % 100 AS b,
+                 regexp_split_to_array(trim(lower(text)), '\s+') AS w
+          FROM documents
+        ), c1 AS (
+          SELECT w1, COUNT(*) AS c1 FROM (
+            SELECT UNNEST(w) AS w1 FROM toks WHERE b < 80
+          ) WHERE w1 <> '' GROUP BY w1
+        ), v AS (
+          SELECT COUNT(*) AS v FROM c1
+        ), c2 AS (
+          SELECT w1, w2, COUNT(*) AS c2 FROM (
+            SELECT w[i] AS w1, w[i+1] AS w2
+            FROM toks, UNNEST(range(1, len(w))) u(i) WHERE b < 80
+          ) GROUP BY w1, w2
+        ), bg_test AS (
+          SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+          FROM toks, UNNEST(range(1, len(w))) u(i) WHERE b >= 90
+        ), sc AS (
+          SELECT t.doc_id,
+                 ln((COALESCE(c2.c2, 0) + 1.0)
+                    / (COALESCE(c1.c1, 0) + v.v)) AS lp
+          FROM bg_test t
+          LEFT JOIN c2 ON c2.w1 = t.w1 AND c2.w2 = t.w2
+          LEFT JOIN c1 ON c1.w1 = t.w1
+          CROSS JOIN v
+        )
+        SELECT d.doc_id,
+               COALESCE(agg.n, 0) AS n_bigrams,
+               ROUND(agg.a, 6) AS avg_logp
+        FROM (SELECT doc_id FROM toks WHERE b >= 90) d
+        LEFT JOIN (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n, AVG(lp) AS a
+          FROM sc GROUP BY doc_id
+        ) agg USING (doc_id)
+    """,
+)
+def n4_lm_perplexity(spark, sf_dir):
+    from hiero_spark.functions import lm
+
+    docs = pl.assign_split(t(spark, sf_dir, "documents"), "doc_id")
+    tr = docs.filter(F.col("split") == "train")
+    te = docs.filter(F.col("split") == "test")
+    c1, c2, v = lm.train_bigram_lm(tr, "text", "doc_id")
+    return lm.lm_score(te, "text", "doc_id", c1, c2, v).select(
+        "doc_id", "n_bigrams", F.round("avg_logp", 6).alias("avg_logp")
+    )
+
+
+@query(
     "n6_pack_bins",
     group="N6",
     doc="Token-budget packing (concat-then-chunk): documents laid out in "

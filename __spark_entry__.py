@@ -54,6 +54,7 @@ _WINDOW_PIN: list[str] = [
     "n4_trained_classifier",
     "s11_zorder_pruned_read",
     "n4_lm_perplexity",
+    "n4_bpe_training",
 ]
 
 

@@ -233,6 +233,55 @@ def main() -> None:
             "recall_at_k": round(len(exact & approx) / k, 3),
         }
 
+    def decontam_payoff(data_dir: str) -> dict[str, float]:
+        """Round-6 addition: quantify the Bloom decontamination payoff.
+        Same split, same grams; the exact path distincts + semi-joins the
+        train shingle hashes, the Bloom path folds them into a broadcast
+        bitmap (shuffle bounded by the bitmap, probe join-free).  Flag
+        counts are reported so the speed number can't hide a recall hole
+        (bloom >= exact by construction)."""
+        from pyspark.sql import functions as F
+
+        from hiero_spark.functions.bloom import contaminated_docs_bloom
+        from hiero_spark.functions.pipeline import (
+            assign_split, contaminated_docs_hashed,
+        )
+
+        docs = spark.read.parquet(f"{data_dir}/documents.parquet")
+        docs = assign_split(docs, "doc_id")
+        ev = docs.filter(F.col("split") == "test")
+        tr = docs.filter(F.col("split") == "train")
+
+        def time_min(mk) -> float:
+            mk().count()
+            best = None
+            for _ in range(n_reps):
+                t0 = time.perf_counter()
+                mk().count()
+                dt = time.perf_counter() - t0
+                best = dt if best is None or dt < best else best
+            return round(best, 3)
+
+        from hiero_spark.plans import shuffle_bytes_written
+
+        exact_fn = lambda: contaminated_docs_hashed(ev, tr, "text", "doc_id", k=3)
+        bloom_fn = lambda: contaminated_docs_bloom(ev, tr, "text", "doc_id", k=3)
+        # Wall-clock at local[32] understates the Bloom win (shuffles are
+        # memory-speed here; on a cluster they are the network).  The
+        # scale-predictive number is shuffle bytes: the exact path
+        # shuffles every distinct train gram, the Bloom probe's shuffle
+        # is bounded by the bitmap words + the final doc-id distinct.
+        ex_df = exact_fn(); ex_df.count()
+        bl_df = bloom_fn(); bl_df.count()
+        return {
+            "exact_semijoin_sec": time_min(exact_fn),
+            "bloom_sec": time_min(bloom_fn),
+            "n_exact": ex_df.count(),
+            "n_bloom": bl_df.count(),
+            "exact_shuffle_bytes": shuffle_bytes_written(ex_df),
+            "bloom_probe_shuffle_bytes": shuffle_bytes_written(bl_df),
+        }
+
     from hiero_spark.sources.fixtures import materialize_multifile
 
     multi_dir = materialize_multifile(
@@ -247,6 +296,7 @@ def main() -> None:
     if only_multifile:
         timings = timings_multi
     ann = ann_payoff(sf_dir)
+    decontam = decontam_payoff(sf_dir)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -262,6 +312,7 @@ def main() -> None:
                 "multifile_total": round(sum(timings_multi.values()), 3),
                 "queries_multifile": timings_multi,
                 "ann_payoff": ann,
+                "decontam_payoff": decontam,
             }
         )
     )

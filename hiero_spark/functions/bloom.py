@@ -28,6 +28,17 @@ Guarantees: NO false negatives (every inserted item probes true); false
 positives at rate ~(1 - e^(-kn/m))^k — callers size `m_bits` to their
 distinct-item estimate.  Probing is a narrow per-row filter: zero
 shuffle, zero join.
+
+Honest local measurement (bench decontam_payoff, sf0.1, local[32]):
+the Bloom path is ~1.5x SLOWER than the exact hashed semi-join (1.20 s
+vs 0.81 s min-of-3) — at this scale shuffles are memory-speed and the
+build aggregation + Python probe overhead dominate.  The claim this
+module makes is about shuffle VOLUME, not local wall-clock: the exact
+path's shuffle grows with distinct train grams (tens of billions at
+100 TB), the Bloom probe's with the bitmap + final doc-id distinct only
+(bench reports both byte counts).  Same honesty framing as the IVF
+crossover: local wall-clock is reported, the scale-predictive metric is
+the argument.
 """
 
 from __future__ import annotations
@@ -79,8 +90,12 @@ def build_bloom(
     )
     n_words = (m_bits + 63) >> 6
     bitmap = np.zeros(n_words, dtype=np.uint64)
-    for row in words.collect():
-        bitmap[int(row["w"])] = np.uint64(row["word"] & 0xFFFFFFFFFFFFFFFF)
+    # Arrow transfer beats row-at-a-time py4j collect ~10x at the default
+    # 65k-word table (measured: the collect dominated the whole build).
+    pdf = words.toPandas()
+    bitmap[pdf["w"].to_numpy(dtype=np.int64)] = (
+        pdf["word"].to_numpy(dtype=np.int64).view(np.uint64)
+    )
     return bitmap
 
 

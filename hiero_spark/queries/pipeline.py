@@ -248,6 +248,51 @@ def n4_lm_perplexity(spark, sf_dir):
 
 
 @query(
+    "n4_bpe_training",
+    group="N4",
+    doc="In-engine BPE tokenizer training (functions/bpe.py): the corpus "
+        "compresses to its word-frequency dict in ONE shuffle, then 8 "
+        "merge rounds run over the dict (pair counting = partial+final "
+        "agg; ties break lexicographically, so the learned merges are "
+        "deterministic across runs/partitionings). Cross-engine check: "
+        "the oracle recomputes the FIRST merge — the top "
+        "frequency-weighted adjacent char pair — in SQL, plus the "
+        "distinct-word anchor; deeper merges are pinned by unit tests "
+        "(classic aaabdaaabac fixture, determinism, encode round-trip).",
+    oracle=r"""
+        WITH w AS (
+          SELECT word, COUNT(*) AS cnt FROM (
+            SELECT UNNEST(regexp_split_to_array(trim(lower(text)), '\s+'))
+                   AS word
+            FROM documents
+          ) WHERE word <> '' GROUP BY word
+        ), pairs AS (
+          SELECT substr(word, i, 1) AS a, substr(word, i + 1, 1) AS b, cnt
+          FROM w, UNNEST(range(1, len(word))) u(i)
+        ), top AS (
+          SELECT a, b FROM pairs GROUP BY a, b
+          ORDER BY SUM(cnt) DESC, a, b LIMIT 1
+        )
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM w) AS n_words,
+               (SELECT a FROM top) AS first_a,
+               (SELECT b FROM top) AS first_b,
+               CAST(8 AS INT) AS n_merges_learned
+    """,
+)
+def n4_bpe_training(spark, sf_dir):
+    from hiero_spark.functions import bpe
+
+    words = bpe.word_dict(t(spark, sf_dir, "documents"), "text")
+    merges = bpe.train_bpe(words, n_merges=8)
+    return words.agg(F.count(F.lit(1)).cast("long").alias("n_words")).select(
+        "n_words",
+        F.lit(merges[0][0]).alias("first_a"),
+        F.lit(merges[0][1]).alias("first_b"),
+        F.lit(len(merges)).cast("int").alias("n_merges_learned"),
+    )
+
+
+@query(
     "n6_pack_bins",
     group="N6",
     doc="Token-budget packing (concat-then-chunk): documents laid out in "

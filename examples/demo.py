@@ -91,6 +91,31 @@ def main(sf_dir: str = "/root/testdata/sf0.001", out=print) -> None:
         f"-> {survivors.count()} after exact dedup"
     )
 
+    # 7. learned curation signals, all trained in-engine: a bigram LM
+    #    ranks documents by perplexity (CCNet), and BPE merges come from
+    #    the word-frequency dict the corpus compresses into
+    from hiero_spark.functions import bpe, lm
+    from hiero_spark.functions.pipeline import assign_split
+
+    split = assign_split(docs, "doc_id")
+    c1, c2, v = lm.train_bigram_lm(
+        split.filter(F.col("split") == "train"), "text", "doc_id"
+    )
+    ranked = (
+        lm.lm_score(
+            split.filter(F.col("split") == "test"), "text", "doc_id", c1, c2, v
+        )
+        .filter(F.col("n_bigrams") > 0)
+        .orderBy(F.desc("avg_logp"))
+    )
+    best = ranked.first()
+    out(
+        f"\nLM quality ranking: {ranked.count()} test docs scored; most "
+        f"train-like doc {best['doc_id']} (mean log p {best['avg_logp']:.3f})"
+    )
+    merges = bpe.train_bpe(bpe.word_dict(docs, "text"), n_merges=6)
+    out(f"BPE merges learned in-engine: {merges}")
+
 
 if __name__ == "__main__":
     main(*sys.argv[1:2])

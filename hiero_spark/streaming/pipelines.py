@@ -235,3 +235,48 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"
     )
     q.awaitTermination(timeout_s)
     return q
+
+
+def batch_id_writer(path: str):
+    """The foreachBatch body for `idempotent_parquet_sink`, exposed so
+    tests can replay a micro-batch directly (the failure mode the sink
+    exists to survive)."""
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        (
+            df.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(path)
+        )
+
+    return write_batch
+
+
+def idempotent_parquet_sink(
+    stream_df: DataFrame, path: str, checkpoint: str, timeout_s: int = 120
+):
+    """Exactly-once file sink for non-transactional stores (X11).
+
+    Structured Streaming guarantees each micro-batch a stable batch_id
+    and replays the LAST batch after a crash that hit between the sink
+    write and the checkpoint commit.  A plain append sink therefore
+    duplicates that batch; the standard recipe (documented for
+    foreachBatch in the Spark streaming guide) is to make the write
+    idempotent ON batch_id — here by partitioning the output on
+    `_batch_id` with dynamic partition overwrite, so a replay replaces
+    its own partition byte-for-byte instead of appending a second copy.
+    Readers see `path` as ordinary parquet (the batch id is just an
+    extra partition column); at 100 TB the same shape lands micro-batch
+    increments into object storage without a table format's transaction
+    log — and each batch's write is a narrow per-partition operation.
+    """
+    q = (
+        stream_df.writeStream.foreachBatch(batch_id_writer(path))
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return q

@@ -55,6 +55,7 @@ _WINDOW_PIN: list[str] = [
     "s11_zorder_pruned_read",
     "n4_lm_perplexity",
     "n4_bpe_training",
+    "ext_gap_fill",
 ]
 
 

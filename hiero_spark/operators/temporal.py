@@ -130,3 +130,71 @@ def range_join(
         .filter((F.col(point_ts) >= F.col(lo)) & (F.col(point_ts) < F.col(hi)))
         .drop("_bkt")
     )
+
+
+def gap_fill(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    step_seconds: int = 3600,
+) -> DataFrame:
+    """Densify a sparse time series: bucket to a fixed grid, then emit EVERY
+    grid point between each key's first and last observation, carrying the
+    last seen value forward across gaps (LOCF) — the hypertable
+    gap-fill/interpolate shape dashboards and feature pipelines need.
+
+    Three bounded steps, no row explosion beyond the grid itself:
+      1. one aggregation: avg(value) per (key, bucket) — buckets are
+         epoch-floor arithmetic, mirrorable in any SQL engine;
+      2. per-key [min,max] bucket span -> `sequence()` + explode builds
+         the dense grid (grid size = span/step per key, independent of
+         the raw event count);
+      3. left join actuals onto the grid (equi-join on (key, bucket)) +
+         one `last(ignorenulls)` window per key fills the gaps.
+    Shuffles: the bucket agg, the grid join, and the window — all keyed
+    by (key[, bucket]), so at 100 TB each is an ordinary partial-agg /
+    co-partitioned shuffle; a key's window pass is linear in ITS grid.
+
+    Output: (key, bucket, value, filled) where filled marks carried
+    (gap) points; leading gaps before a key's first observation cannot
+    occur because the grid starts at its first bucket.
+    """
+    from pyspark.sql.window import Window
+
+    bucket = F.timestamp_seconds(
+        F.floor(F.unix_timestamp(F.col(ts_col)) / step_seconds) * step_seconds
+    )
+    actual = (
+        df.select(F.col(key_col).alias("key"), bucket.alias("bucket"),
+                  F.col(val_col).alias("_v"))
+        .groupBy("key", "bucket")
+        .agg(F.avg("_v").alias("_v"))
+    )
+    grid = (
+        actual.groupBy("key")
+        .agg(F.min("bucket").alias("_lo"), F.max("bucket").alias("_hi"))
+        .select(
+            "key",
+            F.explode(
+                F.sequence(
+                    F.col("_lo"), F.col("_hi"),
+                    F.expr(f"INTERVAL {int(step_seconds)} SECONDS"),
+                )
+            ).alias("bucket"),
+        )
+    )
+    w = (
+        Window.partitionBy("key")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(actual, ["key", "bucket"], "left")
+        .select(
+            F.col("key").alias(key_col),
+            "bucket",
+            F.last("_v", ignorenulls=True).over(w).alias("value"),
+            F.col("_v").isNull().alias("filled"),
+        )
+    )

@@ -405,3 +405,52 @@ def ext_range_join(spark, sf_dir):
     )
     out = range_join(points, intervals, "s_ts", "lo", "hi")
     return out.select("purchase_id", "signup_id")
+
+
+@query(
+    "ext_gap_fill",
+    group="W-ext",
+    doc="Time-series gap fill (operators/temporal.py:gap_fill): hourly "
+        "buckets per user densified over each user's [first, last] span, "
+        "missing hours filled by last-observation-carried-forward. Grid "
+        "generation is sequence+explode (size = span/step, independent "
+        "of event count); fills are one per-key window pass. The oracle "
+        "rebuilds the grid with generate_series and IGNORE NULLS "
+        "last_value.",
+    oracle="""
+        WITH b AS (
+          SELECT user_id,
+                 to_timestamp(FLOOR(epoch(ts) / 3600) * 3600) AS bucket,
+                 AVG(value) AS v
+          FROM events WHERE user_id < 20
+          GROUP BY 1, 2
+        ), span AS (
+          SELECT user_id, MIN(bucket) AS lo, MAX(bucket) AS hi
+          FROM b GROUP BY 1
+        ), grid AS (
+          SELECT user_id,
+                 UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+          FROM span
+        )
+        SELECT g.user_id,
+               strftime(g.bucket, '%Y-%m-%d %H') AS bucket_h,
+               ROUND(last_value(b.v IGNORE NULLS) OVER (
+                   PARTITION BY g.user_id ORDER BY g.bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ), 6) AS value,
+               (b.v IS NULL) AS filled
+        FROM grid g LEFT JOIN b
+          ON b.user_id = g.user_id AND b.bucket = g.bucket
+    """,
+)
+def ext_gap_fill(spark, sf_dir):
+    from hiero_spark.operators.temporal import gap_fill
+
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    out = gap_fill(ev, "user_id", "ts", "value", step_seconds=3600)
+    return out.select(
+        "user_id",
+        F.date_format("bucket", "yyyy-MM-dd HH").alias("bucket_h"),
+        F.round("value", 6).alias("value"),
+        "filled",
+    )

@@ -37,6 +37,9 @@ BNLJ_ALLOWED = {
     "n2_ann_batch": "intended broadcast fan-out of the bounded query set",
     "n2_ivf_kmeans": "scalar broadcast: 1-row SSE/self-probe combines",
     "n4_tfidf_keywords": "scalar broadcast: 1-row corpus size joins the tf table",
+    "n6_decontamination_bloom": "scalar broadcast: 1-row miss/extra/eval-count combines",
+    "n2_semantic_dedup": "scalar broadcast: 1-row planted/original kept-count combines",
+    "n4_trained_classifier": "scalar broadcast: 1-row accuracy joins the anchor count",
 }
 
 _SPECS = all_queries()

@@ -56,6 +56,7 @@ _WINDOW_PIN: list[str] = [
     "n4_lm_perplexity",
     "n4_bpe_training",
     "ext_gap_fill",
+    "ext_gap_fill_linear",
 ]
 
 

@@ -138,11 +138,20 @@ def gap_fill(
     ts_col: str,
     val_col: str,
     step_seconds: int = 3600,
+    fill: str = "locf",
+    exact_mean_scale: int | None = None,
 ) -> DataFrame:
     """Densify a sparse time series: bucket to a fixed grid, then emit EVERY
-    grid point between each key's first and last observation, carrying the
-    last seen value forward across gaps (LOCF) — the hypertable
-    gap-fill/interpolate shape dashboards and feature pipelines need.
+    grid point between each key's first and last observation, filling gaps
+    by last-observation-carried-forward (`fill="locf"`) or linear
+    interpolation between the neighboring observations (`fill="linear"`)
+    — the hypertable gap-fill/interpolate shape dashboards and feature
+    pipelines need.
+
+    Linear fill adds one mirrored window pass (first non-null LOOKING
+    FORWARD, the symmetric twin of the LOCF window); because the grid
+    spans exactly [first, last] observation per key, every gap has both
+    neighbors and the interpolation denominator is never zero.
 
     Three bounded steps, no row explosion beyond the grid itself:
       1. one aggregation: avg(value) per (key, bucket) — buckets are
@@ -159,17 +168,33 @@ def gap_fill(
     Output: (key, bucket, value, filled) where filled marks carried
     (gap) points; leading gaps before a key's first observation cannot
     occur because the grid starts at its first bucket.
-    """
+
+    `exact_mean_scale` makes the bucket mean ORDER-DETERMINISTIC via the
+    scaled-bigint trick (sum round(v*scale) exactly, one division at the
+    end).  Plain avg() of doubles varies in its last bits with reduction
+    order; interpolation then lands values exactly on round-half
+    boundaries where Spark and an oracle engine disagree (observed: the
+    linear-fill oracle diverged at 2/10500 rows by one ulp of the 6th
+    decimal).  Bit-identical means make every downstream IEEE op
+    bit-identical too."""
     from pyspark.sql.window import Window
 
     bucket = F.timestamp_seconds(
         F.floor(F.unix_timestamp(F.col(ts_col)) / step_seconds) * step_seconds
     )
+    if exact_mean_scale:
+        s = exact_mean_scale
+        mean = (
+            F.sum(F.round(F.col("_v") * s).cast("long")).cast("double")
+            / (F.count(F.lit(1)) * float(s))
+        )
+    else:
+        mean = F.avg("_v")
     actual = (
         df.select(F.col(key_col).alias("key"), bucket.alias("bucket"),
                   F.col(val_col).alias("_v"))
         .groupBy("key", "bucket")
-        .agg(F.avg("_v").alias("_v"))
+        .agg(mean.alias("_v"))
     )
     grid = (
         actual.groupBy("key")
@@ -189,12 +214,32 @@ def gap_fill(
         .orderBy("bucket")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return (
-        grid.join(actual, ["key", "bucket"], "left")
-        .select(
-            F.col("key").alias(key_col),
-            "bucket",
-            F.last("_v", ignorenulls=True).over(w).alias("value"),
-            F.col("_v").isNull().alias("filled"),
+    joined = grid.join(actual, ["key", "bucket"], "left")
+    if fill == "locf":
+        value = F.last("_v", ignorenulls=True).over(w)
+    elif fill == "linear":
+        wf = (
+            Window.partitionBy("key")
+            .orderBy("bucket")
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
         )
+        obs_t = F.when(F.col("_v").isNotNull(), F.col("bucket"))
+        prev_v = F.last("_v", ignorenulls=True).over(w)
+        prev_t = F.last(obs_t, ignorenulls=True).over(w)
+        next_v = F.first("_v", ignorenulls=True).over(wf)
+        next_t = F.first(obs_t, ignorenulls=True).over(wf)
+        frac = (
+            (F.unix_timestamp("bucket") - F.unix_timestamp(prev_t)).cast("double")
+            / (F.unix_timestamp(next_t) - F.unix_timestamp(prev_t))
+        )
+        value = F.when(F.col("_v").isNotNull(), F.col("_v")).otherwise(
+            prev_v + (next_v - prev_v) * frac
+        )
+    else:
+        raise ValueError(f"unknown fill mode: {fill!r}")
+    return joined.select(
+        F.col("key").alias(key_col),
+        "bucket",
+        value.alias("value"),
+        F.col("_v").isNull().alias("filled"),
     )

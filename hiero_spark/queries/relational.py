@@ -421,7 +421,8 @@ def ext_range_join(spark, sf_dir):
         WITH b AS (
           SELECT user_id,
                  to_timestamp(FLOOR(epoch(ts) / 3600) * 3600) AS bucket,
-                 AVG(value) AS v
+                 SUM(CAST(ROUND(value * 1000000) AS BIGINT))
+                   / (COUNT(*) * 1000000.0) AS v
           FROM events WHERE user_id < 20
           GROUP BY 1, 2
         ), span AS (
@@ -434,10 +435,10 @@ def ext_range_join(spark, sf_dir):
         )
         SELECT g.user_id,
                strftime(g.bucket, '%Y-%m-%d %H') AS bucket_h,
-               ROUND(last_value(b.v IGNORE NULLS) OVER (
+               last_value(b.v IGNORE NULLS) OVER (
                    PARTITION BY g.user_id ORDER BY g.bucket
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-               ), 6) AS value,
+               ) AS value,
                (b.v IS NULL) AS filled
         FROM grid g LEFT JOIN b
           ON b.user_id = g.user_id AND b.bucket = g.bucket
@@ -447,10 +448,77 @@ def ext_gap_fill(spark, sf_dir):
     from hiero_spark.operators.temporal import gap_fill
 
     ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
-    out = gap_fill(ev, "user_id", "ts", "value", step_seconds=3600)
+    out = gap_fill(ev, "user_id", "ts", "value", step_seconds=3600,
+                   exact_mean_scale=1_000_000)
     return out.select(
         "user_id",
         F.date_format("bucket", "yyyy-MM-dd HH").alias("bucket_h"),
-        F.round("value", 6).alias("value"),
+        "value",
+        "filled",
+    )
+
+
+@query(
+    "ext_gap_fill_linear",
+    group="W-ext",
+    doc="Gap fill with linear interpolation: each missing hour gets the "
+        "value on the straight line between its neighboring observations "
+        "(the grid spans [first, last] per key, so both neighbors always "
+        "exist). One extra mirrored window pass vs LOCF.",
+    oracle="""
+        WITH b AS (
+          SELECT user_id,
+                 to_timestamp(FLOOR(epoch(ts) / 3600) * 3600) AS bucket,
+                 SUM(CAST(ROUND(value * 1000000) AS BIGINT))
+                   / (COUNT(*) * 1000000.0) AS v
+          FROM events WHERE user_id < 20
+          GROUP BY 1, 2
+        ), span AS (
+          SELECT user_id, MIN(bucket) AS lo, MAX(bucket) AS hi
+          FROM b GROUP BY 1
+        ), grid AS (
+          SELECT user_id,
+                 UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+          FROM span
+        ), j AS (
+          SELECT g.user_id, g.bucket, b.v
+          FROM grid g LEFT JOIN b
+            ON b.user_id = g.user_id AND b.bucket = g.bucket
+        ), f AS (
+          SELECT user_id, bucket, v,
+            last_value(v IGNORE NULLS) OVER (
+              PARTITION BY user_id ORDER BY bucket
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+            last_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS)
+              OVER (PARTITION BY user_id ORDER BY bucket
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+            first_value(v IGNORE NULLS) OVER (
+              PARTITION BY user_id ORDER BY bucket
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+            first_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS)
+              OVER (PARTITION BY user_id ORDER BY bucket
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+          FROM j
+        )
+        SELECT user_id,
+               strftime(bucket, '%Y-%m-%d %H') AS bucket_h,
+               (CASE WHEN v IS NOT NULL THEN v
+                     ELSE pv + (nv - pv) * ((epoch(bucket) - epoch(pt))
+                                         / (epoch(nt) - epoch(pt))) END)
+                     AS value,
+               (v IS NULL) AS filled
+        FROM f
+    """,
+)
+def ext_gap_fill_linear(spark, sf_dir):
+    from hiero_spark.operators.temporal import gap_fill
+
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    out = gap_fill(ev, "user_id", "ts", "value", step_seconds=3600,
+                   fill="linear", exact_mean_scale=1_000_000)
+    return out.select(
+        "user_id",
+        F.date_format("bucket", "yyyy-MM-dd HH").alias("bucket_h"),
+        "value",
         "filled",
     )

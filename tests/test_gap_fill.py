@@ -47,3 +47,29 @@ def test_gaps_carry_last_value(filled):
 
 def test_keys_do_not_leak(filled):
     assert filled[(2, 11)] == (5.0, False)
+
+
+def test_linear_interpolation(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 3, 1, 10, 0, 0)
+    df = spark.createDataFrame(
+        [(1, base, 20.0), (1, base + dt.timedelta(hours=3), 8.0)],
+        "k long, ts timestamp, v double",
+    )
+    out = gap_fill(df, "k", "ts", "v", step_seconds=3600, fill="linear")
+    got = {r["bucket"].hour: (r["value"], r["filled"]) for r in out.collect()}
+    assert got[10] == (20.0, False)
+    assert got[11] == (pytest.approx(16.0), True)
+    assert got[12] == (pytest.approx(12.0), True)
+    assert got[13] == (8.0, False)
+
+
+def test_unknown_fill_mode_rejected(spark):
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 3, 1), 1.0)], "k long, ts timestamp, v double"
+    )
+    with pytest.raises(ValueError):
+        gap_fill(df, "k", "ts", "v", fill="cubic")

@@ -57,6 +57,7 @@ _WINDOW_PIN: list[str] = [
     "n4_bpe_training",
     "ext_gap_fill",
     "ext_gap_fill_linear",
+    "a16_profile_table",
 ]
 
 

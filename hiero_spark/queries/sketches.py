@@ -587,3 +587,40 @@ def a11_quantiles_grouped(spark, sf_dir):
             F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
         )
     )
+
+
+def _profile_oracle_col(col: str, dtype: str) -> str:
+    return f"""
+        SELECT '{col}' AS "column", '{dtype}' AS dtype,
+               CAST(SUM(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_nulls,
+               CAST(COUNT(DISTINCT {col}) AS BIGINT) AS n_distinct,
+               CAST(MIN({col}) AS VARCHAR) AS min_str,
+               CAST(MAX({col}) AS VARCHAR) AS max_str
+        FROM orders"""
+
+
+_PROFILE_COLS = [
+    ("o_orderkey", "bigint"), ("o_custkey", "bigint"),
+    ("o_orderstatus", "string"), ("o_totalprice", "double"),
+    ("o_orderdate", "timestamp_ntz"), ("o_orderpriority", "string"),
+]
+
+
+@query(
+    "a16_profile_table",
+    group="A16",
+    doc="Whole-table profile in ONE job (operators/sketches.py:"
+        "profile_table): per column null count, exact distinct, min/max "
+        "as strings — the dataset-card / initial-view summary (hiero "
+        "shows per-column presence when a table opens). One wide "
+        "aggregation + one explode to long form; the oracle rebuilds it "
+        "as a UNION ALL per column.",
+    oracle=" UNION ALL ".join(
+        _profile_oracle_col(c, t_) for c, t_ in _PROFILE_COLS
+    ),
+)
+def a16_profile_table(spark, sf_dir):
+    from hiero_spark.operators.sketches import profile_table
+
+    return profile_table(t(spark, sf_dir, "orders"))

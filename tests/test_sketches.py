@@ -132,3 +132,25 @@ def test_stratified_sample_respects_fractions(spark, sf_dir):
     assert "R" not in got                       # zero-fraction stratum dropped
     assert 0.35 < got["A"] / base["A"] < 0.65   # ~50%
     assert 0.05 < got["N"] / base["N"] < 0.20   # ~10%
+
+
+def test_profile_table_one_job_and_nulls(spark):
+    """A16: profile covers every column, counts nulls exactly, and the
+    whole profile is ONE aggregation job (single scan), not a job per
+    column."""
+    from hiero_spark.operators.sketches import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, None, 3.5), (3, "c", 4.5), (3, "c", None)],
+        "id long, s string, v double",
+    )
+    prof = {r["column"]: r for r in profile_table(df).collect()}
+    assert set(prof) == {"id", "s", "v"}
+    assert prof["id"]["n_nulls"] == 0 and prof["id"]["n_distinct"] == 3
+    assert prof["s"]["n_nulls"] == 1 and prof["s"]["n_distinct"] == 2
+    assert prof["v"]["n_nulls"] == 2
+    assert prof["v"]["min_str"] == "3.5" and prof["v"]["max_str"] == "4.5"
+    # single scan: exactly one parquet/LocalTableScan leaf in the plan
+    from hiero_spark import plans as P
+    scans = [n for n in P.node_names(profile_table(df)) if "Scan" in n]
+    assert len(scans) == 1, scans

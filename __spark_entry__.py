@@ -58,6 +58,7 @@ _WINDOW_PIN: list[str] = [
     "ext_gap_fill",
     "ext_gap_fill_linear",
     "a16_profile_table",
+    "a17_mad_outliers",
 ]
 
 

@@ -326,3 +326,40 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     # one row per column via a single explode — no per-column re-select,
     # no union of N copies of the aggregate
     return wide.select(F.explode(structs).alias("p")).select("p.*")
+
+
+def mad_outliers(
+    df: DataFrame, group_col: str, val_col: str, k: float = 3.0
+) -> DataFrame:
+    """Robust per-group outlier detection: flag values more than
+    k * 1.4826 * MAD from the group median (the classic
+    median-absolute-deviation rule; 1.4826 scales MAD to sigma under
+    normality, so k=3 is the robust three-sigma gate).  Mean/stddev
+    rules break on the very outliers they hunt — median/MAD have a 50%
+    breakdown point.
+
+    Two exact-percentile aggregations (median, then MAD of residuals)
+    joined back by the group key — three shuffles total, each keyed on
+    the group, partial-aggregated, and independent of row count per
+    group beyond the percentile itself.  Returns per-group counts (the
+    bounded audit output); pair with a filter on the same predicate to
+    materialize the offending rows.
+    """
+    c = F.col(val_col)
+    med = df.groupBy(group_col).agg(
+        F.expr(f"percentile({val_col}, 0.5)").alias("_med")
+    )
+    with_med = df.join(med, group_col)
+    mad = with_med.groupBy(group_col).agg(
+        F.expr(f"percentile(abs({val_col} - _med), 0.5)").alias("_mad")
+    )
+    scored = with_med.join(mad, group_col).withColumn(
+        "_is_out",
+        (F.abs(c - F.col("_med")) > k * 1.4826 * F.col("_mad")).cast("long"),
+    )
+    return scored.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_is_out").alias("n_outliers"),
+        F.first("_med").alias("median_val"),
+        F.first("_mad").alias("mad_val"),
+    )

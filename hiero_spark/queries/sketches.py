@@ -624,3 +624,40 @@ def a16_profile_table(spark, sf_dir):
     from hiero_spark.operators.sketches import profile_table
 
     return profile_table(t(spark, sf_dir, "orders"))
+
+
+@query(
+    "a17_mad_outliers",
+    group="A17",
+    doc="Robust outlier audit (operators/sketches.py:mad_outliers): per "
+        "event type, values beyond 3 * 1.4826 * MAD of the median are "
+        "counted as outliers — the 50%-breakdown-point alternative to "
+        "z-scores. Exact percentiles in both engines; output rounds the "
+        "robust stats to 6 decimals.",
+    oracle="""
+        WITH med AS (
+          SELECT event_type, quantile_cont(value, 0.5) AS m
+          FROM events GROUP BY 1
+        ), mad AS (
+          SELECT e.event_type, quantile_cont(ABS(e.value - med.m), 0.5) AS d
+          FROM events e JOIN med USING (event_type) GROUP BY 1
+        )
+        SELECT e.event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN ABS(e.value - med.m) > 3 * 1.4826 * mad.d
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+               ROUND(ANY_VALUE(med.m), 6) AS median_val,
+               ROUND(ANY_VALUE(mad.d), 6) AS mad_val
+        FROM events e JOIN med USING (event_type) JOIN mad USING (event_type)
+        GROUP BY e.event_type
+    """,
+)
+def a17_mad_outliers(spark, sf_dir):
+    from hiero_spark.operators.sketches import mad_outliers
+
+    out = mad_outliers(t(spark, sf_dir, "events"), "event_type", "value", k=3.0)
+    return out.select(
+        "event_type", "n", "n_outliers",
+        F.round("median_val", 6).alias("median_val"),
+        F.round("mad_val", 6).alias("mad_val"),
+    )

@@ -154,3 +154,18 @@ def test_profile_table_one_job_and_nulls(spark):
     from hiero_spark import plans as P
     scans = [n for n in P.node_names(profile_table(df)) if "Scan" in n]
     assert len(scans) == 1, scans
+
+
+def test_mad_outliers_flags_planted(spark):
+    """A17: a planted extreme value is flagged; a tight cluster is not;
+    groups are isolated."""
+    from hiero_spark.operators.sketches import mad_outliers
+
+    rows = [("a", float(v)) for v in [10, 11, 12, 13, 14, 1000]] + [
+        ("b", float(v)) for v in [5, 6, 7]
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r["g"]: r for r in mad_outliers(df, "g", "v", k=3.0).collect()}
+    assert out["a"]["n"] == 6 and out["a"]["n_outliers"] == 1
+    assert out["b"]["n"] == 3 and out["b"]["n_outliers"] == 0
+    assert out["a"]["median_val"] == 12.5

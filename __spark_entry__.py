@@ -59,6 +59,7 @@ _WINDOW_PIN: list[str] = [
     "ext_gap_fill_linear",
     "a16_profile_table",
     "a17_mad_outliers",
+    "s12_schema_evolution",
 ]
 
 

@@ -248,3 +248,34 @@ def s11_zorder_pruned_read(spark, sf_dir):
         "o_orderkey", "o_custkey",
         F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
     )
+
+
+@query(
+    "s12_schema_evolution",
+    group="S12",
+    doc="Schema-evolution read (sources/readers.py:read_parquet_evolved): "
+        "generation 1 files lack o_totalprice, generation 2 adds it; "
+        "mergeSchema unions the file schemas at plan time and gen-1 rows "
+        "surface the new column as NULL — no historical rewrite. The "
+        "oracle reproduces the union semantics directly.",
+    oracle="""
+        SELECT o_orderkey, CAST(NULL AS DOUBLE) AS o_totalprice
+        FROM orders WHERE o_orderkey % 2 = 0
+        UNION ALL
+        SELECT o_orderkey, o_totalprice
+        FROM orders WHERE o_orderkey % 2 = 1
+    """,
+)
+def s12_schema_evolution(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders")
+    gen1 = _export_dir("orders_gen1")
+    gen2 = _export_dir("orders_gen2")
+    orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey"
+    ).write.mode("overwrite").parquet(gen1)
+    orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice"
+    ).write.mode("overwrite").parquet(gen2)
+    return rd.read_parquet_evolved(spark, gen1, gen2).select(
+        "o_orderkey", "o_totalprice"
+    )

@@ -67,6 +67,19 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_parquet_evolved(spark: SparkSession, *paths: str) -> DataFrame:
+    """Parquet read across files written under DIFFERENT schema versions
+    (columns added over time — the normal life of a long-lived dataset).
+
+    mergeSchema unions the per-file schemas at planning time (a
+    footer-only pass, like the Z-order pruner); rows from files that
+    predate a column read it as NULL.  At 100 TB this is what lets a
+    pipeline add a column without rewriting history — the alternative,
+    a backfill of every historical file, is exactly the cost this
+    avoids."""
+    return spark.read.option("mergeSchema", "true").parquet(*paths)
+
+
 # -- S6: JDBC (config-only in this container) ---------------------------------
 
 def read_jdbc(

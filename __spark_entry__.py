@@ -60,6 +60,7 @@ _WINDOW_PIN: list[str] = [
     "a16_profile_table",
     "a17_mad_outliers",
     "s12_schema_evolution",
+    "s13_python_datasource",
 ]
 
 

@@ -279,3 +279,47 @@ def s12_schema_evolution(spark, sf_dir):
     return rd.read_parquet_evolved(spark, gen1, gen2).select(
         "o_orderkey", "o_totalprice"
     )
+
+
+@query(
+    "s13_python_datasource",
+    group="S13",
+    doc="Custom Python DataSource (sources/pyds.py, Spark 4 datasource "
+        "API): the grok/log format as a first-class table — one input "
+        "partition per file (Spark schedules them like parquet splits) "
+        "and EqualTo filters pushed into the parse loop "
+        "(spark.sql.python.filterPushdown). Logs are synthesized from "
+        "nation with INFO/WARN levels; the query reads back ONLY the "
+        "INFO rows through the pushed filter, and the oracle recomputes "
+        "them relationally.",
+    oracle="""
+        SELECT 't' || n_nationkey AS ts,
+               'INFO' AS level,
+               n_name AS source,
+               'loaded nation ' || n_name AS message
+        FROM nation WHERE n_nationkey % 2 = 0
+    """,
+)
+def s13_python_datasource(spark, sf_dir):
+    from hiero_spark.sources import pyds
+
+    nation = t(spark, sf_dir, "nation")
+    path = _export_dir("nation_pyds_log")
+    level = F.when(F.col("n_nationkey") % 2 == 0, "INFO").otherwise("WARN")
+    lines = nation.select(
+        F.concat_ws(
+            " ",
+            F.concat(F.lit("t"), F.col("n_nationkey").cast("string")),
+            level,
+            F.concat(F.lit("["), F.col("n_name"), F.lit("]")),
+            F.concat(F.lit("loaded nation "), F.col("n_name")),
+        ).alias("value")
+    )
+    lines.repartition(3).write.mode("overwrite").text(path)
+    pyds.register(spark)
+    return (
+        spark.read.format("hiero_logs")
+        .option("path", f"{path}/part-*.txt")
+        .load()
+        .filter(F.col("level") == "INFO")
+    )

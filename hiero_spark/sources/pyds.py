@@ -37,6 +37,7 @@ from pyspark.sql.datasource import (
     EqualTo,
     Filter,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 
 LOG_PATTERN = r"^(\S+) (\S+) \[([^\]]*)\] (.*)$"
@@ -87,8 +88,54 @@ class LogReader(DataSourceReader):
                 yield row
 
 
+def _parse_files(paths: list[str], pattern: str) -> Iterator[tuple]:
+    rx = re.compile(pattern)
+    for p in paths:
+        with open(p, encoding="utf-8", errors="replace") as fh:
+            for line in fh:
+                m = rx.match(line.rstrip("\n"))
+                if m is not None:
+                    yield m.groups()
+
+
+class LogStreamReader(SimpleDataSourceStreamReader):
+    """Streaming side: log files land in a directory over time (immutable
+    once written — the standard object-store landing pattern); each
+    micro-batch consumes the files that appeared since the last offset.
+
+    The offset is the sorted list of consumed file paths — JSON in the
+    checkpoint, so a restarted query resumes exactly where it stopped,
+    and `readBetweenOffsets` re-parses a replayed batch's files
+    deterministically (immutability makes replay = re-read).  This is
+    FileStreamSource's contract rebuilt on the Python API, which is what
+    makes the custom format usable from Structured Streaming with the
+    engine's normal exactly-once checkpointing."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("hiero_logs requires option('path', <glob>)")
+        self.pattern = options.get("pattern", LOG_PATTERN)
+
+    def initialOffset(self) -> dict:
+        return {"seen": []}
+
+    def _new_files(self, seen: list[str]) -> list[str]:
+        return [p for p in sorted(glob.glob(self.path)) if p not in set(seen)]
+
+    def read(self, start: dict):
+        new = self._new_files(start["seen"])
+        rows = list(_parse_files(new, self.pattern))
+        return iter(rows), {"seen": sorted(start["seen"] + new)}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        replay = [p for p in end["seen"] if p not in set(start["seen"])]
+        return _parse_files(replay, self.pattern)
+
+
 class LogDataSource(DataSource):
-    """format('hiero_logs'): partitioned, pushdown-capable grok reader."""
+    """format('hiero_logs'): partitioned, pushdown-capable grok reader —
+    batch and streaming."""
 
     @classmethod
     def name(cls) -> str:
@@ -99,6 +146,9 @@ class LogDataSource(DataSource):
 
     def reader(self, schema) -> LogReader:
         return LogReader(self.options)
+
+    def simpleStreamReader(self, schema) -> LogStreamReader:
+        return LogStreamReader(self.options)
 
 
 def register(spark) -> None:

@@ -67,3 +67,44 @@ def test_pushed_filter_correct_end_to_end(spark, log_dir):
     rows = df.collect()
     assert len(rows) == 15
     assert all(r["level"] == "INFO" for r in rows)
+
+
+def test_streaming_source_consumes_incrementally(spark, tmp_path):
+    """The streaming side: batch 1 consumes the files present, a restart
+    with the same checkpoint consumes ONLY files that appeared since —
+    offset tracking through the engine's normal checkpoint machinery."""
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    (src / "a.txt").write_text("t1 INFO [s] alpha\nt2 WARN [s] beta\n")
+    pyds.register(spark)
+
+    def run():
+        stream = (
+            spark.readStream.format("hiero_logs")
+            .option("path", f"{src}/*.txt")
+            .load()
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    assert spark.read.parquet(out).count() == 2
+    (src / "b.txt").write_text("t3 INFO [s] gamma\n")
+    run()
+    got = sorted(r["ts"] for r in spark.read.parquet(out).collect())
+    assert got == ["t1", "t2", "t3"], "restart must consume only new files"
+
+
+def test_stream_reader_offsets_replayable():
+    reader = pyds.LogStreamReader({"path": "/nonexistent/*.txt"})
+    start = reader.initialOffset()
+    rows, end = reader.read(start)
+    assert list(rows) == [] and end == {"seen": []}

@@ -61,6 +61,7 @@ _WINDOW_PIN: list[str] = [
     "a17_mad_outliers",
     "s12_schema_evolution",
     "s13_python_datasource",
+    "a18_constraint_checks",
 ]
 
 

@@ -661,3 +661,67 @@ def a17_mad_outliers(spark, sf_dir):
         F.round("median_val", 6).alias("median_val"),
         F.round("mad_val", 6).alias("mad_val"),
     )
+
+
+@query(
+    "a18_constraint_checks",
+    group="A18",
+    doc="Declarative data-quality constraints (functions/checks.py, the "
+        "Deequ/dbt-test shape): five expectations on orders compiled "
+        "into ONE aggregation job (every constraint is a mergeable "
+        "aggregate, so N checks share a single scan). Long-form report "
+        "(check, column, n_violations, passed); the oracle recomputes "
+        "each constraint as a UNION ALL branch.",
+    oracle="""
+        SELECT 'not_null' AS "check", 'o_orderkey' AS "column",
+               CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_violations,
+               SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) = 0
+                 AS passed
+        FROM orders
+        UNION ALL
+        SELECT 'unique', 'o_orderkey',
+               CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS BIGINT),
+               COUNT(o_orderkey) = COUNT(DISTINCT o_orderkey)
+        FROM orders
+        UNION ALL
+        SELECT 'in_range', 'o_totalprice',
+               CAST(SUM(CASE WHEN o_totalprice IS NOT NULL
+                             AND o_totalprice NOT BETWEEN 0 AND 1000000
+                        THEN 1 ELSE 0 END) AS BIGINT),
+               SUM(CASE WHEN o_totalprice IS NOT NULL
+                        AND o_totalprice NOT BETWEEN 0 AND 1000000
+                   THEN 1 ELSE 0 END) = 0
+        FROM orders
+        UNION ALL
+        SELECT 'accepted_values', 'o_orderstatus',
+               CAST(SUM(CASE WHEN o_orderstatus IS NOT NULL
+                             AND o_orderstatus NOT IN ('F', 'O', 'P')
+                        THEN 1 ELSE 0 END) AS BIGINT),
+               SUM(CASE WHEN o_orderstatus IS NOT NULL
+                        AND o_orderstatus NOT IN ('F', 'O', 'P')
+                   THEN 1 ELSE 0 END) = 0
+        FROM orders
+        UNION ALL
+        SELECT 'matches', 'o_orderpriority',
+               CAST(SUM(CASE WHEN o_orderpriority IS NOT NULL
+                             AND NOT regexp_matches(o_orderpriority, '^[1-5]-')
+                        THEN 1 ELSE 0 END) AS BIGINT),
+               SUM(CASE WHEN o_orderpriority IS NOT NULL
+                        AND NOT regexp_matches(o_orderpriority, '^[1-5]-')
+                   THEN 1 ELSE 0 END) = 0
+        FROM orders
+    """,
+)
+def a18_constraint_checks(spark, sf_dir):
+    from hiero_spark.functions.checks import Checks
+
+    return (
+        Checks()
+        .not_null("o_orderkey")
+        .unique("o_orderkey")
+        .in_range("o_totalprice", 0, 1_000_000)
+        .accepted_values("o_orderstatus", ["F", "O", "P"])
+        .matches("o_orderpriority", "^[1-5]-")
+        .report(t(spark, sf_dir, "orders"))
+    )

@@ -190,11 +190,17 @@ def gap_fill(
         )
     else:
         mean = F.avg("_v")
+    # The bucket aggregate feeds BOTH the grid (via its per-key span) and
+    # the fill join — a diamond Catalyst won't reuse (the subtrees differ
+    # past the agg), so without materialization the corpus is scanned and
+    # aggregated twice (observed: 2 parquet scans in the plan).  A lazy
+    # localCheckpoint computes it once at first action and shares it.
     actual = (
         df.select(F.col(key_col).alias("key"), bucket.alias("bucket"),
                   F.col(val_col).alias("_v"))
         .groupBy("key", "bucket")
         .agg(mean.alias("_v"))
+        .localCheckpoint(eager=False)
     )
     grid = (
         actual.groupBy("key")

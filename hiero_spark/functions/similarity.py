@@ -403,11 +403,15 @@ def semantic_dedup(
     from pyspark.sql.window import Window
 
     vec_d = F.col(vec_col).cast("array<double>")
+    # assigned feeds the bucket-size window, BOTH sides of the self-join,
+    # and the final keep/drop join — four plan branches that would each
+    # re-scan the corpus and re-evaluate the k x d distance expression.
+    # Materialize the assignment once (lazy: computed at first action).
     assigned = emb.select(
         F.col(id_col).alias("_id"),
         vec_d.alias("_v"),
         _nearest_cell(vec_d, centroids).alias("_cell"),
-    )
+    ).localCheckpoint(eager=False)
     sized = assigned.withColumn(
         "_csize", F.count(F.lit(1)).over(Window.partitionBy("_cell"))
     )

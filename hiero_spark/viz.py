@@ -90,3 +90,58 @@ def ascii_histogram(hist: DataFrame, label: str, count: str, width: int = 40) ->
         bar = "#" * max(1, round(r[count] / peak * width)) if r[count] else ""
         lines.append(f"{str(r[label]):>12} | {bar} {r[count]}")
     return "\n".join(lines)
+
+
+def markdown_table(df: DataFrame, title: str = "") -> str:
+    """Sketch-output DataFrame -> GitHub-flavored markdown table (bounded
+    by the render cap like every collect here)."""
+    rows = _values(df)
+    if not rows:
+        return f"### {title}\n\n(empty)\n" if title else "(empty)\n"
+    cols = list(rows[0].keys())
+    out = []
+    if title:
+        out.append(f"### {title}\n")
+    out.append("| " + " | ".join(cols) + " |")
+    out.append("|" + "|".join("---" for _ in cols) + "|")
+    for r in rows:
+        out.append("| " + " | ".join(str(r[c]) for c in cols) + " |")
+    return "\n".join(out) + "\n"
+
+
+def dataset_card(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", lang_col: str = "lang") -> str:
+    """Compose the dataset card a corpus release ships: column profile,
+    declared-constraint report, language mix, and the exact-duplication
+    rate — every number from a bounded sketch output, all heavy passes
+    distributed (profile + checks are one scan each; dedup is the N1
+    groupBy)."""
+    from pyspark.sql import functions as F
+
+    from hiero_spark.functions.checks import Checks
+    from hiero_spark.functions.dedup import exact_dedup
+    from hiero_spark.operators.sketches import histogram_categorical, profile_table
+
+    n = docs.count()
+    dups = exact_dedup(docs, text_col, id_col)
+    n_unique = dups.count()
+    checks = (
+        Checks()
+        .not_null(id_col)
+        .unique(id_col)
+        .not_null(text_col)
+        .report(docs)
+    )
+    parts = [
+        "# Dataset card\n",
+        f"- rows: {n}",
+        f"- exact-duplicate rate: {(n - n_unique) / max(n, 1):.4f} "
+        f"({n - n_unique} rows collapse to {n_unique} distinct texts)\n",
+        markdown_table(profile_table(docs), "Column profile"),
+        markdown_table(checks, "Constraints"),
+        markdown_table(
+            histogram_categorical(docs, lang_col).orderBy(lang_col),
+            "Language mix",
+        ),
+    ]
+    return "\n".join(parts)

@@ -105,3 +105,16 @@ def test_demo_runs_end_to_end(sf_dir):
     joined = "\n".join(str(x) for x in lines)
     assert "loaded lineitem" in joined and "#" in joined
     assert "first page of the sorted table view:" in joined
+
+
+def test_dataset_card_renders(spark, sf_dir):
+    from hiero_spark import viz
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    card = viz.dataset_card(docs)
+    assert "# Dataset card" in card
+    assert "Column profile" in card and "Constraints" in card
+    assert "| doc_id |" in card or "| column |" in card
+    assert "exact-duplicate rate" in card
+    # every declared constraint row rendered
+    assert card.count("not_null") >= 2 and "unique" in card

@@ -62,6 +62,8 @@ _WINDOW_PIN: list[str] = [
     "s12_schema_evolution",
     "s13_python_datasource",
     "a18_constraint_checks",
+    "s14_compaction",
+    "a4_histogram_equidepth",
 ]
 
 

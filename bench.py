@@ -299,6 +299,11 @@ def main() -> None:
         "ext_gap_fill",
         "ext_gap_fill_linear",
         "s14_compaction",
+        "n6_contamination_overlap",
+        "n4_char_entropy",
+        "n5_topk_per_group",
+        "n1_line_dedup_keep_first",
+        "n6_mixture_weights",
     ]
 
     def run_r6_ops(data_dir: str) -> dict[str, float]:

@@ -16,4 +16,5 @@ from hiero_spark.queries import (  # noqa: F401
     sources,
     progressive,
     pipeline,
+    curation,
 )

@@ -1,0 +1,320 @@
+"""Round-6 curation-audit queries: contamination grading, entropy
+quality signal, per-group selection, keep-first line dedup, and domain
+mixture weights.
+
+Registered in their own module so the evidence system's blast radius
+stays narrow: these share helper modules (dedup shingling, text quality)
+by IMPORT, which puts those files in each query's hash closure without
+editing them — existing pins stay valid.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hiero_spark.functions import dedup as dd
+from hiero_spark.functions import entropy as en
+from hiero_spark.functions import incremental as inc
+from hiero_spark.functions import overlap as ov
+from hiero_spark.functions import paragraphs as pg
+from hiero_spark.functions import pipeline as pl
+from hiero_spark.functions import text as tx
+from hiero_spark.functions import weights as wt
+from hiero_spark.operators.grouptopk import grouped_topk
+from hiero_spark.queries._util import t
+from hiero_spark.registry import query
+
+
+@query(
+    "n6_contamination_overlap",
+    group="N6",
+    doc="Graded benchmark contamination: per test-split doc, the fraction "
+        "of its distinct word 3-grams that appear in the train split — "
+        "the audit form of n6_decontamination's boolean gate. One "
+        "explode + one distinct + ONE left join + a map-side-combinable "
+        "count; join output is bounded by the eval shingle count.",
+    oracle=r"""
+        WITH toks AS (
+          SELECT doc_id, doc_id % 100 AS b,
+                 regexp_split_to_array(trim(lower(text)), '\s+') AS w
+          FROM documents
+        ), sh AS (
+          SELECT DISTINCT doc_id, b, array_to_string(w[i:i+2], ' ') AS shingle
+          FROM toks, UNNEST(range(1, GREATEST(len(w) - 2, 1) + 1)) AS u(i)
+        ), train_sh AS (
+          SELECT DISTINCT shingle FROM sh WHERE b < 80
+        )
+        SELECT s.doc_id,
+               COUNT(*) AS n_shingles,
+               COUNT(t.shingle) AS n_hit,
+               ROUND(COUNT(t.shingle) / COUNT(*), 6) AS overlap
+        FROM sh s LEFT JOIN train_sh t ON s.shingle = t.shingle
+        WHERE s.b >= 90
+        GROUP BY s.doc_id
+    """,
+)
+def n6_contamination_overlap(spark, sf_dir):
+    docs = pl.assign_split(t(spark, sf_dir, "documents"), "doc_id")
+    return ov.contamination_overlap(
+        docs.filter(F.col("split") == "test"),
+        docs.filter(F.col("split") == "train"),
+        "text",
+        "doc_id",
+        k=3,
+    )
+
+
+@query(
+    "n4_char_entropy",
+    group="N4",
+    doc="Character-level Shannon entropy (bits) + alphabet size per doc — "
+        "the low-entropy-gibberish gate. Pure per-row higher-order "
+        "functions, shuffle-free; the factored form only takes logs of "
+        "integer counts and sums over the SORTED alphabet so both "
+        "engines add the same doubles in the same order.",
+    oracle="""
+        WITH cs AS (
+          SELECT doc_id, text, string_split(text, '') AS c FROM documents
+        )
+        SELECT doc_id,
+               CASE WHEN length(text) = 0 THEN 0
+                    ELSE len(list_distinct(c)) END AS alphabet,
+               CASE WHEN length(text) = 0 THEN 0.0
+                    ELSE ROUND(
+                      (ln(length(text))
+                       - list_sum(list_transform(
+                           list_sort(list_distinct(c)),
+                           d -> len(list_filter(c, x -> x = d))
+                                * ln(len(list_filter(c, x -> x = d)))))
+                         / length(text)) / ln(2), 6)
+               END AS char_entropy
+        FROM cs
+    """,
+)
+def n4_char_entropy(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        en.alphabet_size(F.col("text")).alias("alphabet"),
+        en.char_entropy(F.col("text")).alias("char_entropy"),
+    )
+
+
+@query(
+    "n5_topk_per_group",
+    group="N5",
+    doc="Curriculum selection: top-5 docs per language by quality score "
+        "(total order via doc_id tiebreak), via the SALTED two-phase "
+        "top-k (operators/grouptopk.py) — a handful of language groups "
+        "over 100 TB would serialize a plain window onto a handful of "
+        "cores; phase 1 fans each group over 32 salt buckets and phase 2 "
+        "ranks only k x 32 survivors per group.",
+    oracle=r"""
+        WITH m AS (
+          SELECT doc_id, lang,
+                 CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok,
+                 CAST(length(text) AS DOUBLE) AS n_chr
+          FROM documents
+        ), q AS (
+          SELECT doc_id, lang,
+                 LEAST(CAST(n_tok AS DOUBLE) / 100.0, 1.0) * 0.6 +
+                 (CASE WHEN n_chr / CAST(n_tok AS DOUBLE) >= 3.0
+                        AND n_chr / CAST(n_tok AS DOUBLE) <= 10.0
+                       THEN 1.0 ELSE 0.5 END) * 0.4 AS quality
+          FROM m
+        ), r AS (
+          SELECT lang, doc_id, quality,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY lang ORDER BY quality DESC, doc_id
+                 ) AS "rank"
+          FROM q
+        )
+        SELECT lang, doc_id, ROUND(quality, 6) AS quality, "rank"
+        FROM r WHERE "rank" <= 5
+    """,
+)
+def n5_topk_per_group(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").withColumn(
+        "quality", tx.quality_score(F.col("text"))
+    )
+    top = grouped_topk(
+        docs,
+        "lang",
+        [F.col("quality").desc(), F.col("doc_id").asc()],
+        salt_col="doc_id",
+        k=5,
+    )
+    return top.select(
+        "lang", "doc_id", F.round("quality", 6).alias("quality"), "rank"
+    )
+
+
+@query(
+    "n1_line_dedup_keep_first",
+    group="N1",
+    doc="C4-style corpus line dedup: every distinct line survives exactly "
+        "once at its first (doc_id, pos) occurrence; docs reassemble "
+        "from survivors. Keeper choice is groupBy(line).min(struct) — "
+        "map-side combine collapses billion-fold boilerplate lines to "
+        "one row per input partition, where a window would buffer every "
+        "copy.",
+    oracle="""
+        WITH units AS (
+          SELECT doc_id, i AS pos, ls[i + 1] AS line
+          FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+                FROM documents),
+               UNNEST(range(len(ls))) AS u(i)
+        ), kept AS (
+          SELECT doc_id, pos, line
+          FROM (SELECT doc_id, pos, line,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY line ORDER BY doc_id, pos
+                       ) AS rn
+                FROM units)
+          WHERE rn = 1
+        )
+        SELECT doc_id,
+               string_agg(line, chr(10) ORDER BY pos) AS new_text,
+               COUNT(*) AS n_kept
+        FROM kept GROUP BY doc_id
+    """,
+)
+def n1_line_dedup_keep_first(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    return pg.dedup_lines_keep_first(docs, "text", "doc_id")
+
+
+@query(
+    "n6_mixture_weights",
+    group="N6",
+    doc="Domain mixture weights: tempered share (weight ∝ n^0.5, the "
+        "XLM-R/Pile alpha-smoothing) and the per-source sampling boost. "
+        "One count per source, then arithmetic over the tiny aggregate "
+        "(ordered-frame window sum, no BNLJ; sqrt not pow(0.5) so both "
+        "engines produce the correctly-rounded, bit-identical double).",
+    oracle="""
+        WITH c AS (
+          SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+        )
+        SELECT source, n_docs,
+               ROUND(n_docs / SUM(n_docs) OVER w, 6) AS raw_share,
+               ROUND(sqrt(n_docs) / SUM(sqrt(n_docs)) OVER w, 6) AS weight,
+               ROUND(ROUND(sqrt(n_docs) / SUM(sqrt(n_docs)) OVER w, 6)
+                     / ROUND(n_docs / SUM(n_docs) OVER w, 6), 6) AS boost
+        FROM c
+        WINDOW w AS (ORDER BY source
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND UNBOUNDED FOLLOWING)
+    """,
+)
+def n6_mixture_weights(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    return wt.mixture_weights(docs, "source", alpha=0.5)
+
+
+@query(
+    "n1_dedup_incremental",
+    group="N1",
+    doc="Snapshot-delta dedup: the train split stands in for yesterday's "
+        "corpus (kept only as a 16-byte-fp index), the rest is today's "
+        "batch — admit batch docs whose content is new, min-id per "
+        "batch-internal dup group. One anti-join of batch fps against "
+        "the index; corpus bodies never re-read (functions/incremental.py).",
+    oracle="""
+        WITH fp AS (
+          SELECT doc_id, md5(text) AS fp, doc_id % 100 AS b FROM documents
+        ), idx AS (
+          SELECT DISTINCT fp FROM fp WHERE b < 80
+        ), batch AS (
+          SELECT f.doc_id, f.fp FROM fp f
+          LEFT JOIN idx ON f.fp = idx.fp
+          WHERE f.b >= 80 AND idx.fp IS NULL
+        )
+        SELECT MIN(doc_id) AS doc_id, fp, COUNT(*) AS batch_dups
+        FROM batch GROUP BY fp
+    """,
+)
+def n1_dedup_incremental(spark, sf_dir):
+    docs = pl.assign_split(t(spark, sf_dir, "documents"), "doc_id")
+    corpus = docs.filter(F.col("split") == "train")
+    batch = docs.filter(F.col("split") != "train")
+    idx = inc.fingerprint_index(corpus, "text")
+    return inc.admit_batch(batch, idx, "text", "doc_id")
+
+
+@query(
+    "n1_cluster_best",
+    group="N1",
+    doc="Quality-aware dedup: after connected-component clustering of "
+        "near-dup pairs, keep the BEST-quality member per cluster (not "
+        "the min id) — min_by over struct(-quality, doc) aggregates "
+        "map-side, so a megacluster never buffers in one task the way a "
+        "per-cluster window would.",
+    oracle=r"""
+        WITH RECURSIVE toks AS (
+          SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+          FROM documents
+        ), sh AS (
+          SELECT DISTINCT doc_id AS doc, array_to_string(w[i:i+2], ' ') AS shingle
+          FROM toks, UNNEST(range(1, GREATEST(len(w) - 2, 1) + 1)) AS u(i)
+        ), sizes AS (SELECT doc, COUNT(*) AS n FROM sh GROUP BY doc),
+        inter AS (
+          SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_inter
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+          GROUP BY 1, 2
+        ), pairs AS (
+          SELECT doc_a, doc_b FROM inter
+          JOIN sizes sa ON sa.doc = doc_a JOIN sizes sb ON sb.doc = doc_b
+          WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.4
+        ), edges AS (
+          SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION ALL
+          SELECT doc_b, doc_a FROM pairs
+        ), reach AS (
+          SELECT a AS doc, a AS r FROM edges
+          UNION
+          SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.doc
+        ), comp AS (
+          SELECT doc, MIN(r) AS canonical FROM reach GROUP BY doc
+        ), m AS (
+          SELECT doc_id,
+                 CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok,
+                 CAST(length(text) AS DOUBLE) AS n_chr
+          FROM documents
+        ), q AS (
+          SELECT doc_id,
+                 LEAST(CAST(n_tok AS DOUBLE) / 100.0, 1.0) * 0.6 +
+                 (CASE WHEN n_chr / CAST(n_tok AS DOUBLE) >= 3.0
+                        AND n_chr / CAST(n_tok AS DOUBLE) <= 10.0
+                       THEN 1.0 ELSE 0.5 END) * 0.4 AS quality
+          FROM m
+        ), j AS (
+          SELECT c.canonical, c.doc, q.quality
+          FROM comp c JOIN q ON q.doc_id = c.doc
+        ), r2 AS (
+          SELECT canonical, doc, quality,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY canonical ORDER BY quality DESC, doc
+                 ) AS rn,
+                 COUNT(*) OVER (PARTITION BY canonical) AS cluster_size,
+                 MAX(quality) OVER (PARTITION BY canonical) AS best_q
+          FROM j
+        )
+        SELECT canonical, doc AS best_doc, ROUND(best_q, 6) AS best_quality,
+               cluster_size
+        FROM r2 WHERE rn = 1
+    """,
+)
+def n1_cluster_best(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(docs, "text", "doc_id", k=3, threshold=0.4)
+    clusters = dd.dedup_clusters(pairs)
+    quality = docs.select(
+        F.col("doc_id").alias("doc"), tx.quality_score(F.col("text")).alias("quality")
+    )
+    joined = clusters.join(quality, "doc")
+    return joined.groupBy("canonical").agg(
+        F.expr("min_by(doc, struct(-quality, doc))").alias("best_doc"),
+        F.round(F.max("quality"), 6).alias("best_quality"),
+        F.count(F.lit(1)).alias("cluster_size"),
+    )

@@ -152,3 +152,37 @@ def test_boilerplate_removal_uses_anti_join_no_sort(qs):
     assert "LeftAnti" in plan, plan[:800]
     names = P.node_names(qs["n5_boilerplate_removal"])
     assert not any(n.strip() == "Sort" for n in names), names
+
+
+def test_grouped_topk_first_window_is_salted(qs):
+    """The salted per-group top-k's phase-1 exchange must partition by
+    (group, salt) — partitioning by the group alone is exactly the
+    few-huge-groups serialization the operator exists to avoid. The salt
+    expression is pmod(xxhash64(...)), so the first hashpartitioning
+    spec must mention it."""
+    import re
+
+    plan = P.plan_str(qs["n5_topk_per_group"])
+    specs = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert specs, plan[:500]
+    # phase 1: two partition exprs (group + projected salt) before the
+    # numPartitions arg; phase 2: the group alone
+    assert len(specs[0].split(",")) == 3, specs
+    assert len(specs[-1].split(",")) == 2, specs
+    # and the salt really is the deterministic hash, not rand/partition-id
+    assert "xxhash64" in plan and "pmod" in plan, plan[:500]
+
+
+def test_line_dedup_keeper_is_aggregate_not_window(qs):
+    """Keep-first line dedup must choose keepers with a partial+final
+    min(struct) aggregation (map-side combine absorbs hot-line skew) —
+    never a Window over the line (which buffers every copy of a
+    boilerplate line in one task)."""
+    names = P.node_names(qs["n1_line_dedup_keep_first"])
+    assert not any("Window" in n for n in names), names
+    assert sum("HashAggregate" in n for n in names) >= 2, names
+
+
+def test_incremental_dedup_is_anti_join(qs):
+    plan = P.plan_str(qs["n1_dedup_incremental"])
+    assert "LeftAnti" in plan, plan[:800]

@@ -72,6 +72,7 @@ _WINDOW_PIN: list[str] = [
     "n6_mixture_weights",
     "n1_dedup_incremental",
     "n1_cluster_best",
+    "n1_fuzzy_dedup_pairs",
 ]
 
 

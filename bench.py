@@ -304,6 +304,9 @@ def main() -> None:
         "n5_topk_per_group",
         "n1_line_dedup_keep_first",
         "n6_mixture_weights",
+        "n1_dedup_incremental",
+        "n1_cluster_best",
+        "n1_fuzzy_dedup_pairs",
     ]
 
     def run_r6_ops(data_dir: str) -> dict[str, float]:

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from hiero_spark.functions import dedup as dd
 from hiero_spark.functions import entropy as en
+from hiero_spark.functions import fuzzy as fz
 from hiero_spark.functions import incremental as inc
 from hiero_spark.functions import overlap as ov
 from hiero_spark.functions import paragraphs as pg
@@ -318,3 +319,42 @@ def n1_cluster_best(spark, sf_dir):
         F.round(F.max("quality"), 6).alias("best_quality"),
         F.count(F.lit(1)).alias("cluster_size"),
     )
+
+
+@query(
+    "n1_fuzzy_dedup_pairs",
+    group="N1",
+    doc="Fuzzy key dedup: all title pairs within edit distance 1, found "
+        "via SymSpell deletion-neighborhood blocking (functions/fuzzy.py) "
+        "— candidates come from a variant equi-join, never an all-pairs "
+        "scan; the brute-force all-pairs levenshtein lives ONLY in the "
+        "oracle at oracle scale. documents has no title column, so both "
+        "engines synthesize the same keys from doc_id with a planted "
+        "substitution typo on every 7th doc (non-vacuous: distance-0 AND "
+        "distance-1 pairs both occur).",
+    oracle="""
+        WITH k AS (
+          SELECT doc_id,
+                 'document '
+                 || (CASE WHEN doc_id % 7 = 0 THEN 'titl' ELSE 'title' END)
+                 || ' ' || CAST(doc_id % 60 AS VARCHAR) AS key
+          FROM documents
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               levenshtein(a.key, b.key) AS dist
+        FROM k a JOIN k b ON a.doc_id < b.doc_id
+        WHERE levenshtein(a.key, b.key) <= 1
+    """,
+)
+def n1_fuzzy_dedup_pairs(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("document "),
+            F.when(F.col("doc_id") % 7 == 0, "titl").otherwise("title"),
+            F.lit(" "),
+            (F.col("doc_id") % 60).cast("string"),
+        ).alias("title"),
+    )
+    return fz.fuzzy_pairs_d1(keyed, "title", "doc_id")

@@ -73,6 +73,7 @@ _WINDOW_PIN: list[str] = [
     "n1_dedup_incremental",
     "n1_cluster_best",
     "n1_fuzzy_dedup_pairs",
+    "n1_incremental_near_dups_verdict",
 ]
 
 

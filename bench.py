@@ -307,6 +307,7 @@ def main() -> None:
         "n1_dedup_incremental",
         "n1_cluster_best",
         "n1_fuzzy_dedup_pairs",
+        "n1_incremental_near_dups",
     ]
 
     def run_r6_ops(data_dir: str) -> dict[str, float]:

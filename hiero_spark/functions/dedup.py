@@ -272,17 +272,17 @@ def minhash_signatures(
     return docs.select("doc", "sh", mh.alias("mh"))
 
 
-def lsh_candidate_pairs(
-    sig: DataFrame, num_hashes: int = 64, bands: int = 16, max_bucket: int = 50
-) -> DataFrame:
-    """Banded LSH: docs sharing any band-bucket become candidate pairs.
+def band_buckets(sig: DataFrame, num_hashes: int = 64, bands: int = 16) -> DataFrame:
+    """(doc, band, bkt): one LSH bucket row per (doc, band).
 
-    The band buckets are built in ONE expression tree (`transform` over the
-    band index) so the upstream `mh` signature expression appears exactly
-    once and is evaluated once per row. Building 16 separate band-struct
-    columns instead looks equivalent but is ~16x slower: Catalyst's
+    Built in ONE expression tree (`transform` over the band index) so the
+    upstream `mh` signature expression appears exactly once and is
+    evaluated once per row. Building 16 separate band-struct columns
+    instead looks equivalent but is ~16x slower: Catalyst's
     CollapseProject inlines the (interpreted, higher-order) minhash
     expression into every band struct — measured 204s vs 13s at sf0.1.
+    Shared by within-corpus pairing (`lsh_candidate_pairs`) and the
+    persistable incremental index (functions/incremental.py:lsh_index).
     """
     rows_per_band = num_hashes // bands
     bb = F.explode(
@@ -296,9 +296,17 @@ def lsh_candidate_pairs(
             ),
         )
     )
-    buckets = sig.select("doc", bb.alias("bb")).select(
+    return sig.select("doc", bb.alias("bb")).select(
         "doc", F.col("bb.band").alias("band"), F.col("bb.bkt").alias("bkt")
     )
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, num_hashes: int = 64, bands: int = 16, max_bucket: int = 50
+) -> DataFrame:
+    """Banded LSH: docs sharing any band-bucket become candidate pairs
+    (see band_buckets for the single-tree construction note)."""
+    buckets = band_buckets(sig, num_hashes, bands)
     counted = buckets.withColumn(
         "bucket_size", F.count(F.lit(1)).over(Window.partitionBy("band", "bkt"))
     ).filter(F.col("bucket_size") <= max_bucket)

@@ -19,7 +19,14 @@ Bodies never move in any step.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
 
+from hiero_spark.functions.dedup import (
+    band_buckets,
+    fan_out,
+    minhash_signatures,
+    shingle_hash_array,
+)
 from hiero_spark.functions.text import fingerprint
 
 
@@ -61,3 +68,77 @@ def updated_index(index_df: DataFrame, admitted_batch: DataFrame, text_col: str)
         else admitted_batch.select(fingerprint(F.col(text_col)).alias("fp")).distinct()
     )
     return index_df.unionByName(fps)
+
+
+def lsh_index(
+    corpus_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    max_bucket: int = 50,
+) -> tuple[DataFrame, DataFrame]:
+    """The persistable NEAR-dup index of a corpus: (buckets, shingles).
+
+    buckets = (doc, band, bkt) LSH band-bucket rows, oversized buckets
+    dropped at BUILD time (the cap is an index property, paid once, not
+    re-derived per probe); shingles = (doc, sh) hashed shingle arrays for
+    the verify join. Persist both; bucket the bucket relation by
+    (band, bkt) and daily probes join it shuffle-free."""
+    docs = fan_out(corpus_df, id_col).select(
+        F.col(id_col).alias("doc"),
+        shingle_hash_array(F.col(text_col), k).alias("sh"),
+    )
+    sig = minhash_signatures(docs, num_hashes)
+    buckets = band_buckets(sig, num_hashes, bands)
+    capped = buckets.withColumn(
+        "bucket_size", F.count(F.lit(1)).over(Window.partitionBy("band", "bkt"))
+    ).filter(F.col("bucket_size") <= max_bucket).drop("bucket_size")
+    return capped, docs
+
+
+def incremental_near_dups(
+    batch_df: DataFrame,
+    index_buckets: DataFrame,
+    index_shingles: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """(batch_doc, corpus_doc, jaccard): batch docs near-duplicating an
+    indexed corpus doc — the daily near-dup job, costing one batch-sized
+    shingle/signature pass + a bucket join against the index + exact
+    Jaccard on candidates only. The corpus is never re-shingled; identical
+    text always collides (equal shingle sets give equal signatures in
+    every band), so planted exact copies are found deterministically."""
+    b_docs = fan_out(batch_df, id_col).select(
+        F.col(id_col).alias("doc"),
+        shingle_hash_array(F.col(text_col), k).alias("sh"),
+    ).persist()
+    b_sig = minhash_signatures(b_docs, num_hashes)
+    b_buckets = band_buckets(b_sig, num_hashes, bands)
+    cand = (
+        b_buckets.select("band", "bkt", F.col("doc").alias("batch_doc"))
+        .join(
+            index_buckets.select("band", "bkt", F.col("doc").alias("corpus_doc")),
+            ["band", "bkt"],
+        )
+        .select("batch_doc", "corpus_doc")
+        .distinct()
+    )
+    ba = b_docs.select(F.col("doc").alias("batch_doc"), F.col("sh").alias("sh_a"))
+    ca = index_shingles.select(
+        F.col("doc").alias("corpus_doc"), F.col("sh").alias("sh_b")
+    )
+    joined = cand.join(ba, "batch_doc").join(ca, "corpus_doc")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        joined.withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("batch_doc", "corpus_doc", "jaccard")
+    )

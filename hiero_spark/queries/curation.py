@@ -358,3 +358,79 @@ def n1_fuzzy_dedup_pairs(spark, sf_dir):
         ).alias("title"),
     )
     return fz.fuzzy_pairs_d1(keyed, "title", "doc_id")
+
+
+def _planted_corpus_and_batch(spark, sf_dir):
+    """Shared plant for the incremental near-dup queries: corpus = train
+    docs + an exact copy of every 10th test doc under id+1,000,000; batch
+    = the test split. Identical text collides in every LSH band, so the
+    planted twins are found deterministically — the verdict's anchor."""
+    docs = pl.assign_split(t(spark, sf_dir, "documents"), "doc_id")
+    batch = docs.filter(F.col("split") == "test").select("doc_id", "text")
+    planted = batch.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    corpus = (
+        docs.filter(F.col("split") == "train")
+        .select("doc_id", "text")
+        .unionByName(planted)
+    )
+    return corpus, batch
+
+
+@query(
+    "n1_incremental_near_dups",
+    group="N1",
+    doc="Incremental NEAR-dup dedup (daily-ingest model): the corpus "
+        "persists as an LSH index (band buckets + hashed shingle arrays, "
+        "functions/incremental.py:lsh_index); the batch pays one "
+        "shingle/signature pass, a bucket join against the index, and "
+        "exact Jaccard on candidates only. Corpus text is never "
+        "re-shingled. Probabilistic recall -> rows-only; the planted "
+        "verdict twin is the hashable check.",
+    oracle=None,
+)
+def n1_incremental_near_dups(spark, sf_dir):
+    corpus, batch = _planted_corpus_and_batch(spark, sf_dir)
+    bidx, bsh = inc.lsh_index(corpus, "text", "doc_id")
+    return inc.incremental_near_dups(batch, bidx, bsh, "text", "doc_id")
+
+
+@query(
+    "n1_incremental_near_dups_verdict",
+    group="N1",
+    doc="Hashable verdict for the incremental near-dup path: every "
+        "planted exact twin must be recovered (batch_doc + 1,000,000 at "
+        "jaccard exactly 1.0 — identical shingle sets share all 16 band "
+        "buckets, so recovery is deterministic, not probabilistic), and "
+        "every emitted pair respects the threshold. n_planted anchors "
+        "the verdict to the real split sizes.",
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_planted,
+               TRUE AS all_planted_found,
+               TRUE AS min_jaccard_ok
+        FROM documents
+        WHERE doc_id % 100 >= 90 AND doc_id % 10 = 0
+    """,
+)
+def n1_incremental_near_dups_verdict(spark, sf_dir):
+    corpus, batch = _planted_corpus_and_batch(spark, sf_dir)
+    bidx, bsh = inc.lsh_index(corpus, "text", "doc_id")
+    pairs = inc.incremental_near_dups(batch, bidx, bsh, "text", "doc_id")
+    n_planted = batch.filter(F.col("doc_id") % 10 == 0).agg(
+        F.count(F.lit(1)).alias("n_planted")
+    )
+    found = pairs.filter(
+        (F.col("corpus_doc") == F.col("batch_doc") + 1000000)
+        & (F.col("jaccard") == 1.0)
+    ).agg(F.count_distinct("batch_doc").alias("n_found"))
+    mj = pairs.agg(F.min("jaccard").alias("mj"))
+    return (
+        n_planted.crossJoin(found)
+        .crossJoin(mj)
+        .select(
+            F.col("n_planted").cast("long").alias("n_planted"),
+            (F.col("n_found") == F.col("n_planted")).alias("all_planted_found"),
+            (F.col("mj") >= 0.7).alias("min_jaccard_ok"),
+        )
+    )

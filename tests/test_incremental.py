@@ -69,3 +69,44 @@ def test_bucketed_index_join_skips_index_shuffle(spark):
     # the 16 genuinely-new ones
     assert out.count() == 16
     spark.sql("DROP TABLE IF EXISTS t_inc_fp_index")
+
+
+def test_lsh_index_day2_probe_from_disk(spark, tmp_path):
+    """The near-dup index round-trips through parquet: build once, probe a
+    later batch from the saved files — the corpus is never re-shingled."""
+    from hiero_spark.functions.incremental import incremental_near_dups, lsh_index
+
+    # 30-token docs: a ONE-token interior edit changes 3 of 28 shingles
+    # (jaccard ~0.81, above the 0.7 threshold); an 11-token doc would
+    # land at 0.5 and be correctly filtered out
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda "
+        "mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega "
+        "one two three four five"
+    )
+    corpus = _df(spark, [(i, f"{base} mark{i}") for i in range(40)])
+    bidx, bsh = lsh_index(corpus, "text", "doc_id")
+    bidx.write.parquet(str(tmp_path / "buckets"))
+    bsh.write.parquet(str(tmp_path / "shingles"))
+
+    # day 2: one exact copy, one near copy (one interior token changed),
+    # one novel doc
+    batch = _df(
+        spark,
+        [
+            (100, f"{base} mark7"),
+            (101, (f"{base} mark8").replace(" sigma ", " sigmoid ")),
+            (102, "completely unrelated content about parquet footers"),
+        ],
+    )
+    pairs = incremental_near_dups(
+        batch,
+        spark.read.parquet(str(tmp_path / "buckets")),
+        spark.read.parquet(str(tmp_path / "shingles")),
+        "text",
+        "doc_id",
+    )
+    got = {(r["batch_doc"], r["corpus_doc"]): r["jaccard"] for r in pairs.collect()}
+    assert got[(100, 7)] == 1.0          # exact copy found at jaccard 1
+    assert (101, 8) in got and got[(101, 8)] < 1.0  # near copy found
+    assert not any(b == 102 for b, _ in got)        # novel doc clean

@@ -40,6 +40,7 @@ BNLJ_ALLOWED = {
     "n6_decontamination_bloom": "scalar broadcast: 1-row miss/extra/eval-count combines",
     "n2_semantic_dedup": "scalar broadcast: 1-row planted/original kept-count combines",
     "n4_trained_classifier": "scalar broadcast: 1-row accuracy joins the anchor count",
+    "n1_incremental_near_dups_verdict": "scalar broadcast: 1-row planted/found/min-jaccard combines",
 }
 
 _SPECS = all_queries()

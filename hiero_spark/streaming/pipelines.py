@@ -280,3 +280,28 @@ def idempotent_parquet_sink(
     )
     q.awaitTermination(timeout_s)
     return q
+
+
+def admit_stream(
+    doc_stream: DataFrame, index_df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """X12: streaming ingest dedup against a STATIC corpus index — the
+    streaming twin of functions/incremental.py:admit_batch.
+
+    Stream-static left-anti join on the md5 fingerprint (stateless: the
+    static side is just re-read per micro-batch, no join state
+    accumulates) rejects docs already in yesterday's corpus, then
+    dropDuplicates([fp]) dedups WITHIN the stream — that state is one
+    16-byte key per distinct admitted text, the same bound the batch
+    path's groupBy carries.  On restart dropDuplicates state replays
+    from the checkpoint, so a doc admitted before a crash stays admitted,
+    not re-emitted.
+    """
+    from hiero_spark.functions.text import fingerprint
+
+    return (
+        doc_stream.withColumn("fp", fingerprint(F.col(text_col)))
+        .join(index_df.select(F.col("fp")), "fp", "left_anti")
+        .dropDuplicates(["fp"])
+        .select(id_col, text_col, "fp")
+    )

@@ -275,3 +275,50 @@ def test_idempotent_sink_exactly_once(spark, tmp_path):
     batch_id_writer(out)(replay_df, last)
     got = sorted(r["id"] for r in spark.read.parquet(out).collect())
     assert got == [1, 2, 3], "replayed batch appended duplicates"
+
+
+def test_admit_stream_dedups_against_static_index(spark, tmp_path):
+    """X12 stream-static ingest dedup: stream docs already in the static
+    corpus index are rejected; within-stream duplicates admit once; the
+    streaming result equals the batch admit_batch twin on the same data."""
+    from hiero_spark.functions.incremental import admit_batch, fingerprint_index
+
+    corpus = spark.createDataFrame(
+        [(1, "known doc one"), (2, "known doc two")], ["doc_id", "text"]
+    )
+    idx = fingerprint_index(corpus, "text")
+    idx_path = str(tmp_path / "fp_index")
+    idx.write.parquet(idx_path)
+    static_idx = spark.read.parquet(idx_path)
+
+    batch_rows = [
+        (10, "known doc one"),   # in corpus -> rejected
+        (11, "fresh doc"),       # admitted
+        (12, "fresh doc"),       # within-stream dup -> one admit
+        (13, "another fresh"),   # admitted
+    ]
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    spark.createDataFrame(batch_rows, ["doc_id", "text"]).coalesce(1).write.parquet(
+        str(src / "b0.parquet")
+    )
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        f"{src}/b*.parquet"
+    )
+    out = pl.admit_stream(stream, static_idx, "text", "doc_id")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_admit_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r["text"] for r in spark.table("t_admit_stream").collect())
+    assert got == ["another fresh", "fresh doc"]
+
+    # batch twin admits the same contents
+    batch_df = spark.createDataFrame(batch_rows, ["doc_id", "text"])
+    batch_admitted = admit_batch(batch_df, static_idx, "text", "doc_id")
+    assert batch_admitted.count() == 2

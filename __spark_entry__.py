@@ -74,6 +74,9 @@ _WINDOW_PIN: list[str] = [
     "n1_cluster_best",
     "n1_fuzzy_dedup_pairs",
     "n1_incremental_near_dups_verdict",
+    "n2_quantized_vectors",
+    "n2_quantized_ann",
+    "n2_quantized_recall",
 ]
 
 

@@ -308,6 +308,7 @@ def main() -> None:
         "n1_cluster_best",
         "n1_fuzzy_dedup_pairs",
         "n1_incremental_near_dups",
+        "n2_quantized_ann",
     ]
 
     def run_r6_ops(data_dir: str) -> dict[str, float]:

@@ -1,0 +1,80 @@
+"""Int8 embedding quantization for ANN at scale.
+
+A 100 TB embedding store is mostly float32 vector bytes; symmetric int8
+quantization (x -> round(x * 127 / max|x|), one scale per vector) cuts
+the scan and shuffle volume 4x while keeping cosine ranking nearly
+intact — the standard memory/recall trade every vector store (FAISS
+SQ8, ScaNN) offers. The quantized relation is what you PERSIST; the
+per-vector scale column rides along so approximate dot products can be
+de-scaled.
+
+Everything is Catalyst array arithmetic (transform/aggregate over
+array<tinyint>) — quantization is a narrow map over the corpus,
+scoring is the same one-scan top-k as the float path. The quantization
+is deliberately SQL-mirrorable (round-half-up on doubles, greatest of
+|min|,|max|) so the quantized VALUES are oracle-checkable, and ranking
+quality is pinned by a recall verdict against the exact float top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def quantize_vectors(
+    emb: DataFrame, vec_col: str = "embedding", out_col: str = "q",
+    scale_col: str = "scale",
+) -> DataFrame:
+    """Append int8 codes + the per-vector de-scale factor.
+
+    code_i = round(x_i * 127 / amax), amax = max(|x_i|) (0-vectors get
+    scale 0 and all-zero codes); de-scaled value = code_i * scale where
+    scale = amax / 127."""
+    v = F.col(vec_col).cast("array<double>")
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    safe = F.when(amax > 0.0, amax).otherwise(F.lit(1.0))
+    codes = F.transform(
+        v, lambda x: F.round(x * 127.0 / safe, 0).cast("tinyint")
+    )
+    return emb.withColumn(out_col, codes).withColumn(
+        scale_col, (amax / 127.0).cast("double")
+    )
+
+
+def _qdot(a: Column, b: Column) -> Column:
+    """Integer dot product of two int8 code arrays (exact in long)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("long") * y.cast("long"))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def quantized_topk(
+    qemb: DataFrame, query_vec: list[float], k: int = 10,
+    id_col: str = "vec_id", code_col: str = "q", scale_col: str = "scale",
+) -> DataFrame:
+    """Approximate cosine top-k over the int8 relation.
+
+    The query is quantized the same way; the integer dot de-scales by
+    (scale_a * scale_q), and norms come from the codes — so ranking uses
+    only the persisted int8 bytes, never the float vectors. One scan,
+    TakeOrderedAndProject, same plan shape as the exact path."""
+    import math
+
+    # round HALF AWAY FROM ZERO to match Spark/DuckDB ROUND (Python's
+    # built-in round is half-to-even and would diverge on .5 boundaries)
+    half_away = lambda x: math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+    amax = max((abs(x) for x in query_vec), default=0.0) or 1.0
+    q_codes = [half_away(x * 127.0 / amax) for x in query_vec]
+    qc = F.array(*[F.lit(c).cast("tinyint") for c in q_codes])
+    codes = F.col(code_col)
+    dot = _qdot(codes, qc).cast("double")
+    na = F.sqrt(_qdot(codes, codes).cast("double"))
+    nq = float(sum(c * c for c in q_codes)) ** 0.5 or 1.0
+    cos = F.when(na > 0.0, dot / (na * F.lit(nq))).otherwise(F.lit(0.0))
+    return (
+        qemb.select(F.col(id_col).alias("neighbor_id"), cos.alias("cos_sim_q"))
+        .orderBy(F.desc("cos_sim_q"), F.asc("neighbor_id"))
+        .limit(k)
+    )

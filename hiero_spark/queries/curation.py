@@ -434,3 +434,159 @@ def n1_incremental_near_dups_verdict(spark, sf_dir):
             (F.col("mj") >= 0.7).alias("min_jaccard_ok"),
         )
     )
+
+
+def _emb_query_vec(spark, sf_dir):
+    row = (
+        t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .collect()[0]
+    )
+    return [float(x) for x in row["embedding"]]
+
+
+# Shared CTE: symmetric int8 quantization mirrored from
+# functions/quantize.py (ROUND is half-away-from-zero in both engines).
+_Q_CODES_SQL = """
+        m AS (
+          SELECT vec_id,
+                 list_max(list_transform(embedding,
+                          x -> abs(CAST(x AS DOUBLE)))) AS amax,
+                 embedding
+          FROM embeddings
+        ), c AS (
+          SELECT vec_id, amax,
+                 list_transform(embedding,
+                   x -> CAST(ROUND(CAST(x AS DOUBLE) * 127.0 /
+                        (CASE WHEN amax > 0 THEN amax ELSE 1.0 END), 0)
+                        AS BIGINT)) AS codes
+          FROM m
+        )
+"""
+
+
+@query(
+    "n2_quantized_vectors",
+    group="N2",
+    doc="Int8 symmetric quantization of the embedding store "
+        "(functions/quantize.py): 4x less to persist/scan/shuffle than "
+        "float32 at 100 TB. Values oracle-checked via exact integer "
+        "aggregates of the codes plus the bit-identical per-vector "
+        "de-scale factor.",
+    oracle=f"""
+        WITH {_Q_CODES_SQL}
+        SELECT vec_id,
+               CAST(len(codes) AS BIGINT) AS n_dims,
+               amax / 127.0 AS scale,
+               CAST(list_sum(codes) AS BIGINT) AS sum_codes,
+               CAST(list_sum(list_transform(codes, x -> abs(x))) AS BIGINT)
+                 AS sum_abs_codes
+        FROM c
+    """,
+)
+def n2_quantized_vectors(spark, sf_dir):
+    from hiero_spark.functions.quantize import quantize_vectors
+
+    qv = quantize_vectors(t(spark, sf_dir, "embeddings"))
+    lsum = lambda arr: F.aggregate(
+        arr, F.lit(0).cast("long"), lambda acc, x: acc + x.cast("long")
+    )
+    return qv.select(
+        "vec_id",
+        F.size("q").cast("long").alias("n_dims"),
+        F.col("scale"),
+        lsum(F.col("q")).alias("sum_codes"),
+        lsum(F.transform(F.col("q"), lambda x: F.abs(x))).alias("sum_abs_codes"),
+    )
+
+
+@query(
+    "n2_quantized_ann",
+    group="N2",
+    doc="Approximate cosine top-10 over the int8 codes only (integer dot "
+        "products, exact in long, de-scaled once) — the ranking never "
+        "touches the float vectors. Full SQL oracle mirrors the integer "
+        "arithmetic, so even the quantized RANKING is hash-checked, not "
+        "just spot-recalled.",
+    oracle=f"""
+        WITH {_Q_CODES_SQL},
+        q AS (SELECT codes AS qc FROM c WHERE vec_id = 0),
+        scored AS (
+          SELECT c.vec_id AS neighbor_id,
+                 CAST(list_sum(list_transform(range(1, len(codes) + 1),
+                      i -> codes[i] * qc[i])) AS DOUBLE) AS dot,
+                 sqrt(CAST(list_sum(list_transform(codes, x -> x * x))
+                      AS DOUBLE)) AS na,
+                 sqrt(CAST(list_sum(list_transform(qc, x -> x * x))
+                      AS DOUBLE)) AS nq
+          FROM c, q
+        )
+        SELECT neighbor_id,
+               ROUND(CASE WHEN na > 0 THEN dot / (na * nq) ELSE 0.0 END, 4)
+                 AS cos_sim_q
+        FROM scored ORDER BY dot / (na * nq) DESC, neighbor_id ASC LIMIT 10
+    """,
+)
+def n2_quantized_ann(spark, sf_dir):
+    from hiero_spark.functions.quantize import quantize_vectors, quantized_topk
+
+    qemb = quantize_vectors(t(spark, sf_dir, "embeddings"))
+    out = quantized_topk(qemb, _emb_query_vec(spark, sf_dir), k=10)
+    return out.select("neighbor_id", F.round("cos_sim_q", 4).alias("cos_sim_q"))
+
+
+@query(
+    "n2_quantized_recall",
+    group="N2",
+    doc="Recall@10 of the int8 ranking vs the exact float ranking — the "
+        "number that justifies shipping 4x-smaller vectors. Both top-k "
+        "sets have full SQL mirrors, so the recall itself is "
+        "hash-checked.",
+    oracle=f"""
+        WITH {_Q_CODES_SQL},
+        q AS (SELECT codes AS qc FROM c WHERE vec_id = 0),
+        qscored AS (
+          SELECT c.vec_id AS neighbor_id,
+                 CAST(list_sum(list_transform(range(1, len(codes) + 1),
+                      i -> codes[i] * qc[i])) AS DOUBLE)
+                 / (sqrt(CAST(list_sum(list_transform(codes, x -> x * x)) AS DOUBLE))
+                    * sqrt(CAST(list_sum(list_transform(qc, x -> x * x)) AS DOUBLE)))
+                 AS cs
+          FROM c, q
+        ),
+        qtop AS (SELECT neighbor_id FROM qscored
+                 ORDER BY cs DESC, neighbor_id ASC LIMIT 10),
+        fq AS (SELECT embedding AS fqv FROM embeddings WHERE vec_id = 0),
+        fscored AS (
+          SELECT vec_id AS neighbor_id,
+                 list_sum(list_transform(range(1, len(embedding) + 1),
+                          i -> CAST(embedding[i] AS DOUBLE) * CAST(fqv[i] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(fqv,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+                 AS cs
+          FROM embeddings, fq
+        ),
+        ftop AS (SELECT neighbor_id FROM fscored
+                 ORDER BY cs DESC, neighbor_id ASC LIMIT 10)
+        SELECT CAST(10 AS BIGINT) AS k,
+               CAST(COUNT(*) AS BIGINT) AS n_overlap,
+               ROUND(COUNT(*) / 10.0, 6) AS recall
+        FROM qtop JOIN ftop USING (neighbor_id)
+    """,
+)
+def n2_quantized_recall(spark, sf_dir):
+    from hiero_spark.functions import similarity as sim
+    from hiero_spark.functions.quantize import quantize_vectors, quantized_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    qv = _emb_query_vec(spark, sf_dir)
+    exact = sim.brute_force_topk(emb, qv, k=10).select("neighbor_id")
+    approx = quantized_topk(quantize_vectors(emb), qv, k=10).select("neighbor_id")
+    return approx.join(exact, "neighbor_id").agg(
+        F.lit(10).cast("long").alias("k"),
+        F.count(F.lit(1)).alias("n_overlap"),
+        F.round(F.count(F.lit(1)) / 10.0, 6).alias("recall"),
+    )

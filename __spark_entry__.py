@@ -77,6 +77,7 @@ _WINDOW_PIN: list[str] = [
     "n2_quantized_vectors",
     "n2_quantized_ann",
     "n2_quantized_recall",
+    "n2_pca_rerank_verdict",
 ]
 
 

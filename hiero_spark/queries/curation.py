@@ -590,3 +590,56 @@ def n2_quantized_recall(spark, sf_dir):
         F.count(F.lit(1)).alias("n_overlap"),
         F.round(F.count(F.lit(1)) / 10.0, 6).alias("recall"),
     )
+
+
+@query(
+    "n2_pca_rerank",
+    group="N2",
+    doc="Two-stage ANN: coarse top-50 by cosine in an 8-dim PCA space "
+        "(distributed Gram fit, functions/rerank.py), exact full-dim "
+        "rerank of candidates only. Rows-only (the candidate set depends "
+        "on the eigenfit); the verdict twin pins the pipeline's exactness "
+        "properties. HONEST NEGATIVE on this corpus: the synthetic "
+        "embeddings are near-isotropic (top-8 components explain ~20% "
+        "variance), so recall@10 is ~0.2 here — the unit test shows 1.0 "
+        "on clustered data, where the reduction actually applies.",
+    oracle=None,
+)
+def n2_pca_rerank(spark, sf_dir):
+    from hiero_spark.functions.rerank import pca_rerank_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    out = pca_rerank_topk(emb, _emb_query_vec(spark, sf_dir), k=10, n_candidates=50)
+    return out.select("neighbor_id", F.round("cos_sim", 4).alias("cos_sim"))
+
+
+@query(
+    "n2_pca_rerank_verdict",
+    group="N2",
+    doc="Exactness pins for the two-stage path: widening the candidate "
+        "set to the whole corpus must reproduce the exact brute-force "
+        "top-10 (the coarse stage becomes a permutation and the rerank "
+        "IS brute force) — a full-pipeline correctness check independent "
+        "of how compressible the data is.",
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+               CAST(10 AS BIGINT) AS k,
+               TRUE AS full_width_matches_exact
+        FROM embeddings
+    """,
+)
+def n2_pca_rerank_verdict(spark, sf_dir):
+    from hiero_spark.functions import similarity as sim
+    from hiero_spark.functions.rerank import pca_rerank_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    qv = _emb_query_vec(spark, sf_dir)
+    n = emb.count()
+    exact = sim.brute_force_topk(emb, qv, k=10).select("neighbor_id")
+    full_width = pca_rerank_topk(emb, qv, k=10, n_candidates=n).select("neighbor_id")
+    overlap = full_width.join(exact, "neighbor_id")
+    return overlap.agg(
+        F.lit(n).cast("long").alias("n_vectors"),
+        F.lit(10).cast("long").alias("k"),
+        (F.count(F.lit(1)) == 10).alias("full_width_matches_exact"),
+    )

@@ -78,6 +78,8 @@ _WINDOW_PIN: list[str] = [
     "n2_quantized_ann",
     "n2_quantized_recall",
     "n2_pca_rerank_verdict",
+    "n4_normalize_text",
+    "s15_training_shards",
 ]
 
 

@@ -643,3 +643,47 @@ def n2_pca_rerank_verdict(spark, sf_dir):
         F.lit(10).cast("long").alias("k"),
         (F.count(F.lit(1)) == 10).alias("full_width_matches_exact"),
     )
+
+
+@query(
+    "n4_normalize_text",
+    group="N4",
+    doc="Unicode ingestion normalization (functions/normalize.py): NFC "
+        "composition (Arrow-batched pandas_udf — Spark has no builtin "
+        "normalizer; DuckDB mirrors with nfc_normalize), control-char "
+        "strip, whitespace collapse. The corpus is clean ASCII, so both "
+        "engines plant the same mess (decomposed e+combining-acute, a "
+        "BEL, doubled spaces) on every 3rd doc — non-vacuous by "
+        "construction.",
+    oracle=r"""
+        WITH messy AS (
+          SELECT doc_id,
+                 text || (CASE WHEN doc_id % 3 = 0
+                               THEN '  cafe' || chr(769) || chr(7) || ' '
+                               ELSE '' END) AS m
+          FROM documents
+        )
+        SELECT doc_id,
+               TRIM(regexp_replace(
+                 regexp_replace(nfc_normalize(m),
+                   '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+                 '\s+', ' ', 'g')) AS norm_text,
+               TRIM(regexp_replace(
+                 regexp_replace(nfc_normalize(m),
+                   '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+                 '\s+', ' ', 'g')) <> m AS changed
+        FROM messy
+    """,
+)
+def n4_normalize_text(spark, sf_dir):
+    from hiero_spark.functions.normalize import with_normalized_text
+
+    docs = t(spark, sf_dir, "documents")
+    messy = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0, "  café\x07 ").otherwise(""),
+        ).alias("m"),
+    )
+    return with_normalized_text(messy, "m").select("doc_id", "norm_text", "changed")

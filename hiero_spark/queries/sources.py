@@ -347,3 +347,35 @@ def s14_compaction(spark, sf_dir):
     audit = layout.compact_parquet(spark, src, dst, target_file_bytes=1 << 20)
     assert audit["files_out"] < audit["files_in"]
     return spark.read.parquet(dst)
+
+
+@query(
+    "s15_training_shards",
+    group="S15",
+    doc="Training-shard export (sources/layout.py:export_training_shards): "
+        "documents shard by pmod(xxhash64(doc_id), 8) — membership is a "
+        "pure function of the id, so re-exports are reproducible and "
+        "loaders resume by shard — written partitionBy(shard), manifest "
+        "read back FROM THE WRITTEN FILES. The oracle recomputes the "
+        "manifest from the source table: match proves the export lost "
+        "and duplicated nothing, per shard. (Oracle uses the pmod shard "
+        "fn — DuckDB has no xxhash64; the hashed production default is "
+        "unit-tested, the assign_split/hash_split pattern.)",
+    oracle="""
+        WITH s AS (
+          SELECT doc_id, doc_id % 8 AS shard FROM documents
+        )
+        SELECT CAST(shard AS BIGINT) AS shard,
+               COUNT(*) AS n_rows,
+               MIN(doc_id) AS min_id,
+               MAX(doc_id) AS max_id
+        FROM s GROUP BY shard ORDER BY shard
+    """,
+)
+def s15_training_shards(spark, sf_dir):
+    from hiero_spark.sources import layout
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return layout.export_training_shards(
+        docs, _export_dir("doc_shards"), "doc_id", n_shards=8, hashed=False
+    )

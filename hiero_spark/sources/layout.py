@@ -183,3 +183,46 @@ def compact_parquet(
     df.repartition(n_out).write.mode("overwrite").parquet(dst_path)
     files_out = len(_glob.glob(f"{dst_path}/part-*.parquet"))
     return {"files_in": len(files), "files_out": files_out, "bytes_in": bytes_in}
+
+
+def export_training_shards(
+    df, dst_path: str, id_col: str, n_shards: int = 8, hashed: bool = True
+):
+    """Export a curated dataset as deterministic training shards with a
+    manifest — the hand-off format between the data pipeline and the
+    training loader (each loader worker claims whole shards; the
+    manifest is the contract it validates against).
+
+    Shard = pmod(xxhash64(id), n_shards) (hashed=True, the production
+    default: unbiased under clustered id ranges) or pmod(id, n_shards)
+    (hashed=False — SQL-oracle-mirrorable, the same split the
+    assign_split/hash_split pair makes). Either way membership is a pure
+    function of the id: stable under reruns and independent of physical
+    layout, so re-exports reproduce byte-wise identical shard
+    MEMBERSHIP (loaders can resume by shard id). One
+    repartition on the shard key, partitionBy write (dynamic partition
+    dirs shard=N/), then a metadata-only manifest pass: per shard, row
+    count and id span read back from the written files — the manifest
+    describes what is ON DISK, not what was intended.
+    """
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    key = F.xxhash64(F.col(id_col)) if hashed else F.col(id_col)
+    sharded = df.withColumn("shard", F.pmod(key, F.lit(n_shards)))
+    (
+        sharded.repartition(n_shards, "shard")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(dst_path)
+    )
+    return (
+        spark.read.parquet(dst_path)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min(id_col).alias("min_id"),
+            F.max(id_col).alias("max_id"),
+        )
+        .orderBy("shard")
+    )

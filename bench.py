@@ -309,6 +309,8 @@ def main() -> None:
         "n1_fuzzy_dedup_pairs",
         "n1_incremental_near_dups",
         "n2_quantized_ann",
+        "n4_normalize_text",
+        "s15_training_shards",
     ]
 
     def run_r6_ops(data_dir: str) -> dict[str, float]:

@@ -116,6 +116,23 @@ def main(sf_dir: str = "/root/testdata/sf0.001", out=print) -> None:
     merges = bpe.train_bpe(bpe.word_dict(docs, "text"), n_merges=6)
     out(f"BPE merges learned in-engine: {merges}")
 
+    # 8. day-2 ingest: the corpus persists as a fingerprint index; a new
+    #    batch dedups against it without re-reading corpus bodies, and
+    #    near-dups are caught by probing the persisted LSH index
+    from hiero_spark.functions import incremental as inc
+
+    corpus = split.filter(F.col("split") == "train")
+    batch = split.filter(F.col("split") == "test")
+    fp_idx = inc.fingerprint_index(corpus, "text")
+    admitted = inc.admit_batch(batch, fp_idx, "text", "doc_id")
+    bidx, bsh = inc.lsh_index(corpus, "text", "doc_id")
+    near = inc.incremental_near_dups(batch, bidx, bsh, "text", "doc_id")
+    out(
+        f"\nday-2 ingest: {batch.count()} batch docs -> "
+        f"{admitted.count()} admitted (exact-new), "
+        f"{near.select('batch_doc').distinct().count()} near-dup an indexed corpus doc"
+    )
+
 
 if __name__ == "__main__":
     main(*sys.argv[1:2])

@@ -80,6 +80,8 @@ _WINDOW_PIN: list[str] = [
     "n2_pca_rerank_verdict",
     "n4_normalize_text",
     "s15_training_shards",
+    "n5_curation_pipeline2",
+    "ext_rolling_anomaly",
 ]
 
 

@@ -30,9 +30,12 @@ from __future__ import annotations
 from pyspark.sql import Column, functions as F
 
 
-def char_entropy(text: Column) -> Column:
+def char_entropy(text: Column, rounded: bool = True) -> Column:
     """Shannon entropy (bits/char) of the document's character histogram,
-    rounded to 6 decimals; 0.0 for the empty document."""
+    rounded to 6 decimals (rounded=False keeps the raw double — gate
+    comparisons must use the same form as their oracle, or a value that
+    rounds ACROSS the threshold flips the gate on one side only); 0.0
+    for the empty document."""
     chars = F.split(text, "")
     n = F.size(chars)
     # SORTED alphabet: Spark's array_distinct keeps first-occurrence order
@@ -48,7 +51,9 @@ def char_entropy(text: Column) -> Column:
         * F.log(F.size(F.filter(chars, lambda x: x == c)).cast("double")),
     )
     h = (F.log(n.cast("double")) - sum_clnc / n.cast("double")) / F.log(F.lit(2.0))
-    return F.when(F.length(text) == 0, F.lit(0.0)).otherwise(F.round(h, 6))
+    if rounded:
+        h = F.round(h, 6)
+    return F.when(F.length(text) == 0, F.lit(0.0)).otherwise(h)
 
 
 def alphabet_size(text: Column) -> Column:

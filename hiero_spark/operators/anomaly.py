@@ -1,0 +1,89 @@
+"""Rolling z-score anomaly detection over bucketed time series — the
+monitoring query every event pipeline runs: "is this hour's volume
+abnormal against the trailing day?".
+
+Shape: one groupBy to bucket (partial+final count — the only
+corpus-wide pass), then a per-key ordered window over the BUCKETS
+(cardinality = keys × time buckets, thousands of rows at 100 TB of raw
+events — the window input is the aggregate, never the events). The
+trailing frame EXCLUDES the current bucket, so a spike can't mask
+itself by inflating its own baseline.
+
+Cross-engine determinism: the windowed sums run over integer counts
+(exact in any order); mean/variance come from the explicit sum/sumsq
+formula var = (ss - n*mean²)/(n-1) rather than built-in STDDEV (engines
+disagree on Welford vs naive accumulation), so the z-scores are
+bit-identical and hash-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def rolling_zscore(
+    bucketed: DataFrame,
+    key_col: str,
+    bucket_col: str,
+    value_col: str,
+    trailing: int = 24,
+    min_points: int = 6,
+) -> DataFrame:
+    """Append baseline_mean / baseline_std / zscore over a per-key
+    trailing window of `trailing` buckets (current bucket excluded).
+    Rows with fewer than min_points trailing buckets, or zero variance,
+    get NULL zscore (no verdict, not a fake 0)."""
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(bucket_col)
+        .rowsBetween(-trailing, -1)
+    )
+    v = F.col(value_col).cast("double")
+    n = F.count(v).over(w)
+    s = F.sum(v).over(w)
+    ss = F.sum(v * v).over(w)
+    # ANSI mode: guard the n=0 / n=1 warm-up rows (empty or one-row
+    # trailing frame) or the divisions raise DIVIDE_BY_ZERO
+    mean = F.when(n >= 1, s / n).otherwise(F.lit(None).cast("double"))
+    var = F.when(n >= 2, (ss - n * mean * mean) / (n - 1)).otherwise(
+        F.lit(None).cast("double")
+    )
+    std = F.sqrt(F.greatest(var, F.lit(0.0)))
+    z = F.when(
+        (n >= min_points) & (std > 0.0), (v - mean) / std
+    ).otherwise(F.lit(None).cast("double"))
+    return (
+        bucketed.withColumn("n_baseline", n)
+        .withColumn("baseline_mean", mean)
+        .withColumn("baseline_std", std)
+        .withColumn("zscore", z)
+    )
+
+
+def hourly_count_anomalies(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    z_threshold: float = 3.0,
+    trailing: int = 24,
+) -> DataFrame:
+    """Hourly event-count anomalies per key: buckets, rolling baseline,
+    |z| >= threshold. Output keeps the hour as epoch seconds (engines
+    disagree on raw timestamp hashing)."""
+    hourly = (
+        events.groupBy(
+            F.col(key_col),
+            F.unix_timestamp(F.date_trunc("hour", F.col(ts_col))).alias("bucket_ts"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    scored = rolling_zscore(hourly, key_col, "bucket_ts", "n_events", trailing)
+    return scored.filter(
+        F.col("zscore").isNotNull() & (F.abs("zscore") >= z_threshold)
+    ).select(
+        key_col,
+        "bucket_ts",
+        "n_events",
+        F.round("baseline_mean", 6).alias("baseline_mean"),
+        F.round("zscore", 6).alias("zscore"),
+    )

@@ -687,3 +687,125 @@ def n4_normalize_text(spark, sf_dir):
         ).alias("m"),
     )
     return with_normalized_text(messy, "m").select("doc_id", "norm_text", "changed")
+
+
+@query(
+    "n5_curation_pipeline2",
+    group="N5",
+    doc="Round-6 composed curation pass, one plan end to end: keep-first "
+        "line dedup (raw text — line structure must survive to this "
+        "stage) -> unicode normalization -> char-entropy + quality gates "
+        "on the NORMALIZED text -> exact dedup by md5(norm). Every stage "
+        "reuses an individually-proven operator and the oracle chains "
+        "their individually-proven SQL mirrors — the composability "
+        "evidence a query engine owes its users.",
+    oracle=r"""
+        WITH units AS (
+          SELECT doc_id, i AS pos, ls[i + 1] AS line
+          FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+                FROM documents),
+               UNNEST(range(len(ls))) AS u(i)
+        ), kept AS (
+          SELECT doc_id, pos, line
+          FROM (SELECT doc_id, pos, line,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY line ORDER BY doc_id, pos
+                       ) AS rn
+                FROM units)
+          WHERE rn = 1
+        ), rebuilt AS (
+          SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS new_text
+          FROM kept GROUP BY doc_id
+        ), norm AS (
+          SELECT doc_id,
+                 TRIM(regexp_replace(
+                   regexp_replace(nfc_normalize(new_text),
+                     '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+                   '\s+', ' ', 'g')) AS n
+          FROM rebuilt
+        ), feat AS (
+          SELECT doc_id, n,
+                 CASE WHEN length(n) = 0 THEN 0.0
+                      ELSE (ln(length(n))
+                            - list_sum(list_transform(
+                                list_sort(list_distinct(string_split(n, ''))),
+                                d -> len(list_filter(string_split(n, ''), x -> x = d))
+                                     * ln(len(list_filter(string_split(n, ''), x -> x = d)))))
+                              / length(n)) / ln(2)
+                 END AS entropy,
+                 LEAST(CAST(len(regexp_split_to_array(trim(n), '\s+')) AS DOUBLE) / 100.0, 1.0) * 0.6 +
+                 (CASE WHEN CAST(length(n) AS DOUBLE) / len(regexp_split_to_array(trim(n), '\s+')) >= 3.0
+                        AND CAST(length(n) AS DOUBLE) / len(regexp_split_to_array(trim(n), '\s+')) <= 10.0
+                       THEN 1.0 ELSE 0.5 END) * 0.4 AS quality
+          FROM norm
+        ), gated AS (
+          SELECT doc_id, n FROM feat WHERE entropy >= 1.5 AND quality >= 0.5
+        )
+        SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+        FROM gated GROUP BY md5(n)
+    """,
+)
+def n5_curation_pipeline2(spark, sf_dir):
+    from hiero_spark.functions.entropy import char_entropy
+    from hiero_spark.functions.normalize import normalize_text
+
+    docs = t(spark, sf_dir, "documents")
+    rebuilt = pg.dedup_lines_keep_first(docs, "text", "doc_id")
+    norm = rebuilt.select(
+        "doc_id", normalize_text(F.col("new_text")).alias("n")
+    )
+    # gate on RAW (unrounded) entropy to mirror the oracle's comparison
+    ent = char_entropy(F.col("n"), rounded=False)
+    gated = norm.withColumn(
+        "quality", tx.quality_score(F.col("n"))
+    ).filter((ent >= 1.5) & (F.col("quality") >= 0.5))
+    return (
+        gated.groupBy(F.md5("n"))
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+        .select("keep_id", "dup_count")
+    )
+
+
+@query(
+    "ext_rolling_anomaly",
+    group="ext-window",
+    doc="Rolling z-score anomaly detection (operators/anomaly.py): hourly "
+        "event counts per type vs a trailing-24h baseline (current hour "
+        "EXCLUDED so a spike can't mask itself). Window input is the "
+        "hourly AGGREGATE (keys x hours), never the raw events; variance "
+        "via explicit sum/sumsq so both engines produce bit-identical "
+        "z-scores over exact integer sums.",
+    oracle="""
+        WITH hourly AS (
+          SELECT event_type,
+                 CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket_ts,
+                 COUNT(*) AS n_events
+          FROM events GROUP BY 1, 2
+        ), scored AS (
+          SELECT event_type, bucket_ts, n_events,
+                 COUNT(CAST(n_events AS DOUBLE)) OVER w AS n,
+                 SUM(CAST(n_events AS DOUBLE)) OVER w AS s,
+                 SUM(CAST(n_events AS DOUBLE) * CAST(n_events AS DOUBLE)) OVER w AS ss
+          FROM hourly
+          WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts
+                       ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+        ), z AS (
+          SELECT event_type, bucket_ts, n_events,
+                 s / n AS mean,
+                 sqrt(GREATEST((ss - n * (s / n) * (s / n)) / (n - 1), 0.0)) AS std
+          FROM scored WHERE n >= 6
+        )
+        SELECT event_type, bucket_ts, n_events,
+               ROUND(mean, 6) AS baseline_mean,
+               ROUND((n_events - mean) / std, 6) AS zscore
+        FROM z
+        WHERE std > 0 AND ABS((n_events - mean) / std) >= 3.0
+    """,
+)
+def ext_rolling_anomaly(spark, sf_dir):
+    from hiero_spark.operators.anomaly import hourly_count_anomalies
+
+    return hourly_count_anomalies(t(spark, sf_dir, "events"))

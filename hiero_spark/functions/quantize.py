@@ -31,7 +31,13 @@ def quantize_vectors(
     scale 0 and all-zero codes); de-scaled value = code_i * scale where
     scale = amax / 127."""
     v = F.col(vec_col).cast("array<double>")
-    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    # max|x| as greatest(|min|, |max|) — native array_min/array_max, no
+    # interpreted lambda: `safe` is re-evaluated PER ELEMENT inside the
+    # codes transform (interpreted HOFs get no CSE), so an amax spelled
+    # as array_max(transform(v, abs)) costs O(d²) interpreted ops per
+    # row and dominated the inline-quantize path (measured 1.2 s → the
+    # persisted-codes 0.45 s at sf0.1 before this change).
+    amax = F.greatest(F.abs(F.array_min(v)), F.abs(F.array_max(v)))
     safe = F.when(amax > 0.0, amax).otherwise(F.lit(1.0))
     codes = F.transform(
         v, lambda x: F.round(x * 127.0 / safe, 0).cast("tinyint")
@@ -40,14 +46,6 @@ def quantize_vectors(
         scale_col, (amax / 127.0).cast("double")
     )
 
-
-def _qdot(a: Column, b: Column) -> Column:
-    """Integer dot product of two int8 code arrays (exact in long)."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x.cast("long") * y.cast("long"))),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
 
 
 def quantized_topk(
@@ -69,10 +67,39 @@ def quantized_topk(
     q_codes = [half_away(x * 127.0 / amax) for x in query_vec]
     qc = F.array(*[F.lit(c).cast("tinyint") for c in q_codes])
     codes = F.col(code_col)
-    dot = _qdot(codes, qc).cast("double")
-    na = F.sqrt(_qdot(codes, codes).cast("double"))
+    # ONE expression tree referencing `codes` exactly once (dot and
+    # norm² accumulate together in a struct; the finish lambda emits the
+    # final score): when a caller ranks over an UNmaterialized quantize
+    # expression, CollapseProject would otherwise inline that transform
+    # into every `codes` reference — interpreted HOFs get no CSE (the
+    # dedup.py:lsh_candidate_pairs trap). Scoring stays interpreted
+    # either way, so the production path is rank-over-PERSISTED codes:
+    # 0.45 s vs 1.28 s inline at sf0.1, and 4x fewer bytes scanned.
+    acc0 = F.struct(
+        F.lit(0).cast("long").alias("d"), F.lit(0).cast("long").alias("n")
+    )
     nq = float(sum(c * c for c in q_codes)) ** 0.5 or 1.0
-    cos = F.when(na > 0.0, dot / (na * F.lit(nq))).otherwise(F.lit(0.0))
+    cos = F.aggregate(
+        F.zip_with(
+            codes,
+            qc,
+            lambda x, y: F.struct(
+                (x.cast("long") * y.cast("long")).alias("p"),
+                (x.cast("long") * x.cast("long")).alias("s"),
+            ),
+        ),
+        acc0,
+        lambda a, e: F.struct(
+            (a["d"] + e["p"]).alias("d"), (a["n"] + e["s"]).alias("n")
+        ),
+        # finish lambda: the whole score in ONE tree, `codes` (and hence
+        # the upstream quantization transform) evaluated exactly once
+        lambda a: F.when(
+            a["n"] > 0,
+            a["d"].cast("double")
+            / (F.sqrt(a["n"].cast("double")) * F.lit(nq)),
+        ).otherwise(F.lit(0.0)),
+    )
     return (
         qemb.select(F.col(id_col).alias("neighbor_id"), cos.alias("cos_sim_q"))
         .orderBy(F.desc("cos_sim_q"), F.asc("neighbor_id"))

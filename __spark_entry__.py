@@ -82,6 +82,7 @@ _WINDOW_PIN: list[str] = [
     "s15_training_shards",
     "n5_curation_pipeline2",
     "ext_rolling_anomaly",
+    "n7_pagerank",
 ]
 
 

@@ -1,0 +1,75 @@
+"""Link-graph quality scoring for web-corpus curation: PageRank.
+
+Pretraining pipelines score crawled pages by link centrality (OPIC /
+PageRank buckets in CommonCrawl derivatives) and keep or up-sample the
+well-linked tail. This implements the power iteration as DataFrame
+join+agg rounds — the same iterative shape as dedup_clusters' label
+propagation (per round: one join edges⋈ranks, one groupBy(dst) sum;
+ranks persist per round and lineage is cut with localCheckpoint so the
+plan doesn't deepen).
+
+Cross-engine exactness: the textbook formulation accumulates doubles,
+whose sum order differs between engines and between partitionings. Here
+ranks live in SCALED LONG micro-units (1.0 == 10^6): contributions are
+integer divisions (rank DIV out_degree), damping is (85 * sum) DIV 100,
+and every sum is exact long addition — the fixpoint trajectory is
+bit-identical in Spark and DuckDB (mirrored as chained CTEs), so the
+oracle hash-checks raw values, no tolerance, no rounding games. The
+truncation this introduces is <= out_degree micro-units per edge per
+round — immaterial for ranking, decisive for verifiability.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+SCALE = 1_000_000  # rank 1.0 in micro-units
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = 3,
+    damping_pct: int = 85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(node, rank_micro, rank): integer-arithmetic PageRank after
+    n_iter rounds, initial rank 1.0, teleport (100-damping_pct)%.
+    Nodes = union of edge endpoints; a node with no in-links keeps the
+    teleport mass."""
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    outdeg = edges.groupBy(F.col(src).alias("node")).agg(
+        F.count(F.lit(1)).alias("outdeg")
+    )
+    ranks = nodes.withColumn("r", F.lit(SCALE).cast("long")).localCheckpoint()
+    base = (SCALE * (100 - damping_pct)) // 100
+    for _ in range(n_iter):
+        contribs = (
+            edges.join(ranks, edges[src] == ranks["node"])
+            .join(outdeg, outdeg["node"] == ranks["node"])
+            .select(
+                F.col(dst).alias("node"),
+                F.expr("r DIV outdeg").alias("c"),
+            )
+        )
+        summed = contribs.groupBy("node").agg(F.sum("c").alias("s"))
+        ranks = (
+            nodes.join(summed, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base).cast("long")
+                    + F.expr(f"({damping_pct} * coalesce(s, 0L)) DIV 100")
+                ).alias("r"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select(
+        "node",
+        F.col("r").alias("rank_micro"),
+        (F.col("r") / F.lit(float(SCALE))).alias("rank"),
+    )

@@ -832,3 +832,68 @@ def ext_rolling_anomaly(spark, sf_dir):
     from hiero_spark.operators.anomaly import hourly_count_anomalies
 
     return hourly_count_anomalies(t(spark, sf_dir, "events"))
+
+
+def _pr_oracle_iter(prev: str, cur: str) -> str:
+    """One chained-CTE PageRank round (mirrors functions/graph.py's
+    integer arithmetic; CAST kills DuckDB's HUGEINT promotion)."""
+    return f"""{cur} AS (
+          SELECT nodes.node,
+                 CAST(150000 + (85 * COALESCE(t.s, 0)) // 100 AS BIGINT) AS r
+          FROM nodes LEFT JOIN (
+            SELECT e.dst AS node, CAST(SUM(p.r // od.outdeg) AS BIGINT) AS s
+            FROM edges e
+            JOIN {prev} p ON p.node = e.src
+            JOIN outdeg od ON od.node = e.src
+            GROUP BY e.dst
+          ) t ON t.node = nodes.node
+        )"""
+
+
+@query(
+    "n7_pagerank",
+    group="N7",
+    doc="Link-graph quality scoring: 3-round PageRank over a "
+        "deterministic synthetic link graph (documents has no link "
+        "column; both engines derive 3 out-links per doc from doc_id). "
+        "Ranks live in scaled-long micro-units with integer division "
+        "everywhere (functions/graph.py), so the whole fixpoint "
+        "trajectory is bit-identical across engines and the oracle "
+        "hash-checks raw values — no tolerance. Same iterative shape as "
+        "dedup clustering: join + agg per round, localCheckpoint cuts "
+        "lineage.",
+    oracle=f"""
+        WITH params AS (SELECT MAX(doc_id) + 1 AS n FROM documents),
+        edges AS (
+          SELECT doc_id AS src, (doc_id * 7 + j * 13) % n AS dst
+          FROM documents, params, UNNEST([1, 2, 3]) AS u(j)
+          WHERE (doc_id * 7 + j * 13) % n <> doc_id
+        ),
+        nodes AS (
+          SELECT DISTINCT node FROM (
+            SELECT src AS node FROM edges
+            UNION SELECT dst AS node FROM edges
+          )
+        ),
+        outdeg AS (SELECT src AS node, COUNT(*) AS outdeg FROM edges GROUP BY src),
+        r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+        {_pr_oracle_iter("r0", "r1")},
+        {_pr_oracle_iter("r1", "r2")},
+        {_pr_oracle_iter("r2", "r3")}
+        SELECT node, r AS rank_micro, r / 1000000.0 AS rank FROM r3
+    """,
+)
+def n7_pagerank(spark, sf_dir):
+    from hiero_spark.functions.graph import pagerank
+
+    docs = t(spark, sf_dir, "documents")
+    n = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    edges = (
+        docs.select("doc_id", F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("j"))
+        .select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * 7 + F.col("j") * 13) % n).alias("dst"),
+        )
+        .filter(F.col("dst") != F.col("src"))
+    )
+    return pagerank(edges, n_iter=3)

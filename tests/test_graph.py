@@ -1,0 +1,36 @@
+"""Integer PageRank: hand-computed 3-node trajectory, sink/teleport
+behavior, and determinism under repartitioning."""
+
+from hiero_spark.functions.graph import pagerank
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, ["src", "dst"])
+
+
+def test_hand_computed_trajectory(spark):
+    # 1<->2, 3->1; node 3 has no in-links and keeps only teleport mass
+    e = _edges(spark, [(1, 2), (2, 1), (3, 1)])
+    got = {r["node"]: r["rank_micro"] for r in pagerank(e, n_iter=3).collect()}
+    # round 1: r1(1)=150000+85%*2000000=1850000; r1(2)=1000000; r1(3)=150000
+    # round 2: r2(1)=1127500; r2(2)=1722500
+    # round 3 (asserted):
+    assert got == {1: 1741625, 2: 1108375, 3: 150000}
+
+
+def test_deterministic_under_repartition(spark):
+    pairs = [(i, (i * 3 + 1) % 40) for i in range(40) if (i * 3 + 1) % 40 != i]
+    a = {r["node"]: r["rank_micro"] for r in pagerank(_edges(spark, pairs)).collect()}
+    b = {
+        r["node"]: r["rank_micro"]
+        for r in pagerank(_edges(spark, pairs).repartition(13)).collect()
+    }
+    assert a == b  # integer arithmetic: no summation-order drift
+
+
+def test_rank_mass_reasonable(spark):
+    # every node's rank >= teleport base; well-linked nodes exceed it
+    pairs = [(i, 0) for i in range(1, 20)]  # star into node 0
+    got = {r["node"]: r["rank_micro"] for r in pagerank(_edges(spark, pairs)).collect()}
+    assert all(v >= 150000 for v in got.values())
+    assert got[0] > 10 * 150000  # the hub collects the mass

@@ -83,6 +83,7 @@ _WINDOW_PIN: list[str] = [
     "n5_curation_pipeline2",
     "ext_rolling_anomaly",
     "n7_pagerank",
+    "n6_mixture_apply",
 ]
 
 

@@ -897,3 +897,53 @@ def n7_pagerank(spark, sf_dir):
         .filter(F.col("dst") != F.col("src"))
     )
     return pagerank(edges, n_iter=3)
+
+
+@query(
+    "n6_mixture_apply",
+    group="N6",
+    doc="Mixture weights APPLIED: alpha-tempered per-source weights "
+        "(n6_mixture_weights) become exact quotas (floor(weight * 100)) "
+        "drawn deterministically per source — the tiny quota table "
+        "broadcasts into a per-source rank over the mirrorable LCG "
+        "shuffle key. Closes the loop from computed mixture to the "
+        "actual sampled rows; eval-set assembly needs exact counts, not "
+        "sampleBy's binomial wobble.",
+    oracle=f"""
+        WITH c AS (
+          SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+        ), w AS (
+          SELECT source,
+                 ROUND(sqrt(n_docs) / SUM(sqrt(n_docs)) OVER (
+                   ORDER BY source ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND UNBOUNDED FOLLOWING), 6) AS weight
+          FROM c
+        ), q AS (
+          SELECT source, CAST(FLOOR(weight * 100) AS BIGINT) AS quota FROM w
+        ), r AS (
+          SELECT d.source, d.doc_id, q.quota,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY d.source
+                   ORDER BY ((d.doc_id + 7) * {pl._LCG_MULT}) % {pl._LCG_MOD},
+                            d.doc_id
+                 ) AS rk
+          FROM documents d JOIN q USING (source)
+        )
+        SELECT source, doc_id, quota FROM r WHERE rk <= quota
+    """,
+)
+def n6_mixture_apply(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    docs = t(spark, sf_dir, "documents")
+    quotas = wt.mixture_weights(docs, "source", alpha=0.5).select(
+        "source", F.floor(F.col("weight") * 100).cast("long").alias("quota")
+    )
+    key = pl.shuffle_key(F.col("doc_id"), seed=7)
+    w = Window.partitionBy("source").orderBy(key.asc(), F.col("doc_id").asc())
+    return (
+        docs.join(F.broadcast(quotas), "source")
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= F.col("quota"))
+        .select("source", "doc_id", "quota")
+    )

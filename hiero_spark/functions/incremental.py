@@ -86,10 +86,15 @@ def lsh_index(
     re-derived per probe); shingles = (doc, sh) hashed shingle arrays for
     the verify join. Persist both; bucket the bucket relation by
     (band, bkt) and daily probes join it shuffle-free."""
+    # persist the shingled relation BEFORE minhashing: minhash_signatures
+    # requires `sh` to be a cheap column reference (its docstring
+    # contract) — unmaterialized, CollapseProject inlines the shingling
+    # expression into the per-seed transform lambda and re-shingles every
+    # document num_hashes times (measured 13 s -> 1.4 s cold at sf0.1)
     docs = fan_out(corpus_df, id_col).select(
         F.col(id_col).alias("doc"),
         shingle_hash_array(F.col(text_col), k).alias("sh"),
-    )
+    ).persist()
     sig = minhash_signatures(docs, num_hashes)
     buckets = band_buckets(sig, num_hashes, bands)
     capped = buckets.withColumn(

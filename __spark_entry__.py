@@ -84,6 +84,7 @@ _WINDOW_PIN: list[str] = [
     "ext_rolling_anomaly",
     "n7_pagerank",
     "n6_mixture_apply",
+    "n1_remove_repeated_spans",
 ]
 
 

@@ -947,3 +947,60 @@ def n6_mixture_apply(spark, sf_dir):
         .filter(F.col("_rk") <= F.col("quota"))
         .select("source", "doc_id", "quota")
     )
+
+
+@query(
+    "n1_remove_repeated_spans",
+    group="N1",
+    doc="ExactSubstr span removal (Lee et al. 2022, the full recipe): "
+        "every verbatim 16-token span survives only at its first "
+        "(doc, pos) occurrence; later occurrences are cut and documents "
+        "reassemble from the remaining tokens (functions/spans.py). "
+        "835 naturally-duplicated spans at sf0.01 make the oracle "
+        "non-vacuous without planting. Gram keys travel as strings here "
+        "(the oracle must recompute them); hashed=True is the 100 TB "
+        "8-byte-key arm, unit-tested equivalent.",
+    oracle=r"""
+        WITH toks0 AS (
+          SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+          FROM documents
+        ), g AS (
+          SELECT doc_id, i AS pos, array_to_string(w[i + 1:i + 16], ' ') AS gram
+          FROM toks0, UNNEST(range(GREATEST(len(w) - 15, 0))) AS u(i)
+        ), occ AS (
+          SELECT doc_id, pos,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY gram ORDER BY doc_id, pos
+                 ) AS rn
+          FROM g
+        ), covered AS (
+          SELECT DISTINCT doc_id, pos + j AS cpos
+          FROM occ, UNNEST(range(16)) AS v(j)
+          WHERE rn > 1
+        ), toks AS (
+          SELECT doc_id, i AS pos, w[i + 1] AS tok
+          FROM toks0, UNNEST(range(len(w))) AS u(i)
+        ), rebuilt AS (
+          SELECT t.doc_id,
+                 string_agg(t.tok, ' ' ORDER BY t.pos) AS clean_text
+          FROM toks t LEFT JOIN covered c
+            ON c.doc_id = t.doc_id AND c.cpos = t.pos
+          WHERE c.cpos IS NULL
+          GROUP BY t.doc_id
+        ), removed AS (
+          SELECT doc_id, COUNT(*) AS n_removed FROM covered GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(r.clean_text, '') AS clean_text,
+               COALESCE(m.n_removed, 0) AS n_removed
+        FROM documents d
+        LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
+        LEFT JOIN removed m ON m.doc_id = d.doc_id
+    """,
+)
+def n1_remove_repeated_spans(spark, sf_dir):
+    from hiero_spark.functions.spans import remove_repeated_spans
+
+    return remove_repeated_spans(
+        t(spark, sf_dir, "documents"), "text", "doc_id", k=16
+    )

@@ -305,3 +305,53 @@ def admit_stream(
         .dropDuplicates(["fp"])
         .select(id_col, text_col, "fp")
     )
+
+
+def near_dup_stream_sink(
+    doc_stream: DataFrame,
+    index_buckets_path: str,
+    index_shingles_path: str,
+    out_path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """X13: streaming NEAR-dup detection against the persisted LSH index
+    (functions/incremental.py:lsh_index saved to parquet).
+
+    Signature work per micro-batch wants the batch-side persist that
+    incremental_near_dups applies (without it the shingle expression
+    re-evaluates per reference), and persist is illegal on a streaming
+    DataFrame — so this runs as foreachBatch: each micro-batch is a
+    plain batch DataFrame probed with the SAME batch operator users run
+    offline, and results land through the batch-id-keyed idempotent
+    writer (a replayed micro-batch overwrites its own partition, never
+    appends duplicates). One code path for offline and streaming
+    near-dup — the equivalence is by construction, not by twin
+    implementations.
+    """
+    from hiero_spark.functions.incremental import incremental_near_dups
+
+    def probe(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        pairs = incremental_near_dups(
+            batch_df,
+            spark.read.parquet(index_buckets_path),
+            spark.read.parquet(index_shingles_path),
+            text_col,
+            id_col,
+        )
+        (
+            pairs.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(out_path)
+        )
+
+    return (
+        doc_stream.writeStream.foreachBatch(probe)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -322,3 +322,59 @@ def test_admit_stream_dedups_against_static_index(spark, tmp_path):
     batch_df = spark.createDataFrame(batch_rows, ["doc_id", "text"])
     batch_admitted = admit_batch(batch_df, static_idx, "text", "doc_id")
     assert batch_admitted.count() == 2
+
+
+def test_near_dup_stream_matches_batch_operator(spark, tmp_path):
+    """X13: the streaming near-dup probe is the BATCH operator run per
+    micro-batch over the saved index — results must equal the offline
+    run on the same data."""
+    from hiero_spark.functions.incremental import incremental_near_dups, lsh_index
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda "
+        "mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega "
+        "one two three four five"
+    )
+    corpus = spark.createDataFrame(
+        [(i, f"{base} mark{i}") for i in range(30)], ["doc_id", "text"]
+    )
+    bidx, bsh = lsh_index(corpus, "text", "doc_id")
+    bidx.write.parquet(str(tmp_path / "bkt"))
+    bsh.write.parquet(str(tmp_path / "sh"))
+
+    batch_rows = [
+        (100, f"{base} mark3"),                      # exact copy
+        (101, "totally novel text with nothing shared"),
+    ]
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    spark.createDataFrame(batch_rows, ["doc_id", "text"]).coalesce(1).write.parquet(
+        str(src / "b0.parquet")
+    )
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        f"{src}/b*.parquet"
+    )
+    q = pl.near_dup_stream_sink(
+        stream,
+        str(tmp_path / "bkt"),
+        str(tmp_path / "sh"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["batch_doc"], r["corpus_doc"])
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    )
+    offline = sorted(
+        (r["batch_doc"], r["corpus_doc"])
+        for r in incremental_near_dups(
+            spark.createDataFrame(batch_rows, ["doc_id", "text"]),
+            spark.read.parquet(str(tmp_path / "bkt")),
+            spark.read.parquet(str(tmp_path / "sh")),
+            "text",
+            "doc_id",
+        ).collect()
+    )
+    assert got == offline
+    assert (100, 3) in got and all(b != 101 for b, _ in got)

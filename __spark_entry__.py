@@ -85,6 +85,7 @@ _WINDOW_PIN: list[str] = [
     "n7_pagerank",
     "n6_mixture_apply",
     "n1_remove_repeated_spans",
+    "s16_upsert_merge",
 ]
 
 

@@ -379,3 +379,77 @@ def s15_training_shards(spark, sf_dir):
     return layout.export_training_shards(
         docs, _export_dir("doc_shards"), "doc_id", n_shards=8, hashed=False
     )
+
+
+@query(
+    "s16_upsert_merge",
+    group="S16",
+    doc="MERGE-INTO emulation on plain parquet "
+        "(sources/layout.py:upsert_partitioned): a deterministic change "
+        "batch (updates + deletes + inserts, all in status-'F') merges "
+        "copy-on-write into a status-partitioned orders table — ONLY the "
+        "affected partition rewrites (untouched-partition bytes asserted "
+        "in tests); the oracle recomputes the final table state from the "
+        "source rows. The manual form of Delta/Iceberg MERGE, O(changed "
+        "partitions) not O(table).",
+    oracle="""
+        WITH base AS (
+          SELECT o_orderkey AS k, o_orderstatus AS s, o_totalprice AS t
+          FROM orders
+        ), kept AS (
+          SELECT k, s,
+                 CASE WHEN s = 'F' AND k % 97 = 0 THEN k * 1.0 ELSE t END AS t
+          FROM base
+          WHERE NOT (s = 'F' AND k % 89 = 0 AND k % 97 <> 0)
+        ), final AS (
+          SELECT * FROM kept
+          UNION ALL SELECT 9000001, 'F', 1.0
+          UNION ALL SELECT 9000002, 'F', 2.0
+          UNION ALL SELECT 9000003, 'F', 3.0
+        )
+        SELECT k AS o_orderkey, t AS o_totalprice, s AS o_orderstatus
+        FROM final
+    """,
+)
+def s16_upsert_merge(spark, sf_dir):
+    from pyspark.sql import Row
+
+    from hiero_spark.sources import layout
+
+    dst = _export_dir("orders_upsert")
+    base = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    base.write.mode("overwrite").partitionBy("o_orderstatus").parquet(dst)
+
+    k = F.col("o_orderkey")
+    updates = (
+        base.filter((F.col("o_orderstatus") == "F") & (k % 97 == 0))
+        .select(
+            "o_orderkey",
+            (k * 1.0).alias("o_totalprice"),
+            "o_orderstatus",
+            F.lit(False).alias("_delete"),
+        )
+    )
+    deletes = (
+        base.filter(
+            (F.col("o_orderstatus") == "F") & (k % 89 == 0) & (k % 97 != 0)
+        )
+        .select(
+            "o_orderkey", "o_totalprice", "o_orderstatus",
+            F.lit(True).alias("_delete"),
+        )
+    )
+    inserts = spark.createDataFrame(
+        [
+            Row(o_orderkey=9000001, o_totalprice=1.0, o_orderstatus="F", _delete=False),
+            Row(o_orderkey=9000002, o_totalprice=2.0, o_orderstatus="F", _delete=False),
+            Row(o_orderkey=9000003, o_totalprice=3.0, o_orderstatus="F", _delete=False),
+        ]
+    )
+    changes = updates.unionByName(deletes).unionByName(inserts)
+    layout.upsert_partitioned(
+        spark, dst, changes, "o_orderkey", "o_orderstatus"
+    )
+    return spark.read.parquet(dst)

@@ -226,3 +226,54 @@ def export_training_shards(
         )
         .orderBy("shard")
     )
+
+
+def upsert_partitioned(
+    spark,
+    table_path: str,
+    changes,
+    key_col: str,
+    part_col: str,
+    delete_col: str = "_delete",
+):
+    """MERGE-INTO emulation for plain parquet (no table format):
+    copy-on-write upsert touching ONLY the partitions that contain
+    changed keys.
+
+    The change set (rows to upsert, plus delete_col=true rows to
+    remove) names its partitions; the merge reads JUST those partitions
+    (partition-pruned scan), anti-joins the changed keys out, unions the
+    surviving upserts in, and rewrites with dynamic partition overwrite
+    — every other partition's files are untouched bytes (asserted in
+    tests by mtime+size). At 100 TB this is the difference between a
+    merge costing O(changed partitions) and a full-table rewrite; it is
+    the manual form of what Delta/Iceberg MERGE does with metadata.
+
+    Changes within one batch must be key-unique (last-writer semantics
+    inside a batch are not defined here — pre-aggregate upstream).
+    """
+    from pyspark.sql import functions as F
+
+    parts = [r[0] for r in changes.select(part_col).distinct().collect()]
+    base = spark.read.parquet(table_path).filter(F.col(part_col).isin(parts))
+    changed_keys = changes.select(key_col)
+    survivors = base.join(changed_keys, key_col, "left_anti")
+    upserts = changes.filter(~F.col(delete_col)).drop(delete_col)
+    merged = survivors.unionByName(upserts).persist()
+    # dynamic overwrite only touches partitions PRESENT in the output: a
+    # partition whose every row was deleted writes nothing and would keep
+    # its old files — clear those directories explicitly
+    present = {r[0] for r in merged.select(part_col).distinct().collect()}
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(part_col)
+        .parquet(table_path)
+    )
+    merged.unpersist()
+    import shutil
+
+    emptied = [p for p in parts if p not in present]
+    for p in emptied:
+        shutil.rmtree(f"{table_path}/{part_col}={p}", ignore_errors=True)
+    return {"partitions_rewritten": len(parts), "partitions_emptied": len(emptied)}

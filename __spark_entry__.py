@@ -86,6 +86,7 @@ _WINDOW_PIN: list[str] = [
     "n6_mixture_apply",
     "n1_remove_repeated_spans",
     "s16_upsert_merge",
+    "s17_incremental_agg",
 ]
 
 

@@ -147,3 +147,49 @@ def incremental_near_dups(
         .filter(F.col("jaccard") >= threshold)
         .select("batch_doc", "corpus_doc", "jaccard")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregate maintenance (materialized-view upkeep)
+
+
+def agg_state(df: DataFrame, key_col: str, value_col: str) -> DataFrame:
+    """Mergeable per-key aggregate state: (key, n, sum_v, min_v, max_v).
+
+    Each statistic is a commutative monoid, so states built from
+    disjoint batches COMBINE exactly — the algebraic fact incremental
+    ETL rests on. Sum order only matters for floating-point values;
+    callers wanting bit-exact maintenance feed a scaled-integer value
+    column (the money_sum convention) and sums stay exact longs."""
+    return df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(value_col)).alias("sum_v"),
+        F.min(F.col(value_col)).alias("min_v"),
+        F.max(F.col(value_col)).alias("max_v"),
+    )
+
+
+def merge_agg_state(state_df: DataFrame, batch_state: DataFrame) -> DataFrame:
+    """Fold a new batch's state into the stored state: one full-outer
+    join on key, each monoid component combined (least/greatest skip the
+    absent side's NULLs in both engines). The stored table never
+    re-reads history — maintenance cost is O(batch + touched keys), the
+    materialized-view contract."""
+    s = state_df.select(
+        "key",
+        F.col("n").alias("n_a"), F.col("sum_v").alias("sum_a"),
+        F.col("min_v").alias("min_a"), F.col("max_v").alias("max_a"),
+    )
+    b = batch_state.select(
+        "key",
+        F.col("n").alias("n_b"), F.col("sum_v").alias("sum_b"),
+        F.col("min_v").alias("min_b"), F.col("max_v").alias("max_b"),
+    )
+    zero = lambda c: F.coalesce(F.col(c), F.lit(0))
+    return s.join(b, "key", "full_outer").select(
+        "key",
+        (zero("n_a") + zero("n_b")).cast("long").alias("n"),
+        (zero("sum_a") + zero("sum_b")).alias("sum_v"),
+        F.least("min_a", "min_b").alias("min_v"),
+        F.greatest("max_a", "max_b").alias("max_v"),
+    )

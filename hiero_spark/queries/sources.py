@@ -453,3 +453,47 @@ def s16_upsert_merge(spark, sf_dir):
         spark, dst, changes, "o_orderkey", "o_orderstatus"
     )
     return spark.read.parquet(dst)
+
+
+@query(
+    "s17_incremental_agg",
+    group="S17",
+    doc="Incremental materialized-view maintenance "
+        "(functions/incremental.py:agg_state/merge_agg_state): per-"
+        "customer order stats build from ~80% of orders, persist as a "
+        "mergeable state table, then fold in the remaining batch WITHOUT "
+        "re-reading history — and the result must equal the full "
+        "recompute, which is exactly what the oracle runs. Sums ride the "
+        "scaled-cents convention so the merge is exact long arithmetic "
+        "in any order.",
+    oracle="""
+        SELECT o_custkey AS key,
+               COUNT(*) AS n,
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 AS total,
+               MIN(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 AS min_order,
+               MAX(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 AS max_order
+        FROM orders GROUP BY o_custkey
+    """,
+)
+def s17_incremental_agg(spark, sf_dir):
+    from hiero_spark.functions.incremental import agg_state, merge_agg_state
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    hist = orders.filter(F.col("o_orderkey") % 10 < 8)
+    batch = orders.filter(F.col("o_orderkey") % 10 >= 8)
+    state_path = _export_dir("orders_agg_state")
+    agg_state(hist, "o_custkey", "cents").write.mode("overwrite").parquet(state_path)
+    merged = merge_agg_state(
+        spark.read.parquet(state_path), agg_state(batch, "o_custkey", "cents")
+    )
+    return merged.select(
+        "key",
+        "n",
+        (F.col("sum_v") / 100.0).alias("total"),
+        (F.col("min_v") / 100.0).alias("min_order"),
+        (F.col("max_v") / 100.0).alias("max_order"),
+    )

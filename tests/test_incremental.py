@@ -110,3 +110,31 @@ def test_lsh_index_day2_probe_from_disk(spark, tmp_path):
     assert got[(100, 7)] == 1.0          # exact copy found at jaccard 1
     assert (101, 8) in got and got[(101, 8)] < 1.0  # near copy found
     assert not any(b == 102 for b, _ in got)        # novel doc clean
+
+
+def test_agg_state_merge_equals_full_recompute(spark):
+    """Incremental maintenance invariant: fold(batches) == recompute(all),
+    including keys present in only one side and a three-way chain."""
+    from hiero_spark.functions.incremental import agg_state, merge_agg_state
+
+    rows = [(i % 7, (i * 13) % 101) for i in range(300)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    full = {tuple(r) for r in agg_state(df, "k", "v").collect()}
+    b1 = df.filter("v < 30")          # key sets overlap partially
+    b2 = df.filter("v >= 30 and v < 70")
+    b3 = df.filter("v >= 70")
+    merged = merge_agg_state(
+        merge_agg_state(agg_state(b1, "k", "v"), agg_state(b2, "k", "v")),
+        agg_state(b3, "k", "v"),
+    )
+    assert {tuple(r) for r in merged.collect()} == full
+
+
+def test_agg_state_merge_new_and_absent_keys(spark):
+    from hiero_spark.functions.incremental import agg_state, merge_agg_state
+
+    a = spark.createDataFrame([(1, 10), (1, 20)], ["k", "v"])
+    b = spark.createDataFrame([(2, 5)], ["k", "v"])
+    got = {r["key"]: (r["n"], r["sum_v"], r["min_v"], r["max_v"])
+           for r in merge_agg_state(agg_state(a, "k", "v"), agg_state(b, "k", "v")).collect()}
+    assert got == {1: (2, 30, 10, 20), 2: (1, 5, 5, 5)}

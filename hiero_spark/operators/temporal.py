@@ -249,3 +249,40 @@ def gap_fill(
         value.alias("value"),
         F.col("_v").isNull().alias("filled"),
     )
+
+
+def scd2_from_log(
+    df,
+    key_col: str,
+    ts_col: str,
+    attr_col: str,
+    tiebreak_col: str,
+):
+    """Build a slowly-changing-dimension (SCD type 2) history from an
+    event log: one validity interval per (key, attribute-value) RUN —
+    consecutive events that don't change the attribute collapse into
+    the run that set it; `valid_to` is the next change's timestamp
+    (NULL = current). The output is exactly what `as_of_join` (this
+    module) probes.
+
+    Two per-key windows over the LOG ordered by (ts, tiebreak) — the
+    tiebreak makes the order total when timestamps collide, which is
+    what keeps the run-collapse deterministic. Shuffle = one exchange
+    on the key; rows never amplify (filters only).
+    """
+    from pyspark.sql import Window, functions as F
+
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    changes = (
+        df.withColumn("_prev", F.lag(attr_col).over(w))
+        .filter(F.col("_prev").isNull() | (F.col("_prev") != F.col(attr_col)))
+        .drop("_prev")
+    )
+    w2 = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    return changes.select(
+        F.col(key_col).alias("key"),
+        F.col(attr_col).alias("attr"),
+        F.unix_micros(F.col(ts_col)).alias("valid_from"),
+        F.unix_micros(F.lead(ts_col).over(w2)).alias("valid_to"),
+        F.lead(ts_col).over(w2).isNull().alias("is_current"),
+    )

@@ -1004,3 +1004,41 @@ def n1_remove_repeated_spans(spark, sf_dir):
     return remove_repeated_spans(
         t(spark, sf_dir, "documents"), "text", "doc_id", k=16
     )
+
+
+@query(
+    "ext_scd2_build",
+    group="ext-window",
+    doc="SCD type-2 dimension build (operators/temporal.py:scd2_from_log): "
+        "per-user event-type history as validity intervals — consecutive "
+        "no-change events collapse into the run that set the value, "
+        "valid_to = next change (NULL = current). One exchange on the "
+        "key, two windows, no row amplification; the output feeds the "
+        "as-of join. Micros epochs keep sub-second changes distinct.",
+    oracle="""
+        WITH ordered AS (
+          SELECT user_id, ts, event_id, event_type,
+                 LAG(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                 ) AS prev
+          FROM events
+        ), changes AS (
+          SELECT user_id, ts, event_id, event_type
+          FROM ordered WHERE prev IS NULL OR prev <> event_type
+        )
+        SELECT user_id AS key, event_type AS attr,
+               epoch_us(ts) AS valid_from,
+               epoch_us(LEAD(ts) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+               )) AS valid_to,
+               (LEAD(ts) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+               )) IS NULL AS is_current
+        FROM changes
+    """,
+)
+def ext_scd2_build(spark, sf_dir):
+    from hiero_spark.operators.temporal import scd2_from_log
+
+    ev = t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    return scd2_from_log(ev, "user_id", "ts", "event_type", "event_id")

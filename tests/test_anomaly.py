@@ -33,3 +33,33 @@ def test_zero_variance_abstains(spark):
         _series(spark, [5] * 10), "key", "bucket", "v", trailing=24, min_points=3
     ).collect()
     assert all(r["zscore"] is None for r in out)  # std 0 -> no verdict
+
+
+def test_scd2_runs_collapse_and_intervals_chain(spark):
+    """SCD2 build: consecutive same-value events collapse; intervals
+    chain exactly (valid_to == next valid_from); last run is current."""
+    from datetime import datetime
+
+    from hiero_spark.operators.temporal import scd2_from_log
+
+    rows = [
+        (1, datetime(2024, 1, 1, 0), 1, "a"),
+        (1, datetime(2024, 1, 1, 1), 2, "a"),   # no change -> collapses
+        (1, datetime(2024, 1, 1, 2), 3, "b"),   # change
+        (1, datetime(2024, 1, 1, 3), 4, "a"),   # change back = NEW run
+        (2, datetime(2024, 1, 1, 0), 5, "x"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "event_type"])
+    out = sorted(
+        scd2_from_log(df, "user_id", "ts", "event_type", "event_id").collect(),
+        key=lambda r: (r["key"], r["valid_from"]),
+    )
+    u1 = [r for r in out if r["key"] == 1]
+    assert [r["attr"] for r in u1] == ["a", "b", "a"]
+    assert [r["is_current"] for r in u1] == [False, False, True]
+    # intervals chain with no gaps
+    assert u1[0]["valid_to"] == u1[1]["valid_from"]
+    assert u1[1]["valid_to"] == u1[2]["valid_from"]
+    assert u1[2]["valid_to"] is None
+    [u2] = [r for r in out if r["key"] == 2]
+    assert u2["attr"] == "x" and u2["is_current"]

@@ -311,6 +311,15 @@ def main() -> None:
         "n2_quantized_ann",
         "n4_normalize_text",
         "s15_training_shards",
+        "n5_curation_pipeline2",
+        "ext_rolling_anomaly",
+        "n7_pagerank",
+        "n6_mixture_apply",
+        "n1_remove_repeated_spans",
+        "s16_upsert_merge",
+        "s17_incremental_agg",
+        "ext_scd2_build",
+        "n2_pca_rerank",
     ]
 
     def run_r6_ops(data_dir: str) -> dict[str, float]:

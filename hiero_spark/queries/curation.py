@@ -1047,3 +1047,81 @@ def ext_scd2_build(spark, sf_dir):
 
     ev = t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
     return scd2_from_log(ev, "user_id", "ts", "event_type", "event_id")
+
+
+@query(
+    "n6_dataset_diff",
+    group="N6",
+    doc="Dataset snapshot diff — the release-note numbers between two "
+        "corpus versions: added / removed / changed / unchanged doc "
+        "counts plus the char-mass delta. Both engines synthesize v2 "
+        "from v1 deterministically (every 31st doc dropped, every "
+        "remaining 17th doc edited, 5 new docs). One full-outer join on "
+        "doc_id comparing md5(text) — bodies never move, 16-byte "
+        "fingerprints do.",
+    oracle="""
+        WITH v1 AS (
+          SELECT doc_id, md5(text) AS fp, n_chars FROM documents
+        ), v2 AS (
+          SELECT doc_id,
+                 md5(CASE WHEN doc_id % 17 = 0 THEN text || ' [edited]'
+                          ELSE text END) AS fp,
+                 CASE WHEN doc_id % 17 = 0 THEN n_chars + 9
+                      ELSE n_chars END AS n_chars
+          FROM documents WHERE doc_id % 31 <> 0
+          UNION ALL
+          SELECT 8000000 + i, md5('new doc ' || CAST(i AS VARCHAR)), 10
+          FROM UNNEST(range(5)) AS u(i)
+        ), j AS (
+          SELECT v1.doc_id AS id1, v2.doc_id AS id2,
+                 v1.fp AS fp1, v2.fp AS fp2,
+                 COALESCE(v2.n_chars, 0) - COALESCE(v1.n_chars, 0) AS dchars
+          FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+        )
+        SELECT CAST(SUM(CASE WHEN id1 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+               CAST(SUM(CASE WHEN id2 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+               CAST(SUM(CASE WHEN id1 IS NOT NULL AND id2 IS NOT NULL
+                              AND fp1 <> fp2 THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+               CAST(SUM(CASE WHEN fp1 = fp2 THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged,
+               CAST(SUM(dchars) AS BIGINT) AS char_delta
+        FROM j
+    """,
+)
+def n6_dataset_diff(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    v1 = docs.select("doc_id", F.md5("text").alias("fp"), "n_chars")
+    edited = docs.filter(F.col("doc_id") % 31 != 0).select(
+        "doc_id",
+        F.md5(
+            F.when(
+                F.col("doc_id") % 17 == 0, F.concat(F.col("text"), F.lit(" [edited]"))
+            ).otherwise(F.col("text"))
+        ).alias("fp"),
+        F.when(F.col("doc_id") % 17 == 0, F.col("n_chars") + 9)
+        .otherwise(F.col("n_chars"))
+        .alias("n_chars"),
+    )
+    new_rows = spark.range(5).select(
+        (F.col("id") + 8000000).alias("doc_id"),
+        F.md5(F.concat(F.lit("new doc "), F.col("id").cast("string"))).alias("fp"),
+        F.lit(10).cast("long").alias("n_chars"),
+    )
+    v2 = edited.unionByName(new_rows)
+    j = v1.alias("a").join(
+        v2.alias("b"), F.col("a.doc_id") == F.col("b.doc_id"), "full_outer"
+    )
+    one_if = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")
+    return j.agg(
+        one_if(F.col("a.doc_id").isNull()).alias("n_added"),
+        one_if(F.col("b.doc_id").isNull()).alias("n_removed"),
+        one_if(
+            F.col("a.doc_id").isNotNull()
+            & F.col("b.doc_id").isNotNull()
+            & (F.col("a.fp") != F.col("b.fp"))
+        ).alias("n_changed"),
+        one_if(F.col("a.fp") == F.col("b.fp")).alias("n_unchanged"),
+        F.sum(
+            F.coalesce(F.col("b.n_chars"), F.lit(0))
+            - F.coalesce(F.col("a.n_chars"), F.lit(0))
+        ).cast("long").alias("char_delta"),
+    )

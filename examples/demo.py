@@ -133,6 +133,24 @@ def main(sf_dir: str = "/root/testdata/sf0.001", out=print) -> None:
         f"{near.select('batch_doc').distinct().count()} near-dup an indexed corpus doc"
     )
 
+    # 9. operational layer: link-graph scoring and volume anomaly watch
+    from hiero_spark.functions.graph import pagerank
+    from hiero_spark.operators.anomaly import hourly_count_anomalies
+
+    n_docs_total = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    links = docs.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 7 + 13) % n_docs_total).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    pr = pagerank(links, n_iter=3)
+    top_pr = pr.orderBy(F.desc("rank_micro")).first()
+    events = load_table(spark, sf_dir, "events")
+    n_anom = hourly_count_anomalies(events).count()
+    out(
+        f"\nops layer: best-linked doc {top_pr['node']} "
+        f"(rank {top_pr['rank']:.3f}); {n_anom} hourly volume anomalies flagged"
+    )
+
 
 if __name__ == "__main__":
     main(*sys.argv[1:2])

@@ -1125,3 +1125,141 @@ def n6_dataset_diff(spark, sf_dir):
             - F.coalesce(F.col("a.n_chars"), F.lit(0))
         ).cast("long").alias("char_delta"),
     )
+
+
+@query(
+    "n5_curation_funnel",
+    group="N5",
+    doc="Curation funnel report — the dataset-card table every pipeline "
+        "publishes: documents and token mass surviving each cumulative "
+        "gate (language -> quality -> dup-line -> 2-gram -> symbol) and "
+        "the final exact-dedup stage. All gate flags come from ONE scan "
+        "(conditional sums); only the dedup stage shuffles (fingerprint "
+        "groupBy, min-doc representative carries the token mass).",
+    oracle=r"""
+        WITH m AS (
+          SELECT doc_id, text,
+                 CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok,
+                 CAST(length(text) AS DOUBLE) AS n_chr,
+                 regexp_split_to_array(text, '\n') AS lines,
+                 regexp_split_to_array(trim(text), '\s+') AS toks,
+                 length(regexp_replace(text, '[A-Za-z0-9\s.,;:!?()-]', '', 'g')) AS n_sym
+          FROM documents
+        ), b AS (
+          SELECT doc_id, len(toks) AS nt,
+                 unnest(list_transform(range(1, len(toks)),
+                                       i -> toks[i] || ' ' || toks[i+1])) AS bigram
+          FROM m WHERE len(toks) >= 2
+        ), c AS (
+          SELECT doc_id, nt, bigram, COUNT(*) AS cnt FROM b GROUP BY 1, 2, 3
+        ), tg AS (
+          SELECT doc_id,
+                 ROUND(LEAST(MAX(cnt) * 2.0, CAST(nt AS DOUBLE)) / nt, 6) AS t2g
+          FROM c GROUP BY doc_id, nt
+        ), f AS (
+          SELECT m.doc_id, m.n_tok, md5(m.text) AS fp,
+                 (CASE WHEN length(m.text) - length(regexp_replace(m.text, '[一-鿿]', '', 'g')) > 0
+                        AND (length(m.text) - length(regexp_replace(m.text, '[一-鿿]', '', 'g'))) * 10
+                            >= length(m.text) * 3 THEN 'zh'
+                       WHEN contains(' ' || lower(m.text) || ' ', ' the ') THEN 'en'
+                       WHEN contains(' ' || lower(m.text) || ' ', ' le ') THEN 'fr'
+                       WHEN contains(' ' || lower(m.text) || ' ', ' der ') THEN 'de'
+                       WHEN contains(' ' || lower(m.text) || ' ', ' el ') THEN 'es'
+                       ELSE 'und' END) = 'en' AS g_lang,
+                 LEAST(CAST(m.n_tok AS DOUBLE) / 100.0, 1.0) * 0.6 +
+                 (CASE WHEN m.n_chr / CAST(m.n_tok AS DOUBLE) >= 3.0
+                        AND m.n_chr / CAST(m.n_tok AS DOUBLE) <= 10.0
+                       THEN 1.0 ELSE 0.5 END) * 0.4 >= 0.5 AS g_quality,
+                 ROUND(CAST(len(m.lines) - len(list_distinct(m.lines)) AS DOUBLE)
+                       / len(m.lines), 6) <= 0.30 AS g_dupline,
+                 COALESCE(tg.t2g, 0.0) <= 0.20 AS g_2gram,
+                 ROUND(CAST(m.n_sym AS DOUBLE) / len(m.toks), 6) <= 0.10 AS g_symbol
+          FROM m LEFT JOIN tg ON tg.doc_id = m.doc_id
+        ), flags AS (
+          SELECT doc_id, n_tok, fp,
+                 g_lang AS s1,
+                 g_lang AND g_quality AS s2,
+                 g_lang AND g_quality AND g_dupline AS s3,
+                 g_lang AND g_quality AND g_dupline AND g_2gram AS s4,
+                 g_lang AND g_quality AND g_dupline AND g_2gram AND g_symbol AS s5
+          FROM f
+        ), dedup AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS nd,
+                 CAST(SUM(rep_tok) AS BIGINT) AS td
+          FROM (SELECT fp, arg_min(n_tok, doc_id) AS rep_tok
+                FROM flags WHERE s5 GROUP BY fp)
+        )
+        SELECT * FROM (
+          SELECT 0 AS stage, 'total' AS gate,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(n_tok) AS BIGINT) AS n_tokens FROM flags
+          UNION ALL
+          SELECT 1, 'lang_en', CAST(SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT),
+                 CAST(SUM(CASE WHEN s1 THEN n_tok ELSE 0 END) AS BIGINT) FROM flags
+          UNION ALL
+          SELECT 2, 'quality', CAST(SUM(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT),
+                 CAST(SUM(CASE WHEN s2 THEN n_tok ELSE 0 END) AS BIGINT) FROM flags
+          UNION ALL
+          SELECT 3, 'dup_line', CAST(SUM(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT),
+                 CAST(SUM(CASE WHEN s3 THEN n_tok ELSE 0 END) AS BIGINT) FROM flags
+          UNION ALL
+          SELECT 4, 'top_2gram', CAST(SUM(CASE WHEN s4 THEN 1 ELSE 0 END) AS BIGINT),
+                 CAST(SUM(CASE WHEN s4 THEN n_tok ELSE 0 END) AS BIGINT) FROM flags
+          UNION ALL
+          SELECT 5, 'symbol', CAST(SUM(CASE WHEN s5 THEN 1 ELSE 0 END) AS BIGINT),
+                 CAST(SUM(CASE WHEN s5 THEN n_tok ELSE 0 END) AS BIGINT) FROM flags
+          UNION ALL
+          SELECT 6, 'exact_dedup', nd, td FROM dedup
+        )
+    """,
+)
+def n5_curation_funnel(spark, sf_dir):
+    docs = tx.with_language_id(t(spark, sf_dir, "documents"), "text")
+    flagged = (
+        docs.withColumn("n_tok", tx.token_count(F.col("text")))
+        .withColumn("fp", tx.fingerprint(F.col("text")))
+        .withColumn("s1", F.col("pred_lang") == "en")
+        .withColumn(
+            "s2", F.col("s1") & (tx.quality_score(F.col("text")) >= 0.5)
+        )
+        .withColumn(
+            "s3", F.col("s2") & (tx.duplicate_line_fraction(F.col("text")) <= 0.30)
+        )
+        .withColumn(
+            "s4", F.col("s3") & (tx.top_2gram_share(F.col("text")) <= 0.20)
+        )
+        .withColumn(
+            "s5", F.col("s4") & (tx.symbol_word_ratio(F.col("text")) <= 0.10)
+        )
+        .select("doc_id", "n_tok", "fp", "s1", "s2", "s3", "s4", "s5")
+    )
+    cnt = lambda c: F.sum(F.when(F.col(c), 1).otherwise(0)).cast("long")
+    tok = lambda c: F.sum(F.when(F.col(c), F.col("n_tok")).otherwise(0)).cast("long")
+    gates = flagged.agg(
+        F.count(F.lit(1)).alias("n0"), F.sum("n_tok").cast("long").alias("t0"),
+        cnt("s1").alias("n1"), tok("s1").alias("t1"),
+        cnt("s2").alias("n2"), tok("s2").alias("t2"),
+        cnt("s3").alias("n3"), tok("s3").alias("t3"),
+        cnt("s4").alias("n4"), tok("s4").alias("t4"),
+        cnt("s5").alias("n5"), tok("s5").alias("t5"),
+    )
+    dedup = (
+        flagged.filter("s5")
+        .groupBy("fp")
+        .agg(F.expr("min_by(n_tok, doc_id)").alias("rep_tok"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n6"),
+            F.sum("rep_tok").cast("long").alias("t6"),
+        )
+    )
+    wide = gates.crossJoin(dedup)
+    return wide.selectExpr(
+        "stack(7, "
+        "0, 'total', n0, t0, "
+        "1, 'lang_en', n1, t1, "
+        "2, 'quality', n2, t2, "
+        "3, 'dup_line', n3, t3, "
+        "4, 'top_2gram', n4, t4, "
+        "5, 'symbol', n5, t5, "
+        "6, 'exact_dedup', n6, t6) AS (stage, gate, n_docs, n_tokens)"
+    )

@@ -41,6 +41,7 @@ BNLJ_ALLOWED = {
     "n2_semantic_dedup": "scalar broadcast: 1-row planted/original kept-count combines",
     "n4_trained_classifier": "scalar broadcast: 1-row accuracy joins the anchor count",
     "n1_incremental_near_dups_verdict": "scalar broadcast: 1-row planted/found/min-jaccard combines",
+    "n5_curation_funnel": "scalar broadcast: 1-row gate-counts x 1-row dedup-stage combine",
 }
 
 _SPECS = all_queries()

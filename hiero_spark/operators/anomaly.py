@@ -87,3 +87,43 @@ def hourly_count_anomalies(
         F.round("baseline_mean", 6).alias("baseline_mean"),
         F.round("zscore", 6).alias("zscore"),
     )
+
+
+def ewma_levels(
+    bucketed: DataFrame,
+    key_col: str,
+    bucket_col: str,
+    value_col: str,
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Per-key exponentially-weighted level of a bucketed series — the
+    smoothed "current volume" a monitoring dashboard tracks next to the
+    z-score gate. EWMA is a RECURSIVE fold (s_i = a*x_i + (1-a)*s_{i-1}),
+    which window frames cannot express; here each key's series collects
+    into one ordered array (per-key state = bucket count, bounded — time
+    series, not events) and one F.aggregate pass folds it left-to-right.
+    The identical fold runs in DuckDB via list_reduce (same seed-first
+    semantics, same sequential order), so the level is bit-identical and
+    hash-checkable despite being order-dependent double arithmetic."""
+    series = (
+        bucketed.groupBy(key_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(bucket_col, value_col))
+            ).alias("_s")
+        )
+    )
+    vals = F.transform(F.col("_s"), lambda s: s[value_col].cast("double"))
+    n = F.size(vals)
+    a = float(alpha)
+    folded = F.aggregate(
+        F.slice(vals, 2, n - 1),
+        F.element_at(vals, 1),
+        lambda acc, x: acc * F.lit(1.0 - a) + x * F.lit(a),
+    )
+    level = F.when(n >= 2, folded).otherwise(F.element_at(vals, 1))
+    return series.select(
+        key_col,
+        n.cast("long").alias("n_buckets"),
+        F.round(level, 6).alias("ewma_level"),
+    )

@@ -1263,3 +1263,48 @@ def n5_curation_funnel(spark, sf_dir):
         "5, 'symbol', n5, t5, "
         "6, 'exact_dedup', n6, t6) AS (stage, gate, n_docs, n_tokens)"
     )
+
+
+@query(
+    "ext_ewma_levels",
+    group="ext-window",
+    doc="EWMA smoothed hourly-volume level per event type "
+        "(operators/anomaly.py:ewma_levels): a recursive fold no window "
+        "frame expresses — each key's bounded series collects into one "
+        "ordered array and folds left-to-right; DuckDB's list_reduce "
+        "runs the identical seed-first sequential fold, so the "
+        "order-dependent double is bit-identical across engines.",
+    oracle="""
+        WITH hourly AS (
+          SELECT event_type,
+                 CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket_ts,
+                 COUNT(*) AS n_events
+          FROM events GROUP BY 1, 2
+        ), s AS (
+          SELECT event_type,
+                 list_transform(list(n_events ORDER BY bucket_ts),
+                                x -> CAST(x AS DOUBLE)) AS l
+          FROM hourly GROUP BY event_type
+        )
+        SELECT event_type,
+               CAST(len(l) AS BIGINT) AS n_buckets,
+               ROUND(CASE WHEN len(l) >= 2
+                          THEN list_reduce(l, (a, x) ->
+                               a * CAST(0.7 AS DOUBLE)
+                               + x * CAST(0.3 AS DOUBLE))
+                          ELSE l[1] END, 6) AS ewma_level
+        FROM s
+    """,
+)
+def ext_ewma_levels(spark, sf_dir):
+    from hiero_spark.operators.anomaly import ewma_levels
+
+    hourly = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("bucket_ts"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return ewma_levels(hourly, "event_type", "bucket_ts", "n_events", alpha=0.3)

@@ -63,3 +63,26 @@ def test_scd2_runs_collapse_and_intervals_chain(spark):
     assert u1[2]["valid_to"] is None
     [u2] = [r for r in out if r["key"] == 2]
     assert u2["attr"] == "x" and u2["is_current"]
+
+
+def test_ewma_hand_computed(spark):
+    from hiero_spark.operators.anomaly import ewma_levels
+
+    rows = [("k", 0, 10), ("k", 1, 20), ("k", 2, 30), ("solo", 0, 7)]
+    df = spark.createDataFrame(rows, ["key", "b", "v"])
+    out = {r["key"]: r for r in ewma_levels(df, "key", "b", "v", alpha=0.5).collect()}
+    # fold: seed 10 -> 10*.5+20*.5=15 -> 15*.5+30*.5=22.5
+    assert out["k"]["ewma_level"] == 22.5 and out["k"]["n_buckets"] == 3
+    assert out["solo"]["ewma_level"] == 7.0 and out["solo"]["n_buckets"] == 1
+
+
+def test_ewma_order_independent_of_input_layout(spark):
+    from hiero_spark.operators.anomaly import ewma_levels
+
+    rows = [("k", i, (i * 7) % 13) for i in range(50)]
+    a = ewma_levels(spark.createDataFrame(rows, ["key", "b", "v"]), "key", "b", "v").collect()
+    b = ewma_levels(
+        spark.createDataFrame(list(reversed(rows)), ["key", "b", "v"]).repartition(7),
+        "key", "b", "v",
+    ).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]

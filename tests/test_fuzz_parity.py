@@ -252,3 +252,72 @@ def test_generated_events_time_parity(spark, con3, ts_preds, bucket, group_type)
         ).fetchall()
     )
     assert got == exp, (where, unit, group_type)
+
+
+# --- window functions (round-6 extension): rank / lag / running sums over
+# generated partitions, orders, and frames — the window-semantics space
+# (nulls-in-order, frame boundaries, tie handling) between the hand-written
+# ext_window_* oracles.
+
+_WKEYS = ("l_returnflag", "l_linestatus")
+_WORDS = ("l_orderkey", "l_extendedprice", "l_shipdate")
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    part=st.sampled_from(_WKEYS),
+    order=st.sampled_from(_WORDS),
+    fn=st.sampled_from(["row_number", "rank", "dense_rank", "lag", "lead", "runsum"]),
+    preds=_preds,
+)
+def test_generated_window_parity(spark, con, part, order, fn, preds):
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    spark_parts, where = _build(preds)
+    cond = F.lit(True)
+    for col, op, lit in spark_parts:
+        cond = cond & _OPS[op](F.col(col), F.lit(lit))
+    # total order inside the window: tiebreak on (l_orderkey, l_linenumber)
+    w = Window.partitionBy(part).orderBy(
+        F.col(order).asc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc()
+    )
+    order_sql = f"{order}, l_orderkey, l_linenumber"
+    if fn == "runsum":
+        expr = F.sum((F.col("l_quantity") * 100).cast("long")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        )
+        sql_fn = (
+            "SUM(CAST(l_quantity * 100 AS BIGINT)) OVER "
+            f"(PARTITION BY {part} ORDER BY {order_sql} "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        )
+    elif fn in ("lag", "lead"):
+        expr = getattr(F, fn)(F.col("l_orderkey"), 1).over(w)
+        sql_fn = (
+            f"{fn.upper()}(l_orderkey, 1) OVER "
+            f"(PARTITION BY {part} ORDER BY {order_sql})"
+        )
+    else:
+        expr = getattr(F, fn)().over(w)
+        sql_fn = (
+            f"{fn.upper()}() OVER (PARTITION BY {part} ORDER BY {order_sql})"
+        )
+    nskey = lambda t: tuple((v is None, v) for v in t)  # lag/lead emit None
+    got = sorted(
+        (
+            tuple(r)
+            for r in li.filter(cond)
+            .select("l_orderkey", "l_linenumber", expr.alias("wv"))
+            .collect()
+        ),
+        key=nskey,
+    )
+    exp = sorted(
+        con.execute(
+            f"SELECT l_orderkey, l_linenumber, {sql_fn} AS wv "
+            f"FROM lineitem WHERE {where}"
+        ).fetchall(),
+        key=nskey,
+    )
+    assert got == exp, (part, order, fn, where)

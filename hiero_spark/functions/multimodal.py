@@ -403,3 +403,83 @@ def synthetic_media(spark, docs: DataFrame, id_col: str = "doc_id", text_col: st
             (F.length(F.col(text_col)) * 10).cast("long").alias("duration_ms"),
         ).alias("meta"),
     )
+
+
+# --- real frame extraction over a lib-free video container (round 6) ---
+
+FRAMEPACK_MAGIC = b"FPK1"
+
+FRAME_SCHEMA = (
+    "media_id long, frame_idx int, width int, height int, mean_luma double"
+)
+
+
+def encode_framepack(frames) -> bytes:
+    """Pack BMP frame bytes into the repo's uncompressed video container:
+    magic + u32 frame count + per-frame u32-length-prefixed payloads.
+    Deliberately trivial (an MJPEG-in-AVI analog reduced to its essence)
+    so REAL container parsing + frame decode runs with zero codec libs —
+    the same vendored-format strategy as the BMP/WAV decoders above."""
+    import struct
+
+    out = [FRAMEPACK_MAGIC, struct.pack("<I", len(frames))]
+    for fb in frames:
+        out.append(struct.pack("<I", len(fb)))
+        out.append(fb)
+    return b"".join(out)
+
+
+def _decode_framepack(payload: bytes):
+    """-> list of frame byte strings, or None if not a framepack."""
+    import struct
+
+    if len(payload) < 8 or payload[:4] != FRAMEPACK_MAGIC:
+        return None
+    (n,) = struct.unpack_from("<I", payload, 4)
+    frames, off = [], 8
+    for _ in range(n):
+        if off + 4 > len(payload):
+            return None
+        (ln,) = struct.unpack_from("<I", payload, off)
+        off += 4
+        if off + ln > len(payload):
+            return None
+        frames.append(payload[off : off + ln])
+        off += ln
+    return frames
+
+
+def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
+    """REAL video frame sampling: parse the framepack container, take
+    every `every_n`-th frame, decode it with the vendored BMP decoder,
+    and emit per-frame stats (dimensions + mean luma). Arrow-batched
+    mapInPandas like the other decode paths — one row in, k rows out,
+    the 1:N shape metadata-only frame_sample_stub cannot produce.
+    Non-framepack payloads yield no rows (they are not videos)."""
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "frame_idx", "width", "height", "mean_luma")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                frames = _decode_framepack(bytes(payload)) if payload is not None else None
+                if not frames:
+                    continue
+                for idx in range(0, len(frames), every_n):
+                    dec = _decode_bmp(frames[idx])
+                    if dec is None:
+                        continue
+                    w, h, rows = dec
+                    acc = sum(
+                        (299 * r + 587 * g + 114 * b) // 1000
+                        for row in rows
+                        for r, g, b in row
+                    )
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(idx)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["mean_luma"].append(round(acc / (w * h) / 255.0, 6))
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(run, FRAME_SCHEMA)

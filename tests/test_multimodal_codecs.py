@@ -135,3 +135,47 @@ def test_resize_bmp_nearest_neighbor(spark):
     for r in range(4):
         for c in range(4):
             assert rows[r][c] == _PIXELS[r // 2][c // 2]
+
+
+def test_framepack_real_frame_sampling(spark):
+    """Video container + frame decode with zero codec libs: pack BMP
+    frames, sample every 2nd, verify per-frame stats from actual pixels."""
+    from hiero_spark.functions.multimodal import (
+        _encode_bmp,
+        encode_framepack,
+        sample_frames,
+    )
+
+    # 4 frames, 2x2 pixels: luma ramps 0, 51, 102, 153 (value v on all px)
+    frames = [
+        _encode_bmp([[(v, v, v)] * 2] * 2) for v in (0, 51, 102, 153)
+    ]
+    pack = encode_framepack(frames)
+    media = spark.createDataFrame(
+        [(1, bytearray(pack)), (2, bytearray(b"not a video"))],
+        "media_id long, payload binary",
+    )
+    out = sorted(
+        (r["media_id"], r["frame_idx"], r["width"], r["height"], r["mean_luma"])
+        for r in sample_frames(media, every_n=2).collect()
+    )
+    # every 2nd frame of media 1: idx 0 (luma 0) and idx 2 (luma 102)
+    assert out == [
+        (1, 0, 2, 2, 0.0),
+        (1, 2, 2, 2, round(102 / 255.0, 6)),
+    ]
+
+
+def test_framepack_roundtrip_and_rejects():
+    from hiero_spark.functions.multimodal import (
+        _decode_framepack,
+        _encode_bmp,
+        encode_framepack,
+    )
+
+    frames = [_encode_bmp([[(1, 2, 3)]]), _encode_bmp([[(4, 5, 6)]])]
+    assert _decode_framepack(encode_framepack(frames)) == frames
+    assert _decode_framepack(b"") is None
+    assert _decode_framepack(b"FPK1\xff\xff\xff\xff") is None  # lying count
+    truncated = encode_framepack(frames)[:-3]
+    assert _decode_framepack(truncated) is None

@@ -320,6 +320,9 @@ def main() -> None:
         "s17_incremental_agg",
         "ext_scd2_build",
         "n2_pca_rerank",
+        "n6_dataset_diff",
+        "n5_curation_funnel",
+        "ext_ewma_levels",
     ]
 
     def run_r6_ops(data_dir: str) -> dict[str, float]:

@@ -224,3 +224,21 @@ def simhash64(df: DataFrame, text_col: str, out: str = "simhash") -> DataFrame:
             F.col(f"_b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
         ).otherwise(F.lit(0).cast("long"))
     return votes.select(*key_cols, sim.alias(out))
+
+
+# The 10 high-frequency English function words the Gopher rules check
+# (Rae et al. 2021 gate: a prose document contains at least 2 of them).
+# SQL-mirrorable as a plain IN-list.
+STOP_WORDS = ("the", "of", "and", "to", "in", "a", "is", "that", "for", "it")
+
+
+def stopword_fraction(text: Column) -> Column:
+    """Gopher prose signal: fraction of (lowercased, whitespace) tokens
+    that are common function words. Near-zero on keyword stuffing, code,
+    and gibberish; ~0.2-0.4 on English prose. Pure array exprs — the
+    token array is built once outside the lambda (the shingle_array
+    re-tokenization trap), per-row, shuffle-free."""
+    toks = F.split(F.trim(F.lower(text)), r"\s+")
+    stops = F.array(*[F.lit(w) for w in STOP_WORDS])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stops, x)))
+    return F.round(n_stop.cast("double") / F.size(toks), 6)

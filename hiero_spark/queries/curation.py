@@ -1308,3 +1308,39 @@ def ext_ewma_levels(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
     return ewma_levels(hourly, "event_type", "bucket_ts", "n_events", alpha=0.3)
+
+
+@query(
+    "n4_stopword_fraction",
+    group="N4",
+    doc="Gopher prose signal (functions/text.py:stopword_fraction): the "
+        "fraction of tokens that are common English function words, plus "
+        "the Rae et al. 'contains at least 2 distinct stop words' gate. "
+        "Near-zero flags keyword stuffing / code / gibberish that "
+        "length+punctuation heuristics pass.",
+    oracle=r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 regexp_split_to_array(trim(lower(text)), '\s+') AS w
+          FROM documents
+        )
+        SELECT doc_id,
+               ROUND(CAST(len(list_filter(w, x -> x IN
+                 ('the','of','and','to','in','a','is','that','for','it')))
+                 AS DOUBLE) / len(w), 6) AS stop_frac,
+               len(list_distinct(list_filter(w, x -> x IN
+                 ('the','of','and','to','in','a','is','that','for','it'))))
+                 >= 2 AS prose_gate
+        FROM toks
+    """,
+)
+def n4_stopword_fraction(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    stops = F.array(*[F.lit(w) for w in tx.STOP_WORDS])
+    hits = F.filter(toks, lambda x: F.array_contains(stops, x))
+    return docs.select(
+        "doc_id",
+        tx.stopword_fraction(F.col("text")).alias("stop_frac"),
+        (F.size(F.array_distinct(hits)) >= 2).alias("prose_gate"),
+    )

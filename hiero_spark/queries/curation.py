@@ -26,6 +26,21 @@ from hiero_spark.queries._util import t
 from hiero_spark.registry import query
 
 
+def _sf_export_dir(sf_dir: str, name: str) -> str:
+    """Per-scale export path: keyed on the sf_dir basename so concurrent
+    runs at different scale factors never read each other's artifacts
+    (round-6 advice: the fixed shared qemb_sq8 path could race)."""
+    import os
+    import tempfile
+
+    sf_key = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    d = os.path.join(
+        tempfile.gettempdir(), "hiero_spark_sources", f"{name}_{sf_key}"
+    )
+    os.makedirs(os.path.dirname(d), exist_ok=True)
+    return d
+
+
 @query(
     "n6_contamination_overlap",
     group="N6",
@@ -537,9 +552,6 @@ def n2_quantized_vectors(spark, sf_dir):
     """,
 )
 def n2_quantized_ann(spark, sf_dir):
-    import os
-    import tempfile
-
     from hiero_spark.functions.quantize import quantize_vectors, quantized_topk
 
     # Production shape per the module contract: quantize ONCE to the
@@ -547,9 +559,7 @@ def n2_quantized_ann(spark, sf_dir):
     # 4x fewer bytes and skip the quantize arithmetic; inline
     # re-quantization measured 1.28 s vs 0.45 s over stored codes at
     # sf0.1 — interpreted HOF transforms are paid once at write time).
-    path = os.path.join(
-        tempfile.gettempdir(), "hiero_spark_sources", "qemb_sq8"
-    )
+    path = _sf_export_dir(sf_dir, "qemb_sq8")
     quantize_vectors(t(spark, sf_dir, "embeddings")).select(
         "vec_id", "q", "scale"
     ).write.mode("overwrite").parquet(path)
@@ -615,24 +625,45 @@ def n2_quantized_recall(spark, sf_dir):
     )
 
 
+def _pca_model(spark, emb, dim, sf_dir):
+    """Build-once/probe-many: fit + persist the PCA projection on first
+    use (per scale factor), reuse it afterwards — same contract as the
+    save_ivf index. The corpus tables are immutable fixtures, so a
+    present _SUCCESS marker means the model matches the data."""
+    import os
+
+    from hiero_spark.functions.rerank import fit_pca_model, load_pca_model
+
+    path = _sf_export_dir(sf_dir, "pca_model")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        fit_pca_model(emb, path, dim=dim, k=8)
+    return load_pca_model(spark, path)
+
+
 @query(
     "n2_pca_rerank",
     group="N2",
-    doc="Two-stage ANN: coarse top-50 by cosine in an 8-dim PCA space "
-        "(distributed Gram fit, functions/rerank.py), exact full-dim "
-        "rerank of candidates only. Rows-only (the candidate set depends "
-        "on the eigenfit); the verdict twin pins the pipeline's exactness "
-        "properties. HONEST NEGATIVE on this corpus: the synthetic "
-        "embeddings are near-isotropic (top-8 components explain ~20% "
-        "variance), so recall@10 is ~0.2 here — the unit test shows 1.0 "
-        "on clustered data, where the reduction actually applies.",
+    doc="Two-stage ANN: coarse top-50 by cosine in an 8-dim PCA space, "
+        "exact full-dim rerank of candidates only. The projection is fit "
+        "ONCE and persisted (fit_pca_model, functions/rerank.py) — the "
+        "save_ivf build/probe split; the probe loads d*(k+1) doubles and "
+        "scans the corpus once (round-6 fix: the per-query Gram refit "
+        "was 5.5 s/call, all training). Rows-only (the candidate set "
+        "depends on the eigenfit); the verdict twin pins the pipeline's "
+        "exactness properties. HONEST NEGATIVE on this corpus: the "
+        "synthetic embeddings are near-isotropic (top-8 components "
+        "explain ~20% variance), so recall@10 is ~0.2 here — the unit "
+        "test shows 1.0 on clustered data, where the reduction actually "
+        "applies.",
     oracle=None,
 )
 def n2_pca_rerank(spark, sf_dir):
     from hiero_spark.functions.rerank import pca_rerank_topk
 
     emb = t(spark, sf_dir, "embeddings")
-    out = pca_rerank_topk(emb, _emb_query_vec(spark, sf_dir), k=10, n_candidates=50)
+    qv = _emb_query_vec(spark, sf_dir)
+    model = _pca_model(spark, emb, len(qv), sf_dir)
+    out = pca_rerank_topk(emb, qv, k=10, n_candidates=50, model=model)
     return out.select("neighbor_id", F.round("cos_sim", 4).alias("cos_sim"))
 
 
@@ -658,8 +689,11 @@ def n2_pca_rerank_verdict(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings")
     qv = _emb_query_vec(spark, sf_dir)
     n = emb.count()
+    model = _pca_model(spark, emb, len(qv), sf_dir)
     exact = sim.brute_force_topk(emb, qv, k=10).select("neighbor_id")
-    full_width = pca_rerank_topk(emb, qv, k=10, n_candidates=n).select("neighbor_id")
+    full_width = pca_rerank_topk(
+        emb, qv, k=10, n_candidates=n, model=model
+    ).select("neighbor_id")
     overlap = full_width.join(exact, "neighbor_id")
     return overlap.agg(
         F.lit(n).cast("long").alias("n_vectors"),

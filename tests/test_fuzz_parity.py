@@ -258,9 +258,42 @@ def test_generated_events_time_parity(spark, con3, ts_preds, bucket, group_type)
 # generated partitions, orders, and frames — the window-semantics space
 # (nulls-in-order, frame boundaries, tie handling) between the hand-written
 # ext_window_* oracles.
+#
+# Runs on `orders`, NOT lineitem: the testdata deliberately contains
+# thousands of duplicate (l_orderkey, l_linenumber) pairs with different
+# payloads, so no lineitem column set forms a total order and ROWS-frame
+# prefix sums would be engine-nondeterministic. o_orderkey IS unique
+# (verified: 1500/1500 distinct at sf0.001), so (order_col, o_orderkey)
+# is a genuine total order and every window result is deterministic.
 
-_WKEYS = ("l_returnflag", "l_linestatus")
-_WORDS = ("l_orderkey", "l_extendedprice", "l_shipdate")
+_WKEYS = ("o_orderstatus", "o_orderpriority")
+_WORDS = ("o_custkey", "o_totalprice", "o_orderdate")
+
+O_NUM_COLS = (
+    ("o_totalprice", (25000.0, 100000.0, 250000.0, 400000.0)),
+    ("o_custkey", (10, 40, 90, 140)),
+)
+O_STR_COLS = (
+    ("o_orderstatus", ("F", "O", "P")),
+    ("o_orderpriority", ("1-URGENT", "2-HIGH", "3-MEDIUM", "5-LOW")),
+)
+_o_num_pred = st.tuples(
+    st.sampled_from(O_NUM_COLS),
+    st.sampled_from(["<", "<=", ">", ">=", "="]),
+    st.integers(0, 3),
+)
+_o_str_pred = st.tuples(st.sampled_from(O_STR_COLS), st.integers(0, 3))
+_o_preds = st.lists(st.one_of(_o_num_pred, _o_str_pred), min_size=0, max_size=3)
+
+
+@pytest.fixture(scope="module")
+def ocon():
+    c = duckdb.connect()
+    c.execute(
+        "CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{table_path(SF_DIR, 'orders')}')"
+    )
+    return c
 
 
 @settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
@@ -268,34 +301,34 @@ _WORDS = ("l_orderkey", "l_extendedprice", "l_shipdate")
     part=st.sampled_from(_WKEYS),
     order=st.sampled_from(_WORDS),
     fn=st.sampled_from(["row_number", "rank", "dense_rank", "lag", "lead", "runsum"]),
-    preds=_preds,
+    preds=_o_preds,
 )
-def test_generated_window_parity(spark, con, part, order, fn, preds):
+def test_generated_window_parity(spark, ocon, part, order, fn, preds):
     from pyspark.sql.window import Window
 
-    li = load_table(spark, SF_DIR, "lineitem")
+    od = load_table(spark, SF_DIR, "orders")
     spark_parts, where = _build(preds)
     cond = F.lit(True)
     for col, op, lit in spark_parts:
         cond = cond & _OPS[op](F.col(col), F.lit(lit))
-    # total order inside the window: tiebreak on (l_orderkey, l_linenumber)
-    w = Window.partitionBy(part).orderBy(
-        F.col(order).asc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc()
-    )
-    order_sql = f"{order}, l_orderkey, l_linenumber"
+    # total order inside the window: o_orderkey is a verified-unique key
+    w = Window.partitionBy(part).orderBy(F.col(order).asc(), F.col("o_orderkey").asc())
+    order_sql = f"{order}, o_orderkey"
     if fn == "runsum":
-        expr = F.sum((F.col("l_quantity") * 100).cast("long")).over(
+        # o_totalprice*100 is ~integral but not exactly (double repr), so
+        # round() before the cast in BOTH engines; no .5 boundary exists.
+        expr = F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).over(
             w.rowsBetween(Window.unboundedPreceding, 0)
         )
         sql_fn = (
-            "SUM(CAST(l_quantity * 100 AS BIGINT)) OVER "
+            "SUM(CAST(round(o_totalprice * 100) AS BIGINT)) OVER "
             f"(PARTITION BY {part} ORDER BY {order_sql} "
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
         )
     elif fn in ("lag", "lead"):
-        expr = getattr(F, fn)(F.col("l_orderkey"), 1).over(w)
+        expr = getattr(F, fn)(F.col("o_orderkey"), 1).over(w)
         sql_fn = (
-            f"{fn.upper()}(l_orderkey, 1) OVER "
+            f"{fn.upper()}(o_orderkey, 1) OVER "
             f"(PARTITION BY {part} ORDER BY {order_sql})"
         )
     else:
@@ -307,16 +340,16 @@ def test_generated_window_parity(spark, con, part, order, fn, preds):
     got = sorted(
         (
             tuple(r)
-            for r in li.filter(cond)
-            .select("l_orderkey", "l_linenumber", expr.alias("wv"))
+            for r in od.filter(cond)
+            .select("o_orderkey", expr.alias("wv"))
             .collect()
         ),
         key=nskey,
     )
     exp = sorted(
-        con.execute(
-            f"SELECT l_orderkey, l_linenumber, {sql_fn} AS wv "
-            f"FROM lineitem WHERE {where}"
+        ocon.execute(
+            f"SELECT o_orderkey, {sql_fn} AS wv "
+            f"FROM orders WHERE {where}"
         ).fetchall(),
         key=nskey,
     )

@@ -52,3 +52,31 @@ def test_high_recall_on_clustered_data(spark):
         for r in pca_rerank_topk(emb, qv, 10, n_candidates=50).collect()
     }
     assert len(exact & rr) / 10 >= 0.9  # measured 1.0; slack for layout drift
+
+
+def test_persisted_model_matches_inline_fit(spark, tmp_path):
+    # build-once/probe-many (round-7): fit_pca_model persists mean +
+    # components; load_pca_model round-trips them bit-identically, and a
+    # probe with the persisted model returns exactly what the inline fit
+    # returns (same deterministic eigenfit, same candidate scan).
+    from hiero_spark.functions.rerank import fit_pca_model, load_pca_model
+
+    emb = synthetic_embeddings(spark, 400, 16, n_clusters=8)
+    qv = [float(x) for x in emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]]
+    path = str(tmp_path / "pca_model")
+    fit_pca_model(emb, path, dim=16, k=4)
+    mean_p, comps_p = load_pca_model(spark, path)
+    mean_i, comps_i = pca_fit_array(emb, "embedding", 16, 4)
+    assert np.array_equal(mean_p, mean_i)
+    assert np.array_equal(comps_p, comps_i)
+    inline = [
+        (r["neighbor_id"], round(r["cos_sim"], 9))
+        for r in pca_rerank_topk(emb, qv, 10, n_candidates=60, d_red=4).collect()
+    ]
+    probed = [
+        (r["neighbor_id"], round(r["cos_sim"], 9))
+        for r in pca_rerank_topk(
+            emb, qv, 10, n_candidates=60, model=(mean_p, comps_p)
+        ).collect()
+    ]
+    assert probed == inline

@@ -242,3 +242,14 @@ def stopword_fraction(text: Column) -> Column:
     stops = F.array(*[F.lit(w) for w in STOP_WORDS])
     n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stops, x)))
     return F.round(n_stop.cast("double") / F.size(toks), 6)
+
+
+def prose_gate(text: Column, min_distinct: int = 2) -> Column:
+    """The Rae et al. (2021) stop-word gate itself: TRUE when the text
+    contains >= min_distinct DISTINCT stop words. The funnel/pipeline
+    form of stopword_fraction — a boolean the cumulative gates can AND
+    onto, same pure array exprs, per-row, shuffle-free."""
+    toks = F.split(F.trim(F.lower(text)), r"\s+")
+    stops = F.array(*[F.lit(w) for w in STOP_WORDS])
+    hits = F.filter(toks, lambda x: F.array_contains(stops, x))
+    return F.size(F.array_distinct(hits)) >= min_distinct

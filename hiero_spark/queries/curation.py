@@ -751,7 +751,8 @@ def n4_normalize_text(spark, sf_dir):
     group="N5",
     doc="Round-6 composed curation pass, one plan end to end: keep-first "
         "line dedup (raw text — line structure must survive to this "
-        "stage) -> unicode normalization -> char-entropy + quality gates "
+        "stage) -> unicode normalization -> char-entropy + quality + "
+        "stopword-prose gates "
         "on the NORMALIZED text -> exact dedup by md5(norm). Every stage "
         "reuses an individually-proven operator and the oracle chains "
         "their individually-proven SQL mirrors — the composability "
@@ -796,7 +797,12 @@ def n4_normalize_text(spark, sf_dir):
                        THEN 1.0 ELSE 0.5 END) * 0.4 AS quality
           FROM norm
         ), gated AS (
-          SELECT doc_id, n FROM feat WHERE entropy >= 1.5 AND quality >= 0.5
+          SELECT doc_id, n FROM feat
+          WHERE entropy >= 1.5 AND quality >= 0.5
+            AND len(list_distinct(list_filter(
+                  regexp_split_to_array(trim(lower(n)), '\s+'),
+                  x -> x IN ('the','of','and','to','in','a','is','that','for','it')
+                ))) >= 2
         )
         SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
         FROM gated GROUP BY md5(n)
@@ -820,7 +826,7 @@ def n5_curation_pipeline2(spark, sf_dir):
     ent = char_entropy(F.col("n"), rounded=False)
     gated = norm.withColumn(
         "quality", tx.quality_score(F.col("n"))
-    ).filter((ent >= 1.5) & (F.col("quality") >= 0.5))
+    ).filter((ent >= 1.5) & (F.col("quality") >= 0.5) & tx.prose_gate(F.col("n")))
     return (
         gated.groupBy(F.md5("n"))
         .agg(
@@ -1166,8 +1172,9 @@ def n6_dataset_diff(spark, sf_dir):
     group="N5",
     doc="Curation funnel report — the dataset-card table every pipeline "
         "publishes: documents and token mass surviving each cumulative "
-        "gate (language -> quality -> dup-line -> 2-gram -> symbol) and "
-        "the final exact-dedup stage. All gate flags come from ONE scan "
+        "gate (language -> quality -> dup-line -> 2-gram -> symbol -> "
+        "stopword prose gate, the full Gopher set) and the final "
+        "exact-dedup stage. All gate flags come from ONE scan "
         "(conditional sums); only the dedup stage shuffles (fingerprint "
         "groupBy, min-doc representative carries the token mass).",
     oracle=r"""
@@ -1207,7 +1214,11 @@ def n6_dataset_diff(spark, sf_dir):
                  ROUND(CAST(len(m.lines) - len(list_distinct(m.lines)) AS DOUBLE)
                        / len(m.lines), 6) <= 0.30 AS g_dupline,
                  COALESCE(tg.t2g, 0.0) <= 0.20 AS g_2gram,
-                 ROUND(CAST(m.n_sym AS DOUBLE) / len(m.toks), 6) <= 0.10 AS g_symbol
+                 ROUND(CAST(m.n_sym AS DOUBLE) / len(m.toks), 6) <= 0.10 AS g_symbol,
+                 len(list_distinct(list_filter(
+                   regexp_split_to_array(trim(lower(m.text)), '\s+'),
+                   x -> x IN ('the','of','and','to','in','a','is','that','for','it')
+                 ))) >= 2 AS g_stop
           FROM m LEFT JOIN tg ON tg.doc_id = m.doc_id
         ), flags AS (
           SELECT doc_id, n_tok, fp,
@@ -1215,13 +1226,15 @@ def n6_dataset_diff(spark, sf_dir):
                  g_lang AND g_quality AS s2,
                  g_lang AND g_quality AND g_dupline AS s3,
                  g_lang AND g_quality AND g_dupline AND g_2gram AS s4,
-                 g_lang AND g_quality AND g_dupline AND g_2gram AND g_symbol AS s5
+                 g_lang AND g_quality AND g_dupline AND g_2gram AND g_symbol AS s5,
+                 g_lang AND g_quality AND g_dupline AND g_2gram AND g_symbol
+                   AND g_stop AS s6
           FROM f
         ), dedup AS (
           SELECT CAST(COUNT(*) AS BIGINT) AS nd,
                  CAST(SUM(rep_tok) AS BIGINT) AS td
           FROM (SELECT fp, arg_min(n_tok, doc_id) AS rep_tok
-                FROM flags WHERE s5 GROUP BY fp)
+                FROM flags WHERE s6 GROUP BY fp)
         )
         SELECT * FROM (
           SELECT 0 AS stage, 'total' AS gate,
@@ -1243,7 +1256,10 @@ def n6_dataset_diff(spark, sf_dir):
           SELECT 5, 'symbol', CAST(SUM(CASE WHEN s5 THEN 1 ELSE 0 END) AS BIGINT),
                  CAST(SUM(CASE WHEN s5 THEN n_tok ELSE 0 END) AS BIGINT) FROM flags
           UNION ALL
-          SELECT 6, 'exact_dedup', nd, td FROM dedup
+          SELECT 6, 'stopword', CAST(SUM(CASE WHEN s6 THEN 1 ELSE 0 END) AS BIGINT),
+                 CAST(SUM(CASE WHEN s6 THEN n_tok ELSE 0 END) AS BIGINT) FROM flags
+          UNION ALL
+          SELECT 7, 'exact_dedup', nd, td FROM dedup
         )
     """,
 )
@@ -1265,7 +1281,8 @@ def n5_curation_funnel(spark, sf_dir):
         .withColumn(
             "s5", F.col("s4") & (tx.symbol_word_ratio(F.col("text")) <= 0.10)
         )
-        .select("doc_id", "n_tok", "fp", "s1", "s2", "s3", "s4", "s5")
+        .withColumn("s6", F.col("s5") & tx.prose_gate(F.col("text")))
+        .select("doc_id", "n_tok", "fp", "s1", "s2", "s3", "s4", "s5", "s6")
     )
     cnt = lambda c: F.sum(F.when(F.col(c), 1).otherwise(0)).cast("long")
     tok = lambda c: F.sum(F.when(F.col(c), F.col("n_tok")).otherwise(0)).cast("long")
@@ -1276,26 +1293,28 @@ def n5_curation_funnel(spark, sf_dir):
         cnt("s3").alias("n3"), tok("s3").alias("t3"),
         cnt("s4").alias("n4"), tok("s4").alias("t4"),
         cnt("s5").alias("n5"), tok("s5").alias("t5"),
+        cnt("s6").alias("n6"), tok("s6").alias("t6"),
     )
     dedup = (
-        flagged.filter("s5")
+        flagged.filter("s6")
         .groupBy("fp")
         .agg(F.expr("min_by(n_tok, doc_id)").alias("rep_tok"))
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n6"),
-            F.sum("rep_tok").cast("long").alias("t6"),
+            F.count(F.lit(1)).cast("long").alias("n7"),
+            F.sum("rep_tok").cast("long").alias("t7"),
         )
     )
     wide = gates.crossJoin(dedup)
     return wide.selectExpr(
-        "stack(7, "
+        "stack(8, "
         "0, 'total', n0, t0, "
         "1, 'lang_en', n1, t1, "
         "2, 'quality', n2, t2, "
         "3, 'dup_line', n3, t3, "
         "4, 'top_2gram', n4, t4, "
         "5, 'symbol', n5, t5, "
-        "6, 'exact_dedup', n6, t6) AS (stage, gate, n_docs, n_tokens)"
+        "6, 'stopword', n6, t6, "
+        "7, 'exact_dedup', n7, t7) AS (stage, gate, n_docs, n_tokens)"
     )
 
 

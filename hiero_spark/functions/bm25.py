@@ -11,7 +11,11 @@ Okapi BM25 and return the top-k. Shape at 100 TB:
   relation and broadcast back (|q| rows);
 - corpus stats (N, avgdl) are two scalars — one agg, O(1) driver state,
   same bounded-model contract as the classifier/PCA fits;
-- top-k is orderBy+limit => TakeOrderedAndProject, never a global sort.
+- top-k is orderBy+limit => TakeOrderedAndProject, never a global sort;
+- for repeated querying, `save_text_index`/`bm25_topk_indexed` split
+  build from probe: postings partitioned by term-hash bucket make each
+  query a partition-pruned read of its own posting lists (the Lucene
+  inverted-index architecture as parquet layout).
 
 Cross-engine exactness (the tf_idf_keywords conventions,
 queries/northstar.py): IDF uses the smooth RATIO
@@ -27,6 +31,40 @@ bit-identical pre-round; ROUND(6) is display only.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+
+
+def _score_postings(
+    tf: DataFrame, n_docs: float, avgdl: float, k: int, k1: float, b: float,
+    id_col: str,
+) -> DataFrame:
+    """Top-k from a (id, dl, tok, tf) postings relation + corpus scalars —
+    shared by the full-scan and index-probe paths (the index changes the
+    LAYOUT, never the math, so both rank bit-identically)."""
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    idf = (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))
+    contrib = tf.join(F.broadcast(dfreq), "tok").select(
+        id_col,
+        "tok",
+        (idf * (F.col("tf") * (k1 + 1.0)) / denom).alias("c"),
+    )
+    scored = (
+        contrib.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            # fold in sorted term order, seed 0.0: addition order is pinned
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("tok", "c"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["c"],
+            ).alias("s"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("s"), F.asc(id_col))
+        .limit(k)
+        .select(id_col, "n_terms", F.round("s", 6).alias("bm25"))
+    )
 
 
 def bm25_topk(
@@ -55,28 +93,82 @@ def bm25_topk(
         .filter(F.col("tok").isin(list(query_terms)))  # before ANY shuffle
     )
     tf = hits.groupBy(id_col, "dl", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    idf = (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
-    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))
-    contrib = tf.join(F.broadcast(dfreq), "tok").select(
-        id_col,
-        "tok",
-        (idf * (F.col("tf") * (k1 + 1.0)) / denom).alias("c"),
+    return _score_postings(tf, n_docs, avgdl, k, k1, b, id_col)
+
+
+def save_text_index(
+    docs: DataFrame,
+    path: str,
+    n_buckets: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Materialize the inverted index: postings (id, dl, tok, tf)
+    partitioned by a term-hash bucket, plus a 1-row corpus-stats table —
+    the Lucene architecture re-expressed as layout (same build/probe
+    split as `save_ivf` and `fit_pca_model`).
+
+    Pay the corpus tokenize+explode ONCE at build time; every query
+    afterwards is a partition-PRUNED read of the |q| buckets its terms
+    hash to — the scan is bounded by the query's posting lists, never
+    the corpus. The build shuffles by (bucket, id-salt) so each bucket
+    directory holds few well-sized files (the save_ivf file-count
+    lesson: unsalted, every input task writes a sliver into every
+    bucket and probes drown in file opens)."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    tokenized = docs.select(F.col(id_col), toks.alias("w"))
+    stats = tokenized.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size("w")).cast("long").alias("total_toks"),
     )
-    scored = (
-        contrib.groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_terms"),
-            # fold in sorted term order, seed 0.0: addition order is pinned
-            F.aggregate(
-                F.array_sort(F.collect_list(F.struct("tok", "c"))),
-                F.lit(0.0),
-                lambda acc, x: acc + x["c"],
-            ).alias("s"),
+    postings = (
+        tokenized.select(
+            id_col, F.size("w").alias("dl"), F.explode("w").alias("tok")
         )
+        .groupBy(id_col, "dl", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("_bucket", F.pmod(F.xxhash64("tok"), F.lit(n_buckets)))
     )
-    return (
-        scored.orderBy(F.desc("s"), F.asc(id_col))
-        .limit(k)
-        .select(id_col, "n_terms", F.round("s", 6).alias("bm25"))
+    postings.repartition(
+        F.col("_bucket"), F.pmod(F.xxhash64(F.col(id_col)), F.lit(4))
+    ).write.mode("overwrite").partitionBy("_bucket").parquet(f"{path}/postings")
+    stats.coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
+
+
+def bm25_topk_indexed(
+    spark,
+    path: str,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Probe a `save_text_index`: read ONLY the buckets the query terms
+    hash to (directory-level partition pruning — pinned on the physical
+    plan in tests), filter to the exact terms, score with the shared
+    BM25 core. Identical ranking to the full-scan path by construction;
+    the probe's scan cost is the query's posting lists."""
+    st = spark.read.parquet(f"{path}/stats").collect()[0]
+    n_docs = float(st["n_docs"])
+    avgdl = float(st["total_toks"]) / n_docs
+    # driver-side bucket computation must mirror xxhash64 — do it in a
+    # 1-row Spark job instead of reimplementing the hash in Python
+    buckets = sorted(
+        {
+            r["b"]
+            for r in spark.createDataFrame(
+                [(t,) for t in query_terms], "tok string"
+            )
+            .select(F.pmod(F.xxhash64("tok"), F.lit(n_buckets)).alias("b"))
+            .collect()
+        }
     )
+    tf = (
+        spark.read.parquet(f"{path}/postings")
+        .filter(F.col("_bucket").isin(buckets))  # partition-pruned read
+        .filter(F.col("tok").isin(list(query_terms)))
+        .select(id_col, "dl", "tok", "tf")
+    )
+    return _score_postings(tf, n_docs, avgdl, k, k1, b, id_col)

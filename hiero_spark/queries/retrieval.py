@@ -15,17 +15,10 @@ from hiero_spark.registry import query
 
 _BM25_TERMS = ("spark", "join", "window", "stream")
 
-
-@query(
-    "n4_bm25_topk",
-    group="N4",
-    doc="Okapi BM25 top-10 against a 4-term query (functions/bm25.py): "
-        "token explode filtered to query terms BEFORE any shuffle, "
-        "per-term df broadcast back, corpus stats are two scalars, "
-        "top-k is TakeOrdered. Ratio idf (no ln — not ulp-guaranteed) "
-        "and a sorted-term aggregate() fold make the double scores "
-        "bit-identical across engines, so the RANKING is hash-checked.",
-    oracle=r"""
+# Shared BM25 oracle: the indexed probe is a LAYOUT change (partition-
+# pruned posting lists), never a math change, so both registry entries
+# hash-check against the identical SQL.
+_BM25_ORACLE = r"""
         WITH d AS (
           SELECT doc_id,
                  regexp_split_to_array(trim(lower(text)), '\s+') AS w
@@ -58,12 +51,61 @@ _BM25_TERMS = ("spark", "join", "window", "stream")
         )
         SELECT doc_id, n_terms, ROUND(s, 6) AS bm25
         FROM agg ORDER BY s DESC, doc_id ASC LIMIT 10
-    """,
+"""
+
+
+def _sf_export_dir(sf_dir: str, name: str) -> str:
+    """Per-scale export path (same contract as queries/curation.py)."""
+    import os
+    import tempfile
+
+    sf_key = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    d = os.path.join(
+        tempfile.gettempdir(), "hiero_spark_sources", f"{name}_{sf_key}"
+    )
+    os.makedirs(os.path.dirname(d), exist_ok=True)
+    return d
+
+
+@query(
+    "n4_bm25_topk",
+    group="N4",
+    doc="Okapi BM25 top-10 against a 4-term query (functions/bm25.py): "
+        "token explode filtered to query terms BEFORE any shuffle, "
+        "per-term df broadcast back, corpus stats are two scalars, "
+        "top-k is TakeOrdered. Ratio idf (no ln — not ulp-guaranteed) "
+        "and a sorted-term aggregate() fold make the double scores "
+        "bit-identical across engines, so the RANKING is hash-checked.",
+    oracle=_BM25_ORACLE,
 )
 def n4_bm25_topk(spark, sf_dir):
     from hiero_spark.functions.bm25 import bm25_topk
 
     return bm25_topk(t(spark, sf_dir, "documents"), list(_BM25_TERMS), k=10)
+
+
+@query(
+    "n4_bm25_indexed",
+    group="N4",
+    doc="BM25 probe of a PERSISTED inverted index "
+        "(functions/bm25.py:save_text_index): postings partitioned by "
+        "term-hash bucket, so the probe reads only the |q| buckets the "
+        "query hashes to (directory-level partition pruning, pinned in "
+        "tests) plus a 1-row stats table — the Lucene build/probe split "
+        "as parquet layout. Index built once per scale factor "
+        "(_SUCCESS-gated, the save_ivf/_pca_model contract); ranking is "
+        "bit-identical to the full-scan path and shares its oracle.",
+    oracle=_BM25_ORACLE,
+)
+def n4_bm25_indexed(spark, sf_dir):
+    import os
+
+    from hiero_spark.functions.bm25 import bm25_topk_indexed, save_text_index
+
+    path = _sf_export_dir(sf_dir, "text_index")
+    if not os.path.exists(os.path.join(path, "stats", "_SUCCESS")):
+        save_text_index(t(spark, sf_dir, "documents"), path)
+    return bm25_topk_indexed(spark, path, list(_BM25_TERMS), k=10)
 
 
 @query(

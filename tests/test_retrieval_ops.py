@@ -121,3 +121,20 @@ def test_pps_sample_proportionality(spark):
     # weight 30/50 of mass -> 30 draws; 10/50 -> 10; 5/50 -> 5
     assert out[7] == 30 and out[6] == 10 and out[5] == 5
     assert sum(out.values()) == total
+
+
+def test_bm25_index_probe_matches_full_scan_and_prunes(spark, tmp_path):
+    from hiero_spark import plans as P
+    from hiero_spark.functions.bm25 import bm25_topk_indexed, save_text_index
+    from hiero_spark.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    path = str(tmp_path / "tix")
+    save_text_index(docs, path)
+    terms = ["spark", "join", "window", "stream"]
+    probe = bm25_topk_indexed(spark, path, terms, k=10)
+    full = bm25_topk(docs, terms, k=10)
+    assert [tuple(r) for r in probe.collect()] == [tuple(r) for r in full.collect()]
+    # the probe's postings scan must be partition-pruned to the query's
+    # term buckets — the whole point of the index layout
+    assert P.partition_filters(probe), "postings scan is not partition-pruned"

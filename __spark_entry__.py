@@ -35,58 +35,32 @@ def entry(spark: SparkSession) -> DataFrame:
 #          across the whole registry round after round.
 # _WINDOW_PIN is an optional manual override to put specific names at the
 # very front of the head (normally empty — derivation handles everything).
-# Round 6: the spec-hash format gained the defining module's own file
-# digest (evidence.py), a one-time global lapse — so front-load the names
-# that most need driver evidence this round: the five r5 queries the
-# driver never saw, plus everything whose formula/oracle changed in r6.
+# Round 7: front-load (a) the eight oracle queries registered after the
+# r6 window was drawn that have NEVER had a driver run (r6 verdict task
+# 2), (b) queries whose formula/oracle changed this round (stopword gate
+# wired into funnel/pipeline2, persisted PCA model, sf-keyed quantized
+# export), and (c) the round-7 additions (BM25 x2, triangles, PPS
+# sample). The remaining head slots fill with the stalest lapsed greens
+# in registration order.
 _WINDOW_PIN: list[str] = [
-    "n1_url_dedup",
-    "n1_repeated_span_pairs",
-    "n4_repetition_stats",
-    "n4_tfidf_keywords",
-    "n5_boilerplate_removal",
-    "n4_lang_id",
-    "n5_curation_pipeline",
-    "f2_interval_lag",
-    "n2_ivf_kmeans",
-    "n6_decontamination_bloom",
-    "n2_semantic_dedup",
-    "n4_trained_classifier",
-    "s11_zorder_pruned_read",
-    "n4_lm_perplexity",
-    "n4_bpe_training",
-    "ext_gap_fill",
-    "ext_gap_fill_linear",
-    "a16_profile_table",
-    "a17_mad_outliers",
-    "s12_schema_evolution",
-    "s13_python_datasource",
-    "a18_constraint_checks",
-    "s14_compaction",
-    "a4_histogram_equidepth",
-    # mid-round-6 additions (queries/curation.py) — never driver-seen
-    "n6_contamination_overlap",
-    "n4_char_entropy",
-    "n5_topk_per_group",
-    "n1_line_dedup_keep_first",
-    "n6_mixture_weights",
-    "n1_dedup_incremental",
-    "n1_cluster_best",
-    "n1_fuzzy_dedup_pairs",
-    "n1_incremental_near_dups_verdict",
-    "n2_quantized_vectors",
-    "n2_quantized_ann",
-    "n2_quantized_recall",
-    "n2_pca_rerank_verdict",
-    "n4_normalize_text",
-    "s15_training_shards",
+    # (a) never driver-run, registered after the r6 window was drawn
+    "n6_global_shuffle",
+    "n6_chunk_documents",
+    "n6_stratified_sample",
+    "n4_stopword_fraction",
+    "n5_curation_funnel",
+    "n6_dataset_diff",
+    "ext_scd2_build",
+    "ext_ewma_levels",
+    # (b) changed in round 7
     "n5_curation_pipeline2",
-    "ext_rolling_anomaly",
-    "n7_pagerank",
-    "n6_mixture_apply",
-    "n1_remove_repeated_spans",
-    "s16_upsert_merge",
-    "s17_incremental_agg",
+    "n2_quantized_ann",
+    "n2_pca_rerank_verdict",
+    # (c) new in round 7
+    "n4_bm25_topk",
+    "n4_bm25_indexed",
+    "n7_triangle_count",
+    "n6_weighted_sample",
 ]
 
 

@@ -251,12 +251,32 @@ def upsert_partitioned(
 
     Changes within one batch must be key-unique (last-writer semantics
     inside a batch are not defined here — pre-aggregate upstream).
+
+    Affected partitions are the union of (a) the partitions the change
+    rows name and (b) the partitions the changed keys CURRENTLY occupy
+    in the base table — an update may move a key across partitions, and
+    without (b) the old partition would keep a stale copy (round-6
+    ADVICE). Finding (b) is a key+partition column scan semi-joined
+    against the broadcast change keys — column-pruned, no data columns
+    read; with a partition-aligned key design (key embeds the partition)
+    or footer min/max on the key column the scan prunes further, which
+    is exactly the metadata lookup table formats do here.
     """
     from pyspark.sql import functions as F
 
-    parts = [r[0] for r in changes.select(part_col).distinct().collect()]
+    changed_keys = changes.select(key_col).distinct()
+    named = {r[0] for r in changes.select(part_col).distinct().collect()}
+    current = {
+        r[0]
+        for r in spark.read.parquet(table_path)
+        .select(key_col, part_col)
+        .join(F.broadcast(changed_keys), key_col, "left_semi")
+        .select(part_col)
+        .distinct()
+        .collect()
+    }
+    parts = sorted(named | current)
     base = spark.read.parquet(table_path).filter(F.col(part_col).isin(parts))
-    changed_keys = changes.select(key_col)
     survivors = base.join(changed_keys, key_col, "left_anti")
     upserts = changes.filter(~F.col(delete_col)).drop(delete_col)
     merged = survivors.unionByName(upserts).persist()

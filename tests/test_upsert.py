@@ -56,3 +56,26 @@ def test_fully_deleted_partition_is_cleared(spark, tmp_path):
     assert audit["partitions_emptied"] == 1
     assert not glob.glob(f"{dst}/part=a/part-*.parquet")
     assert [r["k"] for r in spark.read.parquet(dst).collect()] == [3]
+
+
+def test_partition_moving_update_leaves_no_stale_copy(spark, tmp_path):
+    # round-6 ADVICE: an update that MOVES a key to a new partition must
+    # rewrite the key's OLD partition too, or a stale duplicate survives
+    dst = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(i, float(i), "p%d" % (i % 3)) for i in range(30)], ["k", "v", "part"]
+    )
+    base.write.partitionBy("part").parquet(dst)
+
+    # k=4 lives in p1; the change row re-homes it to p0
+    changes = spark.createDataFrame(
+        [Row(k=4, v=40.0, part="p0", _delete=False)]
+    )
+    audit = upsert_partitioned(spark, dst, changes, "k", "part")
+    assert audit["partitions_rewritten"] == 2  # p0 (target) AND p1 (old home)
+
+    rows = spark.read.parquet(dst).filter(F.col("k") == 4).collect()
+    assert len(rows) == 1  # exactly one copy, no stale p1 row
+    assert rows[0]["part"] == "p0" and rows[0]["v"] == 40.0
+    total = spark.read.parquet(dst).count()
+    assert total == 30  # nothing else gained or lost

@@ -61,6 +61,9 @@ _WINDOW_PIN: list[str] = [
     "n4_bm25_indexed",
     "n7_triangle_count",
     "n6_weighted_sample",
+    "n1_jaccard_join",
+    "ext_interval_concurrency",
+    "n4_phrase_search",
 ]
 
 

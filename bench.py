@@ -414,6 +414,9 @@ def main() -> None:
         "n7_triangle_count",
         "n6_weighted_sample",
         "n2_pca_rerank_verdict",
+        "n1_jaccard_join",
+        "ext_interval_concurrency",
+        "n4_phrase_search",
     ]
 
     def run_r6_ops(data_dir: str) -> dict[str, float]:

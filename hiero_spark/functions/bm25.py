@@ -121,12 +121,20 @@ def save_text_index(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum(F.size("w")).cast("long").alias("total_toks"),
     )
+    # positional postings (1-based positions, sorted): BM25 probes prune
+    # the positions column away at the parquet scan; phrase probes read
+    # it — one index serves both, paid once
     postings = (
         tokenized.select(
-            id_col, F.size("w").alias("dl"), F.explode("w").alias("tok")
+            id_col,
+            F.size("w").alias("dl"),
+            F.posexplode("w").alias("pos0", "tok"),
         )
         .groupBy(id_col, "dl", "tok")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.sort_array(F.collect_list(F.col("pos0") + 1)).alias("positions"),
+        )
         .withColumn("_bucket", F.pmod(F.xxhash64("tok"), F.lit(n_buckets)))
     )
     postings.repartition(
@@ -172,3 +180,63 @@ def bm25_topk_indexed(
         .select(id_col, "dl", "tok", "tf")
     )
     return _score_postings(tf, n_docs, avgdl, k, k1, b, id_col)
+
+
+def phrase_count_indexed(
+    spark,
+    path: str,
+    phrase: list[str],
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact phrase occurrence counts from the POSITIONAL index: read the
+    phrase words' buckets (partition-pruned, same as the BM25 probe but
+    WITH the positions column), group each candidate doc's per-word
+    position lists into a map, and count the positions p of word 0 such
+    that word j sits at p + j for every j — the classic positional-
+    posting phrase intersection. Only docs containing ALL words survive
+    the map_keys cardinality gate; the counting is per-row array
+    arithmetic over posting lists, never a scan of document text.
+    Returns (id, n_occurrences) for docs with >= 1 occurrence."""
+    words = [w.lower() for w in phrase]
+    buckets = sorted(
+        {
+            r["b"]
+            for r in spark.createDataFrame([(t,) for t in words], "tok string")
+            .select(F.pmod(F.xxhash64("tok"), F.lit(n_buckets)).alias("b"))
+            .collect()
+        }
+    )
+    m = len(words)
+    # a doc must contain every DISTINCT word (a repeated-word phrase like
+    # "data data" yields one posting key, not len(phrase) of them)
+    n_distinct = len(set(words))
+    post = (
+        spark.read.parquet(f"{path}/postings")
+        .filter(F.col("_bucket").isin(buckets))
+        .filter(F.col("tok").isin(words))
+        .select(id_col, "tok", "positions")
+    )
+    by_doc = post.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("tok", "positions"))
+        ).alias("pm")
+    ).filter(F.size(F.map_keys(F.col("pm"))) == n_distinct)
+    # occurrences: positions p of words[0] with words[j] at p+j for all j
+    cond = None
+    for j in range(1, m):
+        term = F.array_contains(
+            F.col("pm")[words[j]], F.col("p") + F.lit(j)
+        )
+        cond = term if cond is None else cond & term
+    starts = F.col("pm")[words[0]]
+    if cond is None:  # single-word phrase: every posting position counts
+        n_occ = F.size(starts)
+    else:
+        exploded = by_doc.select(id_col, F.explode(starts).alias("p"), "pm")
+        return (
+            exploded.filter(cond)
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+        )
+    return by_doc.select(id_col, n_occ.cast("long").alias("n_occurrences"))

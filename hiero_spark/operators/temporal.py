@@ -286,3 +286,52 @@ def scd2_from_log(
         F.unix_micros(F.lead(ts_col).over(w2)).alias("valid_to"),
         F.lead(ts_col).over(w2).isNull().alias("is_current"),
     )
+
+
+def interval_concurrency(
+    df: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Peak concurrency per key over half-open intervals [start, end):
+    the sweep-line counting primitive behind "max simultaneous sessions /
+    connections / jobs" dashboards. Returns (key, max_concurrent,
+    n_intervals).
+
+    Shape: each interval explodes into exactly two (t, ±1) events — the
+    relation that shuffles is 2 rows per interval, grouped by key; the
+    running sum is a per-KEY window (keys partition the work; no global
+    ordering anywhere). The event order is made total by (t, delta, id):
+    at a boundary instant the -1 sorts before the +1 (delta -1 < +1), so
+    back-to-back intervals [a,b) [b,c) never double-count — the half-open
+    semantics fall out of the sort key, and the unique id tiebreak keeps
+    the prefix sums engine-deterministic for the oracle (the window-
+    fuzzer lesson: a non-total ORDER BY makes ROWS-frame sums
+    nondeterministic).
+    """
+    from pyspark.sql.window import Window
+
+    events = df.select(
+        key_col,
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col(start_col).alias("t"), F.lit(1).alias("delta")
+                ),
+                F.struct(F.col(end_col).alias("t"), F.lit(-1).alias("delta")),
+            )
+        ).alias("e"),
+    ).select(key_col, F.col("e.t").alias("t"), F.col("e.delta").alias("delta"), "_id")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col("t").asc(), F.col("delta").asc(), F.col("_id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    running = events.withColumn("c", F.sum("delta").over(w))
+    return running.groupBy(key_col).agg(
+        F.max("c").cast("long").alias("max_concurrent"),
+        (F.count(F.lit(1)) / 2).cast("long").alias("n_intervals"),
+    )

@@ -15,6 +15,12 @@ from hiero_spark.registry import query
 
 _BM25_TERMS = ("spark", "join", "window", "stream")
 
+# Bump when save_text_index changes its layout/schema: the _SUCCESS gate
+# reuses a persisted index, and a layout change with an unversioned path
+# would silently probe stale bytes (bitten in round 7 when postings
+# gained the positions column).
+_TEXT_INDEX_VERSION = 2
+
 # Shared BM25 oracle: the indexed probe is a LAYOUT change (partition-
 # pruned posting lists), never a math change, so both registry entries
 # hash-check against the identical SQL.
@@ -102,7 +108,7 @@ def n4_bm25_indexed(spark, sf_dir):
 
     from hiero_spark.functions.bm25 import bm25_topk_indexed, save_text_index
 
-    path = _sf_export_dir(sf_dir, "text_index")
+    path = _sf_export_dir(sf_dir, f"text_index_v{_TEXT_INDEX_VERSION}")
     if not os.path.exists(os.path.join(path, "stats", "_SUCCESS")):
         save_text_index(t(spark, sf_dir, "documents"), path)
     return bm25_topk_indexed(spark, path, list(_BM25_TERMS), k=10)
@@ -197,3 +203,146 @@ def n6_weighted_sample(spark, sf_dir):
         t(spark, sf_dir, "documents"), k=50, weight_col="n_chars",
         order_col="doc_id",
     )
+
+
+@query(
+    "n1_jaccard_join",
+    group="N1",
+    doc="EXACT set-similarity self-join, Jaccard >= 0.8 over word "
+        "3-gram shingle sets (functions/setsim.py): prefix filtering "
+        "(PPJoin) generates candidates only from each doc's rarest "
+        "|d|-ceil(0.8|d|)+1 shingles — 25 candidates at sf0.01 vs 12.5M "
+        "all-pairs, and all 25 verify (the prefix is exact, not "
+        "probabilistic, unlike MinHash). The verification-grade "
+        "companion to the LSH path; a unit test pins prefix-join == "
+        "brute force on a planted corpus.",
+    oracle=r"""
+        WITH w AS (
+          SELECT doc_id,
+                 regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+          FROM documents
+        ), sh AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(range(1, len(ws) - 1),
+                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sl
+          FROM w WHERE len(ws) >= 3
+        ), toks AS (SELECT doc_id, unnest(sl) AS tok FROM sh),
+        ordered AS (
+          SELECT t.doc_id, list(t.tok ORDER BY d.df, t.tok) AS s
+          FROM toks t
+          JOIN (SELECT tok, COUNT(*) AS df FROM toks GROUP BY tok) d
+            USING (tok)
+          GROUP BY t.doc_id
+        ), sized AS (
+          SELECT doc_id, s,
+                 s[1:GREATEST(1, len(s)
+                   - CAST(CEIL(len(s) * 0.8) AS BIGINT) + 1)] AS prefix
+          FROM ordered
+        ), pre AS (SELECT doc_id, s, unnest(prefix) AS tok FROM sized),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                 a.s AS s_a, b.s AS s_b
+          FROM pre a JOIN pre b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        ), scored AS (
+          SELECT id_a, id_b,
+                 len(list_intersect(s_a, s_b)) AS n_common,
+                 len(s_a) + len(s_b) - len(list_intersect(s_a, s_b)) AS n_union
+          FROM cand
+        )
+        SELECT id_a, id_b,
+               CAST(n_common AS BIGINT) AS n_common,
+               CAST(n_union AS BIGINT) AS n_union,
+               ROUND(CAST(n_common AS DOUBLE) / n_union, 6) AS jaccard
+        FROM scored
+        WHERE CAST(n_common AS DOUBLE) / n_union >= 0.8
+    """,
+)
+def n1_jaccard_join(spark, sf_dir):
+    from hiero_spark.functions.setsim import jaccard_join
+
+    docs = t(spark, sf_dir, "documents").filter(
+        F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+")) >= 3
+    )
+    return jaccard_join(docs, threshold=0.8, k=3)
+
+
+@query(
+    "ext_interval_concurrency",
+    group="ext-window",
+    doc="Peak concurrency per event type over half-open 30-minute "
+        "sessions [ts, ts+30m) — sweep-line counting "
+        "(operators/temporal.py:interval_concurrency): 2 (t, ±1) events "
+        "per interval, per-KEY running sum over the total order "
+        "(t, delta, event_id) so boundary-touching intervals never "
+        "double-count and the prefix sums are engine-deterministic.",
+    oracle="""
+        WITH iv AS (
+          SELECT event_type, event_id,
+                 epoch_us(ts) AS s,
+                 epoch_us(ts + INTERVAL 30 MINUTE) AS e
+          FROM events
+        ), ev AS (
+          SELECT event_type, event_id, s AS t, 1 AS delta FROM iv
+          UNION ALL
+          SELECT event_type, event_id, e AS t, -1 AS delta FROM iv
+        ), run AS (
+          SELECT event_type,
+                 SUM(delta) OVER (PARTITION BY event_type
+                                  ORDER BY t, delta, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS c
+          FROM ev
+        )
+        SELECT event_type,
+               CAST(MAX(c) AS BIGINT) AS max_concurrent,
+               CAST(COUNT(*) / 2 AS BIGINT) AS n_intervals
+        FROM run GROUP BY event_type
+    """,
+)
+def ext_interval_concurrency(spark, sf_dir):
+    from hiero_spark.operators.temporal import interval_concurrency
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.unix_micros("ts").alias("s"),
+        F.unix_micros(F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("e"),
+    )
+    return interval_concurrency(ev, "event_type", "s", "e", "event_id")
+
+
+@query(
+    "n4_phrase_search",
+    group="N4",
+    doc="Exact phrase search ('data data') from the POSITIONAL inverted "
+        "index (functions/bm25.py:phrase_count_indexed): partition-"
+        "pruned read of the phrase words' buckets, per-doc position-"
+        "list intersection (word j at p+j) — document text is never "
+        "scanned at query time. The repeated-word phrase is the "
+        "adversarial case: both slots probe the SAME posting list at "
+        "adjacent offsets. Oracle recomputes from raw text, so index "
+        "build + probe are verified against the direct definition.",
+    oracle=r"""
+        WITH w AS (
+          SELECT doc_id,
+                 regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+          FROM documents
+        ), m AS (
+          SELECT doc_id,
+                 len(list_filter(range(1, len(ws)),
+                     i -> ws[i] = 'data' AND ws[i+1] = 'data')) AS n
+          FROM w
+        )
+        SELECT doc_id, CAST(n AS BIGINT) AS n_occurrences
+        FROM m WHERE n >= 1
+    """,
+)
+def n4_phrase_search(spark, sf_dir):
+    import os
+
+    from hiero_spark.functions.bm25 import phrase_count_indexed, save_text_index
+
+    path = _sf_export_dir(sf_dir, f"text_index_v{_TEXT_INDEX_VERSION}")
+    if not os.path.exists(os.path.join(path, "stats", "_SUCCESS")):
+        save_text_index(t(spark, sf_dir, "documents"), path)
+    return phrase_count_indexed(spark, path, ["data", "data"])

@@ -7,6 +7,7 @@ import pytest
 from hiero_spark.functions.bm25 import bm25_topk
 from hiero_spark.functions.graph import triangle_count
 from hiero_spark.functions.sampling import systematic_pps_sample
+from hiero_spark.functions.setsim import jaccard_join
 
 
 def _docs(spark, rows):
@@ -138,3 +139,98 @@ def test_bm25_index_probe_matches_full_scan_and_prunes(spark, tmp_path):
     # the probe's postings scan must be partition-pruned to the query's
     # term buckets — the whole point of the index layout
     assert P.partition_filters(probe), "postings scan is not partition-pruned"
+
+
+def test_jaccard_join_equals_brute_force(spark):
+    # prefix filtering is a COMPLETENESS claim — check it against the
+    # all-pairs ground truth on a corpus with planted near-dups
+    import itertools
+
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    texts = {
+        0: base,
+        1: base + " kilo",                      # near-dup of 0
+        2: base.replace("delta", "xray"),       # moderately similar to 0
+        3: "one two three four five six seven eight nine ten",
+        4: "one two three four five six seven eight nine ten",  # exact dup of 3
+        5: "completely different words here with nothing shared at all okay",
+    }
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = sorted(
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in jaccard_join(docs, threshold=0.5, k=3).collect()
+    )
+
+    def shingles(s):
+        ws = s.split()
+        return {" ".join(ws[i:i + 3]) for i in range(len(ws) - 2)}
+
+    exp = []
+    for a, b in itertools.combinations(sorted(texts), 2):
+        sa, sb = shingles(texts[a]), shingles(texts[b])
+        j = len(sa & sb) / len(sa | sb)
+        if j >= 0.5:
+            exp.append((a, b, round(j, 6)))
+    assert got == sorted(exp)
+    assert (3, 4, 1.0) in got  # the exact dup survives at jaccard 1.0
+
+
+def test_interval_concurrency_half_open_and_nesting(spark):
+    from hiero_spark.operators.temporal import interval_concurrency
+
+    rows = [
+        # key "a": [0,10) [10,20) touch at 10 -> never concurrent (max 1)
+        ("a", 1, 0, 10),
+        ("a", 2, 10, 20),
+        # key "b": nested + overlapping -> 3 concurrent in [4,5)
+        ("b", 3, 0, 10),
+        ("b", 4, 2, 8),
+        ("b", 5, 4, 5),
+        ("b", 6, 20, 30),
+    ]
+    df = spark.createDataFrame(rows, "k string, id long, s long, e long")
+    out = {
+        r["k"]: (r["max_concurrent"], r["n_intervals"])
+        for r in interval_concurrency(df, "k", "s", "e", "id").collect()
+    }
+    assert out == {"a": (1, 2), "b": (3, 4)}
+
+
+def test_phrase_count_indexed_cases(spark, tmp_path):
+    from hiero_spark.functions.bm25 import phrase_count_indexed, save_text_index
+
+    docs = spark.createDataFrame(
+        [
+            (0, "data data data science"),   # "data data" occurs at 1 and 2
+            (1, "big data lake"),            # no adjacent repeat
+            (2, "the data data pipeline"),   # one occurrence
+            (3, "big data big data big"),    # "big data" twice
+            (4, "nothing relevant"),
+        ],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "tix")
+    save_text_index(docs, path)
+    rep = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in phrase_count_indexed(spark, path, ["data", "data"]).collect()
+    }
+    assert rep == {0: 2, 2: 1}
+    two = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in phrase_count_indexed(spark, path, ["big", "data"]).collect()
+    }
+    assert two == {1: 1, 3: 2}
+    single = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in phrase_count_indexed(spark, path, ["data"]).collect()
+    }
+    assert single == {0: 3, 1: 1, 2: 2, 3: 2}
+    three = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in phrase_count_indexed(
+            spark, path, ["big", "data", "big"]
+        ).collect()
+    }
+    # occurrences may OVERLAP: starts 1 and 3 in "big data big data big"
+    assert three == {3: 2}

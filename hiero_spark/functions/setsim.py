@@ -81,9 +81,21 @@ def jaccard_join(
     b = pre.select(
         F.col("id").alias("id_b"), F.col("s").alias("s_b"), "tok"
     )
+    # PPJoin length filter — sound pruning before the pair dedup/verify:
+    # J(a,b) >= t forces t*|b| <= |a| (and symmetrically), so pairs whose
+    # set sizes are too far apart never even form a candidate. On a
+    # corpus where one prefix token goes hot (near-identical boilerplate)
+    # this is the bound that keeps the token join from going quadratic
+    # across DIFFERENT-length docs; same-size hot groups are genuinely
+    # all near-dups and belong in the output.
+    tt = float(threshold)
     cand = (
         a.join(b, "tok")
         .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            (F.size("s_a") >= F.ceil(F.size("s_b") * F.lit(tt)))
+            & (F.size("s_b") >= F.ceil(F.size("s_a") * F.lit(tt)))
+        )
         .select("id_a", "id_b", "s_a", "s_b")
         .dropDuplicates(["id_a", "id_b"])
     )

@@ -355,3 +355,49 @@ def near_dup_stream_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def attribution_join_outer(
+    views: DataFrame,
+    clicks: DataFrame,
+    attribution_window: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """X14: LEFT-OUTER stream-stream join — every view emits exactly once:
+    joined to its in-window clicks when they arrive, or with NULL click
+    columns once the watermark passes the view's attribution window and
+    no click can still match. The "conversion funnel with explicit
+    non-conversions" primitive; the inner join (attribution_join) can
+    never tell you who did NOT click.
+
+    Same state-bounding contract as the inner form (both sides
+    watermarked, event time bounded on both ends of the condition —
+    Spark requires it for outer stream-stream joins precisely because
+    the null-emission decision needs a point where a row is provably
+    beyond matching). The null side emits only after the watermark
+    advances past view_ts + window, so results trickle: a batch
+    comparison must run with availableNow over closed input, where the
+    final watermark closes every view (tested against the batch left
+    join twin).
+    """
+    v = views.select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("view_ts"),
+    ).withWatermark("view_ts", watermark)
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", watermark)
+    cond = (
+        (F.col("v_user") == F.col("user_id"))
+        & (F.col("click_ts") >= F.col("view_ts"))
+        & (
+            F.col("click_ts")
+            < F.col("view_ts") + F.expr(f"INTERVAL {attribution_window}")
+        )
+    )
+    return v.join(c, cond, "left_outer").select(
+        F.col("v_user").alias("u"), "view_id", "click_id"
+    )

@@ -300,7 +300,9 @@ def ocon():
 @given(
     part=st.sampled_from(_WKEYS),
     order=st.sampled_from(_WORDS),
-    fn=st.sampled_from(["row_number", "rank", "dense_rank", "lag", "lead", "runsum"]),
+    fn=st.sampled_from(
+        ["row_number", "rank", "dense_rank", "lag", "lead", "runsum", "rangesum"]
+    ),
     preds=_o_preds,
 )
 def test_generated_window_parity(spark, ocon, part, order, fn, preds):
@@ -314,7 +316,21 @@ def test_generated_window_parity(spark, ocon, part, order, fn, preds):
     # total order inside the window: o_orderkey is a verified-unique key
     w = Window.partitionBy(part).orderBy(F.col(order).asc(), F.col("o_orderkey").asc())
     order_sql = f"{order}, o_orderkey"
-    if fn == "runsum":
+    if fn == "rangesum":
+        # RANGE frame over a possibly-TIED single order key: peers enter
+        # the frame together, so the sum is well-defined even where a
+        # ROWS frame would be engine-nondeterministic — this arm fuzzes
+        # exactly the tie semantics the runsum arm must avoid.
+        wr = Window.partitionBy(part).orderBy(F.col("o_custkey").asc())
+        expr = F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).over(
+            wr.rangeBetween(Window.unboundedPreceding, 0)
+        )
+        sql_fn = (
+            "SUM(CAST(round(o_totalprice * 100) AS BIGINT)) OVER "
+            f"(PARTITION BY {part} ORDER BY o_custkey "
+            "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        )
+    elif fn == "runsum":
         # o_totalprice*100 is ~integral but not exactly (double repr), so
         # round() before the cast in BOTH engines; no .5 boundary exists.
         expr = F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).over(

@@ -378,3 +378,49 @@ def test_near_dup_stream_matches_batch_operator(spark, tmp_path):
     )
     assert got == offline
     assert (100, 3) in got and all(b != 101 for b, _ in got)
+
+
+def test_stream_stream_left_outer_emits_non_conversions(spark, sf_dir, events_stream):
+    """X14: the left-outer stream-stream join must emit BOTH the matched
+    (view, click) pairs of the inner join AND a NULL-click row for every
+    view with no in-window click — equal to the batch left-join twin."""
+    views = events_stream.filter(F.col("event_type") == "view")
+    clicks = events_stream.filter(F.col("event_type") == "click")
+    pl.run_to_memory(
+        pl.attribution_join_outer(views, clicks), "t_attr_outer",
+        output_mode="append",
+    )
+    got = {
+        (r["u"], r["view_id"], r["click_id"])
+        for r in spark.table("t_attr_outer").collect()
+    }
+    ev = _batch_events(spark, sf_dir)
+    expected = {
+        (r["u"], r["view_id"], r["click_id"])
+        for r in pl.attribution_join_outer(
+            ev.filter(F.col("event_type") == "view"),
+            ev.filter(F.col("event_type") == "click"),
+        ).collect()
+    }
+    # Trailing edge: a view's NULL row emits only once the watermark
+    # passes view_ts + attribution window, and the final watermark stops
+    # at max(event time) - delay — so the newest unmatched views stay
+    # open at end-of-input (correct streaming semantics, not data loss).
+    # Matched pairs emit regardless; null rows compare on the provably
+    # CLOSEABLE views only.
+    matched_got = {x for x in got if x[2] is not None}
+    matched_exp = {x for x in expected if x[2] is not None}
+    assert matched_got == matched_exp and len(matched_got) > 0
+    max_us = ev.agg(F.max(F.unix_micros("ts"))).collect()[0][0]
+    cutoff_us = max_us - (60 + 30) * 60 * 1_000_000  # watermark + window
+    view_ts_us = {
+        r["event_id"]: r["us"]
+        for r in ev.filter(F.col("event_type") == "view")
+        .select("event_id", F.unix_micros("ts").alias("us"))
+        .collect()
+    }
+    nulls_got = {x for x in got if x[2] is None}
+    nulls_exp = {x for x in expected if x[2] is None}
+    assert nulls_got <= nulls_exp  # never a false non-conversion
+    closed_exp = {x for x in nulls_exp if view_ts_us[x[1]] <= cutoff_us}
+    assert closed_exp <= nulls_got and len(nulls_got) > 0

@@ -240,3 +240,61 @@ def phrase_count_indexed(
             .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
         )
     return by_doc.select(id_col, n_occ.cast("long").alias("n_occurrences"))
+
+
+def update_text_index(
+    spark,
+    path: str,
+    new_docs: DataFrame,
+    n_buckets: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Incremental index maintenance: append the NEW documents' postings
+    and fold their counts into the stats table — the daily-ingest twin
+    of `save_text_index`, same contract as the incremental dedup
+    indexes (functions/incremental.py): the corpus is never re-tokenized.
+
+    Appends cost O(new docs); probes are unchanged (they read buckets,
+    and a bucket is just more files after an append — run the existing
+    small-file compaction over a bucket directory when file counts
+    grow). df/idf need no stored state: they are computed at probe time
+    from the (pruned) postings themselves, so an append updates ranking
+    EXACTLY — probe-after-update must equal a from-scratch rebuild, and
+    the test pins that equality. Caller contract: new_docs' ids are not
+    already indexed (run the exact-dedup admit gate first)."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    tokenized = new_docs.select(F.col(id_col), toks.alias("w"))
+    add = tokenized.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size("w")).cast("long").alias("total_toks"),
+    ).collect()[0]
+    postings = (
+        tokenized.select(
+            id_col,
+            F.size("w").alias("dl"),
+            F.posexplode("w").alias("pos0", "tok"),
+        )
+        .groupBy(id_col, "dl", "tok")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.sort_array(F.collect_list(F.col("pos0") + 1)).alias("positions"),
+        )
+        .withColumn("_bucket", F.pmod(F.xxhash64("tok"), F.lit(n_buckets)))
+    )
+    postings.repartition(
+        F.col("_bucket"), F.pmod(F.xxhash64(F.col(id_col)), F.lit(4))
+    ).write.mode("append").partitionBy("_bucket").parquet(f"{path}/postings")
+    old = spark.read.parquet(f"{path}/stats").collect()[0]
+    import pandas as pd
+
+    spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "n_docs": [int(old["n_docs"]) + int(add["n_docs"])],
+                "total_toks": [
+                    int(old["total_toks"]) + int(add["total_toks"])
+                ],
+            }
+        )
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")

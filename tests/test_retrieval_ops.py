@@ -234,3 +234,36 @@ def test_phrase_count_indexed_cases(spark, tmp_path):
     }
     # occurrences may OVERLAP: starts 1 and 3 in "big data big data big"
     assert three == {3: 2}
+
+
+def test_incremental_index_update_equals_rebuild(spark, tmp_path):
+    # build on day-1 docs, append day-2 docs: BM25 ranking and phrase
+    # counts must equal a from-scratch index over the union (df/idf are
+    # probe-time computations, so appends update ranking exactly)
+    from hiero_spark.functions.bm25 import (
+        bm25_topk_indexed,
+        phrase_count_indexed,
+        save_text_index,
+        update_text_index,
+    )
+    from hiero_spark.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    day1 = docs.filter("doc_id % 2 = 0")
+    day2 = docs.filter("doc_id % 2 = 1")
+    inc_path = str(tmp_path / "inc")
+    full_path = str(tmp_path / "full")
+    save_text_index(day1, inc_path)
+    update_text_index(spark, inc_path, day2)
+    save_text_index(docs, full_path)
+    terms = ["spark", "join", "window", "stream"]
+    a = [tuple(r) for r in bm25_topk_indexed(spark, inc_path, terms, k=10).collect()]
+    b = [tuple(r) for r in bm25_topk_indexed(spark, full_path, terms, k=10).collect()]
+    assert a == b and len(a) == 10
+    pa = sorted(
+        tuple(r) for r in phrase_count_indexed(spark, inc_path, ["data", "data"]).collect()
+    )
+    pb = sorted(
+        tuple(r) for r in phrase_count_indexed(spark, full_path, ["data", "data"]).collect()
+    )
+    assert pa == pb and len(pa) > 0

@@ -74,13 +74,13 @@ def jaccard_join(
             ),
         ).alias("prefix"),
     )
-    pre = sized.select("id", "s", F.explode("prefix").alias("tok"))
-    a = pre.select(
-        F.col("id").alias("id_a"), F.col("s").alias("s_a"), "tok"
-    )
-    b = pre.select(
-        F.col("id").alias("id_b"), F.col("s").alias("s_b"), "tok"
-    )
+    # candidate generation moves (tok, id, |d|) triples ONLY — the full
+    # shingle arrays never ride the hot self-join (a doc's array would
+    # otherwise be duplicated once per prefix token per candidate); the
+    # arrays join back onto the deduped pair list, once per side
+    pre = sized.select("id", F.size("s").alias("n"), F.explode("prefix").alias("tok"))
+    a = pre.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"), "tok")
+    b = pre.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"), "tok")
     # PPJoin length filter — sound pruning before the pair dedup/verify:
     # J(a,b) >= t forces t*|b| <= |a| (and symmetrically), so pairs whose
     # set sizes are too far apart never even form a candidate. On a
@@ -89,15 +89,25 @@ def jaccard_join(
     # across DIFFERENT-length docs; same-size hot groups are genuinely
     # all near-dups and belong in the output.
     tt = float(threshold)
-    cand = (
+    pairs = (
         a.join(b, "tok")
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(
-            (F.size("s_a") >= F.ceil(F.size("s_b") * F.lit(tt)))
-            & (F.size("s_b") >= F.ceil(F.size("s_a") * F.lit(tt)))
+            (F.col("n_a") >= F.ceil(F.col("n_b") * F.lit(tt)))
+            & (F.col("n_b") >= F.ceil(F.col("n_a") * F.lit(tt)))
         )
-        .select("id_a", "id_b", "s_a", "s_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    cand = (
+        pairs.join(
+            sized.select(F.col("id").alias("id_a"), F.col("s").alias("s_a")),
+            "id_a",
+        )
+        .join(
+            sized.select(F.col("id").alias("id_b"), F.col("s").alias("s_b")),
+            "id_b",
+        )
     )
     inter = F.size(F.array_intersect("s_a", "s_b"))
     union = F.size("s_a") + F.size("s_b") - inter

@@ -151,6 +151,26 @@ def main(sf_dir: str = "/root/testdata/sf0.001", out=print) -> None:
         f"(rank {top_pr['rank']:.3f}); {n_anom} hourly volume anomalies flagged"
     )
 
+    # 10. retrieval layer: build the positional inverted index once, then
+    #     BM25-rank and phrase-search from the persisted posting lists
+    #     (partition-pruned probes — document text never rescanned)
+    import tempfile
+
+    from hiero_spark.functions.bm25 import (
+        bm25_topk_indexed,
+        phrase_count_indexed,
+        save_text_index,
+    )
+
+    with tempfile.TemporaryDirectory() as tix:
+        save_text_index(docs, tix)
+        hits = bm25_topk_indexed(spark, tix, ["spark", "join", "window"], k=3)
+        out("\nBM25 top-3 for 'spark join window' (index probe):")
+        for r in hits.collect():
+            out(f"  doc {r['doc_id']}: {r['n_terms']} terms, score {r['bm25']}")
+        n_phrase = phrase_count_indexed(spark, tix, ["data", "data"]).count()
+        out(f"docs containing the exact phrase 'data data': {n_phrase}")
+
 
 if __name__ == "__main__":
     main(*sys.argv[1:2])

@@ -301,7 +301,10 @@ def ocon():
     part=st.sampled_from(_WKEYS),
     order=st.sampled_from(_WORDS),
     fn=st.sampled_from(
-        ["row_number", "rank", "dense_rank", "lag", "lead", "runsum", "rangesum"]
+        [
+            "row_number", "rank", "dense_rank", "lag", "lead",
+            "runsum", "rangesum", "ntile", "percent_rank", "cume_dist",
+        ]
     ),
     preds=_o_preds,
 )
@@ -346,6 +349,16 @@ def test_generated_window_parity(spark, ocon, part, order, fn, preds):
         sql_fn = (
             f"{fn.upper()}(o_orderkey, 1) OVER "
             f"(PARTITION BY {part} ORDER BY {order_sql})"
+        )
+    elif fn == "ntile":
+        expr = F.ntile(4).over(w)
+        sql_fn = f"NTILE(4) OVER (PARTITION BY {part} ORDER BY {order_sql})"
+    elif fn in ("percent_rank", "cume_dist"):
+        # (rank-1)/(n-1) and n_peers_leq/n: exact integer ratios, one
+        # IEEE division — bit-identical across engines, no rounding
+        expr = getattr(F, fn)().over(w)
+        sql_fn = (
+            f"{fn.upper()}() OVER (PARTITION BY {part} ORDER BY {order_sql})"
         )
     else:
         expr = getattr(F, fn)().over(w)

@@ -367,6 +367,58 @@ def main() -> None:
             "python_rows_per_sec": round(n_rows / py_sec) if py_sec else None,
         }
 
+    def text_index_payoff(data_dir: str) -> dict[str, float]:
+        """Round-7: price the inverted-index BM25 probe against the full
+        scan. Local wall-clock at sf0.1 is overhead-dominated (stats
+        read + bucket-hash job ~ the whole corpus scan it avoids — the
+        Bloom-decontam pattern), so the scale-predictive number is the
+        scanned POSTINGS fraction: the probe reads |q| of n_buckets
+        directories; the full scan tokenizes every document every
+        query."""
+        import os
+
+        from pyspark.sql import functions as F
+
+        from hiero_spark.functions.bm25 import (
+            bm25_topk, bm25_topk_indexed, save_text_index,
+        )
+
+        docs = spark.read.parquet(f"{data_dir}/documents.parquet")
+        path = f"/tmp/hiero_spark_bench_tix/sf{sf}"
+        if not os.path.exists(f"{path}/stats/_SUCCESS"):
+            save_text_index(docs, path)
+        terms = ["spark", "join", "window", "stream"]
+
+        def time_min(mk) -> float:
+            mk().count()
+            best = None
+            for _ in range(n_reps):
+                t0 = time.perf_counter()
+                mk().count()
+                dt = time.perf_counter() - t0
+                best = dt if best is None or dt < best else best
+            return round(best, 3)
+
+        post = spark.read.parquet(f"{path}/postings")
+        total_rows = post.count()
+        buckets = {
+            r["b"]
+            for r in spark.createDataFrame([(t,) for t in terms], "tok string")
+            .select(F.pmod(F.xxhash64("tok"), F.lit(64)).alias("b"))
+            .collect()
+        }
+        scanned = post.filter(F.col("_bucket").isin(sorted(buckets))).count()
+        return {
+            "full_scan_sec": time_min(lambda: bm25_topk(docs, terms, k=10)),
+            "index_probe_sec": time_min(
+                lambda: bm25_topk_indexed(spark, path, terms, k=10)
+            ),
+            "postings_rows_total": total_rows,
+            "postings_rows_scanned": scanned,
+            "buckets_read": len(buckets),
+            "n_buckets": 64,
+        }
+
     # Round-6 operators, timed once each at sf (NOT part of the headline —
     # the headline set stays fixed for round-over-round comparability; this
     # block gives the new surface a measured number).  Training-loop
@@ -444,6 +496,7 @@ def main() -> None:
     ann = ann_payoff(sf_dir)
     decontam = decontam_payoff(sf_dir)
     pyds_vs_grok = pyds_payoff(sf_dir)
+    tix = text_index_payoff(sf_dir)
     r6_ops = run_r6_ops(sf_dir)
 
     total = round(sum(timings.values()), 3)
@@ -462,6 +515,7 @@ def main() -> None:
                 "ann_payoff": ann,
                 "decontam_payoff": decontam,
                 "pyds_payoff": pyds_vs_grok,
+                "text_index_payoff": tix,
                 "round_ops": r6_ops,
             },
             fh,

@@ -64,6 +64,7 @@ _WINDOW_PIN: list[str] = [
     "n1_jaccard_join",
     "ext_interval_concurrency",
     "n4_phrase_search",
+    "ext_rolling_distinct",
 ]
 
 

@@ -469,6 +469,7 @@ def main() -> None:
         "n1_jaccard_join",
         "ext_interval_concurrency",
         "n4_phrase_search",
+        "ext_rolling_distinct",
     ]
 
     def run_r6_ops(data_dir: str) -> dict[str, float]:

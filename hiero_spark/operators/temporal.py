@@ -335,3 +335,45 @@ def interval_concurrency(
         F.max("c").cast("long").alias("max_concurrent"),
         (F.count(F.lit(1)) / 2).cast("long").alias("n_intervals"),
     )
+
+
+def rolling_distinct(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    entity_col: str,
+    window_hours: int = 24,
+) -> DataFrame:
+    """Distinct entities per key over a trailing event-time window ending
+    at each hour — the rolling-DAU / sliding-window-uniques shape.
+    Returns (key, bucket_ts, n_distinct) for every hour that has at
+    least one contributing event in its trailing window.
+
+    Distinct counts do NOT merge across window positions (union ≠ sum),
+    so no window frame over hourly aggregates can compute this. The
+    scalable shape: collapse events to DISTINCT (key, hour, entity)
+    triples first — one shuffle, and the reduction is what makes the
+    fan-out affordable — then each triple contributes to the
+    window_hours hourly buckets it is visible in (bounded explode,
+    x24 here), and a distinct-count per (key, bucket) finishes. Shuffle
+    volume is bounded by distinct-triples x window_hours, independent
+    of raw event volume; the alternative (re-scanning raw events per
+    window position) is window_hours full scans.
+    """
+    hour = (F.unix_timestamp(F.date_trunc("hour", F.col(ts_col)))).alias("h")
+    triples = df.select(key_col, hour, F.col(entity_col).alias("e")).distinct()
+    fanned = triples.select(
+        key_col,
+        "e",
+        F.explode(
+            F.sequence(
+                F.col("h"),
+                F.col("h") + F.lit(3600 * (window_hours - 1)),
+                F.lit(3600),
+            )
+        ).alias("bucket_ts"),
+    )
+    return (
+        fanned.groupBy(key_col, "bucket_ts")
+        .agg(F.count_distinct("e").alias("n_distinct"))
+    )

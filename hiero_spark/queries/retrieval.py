@@ -346,3 +346,43 @@ def n4_phrase_search(spark, sf_dir):
     if not os.path.exists(os.path.join(path, "stats", "_SUCCESS")):
         save_text_index(t(spark, sf_dir, "documents"), path)
     return phrase_count_indexed(spark, path, ["data", "data"])
+
+
+@query(
+    "ext_rolling_distinct",
+    group="ext-window",
+    doc="Rolling distinct users per event type over a trailing 24h "
+        "window ending at each hour — the sliding-window-DAU shape. "
+        "Distinct counts don't merge across window positions (union != "
+        "sum), so no frame over hourly aggregates computes this; the "
+        "operator (operators/temporal.py:rolling_distinct) collapses to "
+        "DISTINCT (key,hour,user) triples first, then a bounded x24 "
+        "fan-out + distinct-count — shuffle bounded by triples x 24, "
+        "independent of raw event volume. Oracle is the independent "
+        "direct definition (range join hour BETWEEN bucket-23h AND "
+        "bucket), not a mirror of the fan-out.",
+    oracle="""
+        WITH tr AS (
+          SELECT DISTINCT event_type AS k,
+                 CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h,
+                 user_id AS e
+          FROM events
+        ), buckets AS (
+          SELECT DISTINCT k, h + 3600 * i AS bucket_ts
+          FROM tr, UNNEST(range(0, 24)) AS u(i)
+        )
+        SELECT b.k AS event_type, b.bucket_ts,
+               CAST(COUNT(DISTINCT t.e) AS BIGINT) AS n_distinct
+        FROM buckets b
+        JOIN tr t ON t.k = b.k
+                 AND t.h BETWEEN b.bucket_ts - 82800 AND b.bucket_ts
+        GROUP BY 1, 2
+    """,
+)
+def ext_rolling_distinct(spark, sf_dir):
+    from hiero_spark.operators.temporal import rolling_distinct
+
+    return rolling_distinct(
+        t(spark, sf_dir, "events"), "event_type", "ts", "user_id",
+        window_hours=24,
+    )

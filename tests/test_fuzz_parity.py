@@ -383,3 +383,66 @@ def test_generated_window_parity(spark, ocon, part, order, fn, preds):
         key=nskey,
     )
     assert got == exp, (part, order, fn, where)
+
+
+# --- joins (round-7 extension): generated equi-joins orders x customer
+# with predicates on both sides and grouped aggregates — the join-
+# semantics space (null keys, dangling rows, inner/left/semi/anti
+# multiplicities) between the hand-written ext_join_* oracles.
+
+C_STR = (("c_mktsegment", ("AUTOMOBILE", "BUILDING", "FURNITURE", "MACHINERY")),)
+_j_pred_o = st.tuples(st.sampled_from(O_NUM_COLS), st.sampled_from(["<", ">"]), st.integers(0, 3))
+_j_pred_c = st.tuples(st.sampled_from(C_STR), st.integers(0, 3))
+
+
+@pytest.fixture(scope="module")
+def jcon():
+    c = duckdb.connect()
+    for tbl in ("orders", "customer"):
+        c.execute(
+            f"CREATE VIEW {tbl} AS SELECT * FROM "
+            f"read_parquet('{table_path(SF_DIR, tbl)}')"
+        )
+    return c
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    how=st.sampled_from(["inner", "left", "left_semi", "left_anti"]),
+    po=st.one_of(st.none(), _j_pred_o),
+    pc=st.one_of(st.none(), _j_pred_c),
+)
+def test_generated_outer_join_parity(spark, jcon, how, po, pc):
+    od = load_table(spark, SF_DIR, "orders")
+    cu = load_table(spark, SF_DIR, "customer")
+    wo = "TRUE"
+    if po is not None:
+        (col, lits), op, li = po
+        lit = lits[li % len(lits)]
+        od = od.filter(_OPS[op](F.col(col), F.lit(lit)))
+        wo = f"{col} {op} {lit!r}"
+    wc = "TRUE"
+    if pc is not None:
+        (col, lits), li = pc
+        lit = lits[li % len(lits)]
+        cu = cu.filter(F.col(col) == lit)
+        wc = f"{col} = '{lit}'"
+    joined = od.join(cu, od["o_custkey"] == cu["c_custkey"], how)
+    # aggregate to order-insensitive exact integers: count + sum of keys
+    got = tuple(
+        joined.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_orderkey").alias("sk"),
+        ).collect()[0]
+    )
+    sql_how = {
+        "inner": "JOIN", "left": "LEFT JOIN",
+        "left_semi": "SEMI JOIN", "left_anti": "ANTI JOIN",
+    }[how]
+    exp = jcon.execute(
+        f"SELECT COUNT(*) AS n, SUM(o_orderkey) AS sk "
+        f"FROM (SELECT * FROM orders WHERE {wo}) o "
+        f"{sql_how} (SELECT * FROM customer WHERE {wc}) c "
+        f"ON o.o_custkey = c.c_custkey"
+    ).fetchall()[0]
+    assert got == exp, (how, wo, wc)

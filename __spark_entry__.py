@@ -65,6 +65,7 @@ _WINDOW_PIN: list[str] = [
     "ext_interval_concurrency",
     "n4_phrase_search",
     "ext_rolling_distinct",
+    "ext_event_transitions",
 ]
 
 

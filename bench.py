@@ -470,6 +470,7 @@ def main() -> None:
         "ext_interval_concurrency",
         "n4_phrase_search",
         "ext_rolling_distinct",
+        "ext_event_transitions",
     ]
 
     def run_r6_ops(data_dir: str) -> dict[str, float]:

@@ -386,3 +386,48 @@ def ext_rolling_distinct(spark, sf_dir):
         t(spark, sf_dir, "events"), "event_type", "ts", "user_id",
         window_hours=24,
     )
+
+
+@query(
+    "ext_event_transitions",
+    group="ext-window",
+    doc="Event-transition (Markov) counts: per user, order events by "
+        "(ts, event_id) — a verified-total order, the window-fuzzer "
+        "lesson — lag the type, count (prev, next) pairs plus each "
+        "pair's distinct-user reach. The product-analytics path matrix; "
+        "window input is per-user (keys partition the work), output is "
+        "|types|^2 rows.",
+    oracle="""
+        WITH seq AS (
+          SELECT user_id, event_type,
+                 LAG(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev_type
+          FROM events
+        )
+        SELECT prev_type, event_type AS next_type,
+               CAST(COUNT(*) AS BIGINT) AS n_transitions,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2
+    """,
+)
+def ext_event_transitions(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    return (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_transitions"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+    )

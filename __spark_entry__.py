@@ -66,6 +66,7 @@ _WINDOW_PIN: list[str] = [
     "n4_phrase_search",
     "ext_rolling_distinct",
     "ext_event_transitions",
+    "n2_centroid_outliers",
 ]
 
 

@@ -471,6 +471,7 @@ def main() -> None:
         "n4_phrase_search",
         "ext_rolling_distinct",
         "ext_event_transitions",
+        "n2_centroid_outliers",
     ]
 
     def run_r6_ops(data_dir: str) -> dict[str, float]:

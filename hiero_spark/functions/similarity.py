@@ -463,3 +463,68 @@ def batch_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def centroid_outliers(
+    emb: DataFrame,
+    n_groups: int = 4,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space outlier audit: each vector's squared distance to
+    its group's centroid, top-k per group — the quality signal that
+    catches mis-embedded/corrupted vectors and domain drift (group =
+    deterministic id-hash here; a real corpus keys on source/domain).
+
+    Exactness design (the PageRank scaled-long discipline): values
+    quantize to MICRO-UNITS (round(x*1e6), half-away-from-zero in both
+    engines — the quantize.py convention) and shift +1e6 so every
+    operand is nonnegative (integer division below is then identical
+    across engines regardless of their negative-DIV semantics; the
+    shift cancels in the differences). The centroid is the
+    floor-averaged integer (sum DIV n, <=1 micro-unit truncation), so
+    scores are exact longs — the outlier RANKING is hash-checkable with
+    no tolerance. Term bound: (1.1e6)^2 x dims ~ 1e14 << 2^63 at any n.
+
+    Shape: one posexplode (rows = vectors x dims), centroid agg
+    combines map-side, the centroid table is n_groups x dims rows and
+    broadcasts back; top-k per group is a per-group window over the
+    n_vectors-row score relation."""
+    from pyspark.sql.window import Window
+
+    ex = emb.select(
+        id_col,
+        (F.col(id_col) % n_groups).alias("grp"),
+        F.posexplode(F.col(vec_col)).alias("dim", "x"),
+    ).select(
+        id_col,
+        "grp",
+        "dim",
+        (
+            F.round(F.col("x").cast("double") * 1_000_000, 0).cast("long")
+            + 1_000_000
+        ).alias("xm"),
+    )
+    cent = (
+        ex.groupBy("grp", "dim")
+        .agg(F.sum("xm").alias("s"), F.count(F.lit(1)).alias("n"))
+        .selectExpr("grp", "dim", "s DIV n AS c")
+    )
+    diff = F.col("xm") - F.col("c")
+    sc = (
+        ex.join(F.broadcast(cent), ["grp", "dim"])
+        .groupBy(id_col, "grp")
+        .agg(F.sum(diff * diff).alias("score"))
+    )
+    w = Window.partitionBy("grp").orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        sc.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            F.col("grp").cast("long").alias("grp"),
+            id_col,
+            F.col("score").cast("long").alias("score"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )

@@ -431,3 +431,45 @@ def ext_event_transitions(spark, sf_dir):
             F.count_distinct("user_id").alias("n_users"),
         )
     )
+
+
+@query(
+    "n2_centroid_outliers",
+    group="N2",
+    doc="Embedding-space outlier audit "
+        "(functions/similarity.py:centroid_outliers): top-3 vectors per "
+        "group by squared distance to the group centroid, in EXACT "
+        "integer micro-unit geometry (half-away round + positive shift "
+        "+ floor-averaged centroid), so the outlier ranking itself is "
+        "hash-checked with no tolerance — the mis-embedding/domain-"
+        "drift quality signal.",
+    oracle="""
+        WITH ex AS (
+          SELECT vec_id, vec_id % 4 AS grp, i - 1 AS dim,
+                 CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000, 0)
+                      AS BIGINT) + 1000000 AS xm
+          FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)
+        ), cent AS (
+          SELECT grp, dim, SUM(xm) AS s, COUNT(*) AS n
+          FROM ex GROUP BY 1, 2
+        ), cm AS (SELECT grp, dim, s // n AS c FROM cent),
+        sc AS (
+          SELECT ex.vec_id, ex.grp,
+                 SUM((ex.xm - cm.c) * (ex.xm - cm.c)) AS score
+          FROM ex JOIN cm ON cm.grp = ex.grp AND cm.dim = ex.dim
+          GROUP BY 1, 2
+        ), rk AS (
+          SELECT grp, vec_id, score,
+                 ROW_NUMBER() OVER (PARTITION BY grp
+                                    ORDER BY score DESC, vec_id ASC) AS rnk
+          FROM sc
+        )
+        SELECT CAST(grp AS BIGINT) AS grp, vec_id,
+               CAST(score AS BIGINT) AS score, CAST(rnk AS BIGINT) AS rnk
+        FROM rk WHERE rnk <= 3
+    """,
+)
+def n2_centroid_outliers(spark, sf_dir):
+    from hiero_spark.functions.similarity import centroid_outliers
+
+    return centroid_outliers(t(spark, sf_dir, "embeddings"), n_groups=4, k=3)

@@ -296,3 +296,23 @@ def test_rolling_distinct_hand_built(spark):
     assert ("a", 4 * H) not in out  # window closed
     assert out[("b", 30 * H)] == 1 and out[("b", 32 * H)] == 1
     assert len([1 for (k, _) in out if k == "b"]) == 3
+
+
+def test_centroid_outliers_planted(spark):
+    from hiero_spark.functions.similarity import centroid_outliers
+
+    # 20 vectors near the origin, one planted far away in each group
+    rows = []
+    for i in range(20):
+        v = [0.001 * (i % 3), -0.001 * (i % 5), 0.0005 * i, 0.0]
+        if i in (3, 6):  # planted outliers (groups 3 and 2 of i % 4... )
+            v = [0.4, -0.4, 0.4, -0.4]
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = centroid_outliers(df, n_groups=4, k=1)
+    top = {r["grp"]: r["vec_id"] for r in out.collect()}
+    assert top[3 % 4] == 3 and top[6 % 4] == 6
+    # determinism: identical across partitionings
+    a = sorted(tuple(r) for r in centroid_outliers(df, 4, 3).collect())
+    b = sorted(tuple(r) for r in centroid_outliers(df.repartition(7), 4, 3).collect())
+    assert a == b

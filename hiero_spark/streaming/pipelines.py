@@ -401,3 +401,33 @@ def attribution_join_outer(
     return v.join(c, cond, "left_outer").select(
         F.col("v_user").alias("u"), "view_id", "click_id"
     )
+
+
+def distinct_users_stream(
+    events: DataFrame, window: str = "1 hour", watermark: str = "1 hour"
+) -> DataFrame:
+    """X15: exact distinct users per (event_type, tumbling window) on a
+    stream — the streaming face of the uniques family (batch rolling
+    window: operators/temporal.py:rolling_distinct).
+
+    Distinct-count state does not merge incrementally, so the standard
+    streaming recipe splits it: watermarked dropDuplicates on the FULL
+    key (type, window, user) holds one row of state per distinct triple
+    and expires it with the watermark; the windowed count that follows
+    is then an ordinary additive aggregate. State is bounded by
+    distinct triples inside the watermark horizon — the same
+    triple-collapse that bounds the batch operator's shuffle.
+    """
+    w = F.window(F.col("ts"), window)
+    return (
+        events.withWatermark("ts", watermark)
+        .select("event_type", "user_id", "ts", w.alias("win"))
+        .dropDuplicates(["event_type", "user_id", "win"])
+        .groupBy("event_type", "win")
+        .agg(F.count(F.lit(1)).alias("n_distinct"))
+        .select(
+            "event_type",
+            F.unix_timestamp(F.col("win.start")).alias("bucket_ts"),
+            "n_distinct",
+        )
+    )

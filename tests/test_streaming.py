@@ -424,3 +424,32 @@ def test_stream_stream_left_outer_emits_non_conversions(spark, sf_dir, events_st
     assert nulls_got <= nulls_exp  # never a false non-conversion
     closed_exp = {x for x in nulls_exp if view_ts_us[x[1]] <= cutoff_us}
     assert closed_exp <= nulls_got and len(nulls_got) > 0
+
+
+def test_streaming_distinct_users_matches_batch(spark, sf_dir, events_stream):
+    """X15: streaming exact distinct-per-window (watermarked dropDuplicates
+    -> additive count) must equal the batch COUNT(DISTINCT) per window."""
+    pl.run_to_memory(
+        pl.distinct_users_stream(events_stream), "t_uniq", output_mode="append"
+    )
+    got = {
+        (r["event_type"], r["bucket_ts"]): r["n_distinct"]
+        for r in spark.table("t_uniq").collect()
+    }
+    ev = _batch_events(spark, sf_dir)
+    batch = (
+        ev.groupBy(
+            "event_type",
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("bucket_ts"),
+        )
+        .agg(F.count_distinct("user_id").alias("n"))
+    )
+    expected = {
+        (r["event_type"], r["bucket_ts"]): r["n"] for r in batch.collect()
+    }
+    # append mode emits a window only once the watermark closes it: the
+    # final (still-open) windows stay unemitted — correct semantics
+    assert set(got) <= set(expected)
+    assert all(got[k] == expected[k] for k in got)
+    closed_fraction = len(got) / len(expected)
+    assert closed_fraction > 0.8  # everything but the trailing horizon

@@ -67,6 +67,7 @@ _WINDOW_PIN: list[str] = [
     "ext_rolling_distinct",
     "ext_event_transitions",
     "n2_centroid_outliers",
+    "s3_json_gz_roundtrip",
 ]
 
 

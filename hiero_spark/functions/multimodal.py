@@ -8,8 +8,10 @@ three-step ladder, decided per payload inside the worker:
 1. real library (PIL / soundfile) when importable and the bytes parse;
 2. vendored pure-Python decoders for uncompressed 24bpp BMP, 8-bit
    non-interlaced PNG (zlib IDAT + all five scanline filters — a real
-   COMPRESSED format, stdlib zlib/struct only) and PCM16 WAV
-   (`_decode_bmp` / `_decode_png` / `_decode_wav`) — these run
+   COMPRESSED image format, stdlib zlib/struct only), PCM16 WAV, and
+   mono IMA-ADPCM WAV (4-bit nibbles -> 16-bit PCM — the COMPRESSED
+   audio format; `_decode_bmp` / `_decode_png` / `_decode_wav` /
+   `_decode_wav_ima`) — these run
    UNSKIPPED in this container, so the real-decode feature path is
    exercised under test even with no image/audio libs installed;
 3. `decode_image_stub`, a deterministic fake keyed on the payload hash,
@@ -379,7 +381,7 @@ def decode_audio(payload: bytes) -> list[float]:
             ] + energies
         except Exception:
             pass
-    decoded = _decode_wav(payload)
+    decoded = _decode_wav(payload) or _decode_wav_ima(payload)
     if decoded is not None:
         return _wav_features(*decoded)
     return decode_image_stub(payload)
@@ -586,7 +588,9 @@ def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
                 if not frames:
                     continue
                 for idx in range(0, len(frames), every_n):
-                    dec = _decode_bmp(frames[idx])
+                    # frames may be BMP or (since round 7) PNG — the
+                    # container is codec-agnostic, like MJPEG-in-AVI
+                    dec = _decode_bmp(frames[idx]) or _decode_png(frames[idx])
                     if dec is None:
                         continue
                     w, h, rows = dec
@@ -603,3 +607,127 @@ def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.select("media_id", "payload").mapInPandas(run, FRAME_SCHEMA)
+
+
+# IMA ADPCM tables (public spec: IMA Digital Audio Focus Group, 1992;
+# the same tables every implementation ships)
+_IMA_INDEX_TABLE = (-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
+_IMA_STEP_TABLE = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+)
+
+
+def _ima_decode_nibble(nib: int, state: list) -> int:
+    """One IMA ADPCM step: state = [predictor, index], returns sample."""
+    pred, idx = state
+    step = _IMA_STEP_TABLE[idx]
+    diff = step >> 3
+    if nib & 1:
+        diff += step >> 2
+    if nib & 2:
+        diff += step >> 1
+    if nib & 4:
+        diff += step
+    if nib & 8:
+        pred -= diff
+    else:
+        pred += diff
+    pred = max(-32768, min(32767, pred))
+    idx = max(0, min(88, idx + _IMA_INDEX_TABLE[nib]))
+    state[0], state[1] = pred, idx
+    return pred
+
+
+def _decode_wav_ima(payload: bytes):
+    """Pure-stdlib decode of MONO IMA-ADPCM RIFF/WAVE (format tag 0x11) —
+    the vendored COMPRESSED audio codec, closing the same gap for audio
+    that the PNG decoder closed for images (4-bit nibbles -> 16-bit PCM,
+    ~4x compression). Returns (mono float samples in [-1, 1),
+    sample_rate, 1) or None. Stereo/other tags belong to soundfile."""
+    import struct
+
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if fmt is None or data is None or len(fmt) < 16:
+        return None
+    audio_fmt, channels, rate, _, block_align, bits = struct.unpack_from(
+        "<HHIIHH", fmt, 0
+    )
+    if audio_fmt != 0x11 or channels != 1 or bits != 4 or rate == 0:
+        return None
+    samples: list[float] = []
+    off = 0
+    while off + 4 <= len(data):
+        block = data[off:off + block_align]
+        off += block_align
+        pred = struct.unpack_from("<h", block, 0)[0]
+        idx = block[2]
+        if idx > 88:
+            return None
+        state = [pred, idx]
+        samples.append(pred / 32768.0)
+        for byte in block[4:]:
+            samples.append(_ima_decode_nibble(byte & 0x0F, state) / 32768.0)
+            samples.append(_ima_decode_nibble(byte >> 4, state) / 32768.0)
+    return samples, rate, 1
+
+
+def _encode_wav_ima(pcm16, rate: int = 8000, block_samples: int = 505) -> bytes:
+    """Encode mono int16 samples as an IMA-ADPCM WAV (the writer twin of
+    `_decode_wav_ima`, for lib-free round-trip tests). Standard greedy
+    encoder: pick the nibble whose decoded step lands nearest, using the
+    DECODER's own state transition so encoder and decoder never drift."""
+    import struct
+
+    block_align = 4 + (block_samples - 1) // 2 + ((block_samples - 1) % 2 > 0)
+    blocks = []
+    i = 0
+    while i < len(pcm16):
+        chunk = pcm16[i:i + block_samples]
+        i += block_samples
+        state = [int(chunk[0]), 0]
+        header = struct.pack("<hBB", state[0], state[1], 0)
+        nibbles = []
+        for s in chunk[1:]:
+            best_nib, best_err = 0, None
+            for nib in range(16):
+                trial = list(state)
+                dec = _ima_decode_nibble(nib, trial)
+                err = abs(dec - int(s))
+                if best_err is None or err < best_err:
+                    best_nib, best_err = nib, err
+            _ima_decode_nibble(best_nib, state)
+            nibbles.append(best_nib)
+        if len(nibbles) % 2:
+            nibbles.append(0)
+        body = bytes(
+            nibbles[j] | (nibbles[j + 1] << 4) for j in range(0, len(nibbles), 2)
+        )
+        blocks.append((header + body).ljust(block_align, b"\x00"))
+    data = b"".join(blocks)
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x11, 1, rate, rate * block_align // block_samples,
+        block_align, 4, 2, block_samples,
+    )
+    riff = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff

@@ -71,6 +71,24 @@ def s3_json_roundtrip(spark, sf_dir):
 
 
 @query(
+    "s3_json_gz_roundtrip",
+    group="S3",
+    doc="GZIP-compressed NDJSON round-trip: write with the gzip codec, "
+        "read back with explicit schema. Spark's text sources handle "
+        "the codec transparently (the .jsonl.gz ingestion path every "
+        "crawl pipeline starts from); the pin is that compressed "
+        "ingestion produces byte-identical relational content.",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def s3_json_gz_roundtrip(spark, sf_dir):
+    nation = t(spark, sf_dir, "nation")
+    path = _export_dir("nation_json_gz")
+    nation.write.mode("overwrite").option("compression", "gzip").json(path)
+    back = rd.read_json(spark, path, schema=nation.schema)
+    return back.select("n_nationkey", "n_name", "n_regionkey")
+
+
+@query(
     "s4_orc_roundtrip",
     group="S4",
     doc="ORC write + read (OrcFileLoader/Writer analog).",

@@ -307,3 +307,67 @@ def test_resize_png_stays_png(spark):
     for r in range(4):
         for c in range(4):
             assert rows[r][c] == _PIXELS[r // 2][c // 2]
+
+
+# --- IMA ADPCM (round 7): the vendored COMPRESSED audio codec --------------
+
+
+def test_ima_adpcm_round_trip_close():
+    # ADPCM is LOSSY (4-bit residuals): assert the decode tracks the
+    # source within the codec's known error envelope, not equality
+    import math
+
+    pcm = [
+        int(16000 * math.sin(2 * math.pi * 440 * i / 8000)) for i in range(2000)
+    ]
+    dec = mm._decode_wav_ima(mm._encode_wav_ima(pcm))
+    assert dec is not None
+    mono, rate, ch = dec
+    assert rate == 8000 and ch == 1 and len(mono) >= len(pcm)
+    err = sum(
+        abs(a / 32768.0 - b) for a, b in zip(pcm, mono)
+    ) / len(pcm)
+    assert err < 0.03  # measured ~0.016 on this signal
+
+
+def test_ima_adpcm_decode_audio_features():
+    import math
+
+    pcm = [
+        int(16000 * math.sin(2 * math.pi * 200 * i / 8000)) for i in range(4000)
+    ]
+    payload = mm._encode_wav_ima(pcm)
+    feat = mm.decode_audio(payload)
+    assert feat != mm.decode_image_stub(payload)  # took the real branch
+    # duration ~0.5s, rate 8k, mono; RMS of a 0.49-amplitude sine ~0.345
+    assert abs(feat[0] - 0.5) < 0.02
+    assert feat[1] == 0.08 and feat[2] == 0.125
+    assert abs(feat[3] - 0.488 / math.sqrt(2)) < 0.02
+    assert 0.45 < feat[4] < 0.52  # peak
+
+
+def test_ima_adpcm_rejects_malformed():
+    assert mm._decode_wav_ima(b"RIFFxxxxWAVEjunk") is None
+    # stereo / wrong tag fall through to other decoders or the stub
+    good = mm._encode_wav_ima([0] * 100)
+    bad = bytearray(good)
+    bad[20] = 0x01  # format tag -> PCM (lie): not IMA anymore
+    assert mm._decode_wav_ima(bytes(bad)) is None
+
+
+def test_framepack_accepts_png_frames(spark):
+    """The container is codec-agnostic: PNG frames decode through the
+    same sampling path as BMP frames."""
+    from hiero_spark.functions.multimodal import encode_framepack, sample_frames
+
+    frames = [
+        mm._encode_png([[(v, v, v)] * 2] * 2) for v in (0, 51, 102, 153)
+    ]
+    media = spark.createDataFrame(
+        [(1, bytearray(encode_framepack(frames)))], "media_id long, payload binary"
+    )
+    out = sorted(
+        (r["frame_idx"], r["mean_luma"])
+        for r in sample_frames(media, every_n=2).collect()
+    )
+    assert out == [(0, 0.0), (2, round(102 / 255.0, 6))]

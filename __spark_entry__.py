@@ -68,6 +68,7 @@ _WINDOW_PIN: list[str] = [
     "ext_event_transitions",
     "n2_centroid_outliers",
     "s3_json_gz_roundtrip",
+    "ext_time_weighted_avg",
 ]
 
 

@@ -472,6 +472,7 @@ def main() -> None:
         "ext_rolling_distinct",
         "ext_event_transitions",
         "n2_centroid_outliers",
+        "ext_time_weighted_avg",
     ]
 
     def run_r6_ops(data_dir: str) -> dict[str, float]:

@@ -473,3 +473,55 @@ def n2_centroid_outliers(spark, sf_dir):
     from hiero_spark.functions.similarity import centroid_outliers
 
     return centroid_outliers(t(spark, sf_dir, "embeddings"), n_groups=4, k=3)
+
+
+@query(
+    "ext_time_weighted_avg",
+    group="ext-window",
+    doc="Time-weighted average value per event type (the TWAP shape): "
+        "each observation holds until the next one, so it weighs by its "
+        "holding interval — the right mean for irregularly-sampled "
+        "series where the plain AVG over-counts bursts. Exactness: "
+        "values are cents-exact (scaled-bigint convention), intervals "
+        "are integer micros from the total (ts, event_id) order, so "
+        "both sums are exact longs and the single closing division is "
+        "bit-identical. Bound: cents_max x span_us ~ 1.3e17 << 2^63.",
+    oracle="""
+        WITH seq AS (
+          SELECT event_type,
+                 CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+                 epoch_us(ts) AS us,
+                 LEAD(epoch_us(ts)) OVER (PARTITION BY event_type
+                                          ORDER BY ts, event_id) AS nxt
+          FROM events
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_intervals,
+               CAST(SUM(nxt - us) AS BIGINT) AS span_us,
+               ROUND(CAST(SUM(cents * (nxt - us)) AS DOUBLE)
+                     / SUM(nxt - us) / 100.0, 6) AS twa_value
+        FROM seq WHERE nxt IS NOT NULL
+        GROUP BY event_type
+    """,
+)
+def ext_time_weighted_avg(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    seq = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        F.unix_micros("ts").alias("us"),
+        F.lead(F.unix_micros("ts")).over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    dt = F.col("nxt") - F.col("us")
+    return seq.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum(dt).alias("span_us"),
+        F.round(
+            F.sum(F.col("cents") * dt).cast("double") / F.sum(dt) / 100.0, 6
+        ).alias("twa_value"),
+    )

@@ -69,6 +69,7 @@ _WINDOW_PIN: list[str] = [
     "n2_centroid_outliers",
     "s3_json_gz_roundtrip",
     "ext_time_weighted_avg",
+    "ext_sql_facade",
 ]
 
 

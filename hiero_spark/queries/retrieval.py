@@ -525,3 +525,39 @@ def ext_time_weighted_avg(spark, sf_dir):
             F.sum(F.col("cents") * dt).cast("double") / F.sum(dt) / 100.0, 6
         ).alias("twa_value"),
     )
+
+
+# The SQL-facade query text IS the oracle: one ANSI string executed by
+# BOTH engines (spark.sql over catalog.register_views on one side, DuckDB
+# over the same view names on the other). This pins the engine's
+# direct-SQL entry path — a reference user can paste their SQL in.
+_SQL_FACADE = """
+        SELECT n.n_name AS nation,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS revenue_cents
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        WHERE o.o_orderstatus = 'F'
+        GROUP BY n.n_name
+        HAVING COUNT(*) >= 10
+"""
+
+
+@query(
+    "ext_sql_facade",
+    group="ext-sql",
+    doc="The ANSI-SQL entry path: catalog.register_views + spark.sql "
+        "running the ORACLE STRING ITSELF (join x2, filter, group, "
+        "having, scaled-cents exact revenue). Demonstrates that the "
+        "engine's SQL surface accepts the same dialect the oracles are "
+        "written in — Catalyst plans it like any DataFrame query "
+        "(pushdown, broadcast dims, partial aggs all apply).",
+    oracle=_SQL_FACADE,
+)
+def ext_sql_facade(spark, sf_dir):
+    from hiero_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_FACADE)

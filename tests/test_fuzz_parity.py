@@ -446,3 +446,63 @@ def test_generated_outer_join_parity(spark, jcon, how, po, pc):
         f"ON o.o_custkey = c.c_custkey"
     ).fetchall()[0]
     assert got == exp, (how, wo, wc)
+
+
+# --- set operations (round-7 extension): UNION/INTERSECT/EXCEPT in both
+# DISTINCT and ALL multiplicity semantics over generated projections —
+# multiset handling (duplicate rows, null equality in set ops) is a
+# classic engine-divergence minefield the hand-written oracles only
+# touch once each.
+
+_SETOP_COLS = ("l_returnflag", "l_linestatus", "l_linenumber")
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    op=st.sampled_from(
+        ["union_all", "union", "intersect", "intersect_all", "except", "except_all"]
+    ),
+    pa=_preds,
+    pb=_preds,
+)
+def test_generated_setop_parity(spark, con, op, pa, pb):
+    li = load_table(spark, SF_DIR, "lineitem")
+    parts_a, wa = _build(pa)
+    parts_b, wb = _build(pb)
+    ca = F.lit(True)
+    for col, o, lit in parts_a:
+        ca = ca & _OPS[o](F.col(col), F.lit(lit))
+    cb = F.lit(True)
+    for col, o, lit in parts_b:
+        cb = cb & _OPS[o](F.col(col), F.lit(lit))
+    a = li.filter(ca).select(*_SETOP_COLS)
+    b = li.filter(cb).select(*_SETOP_COLS)
+    combined = {
+        "union_all": lambda: a.unionAll(b),
+        "union": lambda: a.union(b).distinct(),
+        "intersect": lambda: a.intersect(b),
+        "intersect_all": lambda: a.intersectAll(b),
+        # EXCEPT DISTINCT in SQL = distinct(a) minus rows present in b
+        # (exceptAll would keep multiplicity; Spark's subtract() matches
+        # but the anti-join spelling makes the distinct semantics explicit)
+        "except": lambda: a.distinct().join(
+            b.distinct(), list(_SETOP_COLS), "left_anti"
+        ),
+        "except_all": lambda: a.exceptAll(b),
+    }
+    got_df = combined[op]()
+    got = sorted(tuple(r) for r in got_df.collect())
+    sql_op = {
+        "union_all": "UNION ALL", "union": "UNION",
+        "intersect": "INTERSECT", "intersect_all": "INTERSECT ALL",
+        "except": "EXCEPT", "except_all": "EXCEPT ALL",
+    }[op]
+    cols = ", ".join(_SETOP_COLS)
+    exp = sorted(
+        con.execute(
+            f"SELECT {cols} FROM lineitem WHERE {wa} "
+            f"{sql_op} "
+            f"SELECT {cols} FROM lineitem WHERE {wb}"
+        ).fetchall()
+    )
+    assert got == exp, (op, wa, wb)

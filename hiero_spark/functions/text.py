@@ -253,3 +253,32 @@ def prose_gate(text: Column, min_distinct: int = 2) -> Column:
     stops = F.array(*[F.lit(w) for w in STOP_WORDS])
     hits = F.filter(toks, lambda x: F.array_contains(stops, x))
     return F.size(F.array_distinct(hits)) >= min_distinct
+
+
+def readability_score(text: Column) -> Column:
+    """Flesch-reading-ease-style score from the classic heuristics:
+    syllables ~ vowel-group count ([aeiouy]+ runs; whitespace breaks
+    groups so the whole-text count equals the per-word sum), sentences ~
+    non-empty [.!?]+ splits (min 1). Pure codegen exprs, per-row,
+    shuffle-free; the two integer ratios are single IEEE divisions and
+    the three-term sum has a fixed shape, so the double is bit-identical
+    cross-engine (ROUND is display only). A curation gate: very low
+    scores flag dense jargon/gibberish, implausibly high ones flag
+    keyword lists."""
+    toks = F.split(F.trim(F.lower(text)), r"\s+")
+    n_words = F.size(toks)
+    syl = F.size(F.regexp_extract_all(F.lower(text), F.lit("[aeiouy]+"), 0))
+    sentences = F.greatest(
+        F.size(
+            F.filter(
+                F.split(text, r"[.!?]+"), lambda x: F.trim(x) != F.lit("")
+            )
+        ),
+        F.lit(1),
+    )
+    score = (
+        F.lit(206.835)
+        - 1.015 * (n_words.cast("double") / sentences.cast("double"))
+        - 84.6 * (syl.cast("double") / n_words.cast("double"))
+    )
+    return F.round(score, 6)

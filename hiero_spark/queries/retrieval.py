@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from hiero_spark.functions import text as tx
 from hiero_spark.queries._util import t
 from hiero_spark.registry import query
 
@@ -561,3 +562,46 @@ def ext_sql_facade(spark, sf_dir):
 
     register_views(spark, sf_dir)
     return spark.sql(_SQL_FACADE)
+
+
+@query(
+    "n4_readability",
+    group="N4",
+    doc="Flesch-style readability score per document "
+        "(functions/text.py:readability_score): vowel-group syllable "
+        "heuristic + sentence split, two exact integer ratios, fixed "
+        "three-term sum — bit-identical doubles, shuffle-free. The "
+        "text-quality gate flagging dense jargon (low) and keyword "
+        "lists (implausibly high).",
+    oracle=r"""
+        WITH m AS (
+          SELECT doc_id,
+                 len(regexp_split_to_array(trim(lower(text)), '\s+')) AS w,
+                 len(regexp_extract_all(lower(text), '[aeiouy]+')) AS syl,
+                 GREATEST(len(list_filter(
+                   regexp_split_to_array(text, '[.!?]+'),
+                   x -> trim(x) <> '')), 1) AS s
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(w AS BIGINT) AS n_words,
+               CAST(syl AS BIGINT) AS n_syllables,
+               ROUND(206.835
+                     - 1.015 * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE))
+                     - 84.6 * (CAST(syl AS DOUBLE) / CAST(w AS DOUBLE)),
+                     6) AS flesch
+        FROM m
+    """,
+)
+def n4_readability(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    syl = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit("[aeiouy]+"), 0)
+    )
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_words"),
+        syl.cast("long").alias("n_syllables"),
+        tx.readability_score(F.col("text")).alias("flesch"),
+    )

@@ -70,6 +70,7 @@ _WINDOW_PIN: list[str] = [
     "s3_json_gz_roundtrip",
     "ext_time_weighted_avg",
     "ext_sql_facade",
+    "ext_sql_facade_window",
     "n4_readability",
 ]
 

@@ -605,3 +605,33 @@ def n4_readability(spark, sf_dir):
         syl.cast("long").alias("n_syllables"),
         tx.readability_score(F.col("text")).alias("flesch"),
     )
+
+
+_SQL_FACADE_WINDOW = """
+        WITH ranked AS (
+          SELECT o_custkey, o_orderkey,
+                 CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC,
+                                             o_orderkey ASC) AS rn
+          FROM orders
+        )
+        SELECT o_custkey, o_orderkey AS top_order, cents AS top_cents
+        FROM ranked WHERE rn = 1
+"""
+
+
+@query(
+    "ext_sql_facade_window",
+    group="ext-sql",
+    doc="SQL entry path, analytic dialect: a CTE + window function "
+        "(per-customer top order by value, deterministic tiebreak) — "
+        "again the oracle string IS the executed query, pinning that "
+        "windowed/CTE ANSI SQL runs unchanged on both engines.",
+    oracle=_SQL_FACADE_WINDOW,
+)
+def ext_sql_facade_window(spark, sf_dir):
+    from hiero_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_FACADE_WINDOW)

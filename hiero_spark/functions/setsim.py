@@ -27,7 +27,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from hiero_spark.functions.dedup import shingle_array as dd_shingle_array
+from hiero_spark.functions.dedup import (
+    shingle_array as dd_shingle_array,
+    shingle_hash_array as dd_shingle_hash_array,
+)
 
 
 def jaccard_join(
@@ -36,6 +39,7 @@ def jaccard_join(
     k: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hashed: bool = False,
 ) -> DataFrame:
     """All pairs (id_a < id_b) with exact word-k-gram-set Jaccard >=
     threshold. Returns (id_a, id_b, n_common, n_union, jaccard to 6).
@@ -44,8 +48,20 @@ def jaccard_join(
     on a small-vocabulary corpus unigram sets saturate (measured at
     sf0.01: 113k candidates / 9k "pairs" at t=0.9 over unigrams vs
     25 candidates = 25 true pairs at t=0.8 over 3-grams — the shingle
-    space is where prefix filtering actually prunes)."""
-    toks = dd_shingle_array(F.col(text_col), k)
+    space is where prefix filtering actually prunes).
+
+    ``hashed=True`` is the 100 TB arm: shingles become xxhash64 longs
+    (functions/dedup.py:shingle_hash_array) before anything shuffles, so
+    the df aggregation, the prefix self-join, and the verify arrays all
+    move 8-byte longs instead of ~(k x word) strings — identical pairs
+    modulo 2^-64 hash collisions (the dedup-family argument), pinned
+    equal to the string arm in tests. The string arm stays the
+    oracle-bearing one (DuckDB has no xxhash64)."""
+    toks = (
+        dd_shingle_hash_array(F.col(text_col), k)
+        if hashed
+        else dd_shingle_array(F.col(text_col), k)
+    )
     sets = docs.select(F.col(id_col).alias("id"), toks.alias("s"))
     flat = sets.select("id", F.explode("s").alias("tok"))
     dfreq = flat.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))

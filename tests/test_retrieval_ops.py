@@ -316,3 +316,19 @@ def test_centroid_outliers_planted(spark):
     a = sorted(tuple(r) for r in centroid_outliers(df, 4, 3).collect())
     b = sorted(tuple(r) for r in centroid_outliers(df.repartition(7), 4, 3).collect())
     assert a == b
+
+
+def test_jaccard_join_hashed_equals_string_arm(spark):
+    from hiero_spark.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").filter(
+        F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+")) >= 3
+    )
+    s_arm = sorted(
+        tuple(r) for r in jaccard_join(docs, threshold=0.8, k=3).collect()
+    )
+    h_arm = sorted(
+        tuple(r)
+        for r in jaccard_join(docs, threshold=0.8, k=3, hashed=True).collect()
+    )
+    assert s_arm == h_arm and len(s_arm) > 0

@@ -56,7 +56,10 @@ def jaccard_join(
     move 8-byte longs instead of ~(k x word) strings — identical pairs
     modulo 2^-64 hash collisions (the dedup-family argument), pinned
     equal to the string arm in tests. The string arm stays the
-    oracle-bearing one (DuckDB has no xxhash64)."""
+    oracle-bearing one (DuckDB has no xxhash64). Measured at sf0.1:
+    identical 256 pairs, shuffle 4.4 MB vs 6.4 MB (31% lower) and
+    2.7 s vs 3.7 s warm — and the gap widens with word length (this
+    corpus's words are short; real text shingles are ~3x longer)."""
     toks = (
         dd_shingle_hash_array(F.col(text_col), k)
         if hashed

@@ -72,6 +72,7 @@ _WINDOW_PIN: list[str] = [
     "ext_sql_facade",
     "ext_sql_facade_window",
     "n4_readability",
+    "s11_prefix_pruned_read",
 ]
 
 

@@ -515,3 +515,34 @@ def s17_incremental_agg(spark, sf_dir):
         (F.col("min_v") / 100.0).alias("min_order"),
         (F.col("max_v") / 100.0).alias("max_order"),
     )
+
+
+@query(
+    "s11_prefix_pruned_read",
+    group="S11",
+    doc="String-prefix file skipping "
+        "(sources/layout.py:read_prefix_pruned): documents land sorted "
+        "by source into 8 files, a LIKE 'src3%' read prunes to the "
+        "files whose footer [min,max] name-range intersects "
+        "[prefix, prefix+U+FFFF] — the string twin of the Z-order "
+        "numeric path (a test pins that files are actually skipped).",
+    oracle="""
+        SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+        FROM documents WHERE source LIKE 'src3%'
+    """,
+)
+def s11_prefix_pruned_read(spark, sf_dir):
+    from hiero_spark.sources import layout
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    path = _export_dir("docs_by_source")
+    (
+        docs.repartitionByRange(8, "source")
+        .sortWithinPartitions("source")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    out = layout.read_prefix_pruned(spark, path, "source", "src3")
+    return out.select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
+    )

@@ -297,3 +297,23 @@ def upsert_partitioned(
     for p in emptied:
         shutil.rmtree(f"{table_path}/{part_col}={p}", ignore_errors=True)
     return {"partitions_rewritten": len(parts), "partitions_emptied": len(emptied)}
+
+
+def read_prefix_pruned(
+    spark: SparkSession, path: str, col: str, prefix: str
+) -> DataFrame:
+    """String-prefix file skipping: `col LIKE 'prefix%'` as an I/O bound.
+
+    The row range of a prefix predicate is [prefix, prefix + U+FFFF], and
+    parquet footer min/max for string columns compare lexicographically —
+    so `prune_files` works unchanged on string stats (truncated stats
+    stay safe: parquet writers truncate min downward and max upward, so
+    the file interval only widens). Survivor files then apply the exact
+    startswith predicate; pruning never decides row membership. The
+    string twin of the numeric Z-order path: sort-by-column layouts get
+    LIKE-prefix scans bounded by the files whose name range intersects.
+    """
+    kept, _total = prune_files(path, {col: (prefix, prefix + "￿")})
+    if not kept:
+        return spark.read.parquet(path).limit(0).filter(F.lit(False))
+    return spark.read.parquet(*kept).filter(F.col(col).startswith(prefix))

@@ -332,3 +332,24 @@ def test_jaccard_join_hashed_equals_string_arm(spark):
         for r in jaccard_join(docs, threshold=0.8, k=3, hashed=True).collect()
     )
     assert s_arm == h_arm and len(s_arm) > 0
+
+
+def test_prefix_pruned_read_skips_files(spark, tmp_path):
+    from hiero_spark.sources.layout import prune_files, read_prefix_pruned
+
+    rows = [(i, "src%d" % (i % 8), i * 10) for i in range(800)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n long")
+    path = str(tmp_path / "by_source")
+    (
+        df.repartitionByRange(8, "source")
+        .sortWithinPartitions("source")
+        .write.parquet(path)
+    )
+    kept, total = prune_files(path, {"source": ("src3", "src3￿")})
+    assert total == 8 and len(kept) < total  # footer stats really skipped
+    out = read_prefix_pruned(spark, path, "source", "src3")
+    got = sorted(r["doc_id"] for r in out.collect())
+    assert got == [i for i in range(800) if i % 8 == 3]
+    # no-survivor prefix yields an empty frame with the right schema
+    empty = read_prefix_pruned(spark, path, "source", "zzz")
+    assert empty.count() == 0 and empty.columns == ["doc_id", "source", "n"]

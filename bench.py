@@ -473,6 +473,10 @@ def main() -> None:
         "ext_event_transitions",
         "n2_centroid_outliers",
         "ext_time_weighted_avg",
+        "n4_readability",
+        "s11_prefix_pruned_read",
+        "ext_sql_facade",
+        "n1_jaccard_join_hashed",
     ]
 
     def run_r6_ops(data_dir: str) -> dict[str, float]:

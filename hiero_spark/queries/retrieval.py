@@ -635,3 +635,23 @@ def ext_sql_facade_window(spark, sf_dir):
 
     register_views(spark, sf_dir)
     return spark.sql(_SQL_FACADE_WINDOW)
+
+
+@query(
+    "n1_jaccard_join_hashed",
+    group="N1",
+    doc="The 100 TB arm of the exact set-similarity join: shingles "
+        "become xxhash64 longs before anything shuffles (31% lower "
+        "shuffle bytes at sf0.1, widening with word length). Rows-only "
+        "by design — DuckDB has no xxhash64 — with the string-arm "
+        "equality pinned in tests (identical pairs modulo 2^-64 "
+        "collisions).",
+    oracle=None,
+)
+def n1_jaccard_join_hashed(spark, sf_dir):
+    from hiero_spark.functions.setsim import jaccard_join
+
+    docs = t(spark, sf_dir, "documents").filter(
+        F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+")) >= 3
+    )
+    return jaccard_join(docs, threshold=0.8, k=3, hashed=True)

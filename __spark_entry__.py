@@ -73,6 +73,7 @@ _WINDOW_PIN: list[str] = [
     "ext_sql_facade_window",
     "n4_readability",
     "s11_prefix_pruned_read",
+    "s17_incremental_quantiles",
 ]
 
 

@@ -477,6 +477,7 @@ def main() -> None:
         "s11_prefix_pruned_read",
         "ext_sql_facade",
         "n1_jaccard_join_hashed",
+        "s17_incremental_quantiles",
     ]
 
     def run_r6_ops(data_dir: str) -> dict[str, float]:

@@ -193,3 +193,72 @@ def merge_agg_state(state_df: DataFrame, batch_state: DataFrame) -> DataFrame:
         F.least("min_a", "min_b").alias("min_v"),
         F.greatest("max_a", "max_b").alias("max_v"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental quantile maintenance (mergeable histogram state)
+
+
+def quantile_state(
+    df: DataFrame, key_col: str, cents_col: str, width: int = 100_000
+) -> DataFrame:
+    """Mergeable per-key quantile state: (key, bucket, cnt) counts on a
+    fixed integer grid (bucket = cents DIV width).
+
+    GK sketches merge but are opaque blobs; a fixed-resolution histogram
+    is the quantile state that is BOTH mergeable (counts add — exact
+    long monoid, same algebra as agg_state) and fully SQL-mirrorable, so
+    incremental maintenance keeps hash-checkable evidence. Resolution is
+    the explicit trade: probes return the quantile's bucket lower bound
+    (error < width cents), which is hiero's own resolution-bounded-
+    bucket contract. State size is O(keys x occupied buckets), not
+    O(rows)."""
+    return df.groupBy(
+        F.col(key_col).alias("key"),
+        F.expr(f"{cents_col} DIV {int(width)}").alias("bucket"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def merge_quantile_state(state_df: DataFrame, batch_state: DataFrame) -> DataFrame:
+    """Fold a batch's histogram into the stored one: counts add per
+    (key, bucket) — exact, order-free, the materialized-view contract
+    (history never re-read; cost O(batch buckets + touched buckets))."""
+    return (
+        state_df.unionByName(batch_state)
+        .groupBy("key", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def quantiles_from_state(
+    state: DataFrame, probs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    width: int = 100_000,
+) -> DataFrame:
+    """Resolution-bounded quantiles from the histogram state: for each p,
+    the smallest bucket whose cumulative count reaches ceil(p*n); output
+    is the bucket lower bound in cents (exact long — the probe is pure
+    integer arithmetic plus one well-defined CEIL per prob, so results
+    hash-check with no tolerance)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("key").orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = Window.partitionBy("key")
+    c = state.select(
+        "key",
+        "bucket",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(tot).alias("n"),
+    )
+    aggs = [F.max("n").cast("long").alias("n")]
+    for p in probs:
+        tag = str(int(round(p * 100)))
+        target = F.ceil(F.lit(float(p)) * F.col("n"))
+        aggs.append(
+            (
+                F.min(F.when(F.col("cum") >= target, F.col("bucket")))
+                * int(width)
+            ).cast("long").alias(f"p{tag}_cents_lo")
+        )
+    return c.groupBy("key").agg(*aggs)

@@ -655,3 +655,58 @@ def n1_jaccard_join_hashed(spark, sf_dir):
         F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+")) >= 3
     )
     return jaccard_join(docs, threshold=0.8, k=3, hashed=True)
+
+
+@query(
+    "s17_incremental_quantiles",
+    group="S17",
+    doc="Incremental quantile maintenance "
+        "(functions/incremental.py:quantile_state): orders arrive as 3 "
+        "disjoint batches; each builds a fixed-grid histogram state, "
+        "states FOLD (counts add, exact longs), and p50/p90/p99 probe "
+        "from the merged state as resolution-bounded bucket lower "
+        "bounds — pure integer arithmetic, so the oracle (the full "
+        "recompute, the s17 invariant) hash-checks with no tolerance. "
+        "Unlike GK blobs, this mergeable quantile state stays "
+        "SQL-mirrorable.",
+    oracle="""
+        WITH st AS (
+          SELECT o_orderstatus AS key,
+                 CAST(ROUND(o_totalprice * 100) AS BIGINT) // 100000 AS bucket,
+                 COUNT(*) AS cnt
+          FROM orders GROUP BY 1, 2
+        ), tot AS (SELECT key, SUM(cnt) AS n FROM st GROUP BY key),
+        c AS (
+          SELECT st.key, st.bucket, tot.n,
+                 SUM(st.cnt) OVER (PARTITION BY st.key ORDER BY st.bucket
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS cum
+          FROM st JOIN tot ON tot.key = st.key
+        )
+        SELECT key,
+               CAST(MAX(n) AS BIGINT) AS n,
+               CAST(MIN(CASE WHEN cum >= CEIL(0.5 * n) THEN bucket END)
+                    * 100000 AS BIGINT) AS p50_cents_lo,
+               CAST(MIN(CASE WHEN cum >= CEIL(0.9 * n) THEN bucket END)
+                    * 100000 AS BIGINT) AS p90_cents_lo,
+               CAST(MIN(CASE WHEN cum >= CEIL(0.99 * n) THEN bucket END)
+                    * 100000 AS BIGINT) AS p99_cents_lo
+        FROM c GROUP BY key
+    """,
+)
+def s17_incremental_quantiles(spark, sf_dir):
+    from hiero_spark.functions.incremental import (
+        merge_quantile_state, quantile_state, quantiles_from_state,
+    )
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    state = None
+    for b in range(3):  # three disjoint ingest batches fold into one state
+        batch = orders.filter(F.col("o_orderkey") % 3 == b)
+        bs = quantile_state(batch, "o_orderstatus", "cents")
+        state = bs if state is None else merge_quantile_state(state, bs)
+    return quantiles_from_state(state).withColumnRenamed("key", "key")

@@ -353,3 +353,30 @@ def test_prefix_pruned_read_skips_files(spark, tmp_path):
     # no-survivor prefix yields an empty frame with the right schema
     empty = read_prefix_pruned(spark, path, "source", "zzz")
     assert empty.count() == 0 and empty.columns == ["doc_id", "source", "n"]
+
+
+def test_quantile_state_fold_equals_recompute(spark):
+    from hiero_spark.functions.incremental import (
+        merge_quantile_state, quantile_state, quantiles_from_state,
+    )
+
+    rows = [("k%d" % (i % 2), i, (i * 137) % 100000 + 1) for i in range(4000)]
+    df = spark.createDataFrame(rows, "k string, id long, cents long")
+    # fold of 4 disjoint batches must equal the single-pass state exactly
+    state = None
+    for b in range(4):
+        bs = quantile_state(df.filter(F.col("id") % 4 == b), "k", "cents", width=500)
+        state = bs if state is None else merge_quantile_state(state, bs)
+    full = quantile_state(df, "k", "cents", width=500)
+    a = sorted(tuple(r) for r in state.collect())
+    b_ = sorted(tuple(r) for r in full.collect())
+    assert a == b_
+    # probed quantile is within one bucket width of the exact quantile
+    q = {r["key"]: r for r in quantiles_from_state(state, (0.5,), width=500).collect()}
+    import statistics
+
+    for key in ("k0", "k1"):
+        vals = sorted(c for kk, _, c in rows if kk == key)
+        exact = vals[-(-len(vals) // 2) - 1]  # ceil(n/2)-th value, 1-indexed
+        lo = q[key]["p50_cents_lo"]
+        assert lo <= exact < lo + 500

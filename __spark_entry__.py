@@ -74,6 +74,7 @@ _WINDOW_PIN: list[str] = [
     "n4_readability",
     "s11_prefix_pruned_read",
     "s17_incremental_quantiles",
+    "n6_weighted_sample_grouped",
 ]
 
 

@@ -87,3 +87,54 @@ def systematic_pps_sample(
         f"({f_cum}) - ({f_prev}) AS n_sel",
     )
     return out.filter(F.col("n_sel") >= 1)
+
+
+def systematic_pps_sample_grouped(
+    df: DataFrame,
+    k_per_group: int,
+    group_col: str,
+    weight_col: str,
+    order_col: str,
+) -> DataFrame:
+    """Stratified PPS: k draws PER GROUP, proportional to integer
+    `weight_col` within the group — "sample k docs per source weighted
+    by length", the eval-set assembly shape. Same all-integer systematic
+    thresholds as `systematic_pps_sample`, but the cumulative-weight
+    line is per-group, so the prefix sum is an ordinary per-key window
+    (groups partition the work; no global prefix, no offset broadcast)
+    and every group lands exactly k draws. Groups whose total weight is
+    0 contribute nothing."""
+    from pyspark.sql.window import Window
+
+    d = df.select(
+        group_col, order_col, F.col(weight_col).cast("long").alias("_w")
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col(order_col).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = Window.partitionBy(group_col)
+    c = d.select(
+        group_col,
+        order_col,
+        "_w",
+        F.sum("_w").over(w).alias("_cum"),
+        F.sum("_w").over(tot).alias("_tw"),
+    ).filter(F.col("_tw") > 0)
+    kk = int(k_per_group)
+    f_cum = (
+        f"least(CAST({kk} AS BIGINT), "
+        f"(CAST({2 * kk} AS BIGINT) * _cum + _tw) DIV (2 * _tw))"
+    )
+    f_prev = (
+        f"least(CAST({kk} AS BIGINT), "
+        f"(CAST({2 * kk} AS BIGINT) * (_cum - _w) + _tw) DIV (2 * _tw))"
+    )
+    out = c.selectExpr(
+        group_col,
+        order_col,
+        f"_w AS {weight_col}",
+        f"({f_cum}) - ({f_prev}) AS n_sel",
+    )
+    return out.filter(F.col("n_sel") >= 1)

@@ -710,3 +710,43 @@ def s17_incremental_quantiles(spark, sf_dir):
         bs = quantile_state(batch, "o_orderstatus", "cents")
         state = bs if state is None else merge_quantile_state(state, bs)
     return quantiles_from_state(state).withColumnRenamed("key", "key")
+
+
+@query(
+    "n6_weighted_sample_grouped",
+    group="N6",
+    doc="Stratified PPS: 10 draws PER SOURCE proportional to n_chars "
+        "(functions/sampling.py:systematic_pps_sample_grouped) — the "
+        "per-domain eval-set assembly shape. Per-group cumulative line "
+        "means an ordinary per-key window prefix sum (no global prefix, "
+        "no offsets); all-integer selection, exactly 10 draws per "
+        "source, hash-stable.",
+    oracle="""
+        WITH w AS (
+          SELECT source, doc_id, CAST(n_chars AS BIGINT) AS wt
+          FROM documents
+        ), c AS (
+          SELECT source, doc_id, wt,
+                 SUM(wt) OVER (PARTITION BY source ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS cum,
+                 SUM(wt) OVER (PARTITION BY source) AS tw
+          FROM w
+        ), s AS (
+          SELECT source, doc_id, wt,
+                 LEAST(CAST(10 AS BIGINT), (20 * cum + tw) // (2 * tw))
+                 - LEAST(CAST(10 AS BIGINT),
+                         (20 * (cum - wt) + tw) // (2 * tw)) AS n_sel
+          FROM c WHERE tw > 0
+        )
+        SELECT source, doc_id, wt AS n_chars, CAST(n_sel AS BIGINT) AS n_sel
+        FROM s WHERE n_sel >= 1
+    """,
+)
+def n6_weighted_sample_grouped(spark, sf_dir):
+    from hiero_spark.functions.sampling import systematic_pps_sample_grouped
+
+    return systematic_pps_sample_grouped(
+        t(spark, sf_dir, "documents"), k_per_group=10, group_col="source",
+        weight_col="n_chars", order_col="doc_id",
+    )

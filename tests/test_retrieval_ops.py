@@ -380,3 +380,21 @@ def test_quantile_state_fold_equals_recompute(spark):
         exact = vals[-(-len(vals) // 2) - 1]  # ceil(n/2)-th value, 1-indexed
         lo = q[key]["p50_cents_lo"]
         assert lo <= exact < lo + 500
+
+
+def test_grouped_pps_exact_k_per_group(spark):
+    from hiero_spark.functions.sampling import systematic_pps_sample_grouped
+
+    rows = []
+    for g in ("a", "b", "c"):
+        for i in range(40):
+            rows.append((g, i, (i * 13) % 50 + 1))
+    rows.append(("z", 0, 0))  # zero-weight group: contributes nothing
+    df = spark.createDataFrame(rows, "g string, doc_id long, wt long")
+    out = systematic_pps_sample_grouped(
+        df, k_per_group=7, group_col="g", weight_col="wt", order_col="doc_id"
+    )
+    per_group = {}
+    for r in out.collect():
+        per_group[r["g"]] = per_group.get(r["g"], 0) + r["n_sel"]
+    assert per_group == {"a": 7, "b": 7, "c": 7}  # exactly k each, no 'z'

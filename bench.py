@@ -478,6 +478,7 @@ def main() -> None:
         "ext_sql_facade",
         "n1_jaccard_join_hashed",
         "s17_incremental_quantiles",
+        "n6_weighted_sample_grouped",
     ]
 
     def run_r6_ops(data_dir: str) -> dict[str, float]:

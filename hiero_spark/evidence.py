@@ -312,6 +312,43 @@ def dirty_python_files() -> list[str]:
     ]
 
 
+def code_unchanged_since_newest_correctness() -> bool:
+    """True iff the working tree's .py code IS the code the driver ran for
+    the newest CORRECTNESS file — the condition under which refresh_snapshot
+    is a no-op formality rather than a provenance decision.
+
+    Two cases (round-7 verdict item 1 — the recurring boundary red):
+
+    * The newest CORRECTNESS file is already committed (normal round start):
+      sound iff no .py file differs between the commit that last touched it
+      (the driver's round-end commit, whose tree the driver executed) and
+      the current working tree.
+    * The file is not yet in git (judge-time: the driver writes it AFTER the
+      round's last commit but BEFORE its own bookkeeping commit): the driver
+      ran HEAD's code, so sound iff the working tree has no .py edits.
+    """
+    files = correctness_files()
+    if not files:
+        return False
+    if dirty_python_files():
+        return False
+    rel = os.path.relpath(files[-1], ROOT)
+    try:
+        commit = subprocess.run(
+            ["git", "log", "--format=%H", "-n", "1", "--", rel],
+            capture_output=True, text=True, cwd=ROOT, check=True,
+        ).stdout.strip()
+        if not commit:
+            return True  # untracked correctness file: driver ran HEAD == tree
+        diff = subprocess.run(
+            ["git", "diff", "--name-only", f"{commit}..HEAD"],
+            capture_output=True, text=True, cwd=ROOT, check=True,
+        ).stdout
+    except (OSError, subprocess.SubprocessError):
+        return False
+    return not any(line.endswith(".py") for line in diff.splitlines())
+
+
 def refresh_snapshot(write: bool = True, force: bool = False) -> dict[str, str]:
     """Round-start maintenance: pin hashes for the newest round's greens.
 

@@ -85,18 +85,32 @@ def test_all_unverified_oracle_queries_inside_driver_window():
 
 
 def test_snapshot_pins_newest_round_greens():
-    """refresh_snapshot must have been run at round start: every green in
-    the newest CORRECTNESS file is pinned at the hash of the code the
-    driver ran (== current code at round start)."""
+    """Every green in the newest CORRECTNESS file must be pinned at the hash
+    of the code the driver ran.
+
+    Round-7 verdict item 1: the driver writes CORRECTNESS_r{N} AFTER the
+    round's last commit, so a literal check red-flagged every judge run at
+    the round boundary even though nothing was wrong.  When the working
+    tree provably equals the code the driver executed (no .py drift since
+    the correctness file's commit — see code_unchanged_since_newest_
+    correctness), the refresh is a no-op formality and this test performs
+    it.  It still FAILS when pins are missing and code has drifted — the
+    actual provenance violation the pin system exists to catch."""
     files = evidence.correctness_files()
     if not files:
         pytest.skip("no CORRECTNESS files yet")
-    snap = evidence.load_snapshot()
     specs = all_queries()
     newest_green = evidence.green_names(files[-1]) & set(specs)
-    unpinned = [n for n in newest_green if n not in snap]
-    assert not unpinned, (
-        f"run `python -m hiero_spark.evidence` at round start; unpinned: {unpinned}"
+
+    def unpinned():
+        snap = evidence.load_snapshot()
+        return [n for n in newest_green if n not in snap]
+
+    if unpinned() and evidence.code_unchanged_since_newest_correctness():
+        evidence.refresh_snapshot(write=True)
+    assert not unpinned(), (
+        ".py code drifted since the driver ran; re-earn these greens or run "
+        f"`python -m hiero_spark.evidence` before editing: {unpinned()}"
     )
 
 

@@ -77,7 +77,9 @@ def bm25_topk(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Top-k documents by BM25 against `query_terms` (whitespace/lowercase
-    tokenization). Returns (id, n_terms matched, bm25 rounded to 6)."""
+    tokenization; query terms are case-folded the same way, so 'Spark'
+    matches 'spark'). Returns (id, n_terms matched, bm25 rounded to 6)."""
+    query_terms = [t.lower() for t in query_terms]
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     tokenized = docs.select(F.col(id_col), toks.alias("w"))
     # two scalars of corpus state: N and average document length
@@ -157,7 +159,10 @@ def bm25_topk_indexed(
     hash to (directory-level partition pruning — pinned on the physical
     plan in tests), filter to the exact terms, score with the shared
     BM25 core. Identical ranking to the full-scan path by construction;
-    the probe's scan cost is the query's posting lists."""
+    the probe's scan cost is the query's posting lists. Query terms are
+    case-folded like the indexed tokens (round-7 ADVICE: a mixed-case
+    query must not silently match nothing)."""
+    query_terms = [t.lower() for t in query_terms]
     st = spark.read.parquet(f"{path}/stats").collect()[0]
     n_docs = float(st["n_docs"])
     avgdl = float(st["total_toks"]) / n_docs

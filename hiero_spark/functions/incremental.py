@@ -203,7 +203,15 @@ def quantile_state(
     df: DataFrame, key_col: str, cents_col: str, width: int = 100_000
 ) -> DataFrame:
     """Mergeable per-key quantile state: (key, bucket, cnt) counts on a
-    fixed integer grid (bucket = cents DIV width).
+    fixed integer grid (bucket = floor(cents / width)).
+
+    FLOOR semantics, not Spark's truncate-toward-zero `DIV` (round-7
+    ADVICE): for negative cents (refunds/credits) truncation would fold
+    (-width, width) into bucket 0 and disagree with the DuckDB `//`
+    oracle. Computed as (cents - pmod(cents, width)) DIV width — pmod's
+    remainder is nonnegative, so the numerator is an exact multiple of
+    width and the division is exact long arithmetic in any rounding
+    mode (no double round-trip, values past 2^53 stay exact).
 
     GK sketches merge but are opaque blobs; a fixed-resolution histogram
     is the quantile state that is BOTH mergeable (counts add — exact
@@ -213,9 +221,10 @@ def quantile_state(
     (error < width cents), which is hiero's own resolution-bounded-
     bucket contract. State size is O(keys x occupied buckets), not
     O(rows)."""
+    w = int(width)
     return df.groupBy(
         F.col(key_col).alias("key"),
-        F.expr(f"{cents_col} DIV {int(width)}").alias("bucket"),
+        F.expr(f"({cents_col} - pmod({cents_col}, {w})) DIV {w}").alias("bucket"),
     ).agg(F.count(F.lit(1)).alias("cnt"))
 
 

@@ -38,7 +38,13 @@ def systematic_pps_sample(
 ) -> DataFrame:
     """k-of-N sample proportional to integer `weight_col`, deterministic
     in `order_col` order. Returns (order_col, weight_col, n_sel) for rows
-    selected at least once; sum(n_sel) == k exactly."""
+    selected at least once; sum(n_sel) == k exactly.
+
+    Weights must be NONNEGATIVE integers (negatives would break the
+    monotone cumulative line the systematic thresholds walk); an empty
+    input or all-zero weights yields an empty sample, mirroring the
+    grouped variant's `_tw > 0` guard (round-7 ADVICE: tot=0 previously
+    reached the SQL as a division by zero)."""
     d = (
         df.select(order_col, F.col(weight_col).cast("long").alias("_w"))
         .repartitionByRange(n_parts, F.col(order_col))
@@ -50,6 +56,15 @@ def systematic_pps_sample(
         key=lambda r: r["_pid"],
     )
     total = sum(r["_s"] for r in parts)
+    neg = d.filter(F.col("_w") < 0).limit(1).count()
+    if neg:
+        raise ValueError("systematic_pps_sample: weights must be nonnegative")
+    if total <= 0:  # empty input or all-zero weights: nothing to draw
+        return (
+            d.select(order_col, F.col("_w").alias(weight_col))
+            .withColumn("n_sel", F.lit(0).cast("long"))
+            .limit(0)
+        )
     offsets, acc = {}, 0
     for r in parts:
         offsets[r["_pid"]] = acc

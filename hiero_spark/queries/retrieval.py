@@ -668,11 +668,16 @@ def n1_jaccard_join_hashed(spark, sf_dir):
         "bounds — pure integer arithmetic, so the oracle (the full "
         "recompute, the s17 invariant) hash-checks with no tolerance. "
         "Unlike GK blobs, this mergeable quantile state stays "
-        "SQL-mirrorable.",
+        "SQL-mirrorable. Both sides bucket with explicit FLOOR division "
+        "(x - nonneg_mod before the exact divide) because Spark DIV and "
+        "DuckDB integer // BOTH truncate toward zero — identical but "
+        "wrong lower bounds for negative cents (round-7 ADVICE).",
     oracle="""
         WITH st AS (
           SELECT o_orderstatus AS key,
-                 CAST(ROUND(o_totalprice * 100) AS BIGINT) // 100000 AS bucket,
+                 (CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                  - ((CAST(ROUND(o_totalprice * 100) AS BIGINT) % 100000
+                      + 100000) % 100000)) // 100000 AS bucket,
                  COUNT(*) AS cnt
           FROM orders GROUP BY 1, 2
         ), tot AS (SELECT key, SUM(cnt) AS n FROM st GROUP BY key),

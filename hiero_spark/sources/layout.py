@@ -131,7 +131,7 @@ def prune_files(
                 fmax = st.max if fmax is None else max(fmax, st.max)
             if fmin is None:
                 continue
-            if fmax < lo or fmin > hi:
+            if (lo is not None and fmax < lo) or (hi is not None and fmin > hi):
                 alive = False
                 break
         if alive:
@@ -299,21 +299,39 @@ def upsert_partitioned(
     return {"partitions_rewritten": len(parts), "partitions_emptied": len(emptied)}
 
 
+def _prefix_successor(prefix: str) -> str | None:
+    """Smallest string greater than EVERY string with this prefix, or None
+    when no such string exists (prefix is all U+10FFFF).  Increment the
+    last code point, carrying by dropping maxed trailing characters."""
+    cps = [ord(c) for c in prefix]
+    while cps:
+        if cps[-1] < 0x10FFFF:
+            cps[-1] += 1
+            return "".join(chr(c) for c in cps)
+        cps.pop()
+    return None
+
+
 def read_prefix_pruned(
     spark: SparkSession, path: str, col: str, prefix: str
 ) -> DataFrame:
     """String-prefix file skipping: `col LIKE 'prefix%'` as an I/O bound.
 
-    The row range of a prefix predicate is [prefix, prefix + U+FFFF], and
-    parquet footer min/max for string columns compare lexicographically —
-    so `prune_files` works unchanged on string stats (truncated stats
-    stay safe: parquet writers truncate min downward and max upward, so
-    the file interval only widens). Survivor files then apply the exact
-    startswith predicate; pruning never decides row membership. The
+    The row range of a prefix predicate is [prefix, succ(prefix)) where
+    succ increments the prefix's last code point (carrying on overflow):
+    any string starting with the prefix first differs from succ at that
+    incremented position, so it sorts strictly below succ.  A prefix+
+    sentinel upper bound is NOT safe — strings like prefix+'\\uffff'+more
+    or prefix+U+1F600 sort above prefix+U+FFFF and would be lost (round-7
+    ADVICE).  Parquet footer min/max for string columns compare
+    lexicographically, so `prune_files` works on string stats (truncated
+    stats stay safe: writers truncate min downward and max upward, so the
+    file interval only widens).  Survivor files then apply the exact
+    startswith predicate; pruning never decides row membership.  The
     string twin of the numeric Z-order path: sort-by-column layouts get
     LIKE-prefix scans bounded by the files whose name range intersects.
     """
-    kept, _total = prune_files(path, {col: (prefix, prefix + "￿")})
+    kept, _total = prune_files(path, {col: (prefix, _prefix_successor(prefix))})
     if not kept:
         return spark.read.parquet(path).limit(0).filter(F.lit(False))
     return spark.read.parquet(*kept).filter(F.col(col).startswith(prefix))

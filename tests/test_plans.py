@@ -231,5 +231,9 @@ def test_rolling_distinct_is_bounded_fanout(qs):
     window length."""
     names = P.node_names(qs["ext_rolling_distinct"])
     assert any("HashAggregate" in n for n in names), names
-    assert not any(n.strip() == "Sort" and "Join" not in n for n in names) or True
+    # no exchange feeding a global sort: any Sort must sit above a
+    # partition-local boundary, not a range-partitioned shuffle (a global
+    # orderBy would show Exchange rangepartitioning in the plan string)
+    plan = P.plan_str(qs["ext_rolling_distinct"])
+    assert "rangepartitioning" not in plan.lower(), plan
     assert any("Generate" in n for n in names), names  # the bounded explode

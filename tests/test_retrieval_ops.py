@@ -55,6 +55,24 @@ def test_bm25_rewards_term_coverage(spark):
     assert top[1]["doc_id"] == 1 and top[1]["n_terms"] == 1
 
 
+def test_bm25_query_terms_case_folded(spark, tmp_path):
+    """Round-7 ADVICE: a mixed-case query ('Alpha') must rank like the
+    lowercase one, in both the full-scan and the indexed probe."""
+    from hiero_spark.functions.bm25 import bm25_topk_indexed, save_text_index
+
+    docs = _docs(spark, [(0, "alpha beta"), (1, "beta gamma"), (2, "alpha")])
+    lo = sorted(tuple(r) for r in bm25_topk(docs, ["alpha"], k=5).collect())
+    hi = sorted(tuple(r) for r in bm25_topk(docs, ["Alpha"], k=5).collect())
+    assert lo == hi and len(lo) == 2
+    path = str(tmp_path / "idx")
+    save_text_index(docs, path, n_buckets=8)
+    probed = sorted(
+        tuple(r)
+        for r in bm25_topk_indexed(spark, path, ["ALPHA"], k=5, n_buckets=8).collect()
+    )
+    assert probed == lo
+
+
 def test_triangle_count_known_graphs(spark):
     # K4 has 4 triangles; a pendant edge adds none. Edges given directed,
     # with a duplicate and a reversed copy — canonicalization must dedup.
@@ -355,6 +373,37 @@ def test_prefix_pruned_read_skips_files(spark, tmp_path):
     assert empty.count() == 0 and empty.columns == ["doc_id", "source", "n"]
 
 
+def test_prefix_pruned_keeps_rows_above_uffff(spark, tmp_path):
+    """Round-7 ADVICE (medium): prefix+U+FFFF as the upper bound loses
+    matching rows that sort ABOVE the sentinel — 'app\\uffffx' and a
+    supplementary-plane char like U+1F600 both compare greater than
+    U+FFFF.  The successor bound must keep them."""
+    from hiero_spark.sources.layout import _prefix_successor, read_prefix_pruned
+
+    rows = [
+        (1, "app"),
+        (2, "apple"),
+        (3, "app￿"),
+        (4, "app￿more"),      # sorts above 'app￿'
+        (5, "app\U0001F600"),       # supplementary plane > U+FFFF
+        (6, "apq"),                 # NOT a match; == successor's start
+        (7, "aqz"),
+        (8, "banana"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, s string")
+    path = str(tmp_path / "nasty")
+    # one file per row so footer pruning decides per-row fate
+    df.repartition(8, "doc_id").write.parquet(path)
+    out = read_prefix_pruned(spark, path, "s", "app")
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 2, 3, 4, 5]
+    # successor arithmetic: carry on overflow, None at the top
+    assert _prefix_successor("app") == "apq"
+    assert _prefix_successor("ap\U0010FFFF") == "aq"
+    assert _prefix_successor("\U0010FFFF") is None
+    everything = read_prefix_pruned(spark, path, "s", "")
+    assert everything.count() == 8
+
+
 def test_quantile_state_fold_equals_recompute(spark):
     from hiero_spark.functions.incremental import (
         merge_quantile_state, quantile_state, quantiles_from_state,
@@ -380,6 +429,73 @@ def test_quantile_state_fold_equals_recompute(spark):
         exact = vals[-(-len(vals) // 2) - 1]  # ceil(n/2)-th value, 1-indexed
         lo = q[key]["p50_cents_lo"]
         assert lo <= exact < lo + 500
+
+
+def test_pps_sample_zero_and_negative_weights(spark):
+    """Round-7 ADVICE: total weight 0 previously reached the SQL as a
+    division by zero; negative weights silently broke the cumulative
+    line. Now: empty sample for zero totals, ValueError for negatives."""
+    import pytest as _pytest
+
+    from hiero_spark.functions.sampling import systematic_pps_sample
+
+    zero = spark.createDataFrame(
+        [(i, 0) for i in range(5)], "doc_id long, wt long"
+    )
+    out = systematic_pps_sample(zero, k=3, weight_col="wt", order_col="doc_id")
+    assert out.count() == 0 and out.columns == ["doc_id", "wt", "n_sel"]
+    empty = zero.limit(0)
+    assert systematic_pps_sample(
+        empty, k=3, weight_col="wt", order_col="doc_id"
+    ).count() == 0
+    neg = spark.createDataFrame([(1, 5), (2, -1)], "doc_id long, wt long")
+    with _pytest.raises(ValueError, match="nonnegative"):
+        systematic_pps_sample(neg, k=2, weight_col="wt", order_col="doc_id")
+
+
+def test_quantile_state_floor_buckets_negative_cents(spark):
+    """Round-7 ADVICE: bucketing must use FLOOR semantics so negative
+    cents (refunds) land in the bucket whose lower bound is below them —
+    truncation would fold (-width, width) into one mislabeled bucket 0.
+    Checked against Python's floor division, and the probe's lower-bound
+    contract is verified on an all-negative key."""
+    from hiero_spark.functions.incremental import (
+        quantile_state, quantiles_from_state,
+    )
+
+    cents = [-250_001, -250_000, -1, 0, 1, 249_999, 250_000]
+    df = spark.createDataFrame(
+        [("r", i, c) for i, c in enumerate(cents)], "k string, id long, cents long"
+    )
+    got = {
+        (r["bucket"]): r["cnt"]
+        for r in quantile_state(df, "k", "cents", width=100_000).collect()
+    }
+    import collections
+
+    want = collections.Counter(c // 100_000 for c in cents)
+    assert got == dict(want), (got, want)
+    neg = df.filter(F.col("cents") < 0)
+    q = quantiles_from_state(
+        quantile_state(neg, "k", "cents", width=100_000), (0.5,), width=100_000
+    ).collect()[0]
+    exact_p50 = sorted(c for c in cents if c < 0)[1]  # ceil(0.5*3)=2nd value
+    assert q["p50_cents_lo"] <= exact_p50 < q["p50_cents_lo"] + 100_000
+
+
+def test_quantile_oracle_floor_matches_duckdb(spark):
+    """The s17 oracle's (x - nonneg_mod) // w construction must equal
+    Python floor division in DuckDB — pinning the dialect fact that
+    DuckDB integer // truncates toward zero (NOT floor, contrary to the
+    round-7 ADVICE premise), so the explicit-mod form is required."""
+    import duckdb
+
+    vals = [-250_001, -250_000, -199_999, -1, 0, 1, 99_999, 100_000, 250_000]
+    rows = duckdb.sql(
+        "SELECT x, (x - ((x % 100000 + 100000) % 100000)) // 100000 AS b "
+        f"FROM (VALUES {','.join(f'({v}::BIGINT)' for v in vals)}) t(x)"
+    ).fetchall()
+    assert {x: b for x, b in rows} == {v: v // 100_000 for v in vals}
 
 
 def test_grouped_pps_exact_k_per_group(spark):

@@ -1,0 +1,232 @@
+"""SQL-surface conformance: which oracle dialect constructs Spark accepts.
+
+Round-7 verdict item 2: `ext_sql_facade` proved the engine executes the
+oracle dialect directly (catalog.register_views + spark.sql on the oracle
+string).  This module generalizes that into a registry-wide conformance
+sweep: every DuckDB oracle string is run through spark.sql and
+hash-compared against the same string on DuckDB (tests/test_sql_conformance
+.py).  Since tests/test_oracle_parity.py pins DataFrame-impl == DuckDB
+oracle, an ACCEPTED verdict here transitively pins spark.sql(oracle) ==
+DataFrame impl — the full SQL-entry-point conformance the verdict asked
+for, at the cost of one extra engine run per query instead of two.
+
+Verdicts per oracle:
+
+* **accepted** — spark.sql runs the string and the value multiset matches
+  DuckDB exactly, after ONE normalization: DECIMAL cells compare as
+  float64 (the engines type the same expression differently — Spark
+  widens SUM-over-DECIMAL scale, DuckDB sometimes answers DOUBLE — so
+  283729079.560000, 283729079.56 and 101136.0 are one value).
+* **rejected(<construct>)** — spark.sql cannot run the string, and the
+  failure is explained by a documented DuckDB-only construct below.  A
+  rejection matching NO documented construct fails the sweep: that is new
+  dialect drift, the regression this suite exists to catch.
+
+Run `python -m hiero_spark.conformance` to print the README markdown
+table (construct -> count of oracles rejected for it + totals).
+"""
+
+from __future__ import annotations
+
+import re
+
+# DuckDB-only constructs that Spark's parser/analyzer rejects (or, for the
+# two runtime-* entries, accepts syntactically but evaluates differently
+# enough to error).  Each entry: name -> (regex over the oracle SQL,
+# Spark-side equivalent a porting user would write).
+DUCKDB_ONLY: dict[str, tuple[str, str]] = {
+    "regexp_split_to_array": (
+        r"\bregexp_split_to_array\s*\(",
+        "split(col, pattern)",
+    ),
+    "string_split": (r"\bstring_split\s*\(", "split(col, delim)"),
+    "unnest_function": (
+        r"\bunnest\s*\(",
+        "explode(col) / LATERAL VIEW explode",
+    ),
+    "list_lambda_functions": (
+        r"\blist_(?:filter|reduce|prepend|aggregate|transform|distinct)\s*\(",
+        "filter/reduce/aggregate/transform (same lambdas, different names)",
+    ),
+    "list_agg_order_by": (
+        r"\b(?:list|array_agg|string_agg)\s*\([^()]*\bORDER\s+BY\b",
+        "sort_array(collect_list(struct(ord, val)))",
+    ),
+    "len_of_list": (r"\blen\s*\(", "size(col) for arrays, length() for strings"),
+    "nfc_normalize": (r"\bnfc_normalize\s*\(", "pandas_udf unicodedata.normalize"),
+    "quantile_cont": (
+        r"\bquantile_(?:cont|disc)\s*\(",
+        "percentile / approx_percentile",
+    ),
+    "regexp_matches": (r"\bregexp_matches\s*\(", "col RLIKE pattern"),
+    "regexp_replace_g_flag": (
+        r"\bregexp_replace\s*\((?:[^()']|'[^']*'|\([^()]*\))*'g'\s*\)",
+        "regexp_replace is global by default in Spark (no flag argument)",
+    ),
+    "strftime": (r"\bstrftime\s*\(", "date_format(col, pattern)"),
+    "epoch_functions": (
+        r"\bepoch(?:_ms|_us)?\s*\(",
+        "unix_timestamp / unix_millis",
+    ),
+    "int_div_slashslash": (r"//", "DIV"),
+    "date_diff_quoted_unit": (
+        r"\bdate_diff\s*\(\s*'",
+        "date_diff(UNIT, a, b) with an unquoted unit keyword",
+    ),
+    "varchar_without_length": (
+        r"\bAS\s+VARCHAR\s*[,)\s]",
+        "CAST(... AS STRING)",
+    ),
+    "double_quoted_identifier": (
+        r'"\w+"',
+        "`backtick` quoting (or spark.sql.ansi.doubleQuotedIdentifiers)",
+    ),
+    "bracket_list_literal": (
+        r"\[\s*(?:-?\d+|')[^\]]*\]\s*(?:AS\b|\)|,)",
+        "array(...) constructor",
+    ),
+    "json_extract_string": (
+        r"\bjson_extract(?:_string)?\s*\(",
+        "get_json_object(col, path)",
+    ),
+    "blob_type": (r"\bAS\s+BLOB\b", "CAST(... AS BINARY)"),
+}
+
+# Failures no regex can see: structural dialect gaps, keyed by query name.
+STRUCTURAL_REJECTS: dict[str, str] = {
+    # EXISTS-in-EXISTS referencing an alias two correlation scopes up;
+    # Spark's subquery decorrelation cannot resolve `one.l_orderkey` from
+    # the innermost scalar subquery (UNRESOLVED_COLUMN).  DataFrame impl
+    # expresses the same query as joins.
+    "q21_waiting_suppliers": "correlated subquery referencing an alias two scopes up",
+}
+
+
+def classify(sql: str) -> list[str]:
+    """Documented DuckDB-only constructs present in one oracle string."""
+    hits = []
+    for name, (pattern, _equiv) in DUCKDB_ONLY.items():
+        if re.search(pattern, sql, flags=re.IGNORECASE):
+            hits.append(name)
+    return hits
+
+
+def canonical_decimal(v) -> str:
+    """Render a Decimal the way a float64 column renders: the engines
+    type the SAME expression differently (Spark SUM over DECIMAL widens
+    scale -> Decimal('283729079.560000'); DuckDB may answer DOUBLE
+    283729079.56), so exact-scale string compare would flag numerically
+    identical answers.  repr(float(...)) is the common denominator; the
+    sub-ulp blindness this buys is acceptable for a DIALECT conformance
+    suite — the driver's strict int/float-preserving hash gate
+    (tests/parity.py) is a separate, unrelaxed check."""
+    return repr(float(v))
+
+
+def sweep(spark, duck, specs, sf_dir: str) -> dict[str, dict]:
+    """Run every oracle through both engines; return per-name verdicts.
+
+    Used by the __main__ table printer; the pytest sweep re-implements
+    the comparison per-query so each oracle is its own test case.
+    """
+    from hiero_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    out: dict[str, dict] = {}
+    for name, spec in sorted(specs.items()):
+        if not spec.oracle:
+            continue
+        try:
+            spd = spark.sql(spec.oracle).toPandas()
+        except Exception as e:  # noqa: BLE001 - verdict surface
+            constructs = classify(spec.oracle)
+            if name in STRUCTURAL_REJECTS:
+                constructs.append(f"structural:{STRUCTURAL_REJECTS[name]}")
+            out[name] = {
+                "verdict": "rejected" if constructs else "UNDOCUMENTED",
+                "constructs": constructs,
+                "error": type(e).__name__,
+            }
+            continue
+        ddf = duck.sql(spec.oracle).df()
+        match = compare_frames(spd, ddf)
+        out[name] = {"verdict": "accepted" if match is None else "MISMATCH",
+                     "detail": match}
+    return out
+
+
+def compare_frames(spd, ddf):
+    """None on exact multiset match (decimal-scale canonicalized), else a
+    short mismatch description."""
+    import decimal
+
+    from tests.parity import frame_to_multiset, normalize_value
+
+    if sorted(spd.columns) != sorted(ddf.columns):
+        return f"columns {sorted(spd.columns)} vs {sorted(ddf.columns)}"
+    if len(spd) != len(ddf):
+        return f"rowcount {len(spd)} vs {len(ddf)}"
+
+    def canon(df):
+        d = df.copy()
+        for c in d.columns:
+            if d[c].dtype == object:
+                d[c] = d[c].map(
+                    lambda v: canonical_decimal(v)
+                    if isinstance(v, decimal.Decimal)
+                    else v
+                )
+        return d
+
+    a, b = frame_to_multiset(canon(spd)), frame_to_multiset(canon(ddf))
+    if a != b:
+        first = next((pair for pair in zip(a, b) if pair[0] != pair[1]), None)
+        return f"values differ, first: {first}"
+    return None
+
+
+def markdown_table(results: dict[str, dict]) -> str:
+    """README table: construct -> rejected-oracle count, plus totals."""
+    from collections import Counter
+
+    counts: Counter[str] = Counter()
+    for rec in results.values():
+        for c in rec.get("constructs", []):
+            counts[c] = counts[c] + 1
+    accepted = sum(1 for r in results.values() if r["verdict"] == "accepted")
+    rejected = sum(1 for r in results.values() if r["verdict"] == "rejected")
+    bad = {n: r for n, r in results.items()
+           if r["verdict"] not in ("accepted", "rejected")}
+    lines = [
+        f"Oracles swept: {len(results)}  |  accepted by spark.sql: {accepted}"
+        f"  |  rejected (documented DuckDB-only constructs): {rejected}"
+        f"  |  unexplained: {len(bad)}",
+        "",
+        "| DuckDB-only construct | rejected oracles | Spark equivalent |",
+        "|---|---|---|",
+    ]
+    for name, n in counts.most_common():
+        if name.startswith("structural:"):
+            lines.append(f"| {name[len('structural:'):]} | {n} | rewrite as joins |")
+        else:
+            lines.append(f"| `{name}` | {n} | {DUCKDB_ONLY[name][1]} |")
+    if bad:
+        lines.append("")
+        lines.append(f"UNEXPLAINED (drift!): {sorted(bad)}")
+    return "\n".join(lines)
+
+
+if __name__ == "__main__":
+    import duckdb
+
+    from hiero_spark.catalog import TABLES
+    from hiero_spark.registry import all_queries
+    from hiero_spark.session import get_spark
+
+    sf = "/root/testdata/sf0.01"
+    spark = get_spark("sql_conformance")
+    duck = duckdb.connect()
+    for t in TABLES:
+        duck.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    results = sweep(spark, duck, all_queries(), sf)
+    print(markdown_table(results))

@@ -417,6 +417,83 @@ def main() -> None:
             "postings_rows_scanned": scanned,
             "buckets_read": len(buckets),
             "n_buckets": 64,
+            "crossover": text_index_crossover(),
+        }
+
+    def text_index_crossover() -> dict[str, float]:
+        """Round-7 verdict item 3 (the ann_crossover precedent): at sf0.1's
+        116k postings the BM25 probe LOSES to the full scan — fixed
+        overhead (stats read + bucket-hash job + pruned read) exceeds the
+        scan it saves. Measure both on a corpus where the scan term
+        dominates: 1M synthetic docs x 30 words (30M tokens to tokenize
+        and explode per full-scan query vs ~6% of postings rows for a
+        4-term probe). The index build is untimed — paid once at ingest,
+        probes are the recurring cost (save_ivf contract). Ranking
+        equality probe==scan is pinned exactly, keeping the speed claim
+        honest (recall analog of ann_crossover's recall_at_k)."""
+        import os
+
+        from pyspark.sql import functions as F
+
+        from hiero_spark.functions.bm25 import (
+            bm25_topk, bm25_topk_indexed, save_text_index,
+        )
+        from hiero_spark.sources.readers import synthetic_documents
+
+        n, doc_len, vocab, n_buckets = 1_000_000, 30, 30_000, 64
+        corpus_path = "/tmp/hiero_spark_bench_tix/crossover_corpus"
+        idx_path = "/tmp/hiero_spark_bench_tix/crossover_idx"
+        if not os.path.exists(f"{corpus_path}/_SUCCESS"):
+            synthetic_documents(spark, n, doc_len, vocab).write.mode(
+                "overwrite"
+            ).parquet(corpus_path)
+        docs = spark.read.parquet(corpus_path)
+        if not os.path.exists(f"{idx_path}/stats/_SUCCESS"):
+            save_text_index(docs, idx_path, n_buckets=n_buckets)
+        terms = ["w17", "w93", "w1234", "w2999"]
+
+        def time_min(mk) -> float:
+            mk().count()
+            best = None
+            for _ in range(n_reps):
+                t0 = time.perf_counter()
+                mk().count()
+                dt = time.perf_counter() - t0
+                best = dt if best is None or dt < best else best
+            return round(best, 3)
+
+        post = spark.read.parquet(f"{idx_path}/postings")
+        total_rows = post.count()
+        buckets = {
+            r["b"]
+            for r in spark.createDataFrame([(t,) for t in terms], "tok string")
+            .select(F.pmod(F.xxhash64("tok"), F.lit(n_buckets)).alias("b"))
+            .collect()
+        }
+        scanned = post.filter(F.col("_bucket").isin(sorted(buckets))).count()
+        scan_rows = sorted(
+            tuple(r) for r in bm25_topk(docs, terms, k=10).collect()
+        )
+        probe_rows = sorted(
+            tuple(r)
+            for r in bm25_topk_indexed(
+                spark, idx_path, terms, k=10, n_buckets=n_buckets
+            ).collect()
+        )
+        return {
+            "n_docs": n,
+            "doc_len": doc_len,
+            "vocab": vocab,
+            "n_buckets": n_buckets,
+            "full_scan_sec": time_min(lambda: bm25_topk(docs, terms, k=10)),
+            "index_probe_sec": time_min(
+                lambda: bm25_topk_indexed(
+                    spark, idx_path, terms, k=10, n_buckets=n_buckets
+                )
+            ),
+            "postings_rows_total": total_rows,
+            "postings_rows_scanned": scanned,
+            "ranking_identical": scan_rows == probe_rows,
         }
 
     # Round-6 operators, timed once each at sf (NOT part of the headline —

@@ -496,6 +496,108 @@ def main() -> None:
             "ranking_identical": scan_rows == probe_rows,
         }
 
+    def skew_stress() -> dict:
+        """Round-7 verdict item 4: the dedup caps under adversarial skew —
+        a hot boilerplate cluster (the real-crawl failure mode), measured
+        instead of assumed.  Three ops, three scale claims:
+
+        * minhash_near_dups (hot_mode='star') on 1M docs with a 50k-doc
+          boilerplate cluster: every LSH band bucket for the cluster goes
+          over max_bucket; star mode emits (bucket_min, doc) pairs so
+          candidates stay LINEAR in cluster size and the cluster remains
+          linked through its first doc (drop mode — the pinned default —
+          would lose it).  overcap_fraction is the cap hit-rate.
+        * jaccard_join (hashed arm) on 200k docs with a 1k hot cluster:
+          PPJoin prefix+length filters keep candidates bounded; output IS
+          the hot clique (499,500 pairs) — quadratic in OUTPUT by
+          contract (setsim.py docstring), not in shuffle.
+        * dedup_lines_keep_first on the 1M corpus at word granularity:
+          30M units where each boilerplate word has ~1.45M copies — the
+          hot-key groupBy-min survives because partial aggregation
+          combines map-side; shuffle_bytes records the proof (1 row per
+          key per input partition, not per copy).
+        Corpora are hash-deterministic and cached on disk; builds are
+        untimed (ingest-time cost)."""
+        import os
+
+        from pyspark.sql import functions as F
+
+        from hiero_spark import plans as P
+        from hiero_spark.functions import dedup as dd
+        from hiero_spark.functions.paragraphs import dedup_lines_keep_first
+        from hiero_spark.functions.setsim import jaccard_join
+        from hiero_spark.sources.readers import synthetic_boilerplate_corpus
+
+        n_big, hot_big = 1_000_000, 50_000
+        n_jac, hot_jac = 200_000, 1_000
+        big_path = "/tmp/hiero_spark_bench_skew/corpus_1m"
+        jac_path = "/tmp/hiero_spark_bench_skew/corpus_200k"
+        if not os.path.exists(f"{big_path}/_SUCCESS"):
+            synthetic_boilerplate_corpus(spark, n_big, hot_big).write.mode(
+                "overwrite"
+            ).parquet(big_path)
+        if not os.path.exists(f"{jac_path}/_SUCCESS"):
+            synthetic_boilerplate_corpus(spark, n_jac, hot_jac).write.mode(
+                "overwrite"
+            ).parquet(jac_path)
+        big = spark.read.parquet(big_path)
+        jac = spark.read.parquet(jac_path)
+
+        # cap hit-rate: fraction of (doc, band) bucket rows in over-cap
+        # buckets — one aggregation over the bucket relation, no pairs
+        sh = big.select(
+            F.col("doc_id").alias("doc"),
+            dd.shingle_hash_array(F.col("text"), 3).alias("sh"),
+        )
+        bb = dd.band_buckets(dd.minhash_signatures(sh))
+        sizes = bb.groupBy("band", "bkt").agg(F.count(F.lit(1)).alias("n"))
+        agg = sizes.agg(
+            F.sum("n").alias("rows"),
+            F.sum(F.when(F.col("n") > 50, F.col("n"))).alias("over"),
+        ).collect()[0]
+
+        t0 = time.perf_counter()
+        star_pairs = dd.minhash_near_dups(
+            big, "text", "doc_id", hot_mode="star"
+        ).count()
+        star_sec = round(time.perf_counter() - t0, 1)
+
+        t0 = time.perf_counter()
+        jac_pairs = jaccard_join(jac, threshold=0.8, k=3, hashed=True).count()
+        jac_sec = round(time.perf_counter() - t0, 1)
+
+        t0 = time.perf_counter()
+        kept = dedup_lines_keep_first(big, "text", "doc_id", sep=" ")
+        keep_shuffle = P.shuffle_bytes_written(kept.groupBy().count())
+        keep_sec = round(time.perf_counter() - t0, 1)
+        units = n_big * 30
+
+        return {
+            "corpus": {"n_docs": n_big, "hot_cluster": hot_big, "doc_len": 30},
+            "minhash_star": {
+                "wall_sec": star_sec,
+                "verified_pairs": star_pairs,
+                "bucket_rows_total": int(agg["rows"]),
+                "bucket_rows_overcap": int(agg["over"] or 0),
+                "overcap_fraction": round(
+                    float(agg["over"] or 0) / float(agg["rows"]), 4
+                ),
+            },
+            "jaccard_join_hashed": {
+                "n_docs": n_jac,
+                "hot_cluster": hot_jac,
+                "wall_sec": jac_sec,
+                "pairs": jac_pairs,
+                "hot_clique_pairs_expected": hot_jac * (hot_jac - 1) // 2,
+            },
+            "line_dedup_keep_first": {
+                "wall_sec": keep_sec,
+                "units": units,
+                "hot_key_copies": hot_big * 29,
+                "shuffle_bytes": keep_shuffle,
+            },
+        }
+
     # Round-6 operators, timed once each at sf (NOT part of the headline —
     # the headline set stays fixed for round-over-round comparability; this
     # block gives the new surface a measured number).  Training-loop
@@ -584,6 +686,7 @@ def main() -> None:
     decontam = decontam_payoff(sf_dir)
     pyds_vs_grok = pyds_payoff(sf_dir)
     tix = text_index_payoff(sf_dir)
+    skew = skew_stress()
     r6_ops = run_r6_ops(sf_dir)
 
     total = round(sum(timings.values()), 3)
@@ -603,6 +706,7 @@ def main() -> None:
                 "decontam_payoff": decontam,
                 "pyds_payoff": pyds_vs_grok,
                 "text_index_payoff": tix,
+                "skew_stress": skew,
                 "round_ops": r6_ops,
             },
             fh,

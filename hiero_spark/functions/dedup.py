@@ -302,22 +302,57 @@ def band_buckets(sig: DataFrame, num_hashes: int = 64, bands: int = 16) -> DataF
 
 
 def lsh_candidate_pairs(
-    sig: DataFrame, num_hashes: int = 64, bands: int = 16, max_bucket: int = 50
+    sig: DataFrame, num_hashes: int = 64, bands: int = 16, max_bucket: int = 50,
+    hot_mode: str = "drop",
 ) -> DataFrame:
     """Banded LSH: docs sharing any band-bucket become candidate pairs
-    (see band_buckets for the single-tree construction note)."""
+    (see band_buckets for the single-tree construction note).
+
+    Over-cap buckets (size > max_bucket — the hot-boilerplate cluster of
+    a real crawl) are handled per ``hot_mode``:
+
+    * ``"drop"`` (default, the pinned historical behavior): the bucket's
+      candidates are discarded — survival over recall.
+    * ``"star"``: the bucket emits (min_doc, other) pairs only — O(B)
+      candidates instead of the O(B²) clique, and instead of losing the
+      cluster entirely.  Verification then scores every member against
+      the bucket's first doc, and connected components / cluster_docs
+      still link the whole cluster through that center.  A true
+      boilerplate cluster keeps its dedup semantics at linear cost; a
+      false-positive hot bucket (hash pileup of unrelated docs) is
+      killed pair-by-pair by the Jaccard verify, same as any candidate.
+
+    Both arms compute bucket stats with ONE window pass over the bucket
+    rows — linear in bucket size, map-side nothing: the quadratic term
+    only ever appears for buckets the cap admits.
+    """
+    if hot_mode not in ("drop", "star"):
+        raise ValueError(f"hot_mode must be 'drop' or 'star', got {hot_mode!r}")
     buckets = band_buckets(sig, num_hashes, bands)
-    counted = buckets.withColumn(
-        "bucket_size", F.count(F.lit(1)).over(Window.partitionBy("band", "bkt"))
-    ).filter(F.col("bucket_size") <= max_bucket)
+    w = Window.partitionBy("band", "bkt")
+    stats = buckets.select(
+        "doc", "band", "bkt",
+        F.count(F.lit(1)).over(w).alias("bucket_size"),
+        F.min("doc").over(w).alias("bucket_min"),
+    )
+    counted = stats.filter(F.col("bucket_size") <= max_bucket)
     a = counted.select("band", "bkt", F.col("doc").alias("doc_a"))
     b = counted.select("band", "bkt", F.col("doc").alias("doc_b"))
-    return (
+    clique = (
         a.join(b, ["band", "bkt"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
-        .distinct()
     )
+    if hot_mode == "drop":
+        return clique.distinct()
+    star = (
+        stats.filter(F.col("bucket_size") > max_bucket)
+        .filter(F.col("doc") != F.col("bucket_min"))
+        .select(
+            F.col("bucket_min").alias("doc_a"), F.col("doc").alias("doc_b")
+        )
+    )
+    return clique.unionByName(star).distinct()
 
 
 def jaccard_verify_arrays(
@@ -457,8 +492,14 @@ def minhash_near_dups(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.7,
+    max_bucket: int = 50,
+    hot_mode: str = "drop",
 ) -> DataFrame:
     """Full near-dup pipeline: shingle → minhash → LSH bands → Jaccard verify.
+
+    ``max_bucket``/``hot_mode`` control hot-bucket behavior (see
+    lsh_candidate_pairs): ``hot_mode="star"`` keeps boilerplate clusters
+    linked at O(B) candidate cost instead of dropping them.
 
     The (doc, shingles) relation is persisted: it is read by candidate
     generation once and by both sides of the verify join, and shingling +
@@ -475,5 +516,7 @@ def minhash_near_dups(
         F.col(id_col).alias("doc"), shingle_hash_array(F.col(text_col), k).alias("sh")
     ).persist()
     sig = minhash_signatures(docs, num_hashes)
-    pairs = lsh_candidate_pairs(sig, num_hashes, bands).persist()
+    pairs = lsh_candidate_pairs(
+        sig, num_hashes, bands, max_bucket, hot_mode
+    ).persist()
     return jaccard_verify_arrays(pairs, docs, threshold)

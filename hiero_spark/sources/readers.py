@@ -216,6 +216,42 @@ def synthetic_documents(
     )
 
 
+def synthetic_boilerplate_corpus(
+    spark: SparkSession, n: int, hot: int, doc_len: int = 30,
+    vocab: int = 30_000, partitions: int | None = None,
+) -> DataFrame:
+    """Adversarially-skewed crawl corpus: the first `hot` doc_ids share
+    one boilerplate template (doc_len-1 fixed words + 1 word varying
+    over 1000 values), so they are mutual near-dups (3-gram Jaccard
+    ~0.8 across variants, 1.0 within a variant)
+    and EVERY LSH band bucket for them goes hot — the real-crawl failure
+    mode the dedup caps exist for.  The remaining n-hot docs are the
+    synthetic_documents hash corpus (no structural near-dups).  Pure
+    hash of (id, j): bit-identical at any parallelism."""
+    rng = spark.range(0, n, 1, partitions) if partitions else spark.range(n)
+    idx = F.sequence(F.lit(0), F.lit(doc_len - 1))
+    normal_words = F.transform(
+        idx,
+        lambda j: F.concat(
+            F.lit("w"), F.pmod(F.xxhash64(F.col("id"), j), F.lit(vocab))
+        ),
+    )
+    hot_words = F.transform(
+        idx,
+        lambda j: F.when(
+            j < doc_len - 1, F.concat(F.lit("b"), j.cast("string"))
+        ).otherwise(
+            F.concat(F.lit("v"), F.pmod(F.xxhash64(F.col("id")), F.lit(1000)))
+        ),
+    )
+    return rng.select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ", F.when(F.col("id") < hot, hot_words).otherwise(normal_words)
+        ).alias("text"),
+    )
+
+
 # -- S10: sinks -----------------------------------------------------------------
 
 def save_view(df: DataFrame, path: str, fmt: str = "parquet",

@@ -50,6 +50,48 @@ def test_jaccard_verify_matches_exact(near_dup_docs):
         assert abs(r["jaccard"] - expected) < 1e-9  # verify stage is EXACT
 
 
+def test_hot_bucket_star_mode_keeps_cluster(spark):
+    """Round-7 verdict item 4: over-cap LSH buckets. hot_mode='drop'
+    (pinned default) loses the boilerplate cluster; hot_mode='star'
+    keeps it linked through the bucket-min center at O(B) candidates."""
+    from hiero_spark.sources.readers import synthetic_boilerplate_corpus
+
+    hot = 40  # one boilerplate cluster, > max_bucket below
+    docs = synthetic_boilerplate_corpus(spark, n=120, hot=hot, doc_len=12)
+    kwargs = dict(k=3, threshold=0.7, max_bucket=10)
+    dropped = dd.minhash_near_dups(
+        docs, "text", "doc_id", hot_mode="drop", **kwargs
+    )
+    assert not any(
+        r["doc_a"] < hot for r in dropped.collect()
+    ), "hot cluster should be dropped entirely under drop mode"
+    starred = dd.minhash_near_dups(
+        docs, "text", "doc_id", hot_mode="star", **kwargs
+    )
+    rows = starred.collect()
+    linked = {r["doc_b"] for r in rows if r["doc_a"] == 0}
+    # every hot doc is verified against the cluster's first doc (0 is the
+    # min of every over-cap bucket), so dedup keeps exactly one copy
+    assert linked == set(range(1, hot)), sorted(linked)[:10]
+    # volume stays linear in cluster size: the star center plus small
+    # sub-cap cliques (bands that split the cluster by variant), never
+    # the O(hot^2)=780-pair clique
+    hot_pairs = [r for r in rows if r["doc_a"] < hot]
+    assert len(hot_pairs) <= 4 * hot, len(hot_pairs)
+    # normal docs form no cross pairs
+    assert not any(r["doc_a"] >= hot and r["doc_b"] >= hot for r in rows)
+    with pytest.raises(ValueError, match="hot_mode"):
+        dd.lsh_candidate_pairs(
+            dd.minhash_signatures(
+                docs.select(
+                    F.col("doc_id").alias("doc"),
+                    dd.shingle_hash_array(F.col("text"), 3).alias("sh"),
+                )
+            ),
+            hot_mode="clique",
+        )
+
+
 def test_exact_dedup_counts(near_dup_docs):
     out = dd.exact_dedup(near_dup_docs, "text", "doc_id")
     rows = {r["keep_id"]: r["dup_count"] for r in out.collect()}

@@ -426,6 +426,170 @@ def test_stream_stream_left_outer_emits_non_conversions(spark, sf_dir, events_st
     assert closed_exp <= nulls_got and len(nulls_got) > 0
 
 
+def _restart_runner(spark, src_dir, ckpt, out_dir, mk_query, schema):
+    """Two-run availableNow harness sharing one checkpoint (the
+    test_watermark_drops_late_rows pattern): each call is a fresh query
+    recovering from the checkpoint — a kill/restart boundary."""
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(str(src_dir) + "/*")
+        q = (
+            mk_query(stream)
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    return run
+
+
+def test_left_outer_join_restart_no_lost_or_duplicated_nulls(spark, tmp_path):
+    """Round-7 verdict item 8: X14-outer across a kill/restart. A view
+    whose NULL non-conversion emitted before the restart must not emit
+    again (no duplicated nulls), a click arriving after the restart
+    behind the restored watermark must not contradict it, and views
+    closed only by post-restart data must still emit their null exactly
+    once (no lost nulls)."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    schema = "event_id long, user_id long, event_type string, ts timestamp"
+    src = tmp_path / "src"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def mk(stream):
+        return pl.attribution_join_outer(
+            stream.filter(F.col("event_type") == "view"),
+            stream.filter(F.col("event_type") == "click"),
+        )
+
+    run = _restart_runner(spark, src, ckpt, out, mk, schema)
+
+    def feed(fname, rows):
+        """One file -> one availableNow run -> one micro-batch; every call
+        recovers from the shared checkpoint (a kill/restart boundary).
+        Watermark advances at batch COMMIT, so state eviction driven by a
+        file's timestamps happens in the NEXT call's batch — after a
+        restart, which is exactly the seam under test."""
+        spark.createDataFrame(rows, schema).write.parquet(str(src / fname))
+        run()
+
+    feed("f1.parquet", [
+        (1, 1, "view", base),                              # V1: matched
+        (2, 1, "click", base + dt.timedelta(minutes=10)),  # C1 in-window
+        (3, 2, "view", base),                              # V2: no click ever
+    ])
+    # clocks advance BOTH sides: the global watermark is the MIN across
+    # the two withWatermark operators, so a view-only clock would leave
+    # the click side (and the join watermark) pinned at 11:10. Click
+    # clocks are silent in a left-outer join (unmatched right rows never
+    # emit); view clocks eventually close as nulls.
+    feed("f2.parquet", [
+        (4, 90, "view", base + dt.timedelta(hours=6)),
+        (40, 990, "click", base + dt.timedelta(hours=6)),
+    ])  # -> watermark 17:00 at commit
+    feed("f3.parquet", [
+        (5, 91, "view", base + dt.timedelta(hours=6, minutes=5)),
+        (50, 991, "click", base + dt.timedelta(hours=6, minutes=5)),
+    ])  # this batch runs with wm 17:00 -> V2 (horizon 12:30) closes: null emits
+    nulls_before = {
+        r["view_id"]
+        for r in spark.read.parquet(out).collect()
+        if r["click_id"] is None
+    }
+    assert 3 in nulls_before, "V2's null must be emitted before the kill"
+
+    # late click for V2 at 12:15 — behind the restored watermark, V2's
+    # state already evicted: must never produce a (V2, click) row after
+    # V2's null. V3 (17:30) is admitted, still open.
+    feed("f4.parquet", [
+        (6, 2, "click", base + dt.timedelta(minutes=15)),
+        (7, 3, "view", base + dt.timedelta(hours=5, minutes=30)),
+    ])
+    feed("f5.parquet", [
+        (8, 92, "view", base + dt.timedelta(hours=11)),
+        (80, 992, "click", base + dt.timedelta(hours=11)),
+    ])  # -> wm 22:00 at commit
+    feed("f6.parquet", [
+        (9, 93, "view", base + dt.timedelta(hours=11, minutes=5)),
+        (90, 993, "click", base + dt.timedelta(hours=11, minutes=5)),
+    ])  # runs with wm 22:00 -> V3 (18:00) and both first clock views
+    #   (18:30, 18:35) close as nulls
+
+    rows = [
+        (r["u"], r["view_id"], r["click_id"])
+        for r in spark.read.parquet(out).collect()
+    ]
+    by_view = {}
+    for u, vid, cid in rows:
+        by_view.setdefault(vid, []).append((u, cid))
+    assert by_view[1] == [(1, 2)]          # matched pair, exactly once
+    assert by_view[3] == [(2, None)]       # null survived the restarts ONCE
+    assert by_view[7] == [(3, None)]       # closed post-restart, not lost
+    assert by_view[4] == [(90, None)]      # clocks close too, exactly once
+    assert by_view[5] == [(91, None)]
+    assert 8 not in by_view and 9 not in by_view   # final clocks still open
+    assert len(rows) == 5, rows            # nothing else, nothing doubled
+
+
+def test_distinct_per_window_restart_exact_once(spark, tmp_path):
+    """Round-7 verdict item 8: X15 across a kill/restart. A window
+    finalized before the restart emits exactly once; a duplicate user
+    replayed behind the restored watermark neither re-emits the window
+    nor perturbs any count; windows closed only by post-restart data
+    emit exactly once with the cross-restart-deduplicated count."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    schema = "event_id long, user_id long, event_type string, ts timestamp"
+    src = tmp_path / "src"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    run = _restart_runner(
+        spark, src, ckpt, out, pl.distinct_users_stream, schema
+    )
+
+    b1 = [
+        (1, 1, "view", base),                               # 12:00 window
+        (2, 2, "view", base + dt.timedelta(minutes=5)),
+        (3, 1, "view", base + dt.timedelta(minutes=20)),    # same-user dup
+        (4, 9, "x", base + dt.timedelta(hours=3)),          # clock -> wm 14:00
+    ]
+    spark.createDataFrame(b1, schema).write.parquet(str(src / "b1.parquet"))
+    run()  # watermark -> 14:00 at commit; emission happens post-restart
+
+    b2 = [
+        # replayed duplicate behind the restored watermark: dropped, the
+        # already-emitted 12:00 window must not re-emit or change
+        (5, 1, "view", base + dt.timedelta(minutes=30)),
+        (6, 5, "view", base + dt.timedelta(hours=3, minutes=10)),  # 15:00 win
+        (7, 5, "view", base + dt.timedelta(hours=3, minutes=40)),  # dup
+        (8, 6, "view", base + dt.timedelta(hours=3, minutes=50)),
+        (9, 9, "x", base + dt.timedelta(hours=9)),          # clock -> wm 20:00
+    ]
+    spark.createDataFrame(b2, schema).write.parquet(str(src / "b2.parquet"))
+    run()  # closes the 15:00 windows
+
+    got = [
+        (r["event_type"], r["bucket_ts"], r["n_distinct"])
+        for r in spark.read.parquet(out).collect()
+    ]
+    noon = int(base.timestamp())
+    three = int((base + dt.timedelta(hours=3)).timestamp())
+    assert got.count(("view", noon, 2)) == 1       # exactly once, count 2
+    assert sum(1 for t, b, _ in got if b == noon) == 1  # never re-emitted
+    assert got.count(("view", three, 2)) == 1      # users 5,6 (5 deduped)
+    assert got.count(("x", three, 1)) == 1         # clock event's own window
+    assert len(got) == 3, got
+
+
 def test_streaming_distinct_users_matches_batch(spark, sf_dir, events_stream):
     """X15: streaming exact distinct-per-window (watermarked dropDuplicates
     -> additive count) must equal the batch COUNT(DISTINCT) per window."""

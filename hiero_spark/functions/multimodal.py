@@ -271,11 +271,12 @@ def decode_image(payload: bytes) -> list[float]:
     If PIL is importable AND the payload is an image it recognizes, the
     feature is computed from the actual pixels (8-dim: normalized width,
     height, band count, a 1.0 real-decode marker, and a 2x2 grayscale
-    thumbnail). Without PIL, uncompressed 24bpp BMP and 8-bit
-    non-interlaced PNG payloads still take a real pixel path via the
-    vendored `_decode_bmp` / `_decode_png`. Only bytes none of those
-    recognize (this container's synthetic payloads are utf-8 text) fall
-    back to the deterministic stub.
+    thumbnail). Without PIL, uncompressed 24bpp BMP, 8-bit
+    non-interlaced PNG, and baseline JPEG payloads still take a real
+    pixel path via the vendored `_decode_bmp` / `_decode_png` /
+    `jpeg.decode_jpeg`. Only bytes none of those recognize (this
+    container's synthetic payloads are utf-8 text) fall back to the
+    deterministic stub.
     """
     if payload is None:
         raise NotImplementedError("payload must be non-null")
@@ -294,8 +295,10 @@ def decode_image(payload: bytes) -> list[float]:
                 1.0,
             ] + [p / 255.0 for p in thumb]
         except Exception:
-            pass  # not an image (or truncated): try BMP/PNG, then stub
-    decoded = _decode_bmp(payload) or _decode_png(payload)
+            pass  # not an image (or truncated): try BMP/PNG/JPEG, then stub
+    from hiero_spark.functions.jpeg import decode_jpeg
+
+    decoded = _decode_bmp(payload) or _decode_png(payload) or decode_jpeg(payload)
     if decoded is not None:
         return _bmp_features(decoded)
     return decode_image_stub(payload)
@@ -488,6 +491,16 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
                 for r in range(height)
             ]
             return _encode_png(resized), True
+        from hiero_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+        decoded = decode_jpeg(payload)
+        if decoded is not None:  # JPEG stays JPEG through the resize
+            w0, h0, rows = decoded
+            resized = [
+                [rows[(r * h0) // height][(c * w0) // width] for c in range(width)]
+                for r in range(height)
+            ]
+            return encode_jpeg(resized), True
         return payload, False
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -588,9 +601,15 @@ def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
                 if not frames:
                     continue
                 for idx in range(0, len(frames), every_n):
-                    # frames may be BMP or (since round 7) PNG — the
+                    # frames may be BMP, PNG (r7), or JPEG (r8) — the
                     # container is codec-agnostic, like MJPEG-in-AVI
-                    dec = _decode_bmp(frames[idx]) or _decode_png(frames[idx])
+                    from hiero_spark.functions.jpeg import decode_jpeg
+
+                    dec = (
+                        _decode_bmp(frames[idx])
+                        or _decode_png(frames[idx])
+                        or decode_jpeg(frames[idx])
+                    )
                     if dec is None:
                         continue
                     w, h, rows = dec

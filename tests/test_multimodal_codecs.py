@@ -371,3 +371,215 @@ def test_framepack_accepts_png_frames(spark):
         for r in sample_frames(media, every_n=2).collect()
     )
     assert out == [(0, 0.0), (2, round(102 / 255.0, 6))]
+
+
+# --------------------------------------------------------------------------
+# Vendored baseline JPEG codec (round-7 verdict item 5)
+
+from hiero_spark.functions import jpeg as jp
+
+
+class _TestBits:
+    """Independent MSB-first bit packer for hand-assembled spec vectors
+    (deliberately NOT jpeg._BitWriter, so encoder and test can't share a
+    bug)."""
+
+    def __init__(self):
+        self.s = ""
+
+    def put(self, bits: str):
+        self.s += bits
+
+    def bytes(self) -> bytes:
+        s = self.s + "1" * (-len(self.s) % 8)
+        out = bytes(int(s[i:i + 8], 2) for i in range(0, len(s), 8))
+        # the vectors below never produce 0xFF data bytes, so no stuffing
+        assert b"\xff" not in out
+        return out
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+
+def _dqt_all_ones(tid: int) -> bytes:
+    return _seg(0xDB, bytes([tid]) + bytes([1] * 64))
+
+
+def _dht(tc: int, th: int, spec) -> bytes:
+    counts, symbols = spec
+    return _seg(0xC4, bytes([(tc << 4) | th]) + bytes(counts) + symbols)
+
+
+def test_jpeg_fdct_idct_inverse_pair():
+    import random
+
+    random.seed(7)
+    blk = [random.uniform(-200, 200) for _ in range(64)]
+    rec = jp._idct_2d(jp._fdct_2d(blk))
+    assert max(abs(a - b) for a, b in zip(blk, rec)) < 1e-9
+
+
+def test_jpeg_hand_vector_gray_single_block():
+    """Hand-assembled from the T.81 spec (no encoder involved): 8x8
+    grayscale, quant all-ones, one DC-only block with diff 5 -> every
+    pixel int(5/8 + 128.5) = 129."""
+    bits = _TestBits()
+    bits.put("100")   # DC_LUM category 3 (canonical code for symbol 3)
+    bits.put("101")   # magnitude bits of +5
+    bits.put("1010")  # AC_LUM EOB
+    data = (
+        b"\xff\xd8"
+        + _dqt_all_ones(0)
+        + _seg(0xC0, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+        + _dht(0, 0, jp.DC_LUM) + _dht(1, 0, jp.AC_LUM)
+        + _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + bits.bytes()
+        + b"\xff\xd9"
+    )
+    out = jp.decode_jpeg(data)
+    assert out is not None
+    w, h, rows = out
+    assert (w, h) == (8, 8)
+    assert all(px == (129, 129, 129) for row in rows for px in row)
+
+
+def test_jpeg_hand_vector_restart_markers():
+    """16x8 grayscale, DRI=1, RST0 between the two MCUs: the DC
+    predictor must reset, so an identical diff-5 block decodes to the
+    same 129 (without the reset the second block would be 130)."""
+    blk = _TestBits()
+    blk.put("100101" + "1010")
+    one = blk.bytes()
+    data = (
+        b"\xff\xd8"
+        + _dqt_all_ones(0)
+        + _seg(0xDD, struct.pack(">H", 1))  # DRI: restart every MCU
+        + _seg(0xC0, struct.pack(">BHHB", 8, 8, 16, 1) + bytes([1, 0x11, 0]))
+        + _dht(0, 0, jp.DC_LUM) + _dht(1, 0, jp.AC_LUM)
+        + _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + one + b"\xff\xd0" + one
+        + b"\xff\xd9"
+    )
+    out = jp.decode_jpeg(data)
+    assert out is not None
+    w, h, rows = out
+    assert (w, h) == (16, 8)
+    assert all(px == (129, 129, 129) for row in rows for px in row)
+
+
+def test_jpeg_hand_vector_420_chroma():
+    """16x16 4:2:0 (Y 2x2, Cb/Cr 1x1), DC-only blocks: Y diff 5 then
+    three zero diffs (predictor carries), Cb 0, Cr +8 -> every pixel
+    decodes to (130, 128, 129): chroma really reaches RGB."""
+    bits = _TestBits()
+    bits.put("100101" + "1010")      # Y block 1: DC 5, EOB
+    for _ in range(3):
+        bits.put("00" + "1010")      # Y blocks 2-4: DC diff 0, EOB
+    bits.put("00" + "00")            # Cb: DC_CHR cat 0, AC_CHR EOB
+    bits.put("1110" + "1000" + "00")  # Cr: DC_CHR cat 4, +8, EOB
+    data = (
+        b"\xff\xd8"
+        + _dqt_all_ones(0) + _dqt_all_ones(1)
+        + _seg(
+            0xC0,
+            struct.pack(">BHHB", 8, 16, 16, 3)
+            + bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]),
+        )
+        + _dht(0, 0, jp.DC_LUM) + _dht(1, 0, jp.AC_LUM)
+        + _dht(0, 1, jp.DC_CHR) + _dht(1, 1, jp.AC_CHR)
+        + _seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+        + bits.bytes()
+        + b"\xff\xd9"
+    )
+    out = jp.decode_jpeg(data)
+    assert out is not None
+    w, h, rows = out
+    assert (w, h) == (16, 16)
+    assert all(px == (130, 128, 129) for row in rows for px in row)
+
+
+def test_jpeg_encode_decode_round_trip():
+    """Encoder twin -> decoder on a smooth gradient, non-multiple-of-8
+    dims; lossy but tight at q90 (mean |err| ~1 measured)."""
+    w, h = 24, 17
+    rows = [
+        [
+            (
+                128 + int(60 * math.sin(x / 5)),
+                128 + int(60 * math.cos(y / 4)),
+                100,
+            )
+            for x in range(w)
+        ]
+        for y in range(h)
+    ]
+    data = jp.encode_jpeg(rows, quality=90)
+    assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+    out = jp.decode_jpeg(data)
+    assert out is not None
+    w2, h2, rows2 = out
+    assert (w2, h2) == (w, h)
+    errs = [
+        abs(rows[y][x][c] - rows2[y][x][c])
+        for y in range(h)
+        for x in range(w)
+        for c in range(3)
+    ]
+    assert sum(errs) / len(errs) < 3 and max(errs) <= 12
+
+
+def test_jpeg_decode_image_real_branch_runs_here():
+    rows = [[(200, 40, 90)] * 8] * 8
+    feat = mm.decode_image(jp.encode_jpeg(rows, quality=95))
+    assert feat[3] == 1.0                      # real-decode marker
+    assert feat[0] == 8 / 4096.0 and feat[1] == 8 / 4096.0
+    luma = (299 * 200 + 587 * 40 + 114 * 90) // 1000 / 255.0
+    assert all(abs(t - luma) < 0.03 for t in feat[4:8])
+
+
+def test_jpeg_rejects_progressive_truncated_and_junk():
+    rows = [[(10, 20, 30)] * 8] * 8
+    good = jp.encode_jpeg(rows)
+    assert jp.decode_jpeg(b"not a jpeg") is None
+    assert jp.decode_jpeg(good[: len(good) // 2]) is None or True  # no crash
+    prog = bytearray(good)
+    i = prog.find(b"\xff\xc0")
+    prog[i + 1] = 0xC2  # claim progressive
+    assert jp.decode_jpeg(bytes(prog)) is None
+    assert mm.decode_image(b"utf-8 text payload") == mm.decode_image_stub(
+        b"utf-8 text payload"
+    )
+
+
+def test_resize_jpeg_stays_jpeg(spark):
+    rows = [
+        [((x * 16) % 256, (y * 16) % 256, 60) for x in range(16)]
+        for y in range(16)
+    ]
+    media = spark.createDataFrame(
+        [(1, bytearray(jp.encode_jpeg(rows, quality=92)))],
+        "media_id long, payload binary",
+    )
+    out = mm.resize_images(media, 8, 8).collect()[0]
+    assert out["resized"] and out["width"] == 8 and out["height"] == 8
+    dec = jp.decode_jpeg(bytes(out["payload"]))
+    assert dec is not None and (dec[0], dec[1]) == (8, 8)
+
+
+def test_framepack_accepts_jpeg_frames(spark):
+    from hiero_spark.functions.multimodal import encode_framepack, sample_frames
+
+    frames = [
+        jp.encode_jpeg([[(v, v, v)] * 8] * 8, quality=95)
+        for v in (0, 51, 102, 153)
+    ]
+    media = spark.createDataFrame(
+        [(1, bytearray(encode_framepack(frames)))], "media_id long, payload binary"
+    )
+    out = sorted(
+        (r["frame_idx"], r["mean_luma"])
+        for r in sample_frames(media, every_n=2).collect()
+    )
+    assert [i for i, _ in out] == [0, 2]
+    assert abs(out[0][1] - 0.0) < 0.02 and abs(out[1][1] - 102 / 255.0) < 0.02

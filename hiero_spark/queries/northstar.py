@@ -191,6 +191,70 @@ def n1_repeated_span_pairs(spark, sf_dir):
 
 
 @query(
+    "n1_minhash_star_verdict",
+    group="N1",
+    doc="Hot-bucket star mode (round-8: functions/dedup.py:"
+        "lsh_candidate_pairs hot_mode='star') as a hashable property "
+        "verdict: docs with doc_id < 40 are rewritten to one boilerplate "
+        "template (29 fixed words + 1 of 4 variants -> cross-variant "
+        "3-gram Jaccard 25/31, a planted hot cluster whose every LSH "
+        "band bucket exceeds max_bucket=20). Anchor = the SQL-computable "
+        "cluster size; booleans assert the star path links every hot doc "
+        "to the cluster's min id (drop mode would lose them all) and "
+        "that no verified pair mixes hot and real docs. Deterministic: "
+        "xxhash64 over deterministic text.",
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_hot,
+               TRUE AS cluster_fully_linked, TRUE AS no_cross_pairs
+        FROM documents WHERE doc_id < 40
+    """,
+)
+def n1_minhash_star_verdict(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    hot_text = F.concat_ws(
+        " ",
+        *[F.lit("b%d" % j) for j in range(29)],
+        F.concat(F.lit("v"), (F.col("doc_id") % 4).cast("string")),
+    )
+    corpus = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") < 40, hot_text)
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    pairs = dd.minhash_near_dups(
+        corpus, "text", "doc_id", max_bucket=20, hot_mode="star"
+    )
+    hotstats = corpus.filter(F.col("doc_id") < 40).agg(
+        F.count(F.lit(1)).cast("long").alias("n_hot"),
+        F.min("doc_id").alias("_min_id"),
+    )
+    agg = (
+        pairs.join(F.broadcast(hotstats))
+        .groupBy("n_hot", "_min_id")
+        .agg(
+            F.count_distinct(
+                F.when(
+                    (F.col("doc_a") == F.col("_min_id"))
+                    & (F.col("doc_b") < 40),
+                    F.col("doc_b"),
+                )
+            ).alias("_linked"),
+            F.sum(
+                F.when(
+                    (F.col("doc_a") < 40) != (F.col("doc_b") < 40), 1
+                ).otherwise(0)
+            ).alias("_mixed"),
+        )
+    )
+    return agg.select(
+        "n_hot",
+        (F.col("_linked") == F.col("n_hot") - 1).alias("cluster_fully_linked"),
+        (F.col("_mixed") == 0).alias("no_cross_pairs"),
+    )
+
+
+@query(
     "n1_simhash",
     group="N1",
     doc="64-bit SimHash per document (rows-only; Hamming-distance behavior "

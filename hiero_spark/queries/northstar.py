@@ -369,6 +369,126 @@ def n2_ann_brute_force(spark, sf_dir):
 
 
 @query(
+    "n2_hybrid_rrf",
+    group="N2",
+    doc="Hybrid retrieval with reciprocal-rank fusion (round 8): BM25 "
+        "top-50 over documents and exact cosine top-50 over embeddings "
+        "(vec_id aligned with doc_id), fused as sum of 1/(60+rank) over "
+        "the sources listing the doc — the standard lexical+vector RAG "
+        "recipe. Ranks are computed over ROUNDED scores with doc_id "
+        "tiebreaks, so both engines derive identical integer ranks from "
+        "the already-hash-pinned BM25 and cosine pipelines; the fusion "
+        "itself is two IEEE divisions and one fixed-order sum — exact. "
+        "Scale: each leg is its own bounded top-k (TakeOrdered / pruned "
+        "probe at scale), fusion joins 50-row frames.",
+    oracle=r"""
+        WITH d AS (
+          SELECT doc_id,
+                 regexp_split_to_array(trim(lower(text)), '\s+') AS w
+          FROM documents
+        ), stats AS (
+          SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                 CAST(SUM(len(w)) AS DOUBLE) / COUNT(*) AS avgdl
+          FROM d
+        ), toks AS (
+          SELECT doc_id, len(w) AS dl, unnest(w) AS tok FROM d
+        ), tf AS (
+          SELECT doc_id, dl, tok, CAST(COUNT(*) AS DOUBLE) AS tf
+          FROM toks WHERE tok IN ('spark', 'join', 'window', 'stream')
+          GROUP BY 1, 2, 3
+        ), dfreq AS (
+          SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY tok
+        ), contrib AS (
+          SELECT tf.doc_id, tf.tok,
+                 (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5)
+                 * (tf.tf * (1.2 + 1.0))
+                 / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / stats.avgdl))
+                   AS c
+          FROM tf JOIN dfreq USING (tok) CROSS JOIN stats
+        ), agg AS (
+          SELECT doc_id,
+                 list_reduce(
+                   list_prepend(CAST(0.0 AS DOUBLE), list(c ORDER BY tok)),
+                   (a, x) -> a + x) AS s
+          FROM contrib GROUP BY doc_id
+        ), txt AS (
+          SELECT doc_id, ROUND(s, 6) AS bm25
+          FROM agg ORDER BY s DESC, doc_id ASC LIMIT 50
+        ), txtr AS (
+          SELECT doc_id,
+                 ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS t_rank
+          FROM txt
+        ), q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        scored AS (
+          SELECT vec_id AS doc_id,
+                 list_sum(list_transform(range(1, len(embedding) + 1),
+                          i -> CAST(embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+                 AS cs
+          FROM embeddings, q
+        ), vecs AS (
+          SELECT doc_id, ROUND(cs, 6) AS cs
+          FROM scored ORDER BY cs DESC, doc_id ASC LIMIT 50
+        ), vecr AS (
+          SELECT doc_id,
+                 ROW_NUMBER() OVER (ORDER BY cs DESC, doc_id ASC) AS v_rank
+          FROM vecs
+        ), fused AS (
+          SELECT COALESCE(t.doc_id, v.doc_id) AS doc_id,
+                 COALESCE(CAST(1 AS DOUBLE) / (t.t_rank + 60), 0)
+                 + COALESCE(CAST(1 AS DOUBLE) / (v.v_rank + 60), 0) AS rrf,
+                 t.t_rank IS NOT NULL AS in_text,
+                 v.v_rank IS NOT NULL AS in_vector
+          FROM txtr t FULL OUTER JOIN vecr v ON v.doc_id = t.doc_id
+        )
+        SELECT doc_id, ROUND(rrf, 6) AS rrf, in_text, in_vector
+        FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT 10
+    """,
+)
+def n2_hybrid_rrf(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    from hiero_spark.functions.bm25 import bm25_topk
+
+    terms = ["spark", "join", "window", "stream"]
+    text = bm25_topk(t(spark, sf_dir, "documents"), terms, k=50)
+    wt = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    txtr = text.select("doc_id", "bm25").withColumn(
+        "t_rank", F.row_number().over(wt)
+    )
+    qv = _query_vec(spark, sf_dir)
+    vec = sim.brute_force_topk(t(spark, sf_dir, "embeddings"), qv, k=50)
+    vecs = vec.select(
+        F.col("neighbor_id").alias("doc_id"),
+        F.round("cos_sim", 6).alias("cs"),
+    )
+    wv = Window.orderBy(F.desc("cs"), F.asc("doc_id"))
+    vecr = vecs.withColumn("v_rank", F.row_number().over(wv))
+    one = F.lit(1.0)
+    fused = (
+        txtr.select("doc_id", "t_rank")
+        .join(vecr.select("doc_id", "v_rank"), "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            (
+                F.coalesce(one / (F.col("t_rank") + 60), F.lit(0.0))
+                + F.coalesce(one / (F.col("v_rank") + 60), F.lit(0.0))
+            ).alias("_rrf"),
+            F.col("t_rank").isNotNull().alias("in_text"),
+            F.col("v_rank").isNotNull().alias("in_vector"),
+        )
+    )
+    return (
+        fused.orderBy(F.desc("_rrf"), F.asc("doc_id"))
+        .limit(10)
+        .select(
+            "doc_id", F.round("_rrf", 6).alias("rrf"), "in_text", "in_vector"
+        )
+    )
+
+
+@query(
     "n2_ann_lsh",
     group="N2",
     doc="ANN via random-hyperplane LSH bucket probe (rows-only; recall vs "

@@ -571,6 +571,12 @@ def main() -> None:
         keep_shuffle = P.shuffle_bytes_written(kept.groupBy().count())
         keep_sec = round(time.perf_counter() - t0, 1)
         units = n_big * 30
+        # minhash_near_dups persists its shingle/pair frames (correct for
+        # the op: three consumers); at this corpus size the leaked cache
+        # is GBs of storage memory that would squeeze every later bench
+        # block into spills (measured: n4_lm_perplexity 0.9 s -> 7.4 s
+        # when timed after an uncleared skew run)
+        spark.catalog.clearCache()
 
         return {
             "corpus": {"n_docs": n_big, "hot_cluster": hot_big, "doc_len": 30},

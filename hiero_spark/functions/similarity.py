@@ -292,6 +292,34 @@ def save_ivf(
     ).partitionBy("_cell").parquet(path)
 
 
+def update_ivf(
+    emb_new: DataFrame, centroids: list[list[float]], path: str,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    files_per_cell: int = 1,
+) -> None:
+    """Incremental IVF maintenance: assign only the NEW vectors to their
+    nearest (frozen) centroid and APPEND into the cell-partitioned
+    layout — the daily-ingest twin of `save_ivf`, same contract as
+    `update_text_index` and the incremental dedup indexes: the corpus is
+    never re-scanned, the append costs O(new vectors), and probes are
+    unchanged (a cell is just more files after an append; run the
+    small-file compaction over a cell directory when counts grow).
+
+    Because cell assignment is a pure function of (vector, centroids)
+    and probes score every row they read, probe-after-append equals a
+    from-scratch rebuild EXACTLY — pinned in tests. Freezing the
+    quantizer is the standard IVF ingest contract (FAISS add-after-
+    train): centroids drift only on explicit re-train, which is a
+    rebuild, not maintenance. Caller contract: new ids are not already
+    indexed (run the exact-dedup admit gate first)."""
+    vec_d = F.col(vec_col).cast("array<double>")
+    assigned = emb_new.withColumn("_cell", _nearest_cell(vec_d, centroids))
+    salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(max(1, files_per_cell)))
+    assigned.repartition(F.col("_cell"), salt).write.mode(
+        "append"
+    ).partitionBy("_cell").parquet(path)
+
+
 def ivf_topk_bucketed(
     spark, path: str, query_vec: list[float], centroids: list[list[float]],
     k: int = 10, n_probe: int = 2,

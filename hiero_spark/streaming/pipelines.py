@@ -431,3 +431,55 @@ def distinct_users_stream(
             "n_distinct",
         )
     )
+
+
+def text_index_stream_sink(
+    doc_stream: DataFrame,
+    index_path: str,
+    checkpoint: str,
+    n_buckets: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """X16: streaming full-text index maintenance — each micro-batch of
+    ingested documents folds into the persisted inverted index via the
+    SAME batch operator offline ingest uses
+    (functions/bm25.py:update_text_index), so a probe after any batch
+    ranks EXACTLY like a from-scratch rebuild over everything ingested
+    so far (df/idf are computed at probe time from the postings; the
+    equality is by construction, one code path — the X13 foreachBatch
+    contract).
+
+    foreachBatch because the fold touches two tables (bucketed postings
+    append + 1-row stats rewrite); exactly-once across restarts comes
+    from the checkpoint's batch tracking, NOT from the sink being
+    idempotent — a batch replayed after a crash-between-write-and-commit
+    would double its postings, so the upstream source must be
+    replay-free (availableNow over immutable files, the ingest shape) or
+    the admit gate (X12) must run inside the batch to drop already-
+    indexed ids; the test exercises the clean-restart path."""
+    from hiero_spark.functions.bm25 import save_text_index, update_text_index
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        spark = batch_df.sparkSession
+        if batch_df.isEmpty():
+            return
+        if os.path.exists(
+            os.path.join(index_path, "stats", "_SUCCESS")
+        ):
+            update_text_index(
+                spark, index_path, batch_df, n_buckets, text_col, id_col
+            )
+        else:
+            save_text_index(
+                batch_df, index_path, n_buckets, text_col, id_col
+            )
+
+    return (
+        doc_stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -217,6 +217,51 @@ def test_ivf_persisted_index_prunes_and_matches(spark, sf_dir, tmp_path):
     assert [tuple(r) for r in probe.collect()] == [tuple(r) for r in fly.collect()]
 
 
+def test_ivf_incremental_append_equals_rebuild(spark, sf_dir, tmp_path):
+    """update_ivf (round 8): build from half the corpus, append the other
+    half with the FROZEN quantizer — probe must equal the from-scratch
+    full rebuild exactly, untouched cells' original files must survive
+    byte-identical, and the probe stays partition-pruned."""
+    import glob
+    import os
+
+    from hiero_spark import plans as P
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = emb.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    centroids = [[float(x) for x in r["embedding"]] for r in rows]
+    qv = centroids[2]
+
+    inc_path = str(tmp_path / "ivf_inc")
+    sim.save_ivf(emb.filter(F.col("vec_id") % 2 == 0), centroids, inc_path)
+    before = {
+        p: (os.path.getsize(p), os.path.getmtime(p))
+        for p in glob.glob(f"{inc_path}/_cell=*/part-*.parquet")
+    }
+    sim.update_ivf(emb.filter(F.col("vec_id") % 2 == 1), centroids, inc_path)
+    after = {
+        p: (os.path.getsize(p), os.path.getmtime(p))
+        for p in glob.glob(f"{inc_path}/_cell=*/part-*.parquet")
+    }
+    assert all(after[p] == before[p] for p in before), (
+        "append rewrote pre-existing index files"
+    )
+    assert len(after) > len(before)  # new files landed
+
+    full_path = str(tmp_path / "ivf_full")
+    sim.save_ivf(emb, centroids, full_path)
+    probe_inc = sim.ivf_topk_bucketed(
+        spark, inc_path, qv, centroids, k=5, n_probe=2
+    )
+    probe_full = sim.ivf_topk_bucketed(
+        spark, full_path, qv, centroids, k=5, n_probe=2
+    )
+    assert P.partition_filters(probe_inc), "probe scan is not partition-pruned"
+    assert [tuple(r) for r in probe_inc.collect()] == [
+        tuple(r) for r in probe_full.collect()
+    ]
+
+
 def test_embedding_near_dup_degenerate_bucket_bounded(spark):
     """All-identical vectors collapse into one LSH bucket; the max_bucket
     cap must drop it (pairs bounded, not O(N^2)) while distinct near-dup

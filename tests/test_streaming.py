@@ -617,3 +617,65 @@ def test_streaming_distinct_users_matches_batch(spark, sf_dir, events_stream):
     assert all(got[k] == expected[k] for k in got)
     closed_fraction = len(got) / len(expected)
     assert closed_fraction > 0.8  # everything but the trailing horizon
+
+
+def test_streaming_text_index_maintenance_equals_rebuild(spark, tmp_path):
+    """X16: two ingest batches fold into the persisted inverted index via
+    foreachBatch + update_text_index; after each run the BM25 probe and
+    the phrase probe over the maintained index must equal a from-scratch
+    rebuild over everything ingested so far (restart in between: the
+    second run recovers from the checkpoint)."""
+    from hiero_spark.functions.bm25 import (
+        bm25_topk_indexed, phrase_count_indexed, save_text_index,
+    )
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    idx = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string"
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(str(src) + "/*")
+        q = pl.text_index_stream_sink(stream, idx, ckpt, n_buckets=8)
+        q.awaitTermination(120)
+
+    def probes(path):
+        top = sorted(
+            tuple(r)
+            for r in bm25_topk_indexed(
+                spark, path, ["spark", "join"], k=10, n_buckets=8
+            ).collect()
+        )
+        ph = sorted(
+            tuple(r)
+            for r in phrase_count_indexed(
+                spark, path, ["spark", "join"], n_buckets=8
+            ).collect()
+        )
+        return top, ph
+
+    b1 = [
+        (1, "spark join window"),
+        (2, "join join stream"),
+        (3, "unrelated words here"),
+    ]
+    spark.createDataFrame(b1, schema).write.parquet(str(src / "b1.parquet"))
+    run()
+    rebuild1 = str(tmp_path / "rb1")
+    save_text_index(spark.createDataFrame(b1, schema), rebuild1, n_buckets=8)
+    assert probes(idx) == probes(rebuild1)
+
+    b2 = [
+        (4, "spark spark join"),     # shifts df/idf for both terms
+        (5, "window stream spark join"),
+    ]
+    spark.createDataFrame(b2, schema).write.parquet(str(src / "b2.parquet"))
+    run()  # restart from checkpoint; only batch 2 is processed
+    rebuild2 = str(tmp_path / "rb2")
+    save_text_index(
+        spark.createDataFrame(b1 + b2, schema), rebuild2, n_buckets=8
+    )
+    got, expected = probes(idx), probes(rebuild2)
+    assert got == expected
+    assert len(got[0]) == 4 and len(got[1]) >= 1  # ranking actually moved

@@ -171,6 +171,19 @@ def main(sf_dir: str = "/root/testdata/sf0.001", out=print) -> None:
         n_phrase = phrase_count_indexed(spark, tix, ["data", "data"]).count()
         out(f"docs containing the exact phrase 'data data': {n_phrase}")
 
+    # 11. hybrid retrieval: BM25 and exact-cosine top lists fused by
+    #     reciprocal rank (1/(60+rank) per listing source) — the
+    #     lexical+vector RAG recipe as one registered query
+    from hiero_spark.registry import all_queries
+
+    fused = all_queries()["n2_hybrid_rrf"].fn(spark, sf_dir)
+    out("\nhybrid RRF top-3 (text + vector fusion):")
+    for r in fused.limit(3).collect():
+        src = "+".join(
+            s for s, hit in (("text", r["in_text"]), ("vec", r["in_vector"])) if hit
+        )
+        out(f"  doc {r['doc_id']}: rrf {r['rrf']} via {src}")
+
 
 if __name__ == "__main__":
     main(*sys.argv[1:2])

@@ -43,6 +43,7 @@ BNLJ_ALLOWED = {
     "n1_incremental_near_dups_verdict": "scalar broadcast: 1-row planted/found/min-jaccard combines",
     "n5_curation_funnel": "scalar broadcast: 1-row gate-counts x 1-row dedup-stage combine",
     "n7_triangle_count": "scalar broadcast: 1-row triangle x edge x node count combines",
+    "n1_minhash_star_verdict": "scalar broadcast: 1-row hot-cluster size/min-id combine",
 }
 
 _SPECS = all_queries()

@@ -750,3 +750,214 @@ def _encode_wav_ima(pcm16, rate: int = 8000, block_samples: int = 505) -> bytes:
         + b"data" + struct.pack("<I", len(data)) + data
     )
     return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+# --- round-8 continuation: signal-level audio + video analysis ----------
+
+SPECTRAL_SCHEMA = (
+    "media_id long, sample_rate int, n_samples int, dominant_bin int, "
+    "dominant_hz double, centroid_hz double, rolloff_hz double, "
+    "flatness double"
+)
+
+SCENE_SCHEMA = (
+    "media_id long, frame_idx int, luma_prev int, luma_curr int, "
+    "luma_diff int, is_cut boolean"
+)
+
+
+def _encode_wav_pcm16(pcm16, rate: int = 8000, channels: int = 1) -> bytes:
+    """Encode int16 samples (interleaved if multichannel) as a PCM16
+    RIFF/WAVE — the writer twin of `_decode_wav`, so tone corpora can be
+    synthesized distributed-side and decoded by the vendored reader."""
+    import array
+    import struct
+
+    data = array.array("h", [int(s) for s in pcm16]).tobytes()
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * 2 * channels,
+                      2 * channels, 16)
+    riff = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+def synthetic_tone_media(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    rate: int = 8000,
+    n_samples: int = 2048,
+    n_tones: int = 8,
+) -> DataFrame:
+    """Per-row synthesized WAV clips: a pure sine at a bin-aligned
+    frequency keyed on the id — f = k * rate / n_samples with
+    k = 128 + (id % n_tones) * 64, so the rFFT peak lands EXACTLY in bin
+    k and spectral verdicts are integer-exact. Payload bytes are built
+    inside an Arrow batch (numpy sine -> int16 -> vendored PCM16
+    encoder), so clip synthesis scales with the corpus like any other
+    mapInPandas stage — no driver-side generation."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        t = np.arange(n_samples, dtype=np.float64)
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                k = 128 + (int(mid) % n_tones) * 64
+                wave = np.sin(2.0 * np.pi * k * t / n_samples)
+                pcm = np.round(wave * 30000.0).astype(np.int16)
+                payloads.append(_encode_wav_pcm16(pcm, rate))
+            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": payloads})
+
+    base = docs.select(F.col(id_col).cast("long").alias("media_id"))
+    return base.mapInPandas(run, "media_id long, payload binary")
+
+
+def spectral_features(media: DataFrame, n_fft: int = 2048) -> DataFrame:
+    """Frequency-domain audio features via numpy rFFT, one Arrow batch at
+    a time: dominant bin/Hz (argmax of magnitude), spectral centroid
+    (magnitude-weighted mean frequency), 85% energy rolloff, and spectral
+    flatness (geometric / arithmetic mean of power, 0 = tonal, 1 = noise).
+
+    Decode rides the vendored ladder (`_decode_wav` PCM16, then
+    IMA-ADPCM); payloads neither recognizes emit no row — they are not
+    audio. Clips are analyzed over their first `n_fft` samples
+    (zero-padded if shorter) so bin width is fixed at rate/n_fft and
+    features across clips are comparable. Per-clip cost is O(n_fft log
+    n_fft) inside the worker; nothing leaves the executor but the
+    8-column feature row."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "media_id", "sample_rate", "n_samples", "dominant_bin",
+                "dominant_hz", "centroid_hz", "rolloff_hz", "flatness")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                raw = bytes(payload)
+                decoded = _decode_wav(raw) or _decode_wav_ima(raw)
+                if decoded is None:
+                    continue
+                mono, rate, _ = decoded
+                x = np.zeros(n_fft, dtype=np.float64)
+                seg = np.asarray(mono[:n_fft], dtype=np.float64)
+                x[: len(seg)] = seg
+                mag = np.abs(np.fft.rfft(x))
+                power = mag * mag
+                tot = float(power.sum())
+                freqs = np.arange(len(mag)) * (rate / n_fft)
+                if tot <= 0.0:
+                    dom = 0
+                    centroid = rolloff = 0.0
+                    flat = 1.0
+                else:
+                    dom = int(mag.argmax())
+                    centroid = float((freqs * mag).sum() / mag.sum())
+                    cum = np.cumsum(power)
+                    rolloff = float(freqs[int(np.searchsorted(cum, 0.85 * tot))])
+                    nz = power[power > 0.0]
+                    flat = float(
+                        np.exp(np.log(nz).mean()) / (tot / len(power))
+                    )
+                out["media_id"].append(mid)
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(len(mono))
+                out["dominant_bin"].append(dom)
+                out["dominant_hz"].append(round(dom * rate / n_fft, 6))
+                out["centroid_hz"].append(round(centroid, 6))
+                out["rolloff_hz"].append(round(rolloff, 6))
+                out["flatness"].append(round(flat, 9))
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(run, SPECTRAL_SCHEMA)
+
+
+def _frame_mean_luma(frame: bytes):
+    """Decode one frame (BMP/PNG/JPEG ladder, like sample_frames) and
+    return its integer mean luma in [0, 255], or None."""
+    from hiero_spark.functions.jpeg import decode_jpeg
+
+    dec = _decode_bmp(frame) or _decode_png(frame) or decode_jpeg(frame)
+    if dec is None:
+        return None
+    w, h, rows = dec
+    acc = sum(
+        (299 * r + 587 * g + 114 * b) // 1000
+        for row in rows
+        for r, g, b in row
+    )
+    return acc // (w * h)
+
+
+def detect_scene_cuts(media: DataFrame, threshold: int = 40) -> DataFrame:
+    """Shot-boundary detection over framepack videos: decode every frame,
+    compute integer mean luma, and flag frame i as a cut when
+    |luma_i - luma_{i-1}| > threshold — the classic intensity-difference
+    detector, reduced to the exact-integer feature the vendored decoders
+    produce. Emits one row per frame transition (frame_idx >= 1).
+
+    Same scale shape as sample_frames: mapInPandas over binary batches,
+    1 video row -> n_frames-1 transition rows, decode never leaves the
+    worker. Undecodable frames break the luma chain (no transition row
+    across them) rather than fabricating a diff."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "media_id", "frame_idx", "luma_prev", "luma_curr",
+                "luma_diff", "is_cut")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                frames = _decode_framepack(bytes(payload)) if payload is not None else None
+                if not frames:
+                    continue
+                prev = None
+                for idx, fb in enumerate(frames):
+                    luma = _frame_mean_luma(fb)
+                    if luma is not None and prev is not None:
+                        diff = abs(luma - prev)
+                        out["media_id"].append(mid)
+                        out["frame_idx"].append(idx)
+                        out["luma_prev"].append(prev)
+                        out["luma_curr"].append(luma)
+                        out["luma_diff"].append(diff)
+                        out["is_cut"].append(diff > threshold)
+                    prev = luma
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(run, SCENE_SCHEMA)
+
+
+def synthetic_cut_video(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    n_frames: int = 8,
+    size: int = 8,
+) -> DataFrame:
+    """Per-row framepack videos with ONE planted scene cut: frames before
+    cut_at = 2 + (id % (n_frames - 3)) are dark (luma 20), frames from
+    cut_at on are bright (luma 220) — solid-color BMP frames, so the
+    detector's integer luma is exact and the cut position is
+    SQL-computable from the id. Built batch-side like
+    synthetic_tone_media."""
+
+    def solid(v: int) -> bytes:
+        row = [(v, v, v)] * size
+        return _encode_bmp([row] * size)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        dark, bright = solid(20), solid(220)
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                cut_at = 2 + int(mid) % (n_frames - 3)
+                payloads.append(encode_framepack(
+                    [dark] * cut_at + [bright] * (n_frames - cut_at)
+                ))
+            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": payloads})
+
+    base = docs.select(F.col(id_col).cast("long").alias("media_id"))
+    return base.mapInPandas(run, "media_id long, payload binary")

@@ -784,6 +784,68 @@ def n3_multimodal_features(spark, sf_dir):
     return extract_features(media).select("media_id", "n_bytes")
 
 
+@query(
+    "n3_spectral_features",
+    group="N3",
+    doc="Frequency-domain audio analysis, hash-verified PER ROW: clips are "
+        "synthesized batch-side as PCM16 WAV sines at bin-aligned "
+        "frequencies keyed on doc_id (k = 128 + (id % 8) * 64 at rate 8000, "
+        "n_fft 2048), decoded by the vendored WAV reader and analyzed with "
+        "numpy rFFT (functions/multimodal.py:spectral_features). The "
+        "dominant bin and the 85%-energy rolloff of a pure tone are "
+        "physics the oracle recomputes arithmetically — k * 125/32 Hz is "
+        "an exact dyadic, so the float hash is exact, no tolerance. "
+        "Flatness/centroid stay unit-tested (quantization harmonics make "
+        "them near-but-not-exactly analytic).",
+    oracle="""
+        SELECT doc_id AS media_id,
+               CAST(128 + (doc_id % 8) * 64 AS INT) AS dominant_bin,
+               (128 + (doc_id % 8) * 64) * 8000.0 / 2048 AS dominant_hz,
+               (128 + (doc_id % 8) * 64) * 8000.0 / 2048 AS rolloff_hz
+        FROM documents WHERE doc_id < 64
+    """,
+)
+def n3_spectral_features(spark, sf_dir):
+    from hiero_spark.functions.multimodal import spectral_features, synthetic_tone_media
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 64)
+    feats = spectral_features(synthetic_tone_media(docs))
+    return feats.select("media_id", "dominant_bin", "dominant_hz", "rolloff_hz")
+
+
+@query(
+    "n3_scene_cuts",
+    group="N3",
+    doc="Shot-boundary detection over framepack videos, hash-verified PER "
+        "TRANSITION ROW: videos are synthesized batch-side with one "
+        "planted cut (dark luma-20 frames, then bright luma-220 from "
+        "frame 2 + id % 5 of 8), every frame is decoded by the vendored "
+        "BMP reader, and the detector flags |luma_i - luma_{i-1}| > 40 "
+        "(functions/multimodal.py:detect_scene_cuts). Solid-color frames "
+        "make mean luma exact integers, so the oracle reproduces the "
+        "whole transition table — lumas, diffs, and the single cut — "
+        "from doc_id arithmetic alone.",
+    oracle="""
+        WITH d AS (
+          SELECT doc_id, 2 + doc_id % 5 AS cut_at
+          FROM documents WHERE doc_id < 48
+        )
+        SELECT d.doc_id AS media_id,
+               CAST(i AS INT) AS frame_idx,
+               CAST(CASE WHEN i - 1 < cut_at THEN 20 ELSE 220 END AS INT) AS luma_prev,
+               CAST(CASE WHEN i < cut_at THEN 20 ELSE 220 END AS INT) AS luma_curr,
+               CAST(CASE WHEN i = cut_at THEN 200 ELSE 0 END AS INT) AS luma_diff,
+               (i = cut_at) AS is_cut
+        FROM d, UNNEST(range(1, 8)) AS t(i)
+    """,
+)
+def n3_scene_cuts(spark, sf_dir):
+    from hiero_spark.functions.multimodal import detect_scene_cuts, synthetic_cut_video
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 48)
+    return detect_scene_cuts(synthetic_cut_video(docs))
+
+
 # ---------------------------------------------------------------------------
 # N4 — text analysis
 # ---------------------------------------------------------------------------

@@ -583,3 +583,95 @@ def test_framepack_accepts_jpeg_frames(spark):
     )
     assert [i for i, _ in out] == [0, 2]
     assert abs(out[0][1] - 0.0) < 0.02 and abs(out[1][1] - 102 / 255.0) < 0.02
+
+
+# --- round-8 continuation: spectral features + scene cuts ---------------
+
+
+def test_spectral_features_pure_tone(spark):
+    """A bin-aligned 1 kHz sine (k=256 at rate 8000, n_fft 2048): dominant
+    bin exact, rolloff == tone frequency, flatness near 0 (tonal),
+    centroid within a bin of the tone."""
+    import numpy as np
+
+    k, n = 256, 2048
+    t = np.arange(n)
+    pcm = np.round(np.sin(2 * np.pi * k * t / n) * 30000).astype(np.int16)
+    payload = mm._encode_wav_pcm16(pcm, 8000)
+    media = spark.createDataFrame([(1, bytearray(payload))], "media_id long, payload binary")
+    row = mm.spectral_features(media).collect()[0]
+    assert row.dominant_bin == k
+    assert row.dominant_hz == k * 8000.0 / 2048
+    assert row.rolloff_hz == row.dominant_hz
+    assert row.flatness < 0.01
+    assert abs(row.centroid_hz - row.dominant_hz) < 8000.0 / 2048
+
+
+def test_spectral_features_noise_is_flat(spark):
+    """Deterministic white-ish noise (LCG): flatness far above a pure
+    tone's — the discriminator the feature exists for."""
+    x, pcm = 12345, []
+    for _ in range(2048):
+        x = (1103515245 * x + 12345) % (1 << 31)
+        pcm.append((x >> 8) % 60000 - 30000)
+    payload = mm._encode_wav_pcm16(pcm, 8000)
+    media = spark.createDataFrame([(1, bytearray(payload))], "media_id long, payload binary")
+    row = mm.spectral_features(media).collect()[0]
+    assert row.flatness > 0.2
+
+
+def test_spectral_features_adpcm_arm(spark):
+    """An IMA-ADPCM clip rides the second decode rung: the lossy codec
+    still leaves the dominant bin at the planted tone."""
+    import numpy as np
+
+    k, n = 128, 2048
+    t = np.arange(n)
+    pcm = [int(v) for v in np.round(np.sin(2 * np.pi * k * t / n) * 20000)]
+    payload = mm._encode_wav_ima(pcm, rate=8000)
+    media = spark.createDataFrame([(7, bytearray(payload))], "media_id long, payload binary")
+    row = mm.spectral_features(media).collect()[0]
+    assert row.dominant_bin == k
+
+
+def test_spectral_features_skips_non_audio(spark):
+    media = spark.createDataFrame(
+        [(1, bytearray(b"not audio at all")), (2, None)],
+        "media_id long, payload binary",
+    )
+    assert mm.spectral_features(media).count() == 0
+
+
+def test_scene_cuts_planted_boundary(spark):
+    """3 dark + 3 bright solid frames: exactly one cut at index 3, luma
+    values exact integers."""
+    dark = mm._encode_bmp([[(10, 10, 10)] * 4] * 4)
+    bright = mm._encode_bmp([[(200, 200, 200)] * 4] * 4)
+    pack = mm.encode_framepack([dark] * 3 + [bright] * 3)
+    media = spark.createDataFrame([(5, bytearray(pack))], "media_id long, payload binary")
+    rows = mm.detect_scene_cuts(media).orderBy("frame_idx").collect()
+    assert [r.frame_idx for r in rows] == [1, 2, 3, 4, 5]
+    cuts = [r for r in rows if r.is_cut]
+    assert len(cuts) == 1 and cuts[0].frame_idx == 3
+    assert cuts[0].luma_prev == 10 and cuts[0].luma_curr == 200
+
+
+def test_scene_cuts_undecodable_frame_breaks_chain(spark):
+    """A garbage frame between two good ones must NOT fabricate a
+    transition across itself: no diff spanning the gap."""
+    dark = mm._encode_bmp([[(10, 10, 10)] * 4] * 4)
+    bright = mm._encode_bmp([[(200, 200, 200)] * 4] * 4)
+    pack = mm.encode_framepack([dark, b"garbage", bright])
+    media = spark.createDataFrame([(5, bytearray(pack))], "media_id long, payload binary")
+    assert mm.detect_scene_cuts(media).count() == 0
+
+
+def test_scene_cuts_fades_below_threshold(spark):
+    """A gradual fade (steps of 30 <= threshold 40) yields transitions
+    but no cuts — the detector separates fades from hard cuts."""
+    frames = [mm._encode_bmp([[(v, v, v)] * 4] * 4) for v in (30, 60, 90, 120)]
+    media = spark.createDataFrame(
+        [(9, bytearray(mm.encode_framepack(frames)))], "media_id long, payload binary"
+    )
+    df = mm.detect_scene_cuts(media)
+    assert df.count() == 3 and df.filter("is_cut").count() == 0

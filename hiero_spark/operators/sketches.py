@@ -406,3 +406,84 @@ def histogram_equidepth(
         .groupBy(idx.cast("long").alias("bucket"))
         .agg(F.count(F.lit(1)).alias("bucket_count"))
     )
+
+
+# --------------------------------------------------------------------------
+# A8-ext — count-min sketch (round-8 continuation)
+# --------------------------------------------------------------------------
+
+def count_min_build(
+    df: DataFrame, col: str, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) as a DataFrame:
+    depth x width counters, one row per non-empty (row_j, bucket) cell.
+
+    Spark-first construction: explode the depth hash rows as a column
+    array (no data duplication before the aggregation — the map-side
+    partial combine collapses each partition to <= depth*width cells), so
+    the ONE shuffle carries at most depth*width*n_partitions tiny rows no
+    matter the corpus size.  Hash row j uses xxhash64 seeded by j; bucket
+    = pmod(hash, width).
+
+    The sketch is LINEAR: cells of sketch(A union B) are the cell-wise
+    sums of sketch(A) and sketch(B), so `count_min_merge` of
+    independently-built shards equals the monolithic rebuild EXACTLY (not
+    within a bound) — pinned by the a8_count_min_verdict query and the
+    unit tests. That linearity is the 100 TB contract: shard sketches are
+    a few KB each, merge is a groupBy-sum of depth*width rows, and the
+    corpus is never rescanned.
+    """
+    cells = df.select(
+        F.posexplode(
+            F.array(*[
+                F.pmod(F.xxhash64(F.col(col), F.lit(j)), F.lit(width))
+                for j in range(depth)
+            ])
+        ).alias("row_j", "bucket")
+    )
+    return cells.groupBy("row_j", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+
+
+def count_min_merge(*sketches: DataFrame) -> DataFrame:
+    """Cell-wise sum of count-min sketches built with the same
+    depth/width/seeds — exact by linearity."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("row_j", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def count_min_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point-frequency estimates: min over the depth cells each key hashes
+    to.  Estimates NEVER undercount (every cell holds the key's true count
+    plus nonnegative collisions); the expected overcount is n/width per
+    row, and min-of-depth drives it down.
+
+    The keys frame is the small side by contract (a probe set); the join
+    against the <= depth*width-cell sketch broadcasts whichever side is
+    tiny — at the default 4x256 the sketch is ~4 KB.  Keys absent from
+    every cell (impossible if they were in the corpus) estimate 0 via the
+    left join + coalesce.
+    """
+    probes = keys.select(
+        F.col(col),
+        F.posexplode(
+            F.array(*[
+                F.pmod(F.xxhash64(F.col(col), F.lit(j)), F.lit(width))
+                for j in range(depth)
+            ])
+        ).alias("row_j", "bucket"),
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["row_j", "bucket"], "left")
+        .groupBy(col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cm_estimate"))
+    )

@@ -763,3 +763,52 @@ def a4_histogram_equidepth(spark, sf_dir):
             & (F.col("_mn") >= 0.75 * F.col("n_rows") / k)
         ).alias("balanced"),
     )
+
+
+@query(
+    "a8_count_min_verdict",
+    group="A8",
+    doc="Count-min sketch (operators/sketches.py:count_min_build) as a "
+        "property verdict over the 10 heaviest o_custkey values: the "
+        "exact counts are the SQL anchor; est_ge_exact pins the "
+        "never-undercount guarantee (each of the 4x256 cells holds true "
+        "count + nonnegative collisions); merge_eq_rebuild pins "
+        "LINEARITY exactly — the cell-wise sum of sketches built on the "
+        "odd/even o_orderkey halves estimates identically to the "
+        "monolithic sketch, the property that makes shard-and-merge "
+        "maintenance free at 100 TB.",
+    oracle="""
+        SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS exact_cnt,
+               TRUE AS est_ge_exact, TRUE AS merge_eq_rebuild
+        FROM orders GROUP BY o_custkey
+        ORDER BY exact_cnt DESC, o_custkey LIMIT 10
+    """,
+)
+def a8_count_min_verdict(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders")
+    top = (
+        orders.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), F.asc("o_custkey"))
+        .limit(10)
+    )
+    whole = sk.count_min_build(orders, "o_custkey")
+    halves = sk.count_min_merge(
+        sk.count_min_build(orders.filter(F.col("o_orderkey") % 2 == 0), "o_custkey"),
+        sk.count_min_build(orders.filter(F.col("o_orderkey") % 2 == 1), "o_custkey"),
+    )
+    est_w = sk.count_min_estimate(whole, top, "o_custkey")
+    est_m = sk.count_min_estimate(halves, top, "o_custkey").withColumnRenamed(
+        "cm_estimate", "cm_merged"
+    )
+    return (
+        top.join(est_w, "o_custkey")
+        .join(est_m, "o_custkey")
+        .select(
+            "o_custkey",
+            "exact_cnt",
+            (F.col("cm_estimate") >= F.col("exact_cnt")).alias("est_ge_exact"),
+            (F.col("cm_merged") == F.col("cm_estimate")).alias("merge_eq_rebuild"),
+        )
+        .orderBy(F.desc("exact_cnt"), F.asc("o_custkey"))
+    )

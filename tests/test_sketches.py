@@ -187,3 +187,51 @@ def test_equidepth_histogram_balances_skew(spark):
     # equal-width on the same data: nearly everything in one bucket
     ew = histogram1d(df, "v", n=8).collect()
     assert max(r["bucket_count"] for r in ew) > 0.9 * 4000
+
+
+# --- count-min sketch (round-8 continuation) ----------------------------
+
+
+def test_count_min_overestimates_and_is_tight_on_heavy_keys(spark):
+    from hiero_spark.operators import sketches as sk
+
+    rows = [(k,) for k in ["a"] * 500 + ["b"] * 100 + [f"t{i}" for i in range(50)]]
+    df = spark.createDataFrame(rows, "k string")
+    cms = sk.count_min_build(df, "k", depth=4, width=64)
+    keys = spark.createDataFrame([("a",), ("b",), ("t0",)], "k string")
+    est = {r.k: r.cm_estimate for r in sk.count_min_estimate(cms, keys, "k", 4, 64).collect()}
+    assert est["a"] >= 500 and est["b"] >= 100 and est["t0"] >= 1
+    # collision overhead is bounded by the light tail: 50 singletons over
+    # 64 buckets can add at most 50 to any cell
+    assert est["a"] <= 650
+
+
+def test_count_min_merge_is_exactly_linear(spark):
+    """Three shards merged == monolithic rebuild, cell-for-cell."""
+    from hiero_spark.operators import sketches as sk
+
+    df = spark.range(3000).selectExpr("id", "CAST(id % 97 AS STRING) AS k")
+    whole = sk.count_min_build(df, "k")
+    shards = [
+        sk.count_min_build(df.filter(F.col("id") % 3 == i), "k")
+        for i in range(3)
+    ]
+    merged = sk.count_min_merge(*shards)
+    diff = (
+        whole.withColumnRenamed("cnt", "w")
+        .join(merged.withColumnRenamed("cnt", "m"), ["row_j", "bucket"], "full")
+        .filter("coalesce(w, -1) != coalesce(m, -1)")
+    )
+    assert diff.count() == 0
+
+
+def test_count_min_single_shuffle_plan(spark):
+    """The build must be partial+final hash aggregation around ONE
+    exchange — the sketch-monoid shape every other sketch here pins."""
+    from hiero_spark import plans as P
+    from hiero_spark.operators import sketches as sk
+
+    df = spark.range(100).selectExpr("CAST(id AS STRING) AS k")
+    names = P.node_names(sk.count_min_build(df, "k"))
+    assert sum("Exchange" in n for n in names) == 1, names
+    assert sum("HashAggregate" in n for n in names) >= 2, names

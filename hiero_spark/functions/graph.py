@@ -116,3 +116,66 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
             F.col("n_triangles").cast("long").alias("n_triangles"),
         )
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 5,
+) -> DataFrame:
+    """(node, component): hash-min label propagation with pointer
+    jumping — component id is the MIN node id reachable within the
+    round horizon (the exact component min once converged).
+
+    Each round is two equi-join + min-agg steps, both plain shuffles:
+
+    1. neighbor min — L(v) <- min(L(v), min over undirected neighbors
+       u of L(u)); edges are symmetrized once up front.
+    2. pointer jump — L(v) <- L(L(v)), which squares the propagation
+       distance; with it, convergence needs O(log diameter) rounds
+       instead of O(diameter) — the difference between 5 rounds and
+       5000 on a chain-shaped 100 TB web graph. (GraphFrames' CC uses
+       the same alternating contraction idea.)
+
+    `nodes` (optional) seeds labels for isolated vertices that appear
+    in no edge — without it, only edge endpoints get a component.
+    Labels persist per round via localCheckpoint (same lineage-cut
+    pattern as pagerank above). Integer labels, exact min monoid: the
+    result is deterministic and SQL-reproducible from the edge
+    arithmetic, no tolerance.
+    """
+    sym = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+    endpoints = sym.select(F.col("u").alias("node")).distinct()
+    if nodes is not None:
+        endpoints = endpoints.union(
+            nodes.select(F.col(nodes.columns[0]).alias("node"))
+        ).distinct()
+    labels = endpoints.select("node", F.col("node").alias("label")).localCheckpoint()
+    for _ in range(n_iter):
+        nbr = (
+            sym.join(labels, sym["v"] == labels["node"])
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        stepped = (
+            labels.join(nbr, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        l2 = stepped.select(
+            F.col("node").alias("p_node"), F.col("label").alias("p_label")
+        )
+        labels = (
+            stepped.join(l2, stepped["label"] == l2["p_node"])
+            .select("node", F.col("p_label").alias("label"))
+            .localCheckpoint()
+        )
+    return labels.select("node", F.col("label").alias("component"))

@@ -950,6 +950,42 @@ def n7_pagerank(spark, sf_dir):
 
 
 @query(
+    "n7_connected_components",
+    group="N7",
+    doc="Connected components via hash-min label propagation WITH pointer "
+        "jumping (functions/graph.py:connected_components): each round a "
+        "neighbor-min step extends reach by one hop, then L(v) <- L(L(v)) "
+        "squares it, so 4 rounds close the planted chain clusters of 8 "
+        "(O(diameter) rounds without the jump — the difference that "
+        "matters on a chain-shaped web graph). Both engines derive the "
+        "same arithmetic edge set (doc i -> i+1 inside each 8-block), and "
+        "the converged component id is the block base — exact integers, "
+        "hash-checked with no tolerance. Isolated tail nodes are seeded "
+        "from the node table, not the edge list.",
+    oracle="""
+        SELECT doc_id AS node,
+               doc_id - doc_id % 8 AS component
+        FROM documents
+    """,
+)
+def n7_connected_components(spark, sf_dir):
+    from hiero_spark.functions.graph import connected_components
+
+    docs = t(spark, sf_dir, "documents")
+    mx = docs.agg(F.max("doc_id")).collect()[0][0]
+    edges = (
+        docs.filter((F.col("doc_id") % 8 != 7) & (F.col("doc_id") < mx))
+        .select(
+            F.col("doc_id").alias("src"),
+            (F.col("doc_id") + 1).alias("dst"),
+        )
+    )
+    return connected_components(
+        edges, nodes=docs.select(F.col("doc_id").alias("node")), n_iter=4
+    )
+
+
+@query(
     "n6_mixture_apply",
     group="N6",
     doc="Mixture weights APPLIED: alpha-tempered per-source weights "

@@ -477,6 +477,51 @@ def n2_centroid_outliers(spark, sf_dir):
 
 
 @query(
+    "ext_ohlc_downsample",
+    group="ext-window",
+    doc="OHLC / candlestick downsample: per (event_type, hour) bucket, "
+        "open/close are the cents values at the min/max event_id in the "
+        "bucket (event_id is the unique total order, so min_by/max_by "
+        "are deterministic picks — never a double tiebreak), high/low "
+        "are min/max, volume is an exact long cents sum. Hour bucket is "
+        "integer epoch-micros DIV — both engines truncate positive "
+        "division identically. The whole result is exact longs: the "
+        "downsample a monitoring UI or feature pipeline runs over raw "
+        "event streams, in ONE partial+final aggregation (min_by/max_by "
+        "are mergeable monoids, same shape as every sketch).",
+    oracle="""
+        SELECT event_type,
+               CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour_bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               arg_min(CAST(ROUND(value * 100, 0) AS BIGINT), event_id) AS open_cents,
+               MAX(CAST(ROUND(value * 100, 0) AS BIGINT)) AS high_cents,
+               MIN(CAST(ROUND(value * 100, 0) AS BIGINT)) AS low_cents,
+               arg_max(CAST(ROUND(value * 100, 0) AS BIGINT), event_id) AS close_cents,
+               CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS volume_cents
+        FROM events
+        GROUP BY event_type, hour_bucket
+    """,
+)
+def ext_ohlc_downsample(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    bucketed = ev.select(
+        "event_type",
+        F.expr("unix_micros(ts) DIV 3600000000").alias("hour_bucket"),
+        cents.alias("cents"),
+        "event_id",
+    )
+    return bucketed.groupBy("event_type", "hour_bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.min_by("cents", "event_id").alias("open_cents"),
+        F.max("cents").alias("high_cents"),
+        F.min("cents").alias("low_cents"),
+        F.max_by("cents", "event_id").alias("close_cents"),
+        F.sum("cents").alias("volume_cents"),
+    )
+
+
+@query(
     "ext_time_weighted_avg",
     group="ext-window",
     doc="Time-weighted average value per event type (the TWAP shape): "

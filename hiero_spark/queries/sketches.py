@@ -812,3 +812,60 @@ def a8_count_min_verdict(spark, sf_dir):
         )
         .orderBy(F.desc("exact_cnt"), F.asc("o_custkey"))
     )
+
+
+@query(
+    "a10_hll_intersection_verdict",
+    group="A10",
+    doc="Sketch set-algebra: |A intersect B| estimated by "
+        "inclusion-exclusion over mergeable HLL sketches (est_A + est_B "
+        "- est_union, the union estimated by hll_union_agg over the two "
+        "PERSISTED per-set sketches — no rescan of either set). A/B are "
+        "the distinct customer sets before/after 1995-01-01; they "
+        "overlap heavily, which is the regime where inclusion-exclusion "
+        "is tight. Anchors are the three exact counts; the boolean "
+        "bounds the estimated intersection within 15% of exact (lgK=12 "
+        "rsd ~1.6%, amplified ~3x by the subtraction).",
+    oracle="""
+        SELECT
+          CAST((SELECT COUNT(DISTINCT o_custkey) FROM orders
+                WHERE o_orderdate < DATE '1995-01-01') AS BIGINT) AS n_a,
+          CAST((SELECT COUNT(DISTINCT o_custkey) FROM orders
+                WHERE o_orderdate >= DATE '1995-01-01') AS BIGINT) AS n_b,
+          CAST((SELECT COUNT(*) FROM (
+                SELECT o_custkey FROM orders WHERE o_orderdate < DATE '1995-01-01'
+                INTERSECT
+                SELECT o_custkey FROM orders WHERE o_orderdate >= DATE '1995-01-01'
+          )) AS BIGINT) AS n_inter,
+          TRUE AS inter_within_15pct
+    """,
+)
+def a10_hll_intersection_verdict(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders")
+    split = F.col("o_orderdate") < F.lit("1995-01-01").cast("date")
+    a, b = orders.filter(split), orders.filter(~split)
+    sk_a = a.agg(F.hll_sketch_agg("o_custkey").alias("hll"),
+                 F.count_distinct("o_custkey").cast("long").alias("n"))
+    sk_b = b.agg(F.hll_sketch_agg("o_custkey").alias("hll"),
+                 F.count_distinct("o_custkey").cast("long").alias("n"))
+    merged = sk_a.unionByName(sk_b).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("hll")).alias("est_u"),
+        F.sum(F.hll_sketch_estimate("hll")).alias("est_ab"),
+        F.sum("n").alias("_"),
+    )
+    exact_inter = (
+        a.select("o_custkey").intersect(b.select("o_custkey"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    )
+    counts = (
+        sk_a.select(F.col("n").alias("n_a"))
+        .crossJoin(sk_b.select(F.col("n").alias("n_b")))
+        .crossJoin(exact_inter)
+        .crossJoin(merged.select("est_u", "est_ab"))
+    )
+    est_inter = F.col("est_ab") - F.col("est_u")
+    return counts.select(
+        "n_a", "n_b", "n_inter",
+        (F.abs(est_inter - F.col("n_inter"))
+         <= 0.15 * F.col("n_inter")).alias("inter_within_15pct"),
+    )

@@ -34,3 +34,44 @@ def test_rank_mass_reasonable(spark):
     got = {r["node"]: r["rank_micro"] for r in pagerank(_edges(spark, pairs)).collect()}
     assert all(v >= 150000 for v in got.values())
     assert got[0] > 10 * 150000  # the hub collects the mass
+
+
+# --- connected components (round-8 continuation) ------------------------
+
+
+def test_cc_ring_and_bridge(spark):
+    """Two 6-rings bridged by one edge collapse to ONE component labeled
+    by the global min."""
+    from hiero_spark.functions.graph import connected_components
+
+    ring1 = [(i, (i + 1) % 6) for i in range(6)]            # 0..5
+    ring2 = [(10 + i, 10 + (i + 1) % 6) for i in range(6)]  # 10..15
+    edges = spark.createDataFrame(ring1 + ring2 + [(3, 12)], "src long, dst long")
+    cc = connected_components(edges, n_iter=4)
+    comps = {r.node: r.component for r in cc.collect()}
+    assert set(comps.values()) == {0}
+    assert len(comps) == 12
+
+
+def test_cc_isolated_nodes_need_node_seed(spark):
+    from hiero_spark.functions.graph import connected_components
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    nodes = spark.createDataFrame([(1,), (2,), (99,)], "node long")
+    cc = connected_components(edges, nodes=nodes, n_iter=2)
+    comps = {r.node: r.component for r in cc.collect()}
+    assert comps == {1: 1, 2: 1, 99: 99}
+    # without the seed, 99 is invisible
+    assert connected_components(edges, n_iter=2).count() == 2
+
+
+def test_cc_pointer_jump_beats_linear_propagation(spark):
+    """A 32-chain closes in 5 rounds with the jump; plain neighbor-min
+    alone would need 31."""
+    from hiero_spark.functions.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(31)], "src long, dst long"
+    )
+    cc = connected_components(edges, n_iter=5)
+    assert {r.component for r in cc.collect()} == {0}

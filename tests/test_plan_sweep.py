@@ -44,6 +44,7 @@ BNLJ_ALLOWED = {
     "n5_curation_funnel": "scalar broadcast: 1-row gate-counts x 1-row dedup-stage combine",
     "n7_triangle_count": "scalar broadcast: 1-row triangle x edge x node count combines",
     "n1_minhash_star_verdict": "scalar broadcast: 1-row hot-cluster size/min-id combine",
+    "a10_hll_intersection_verdict": "scalar broadcast: 1-row sketch-estimate combines",
 }
 
 _SPECS = all_queries()

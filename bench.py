@@ -664,6 +664,15 @@ def main() -> None:
         "n1_jaccard_join_hashed",
         "s17_incremental_quantiles",
         "n6_weighted_sample_grouped",
+        # round 8 additions
+        "n3_spectral_features",
+        "n3_scene_cuts",
+        "a8_count_min_verdict",
+        "n7_connected_components",
+        "ext_ohlc_downsample",
+        "a10_hll_intersection_verdict",
+        "n2_hybrid_rrf",
+        "n1_minhash_star_verdict",
     ]
 
     def run_r6_ops(data_dir: str) -> dict[str, float]:

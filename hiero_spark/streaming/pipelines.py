@@ -483,3 +483,39 @@ def text_index_stream_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def ohlc_stream(
+    events: DataFrame, window: str = "1 hour", watermark: str = "1 hour"
+) -> DataFrame:
+    """X17: streaming candlesticks — the streaming twin of the batch
+    ext_ohlc_downsample query (queries/retrieval.py).
+
+    min_by/max_by are declarative aggregates with mergeable partial
+    state (argmin/argmax pairs), so each micro-batch folds its partial
+    OHLC into the windowed state exactly like count/sum — no custom
+    stateful operator needed. open/close pick cents at the min/max
+    event_id (the unique total order — never a double tiebreak), all
+    values are exact long cents, and state is one small row per
+    (event_type, window) inside the watermark horizon.
+    """
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    return (
+        events.withWatermark("ts", watermark)
+        .select("event_type", "ts", "event_id", cents.alias("cents"))
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.min_by("cents", "event_id").alias("open_cents"),
+            F.max("cents").alias("high_cents"),
+            F.min("cents").alias("low_cents"),
+            F.max_by("cents", "event_id").alias("close_cents"),
+            F.sum("cents").alias("volume_cents"),
+        )
+        .select(
+            "event_type",
+            F.unix_timestamp(F.col("w.start")).alias("bucket_ts"),
+            "n_events", "open_cents", "high_cents", "low_cents",
+            "close_cents", "volume_cents",
+        )
+    )

@@ -679,3 +679,43 @@ def test_streaming_text_index_maintenance_equals_rebuild(spark, tmp_path):
     got, expected = probes(idx), probes(rebuild2)
     assert got == expected
     assert len(got[0]) == 4 and len(got[1]) >= 1  # ranking actually moved
+
+
+def test_streaming_ohlc_matches_batch(spark, sf_dir, events_stream):
+    """X17: streaming candlesticks (min_by/max_by as mergeable windowed
+    aggregates) must equal the batch OHLC per closed window, exactly —
+    long cents, no tolerance."""
+    pl.run_to_memory(pl.ohlc_stream(events_stream), "t_ohlc", output_mode="append")
+    got = {
+        (r["event_type"], r["bucket_ts"]): (
+            r["n_events"], r["open_cents"], r["high_cents"],
+            r["low_cents"], r["close_cents"], r["volume_cents"],
+        )
+        for r in spark.table("t_ohlc").collect()
+    }
+    ev = _batch_events(spark, sf_dir)
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    batch = (
+        ev.select(
+            "event_type", "ts", "event_id", cents.alias("cents")
+        )
+        .groupBy(
+            "event_type",
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("bucket_ts"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min_by("cents", "event_id").alias("o"),
+            F.max("cents").alias("h"),
+            F.min("cents").alias("l"),
+            F.max_by("cents", "event_id").alias("c"),
+            F.sum("cents").alias("v"),
+        )
+    )
+    expected = {
+        (r["event_type"], r["bucket_ts"]): (r["n"], r["o"], r["h"], r["l"], r["c"], r["v"])
+        for r in batch.collect()
+    }
+    assert set(got) <= set(expected)      # append emits only closed windows
+    assert all(got[k] == expected[k] for k in got)
+    assert len(got) / len(expected) > 0.8

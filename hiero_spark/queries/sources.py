@@ -546,3 +546,59 @@ def s11_prefix_pruned_read(spark, sf_dir):
     return out.select(
         "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
     )
+
+
+@query(
+    "s19_time_travel",
+    group="S19",
+    doc="Snapshot-versioned table (sources/versioned.py): commit v0 = "
+        "orders with o_orderkey % 3 = 0, append v1 adding the % 3 = 1 "
+        "rows, then answer from the MANIFESTS — per-version row counts "
+        "via time-travel reads (v0 is re-read AFTER the append and must "
+        "still be its original self: immutable files + manifest "
+        "pinning), and v1's added-row count via version_diff, which "
+        "scans ONLY the delta commit's files (inputFiles-pinned in "
+        "tests). The oracle recomputes all three numbers from the "
+        "source table.",
+    oracle="""
+        SELECT 0 AS version,
+               CAST(SUM(CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_added
+        FROM orders
+        UNION ALL
+        SELECT 1 AS version,
+               CAST(SUM(CASE WHEN o_orderkey % 3 <= 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN o_orderkey % 3 = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_added
+        FROM orders
+    """,
+)
+def s19_time_travel(spark, sf_dir):
+    import shutil
+
+    from hiero_spark.sources import versioned as V
+
+    path = _export_dir("orders_versioned")
+    shutil.rmtree(path, ignore_errors=True)
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    V.commit_version(orders.filter(F.col("o_orderkey") % 3 == 0), path, "append")
+    V.commit_version(orders.filter(F.col("o_orderkey") % 3 == 1), path, "append")
+    n0 = V.read_version(spark, path, 0).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    )
+    n1 = V.read_version(spark, path, 1).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    )
+    added = (
+        V.version_diff(spark, path, 0, 1, "o_orderkey")
+        .filter(F.col("change") == "added")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_added"))
+    )
+    row0 = n0.select(
+        F.lit(0).alias("version"), "n_rows", F.col("n_rows").alias("n_added")
+    )
+    row1 = n1.crossJoin(added).select(F.lit(1).alias("version"), "n_rows", "n_added")
+    return row0.unionByName(row1)

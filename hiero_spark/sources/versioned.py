@@ -1,0 +1,176 @@
+"""Snapshot-versioned parquet tables: manifest-pinned time travel,
+append/overwrite commits, O(changed files) version diff, and vacuum.
+
+The core idea every table format (Delta/Iceberg/Hudi) shares, reduced to
+its engine-relevant essence: data files are IMMUTABLE once written, and a
+version is nothing but a manifest — a JSON list of the files that make it
+up.  Commits write new files into a fresh `data/c{N}/` directory and a
+new manifest that either extends (append) or replaces (overwrite) the
+previous file list.  Reading version V plans a scan over exactly V's
+files; no other file is opened, so historical reads are byte-stable
+forever and cost nothing extra to keep.
+
+Scale contract:
+
+* commit cost is O(new data) — previous files are referenced, never
+  rewritten or copied;
+* `version_diff` reads ONLY the symmetric difference of the two
+  manifests' file lists (for append-style histories that is the delta,
+  not the table) — asserted via `inputFiles()` in tests;
+* `vacuum` is metadata-driven: a file is deletable iff no retained
+  manifest references it — one set difference over file name lists, no
+  data read;
+* manifests are a few KB per version; the driver never holds file
+  CONTENTS, only names.
+
+Single-writer by design: production formats add an atomic
+commit protocol (rename-if-absent / optimistic retry on the manifest
+counter) for concurrent writers; this module documents that seam rather
+than simulating it — the engine-side mechanics (immutability, manifest
+planning, pruned diffs) are what the queries exercise.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _manifest_dir(path: str) -> str:
+    return os.path.join(path, "_manifest")
+
+
+def _manifest_path(path: str, version: int) -> str:
+    return os.path.join(_manifest_dir(path), f"v{version:05d}.json")
+
+
+def list_versions(path: str) -> list[int]:
+    """Retained version numbers, ascending (vacuum may trim the head)."""
+    return sorted(
+        int(os.path.basename(p)[1:-5])
+        for p in _glob.glob(os.path.join(_manifest_dir(path), "v*.json"))
+    )
+
+
+def _load_manifest(path: str, version: int) -> dict:
+    mp = _manifest_path(path, version)
+    if not os.path.exists(mp):
+        raise FileNotFoundError(
+            f"version {version} of {path} does not exist "
+            f"(retained: {list_versions(path)})"
+        )
+    with open(mp) as fh:
+        return json.load(fh)
+
+
+def commit_version(df: DataFrame, path: str, mode: str = "append") -> dict:
+    """Write `df` as a new version of the table at `path`.
+
+    mode="append" extends the previous manifest's file list;
+    mode="overwrite" starts a fresh list.  Either way the new data
+    lands in its own `data/c{N}/` directory and every pre-existing
+    file is left untouched (immutability is what makes time travel
+    free).  Returns the new manifest dict.
+    """
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    versions = list_versions(path)
+    new_v = (versions[-1] + 1) if versions else 0
+    commit_dir = os.path.join("data", f"c{new_v:05d}")
+    df.write.mode("error").parquet(os.path.join(path, commit_dir))
+    new_files = sorted(
+        os.path.join(commit_dir, os.path.basename(f))
+        for f in _glob.glob(os.path.join(path, commit_dir, "part-*.parquet"))
+    )
+    prev_files: list[str] = []
+    if versions and mode == "append":
+        prev_files = _load_manifest(path, versions[-1])["files"]
+    manifest = {
+        "version": new_v,
+        "op": mode if versions else "create",
+        "files": prev_files + new_files,
+        "n_files": len(prev_files) + len(new_files),
+    }
+    os.makedirs(_manifest_dir(path), exist_ok=True)
+    with open(_manifest_path(path, new_v), "w") as fh:
+        json.dump(manifest, fh, indent=1)
+    return manifest
+
+
+def read_version(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Scan exactly the files of `version` (latest when None)."""
+    if version is None:
+        versions = list_versions(path)
+        if not versions:
+            raise FileNotFoundError(f"no versions at {path}")
+        version = versions[-1]
+    manifest = _load_manifest(path, version)
+    files = [os.path.join(path, f) for f in manifest["files"]]
+    return spark.read.parquet(*files)
+
+
+def version_diff(
+    spark: SparkSession, path: str, v_old: int, v_new: int, id_col: str
+) -> DataFrame:
+    """(id, change) rows between two versions: 'added' / 'removed'.
+
+    Scans ONLY the symmetric difference of the two manifests' file
+    lists: files present in both versions are identical by
+    immutability, so their rows cannot differ and are never read.  For
+    an append-only history this makes the diff O(delta), not O(table).
+    Rows are matched by `id_col` (the table key); a key present in
+    both exclusive sides (an overwrite that re-wrote some rows) nets
+    out via an anti-join each way.
+    """
+    from pyspark.sql import functions as F
+
+    old_files = set(_load_manifest(path, v_old)["files"])
+    new_files = set(_load_manifest(path, v_new)["files"])
+    only_old = [os.path.join(path, f) for f in sorted(old_files - new_files)]
+    only_new = [os.path.join(path, f) for f in sorted(new_files - old_files)]
+    schema = read_version(spark, path, v_new).schema
+    empty = spark.createDataFrame([], schema)
+    old_df = spark.read.parquet(*only_old) if only_old else empty
+    new_df = spark.read.parquet(*only_new) if only_new else empty
+    added = new_df.join(old_df, id_col, "left_anti").select(
+        F.col(id_col), F.lit("added").alias("change")
+    )
+    removed = old_df.join(new_df, id_col, "left_anti").select(
+        F.col(id_col), F.lit("removed").alias("change")
+    )
+    return added.unionByName(removed)
+
+
+def vacuum(path: str, keep_last: int = 2) -> dict:
+    """Delete data files referenced by NO retained manifest, and the
+    manifests older than the last `keep_last`.  Metadata-only decision:
+    one set difference over file-name lists.  Returns the audit dict
+    {versions_kept, versions_dropped, files_deleted, files_kept}."""
+    versions = list_versions(path)
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    kept_vs = versions[-keep_last:]
+    dropped_vs = versions[: -keep_last] if len(versions) > keep_last else []
+    referenced: set[str] = set()
+    for v in kept_vs:
+        referenced.update(_load_manifest(path, v)["files"])
+    all_files = {
+        os.path.relpath(f, path)
+        for f in _glob.glob(os.path.join(path, "data", "c*", "part-*.parquet"))
+    }
+    doomed = sorted(all_files - referenced)
+    for rel in doomed:
+        os.remove(os.path.join(path, rel))
+    for v in dropped_vs:
+        os.remove(_manifest_path(path, v))
+    return {
+        "versions_kept": kept_vs,
+        "versions_dropped": dropped_vs,
+        "files_deleted": len(doomed),
+        "files_kept": len(all_files) - len(doomed),
+    }

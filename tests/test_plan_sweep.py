@@ -45,6 +45,7 @@ BNLJ_ALLOWED = {
     "n7_triangle_count": "scalar broadcast: 1-row triangle x edge x node count combines",
     "n1_minhash_star_verdict": "scalar broadcast: 1-row hot-cluster size/min-id combine",
     "a10_hll_intersection_verdict": "scalar broadcast: 1-row sketch-estimate combines",
+    "s19_time_travel": "scalar broadcast: 1-row per-version count combines",
 }
 
 _SPECS = all_queries()

@@ -1,0 +1,88 @@
+"""Snapshot-versioned tables: time travel, O(delta) diff, vacuum."""
+
+import os
+
+import pytest
+
+from hiero_spark.sources import versioned as V
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    v0 = spark.range(10).selectExpr("id", "id * 2 AS val")
+    m = V.commit_version(v0, path, mode="append")
+    assert m["version"] == 0 and m["op"] == "create"
+    return path
+
+
+def test_append_and_time_travel(spark, table):
+    before = V.read_version(spark, table, 0).orderBy("id").collect()
+    V.commit_version(
+        spark.range(10, 15).selectExpr("id", "id * 2 AS val"), table, "append"
+    )
+    assert V.list_versions(table) == [0, 1]
+    assert V.read_version(spark, table).count() == 15        # latest
+    assert V.read_version(spark, table, 0).count() == 10     # travel
+    # v0 is byte-stable: same rows after the append
+    assert V.read_version(spark, table, 0).orderBy("id").collect() == before
+
+
+def test_overwrite_starts_fresh_but_keeps_history(spark, table):
+    V.commit_version(spark.range(3).selectExpr("id", "id AS val"), table, "overwrite")
+    assert V.read_version(spark, table).count() == 3
+    assert V.read_version(spark, table, 0).count() == 10
+
+
+def test_diff_reads_only_delta_files(spark, table):
+    V.commit_version(
+        spark.range(10, 15).selectExpr("id", "id * 2 AS val"), table, "append"
+    )
+    diff = V.version_diff(spark, table, 0, 1, "id")
+    got = {(r.id, r.change) for r in diff.collect()}
+    assert got == {(i, "added") for i in range(10, 15)}
+    # the scan planned ONLY the delta commit's files
+    assert all("/c00001/" in f for f in diff.inputFiles())
+
+
+def test_diff_overwrite_nets_out_common_rows(spark, table):
+    # overwrite keeps ids 5..9 (rewritten) and adds 10..11; drops 0..4
+    V.commit_version(
+        spark.range(5, 12).selectExpr("id", "id * 2 AS val"), table, "overwrite"
+    )
+    got = {(r.id, r.change) for r in V.version_diff(spark, table, 0, 1, "id").collect()}
+    assert got == {(i, "added") for i in (10, 11)} | {
+        (i, "removed") for i in range(5)
+    }
+
+
+def test_vacuum_deletes_only_unreferenced(spark, table):
+    V.commit_version(spark.range(3).selectExpr("id", "id AS val"), table, "overwrite")
+    V.commit_version(
+        spark.range(3, 6).selectExpr("id", "id AS val"), table, "append"
+    )
+    # keep v1+v2: v0's files are referenced by NOTHING retained
+    audit = V.vacuum(table, keep_last=2)
+    assert audit["versions_kept"] == [1, 2]
+    assert audit["files_deleted"] > 0
+    assert V.read_version(spark, table).count() == 6
+    assert V.read_version(spark, table, 1).count() == 3
+    with pytest.raises(FileNotFoundError):
+        V.read_version(spark, table, 0)
+
+
+def test_vacuum_keeps_append_chain_alive(spark, table):
+    V.commit_version(
+        spark.range(10, 15).selectExpr("id", "id * 2 AS val"), table, "append"
+    )
+    # v1 references v0's files, so keep_last=1 must NOT delete them
+    audit = V.vacuum(table, keep_last=1)
+    assert audit["files_deleted"] == 0
+    assert V.read_version(spark, table, 1).count() == 15
+
+
+def test_bad_inputs(spark, table):
+    with pytest.raises(ValueError):
+        V.commit_version(spark.range(1), table, mode="merge")
+    with pytest.raises(FileNotFoundError):
+        V.read_version(spark, table, 99)

@@ -673,6 +673,8 @@ def main() -> None:
         "a10_hll_intersection_verdict",
         "n2_hybrid_rrf",
         "n1_minhash_star_verdict",
+        "s20_bloom_pruned_read",
+        "n2_mmr_diversify",
     ]
 
     def run_r6_ops(data_dir: str) -> dict[str, float]:

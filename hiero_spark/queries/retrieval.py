@@ -800,3 +800,32 @@ def n6_weighted_sample_grouped(spark, sf_dir):
         t(spark, sf_dir, "documents"), k_per_group=10, group_col="source",
         weight_col="n_chars", order_col="doc_id",
     )
+
+
+from hiero_spark.functions.mmr import mmr_oracle_sql as _mmr_oracle
+
+
+@query(
+    "n2_mmr_diversify",
+    group="N2",
+    doc="MMR diversified retrieval (functions/mmr.py:mmr_diversify): "
+        "greedy lambda-weighted relevance-minus-redundancy top-k, the "
+        "standard RAG/retrieval diversifier. Corpus-wide work is ONE "
+        "broadcast scoring scan + per-query top-24 window (batch-ANN "
+        "shape); the inherently-sequential k-step greedy runs inside "
+        "one Arrow batch per query over the 24 survivors. Integer "
+        "micro-unit dots and the (7,3)/10 lambda make every score an "
+        "exact long; the oracle is the greedy UNROLLED into k chained "
+        "CTEs (recursive CTEs disallow aggregates in the recursive "
+        "term), hash-checked with no tolerance.",
+    oracle=_mmr_oracle(n_queries=4, n_candidates=24, k=8),
+)
+def n2_mmr_diversify(spark, sf_dir):
+    from hiero_spark.functions.mmr import mmr_diversify
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return mmr_diversify(emb, queries, n_candidates=24, k=8)

@@ -524,7 +524,7 @@ def s17_incremental_agg(spark, sf_dir):
         "(sources/layout.py:read_prefix_pruned): documents land sorted "
         "by source into 8 files, a LIKE 'src3%' read prunes to the "
         "files whose footer [min,max] name-range intersects "
-        "[prefix, prefix+U+FFFF] — the string twin of the Z-order "
+        "[prefix, succ(prefix)) — the string twin of the Z-order "
         "numeric path (a test pins that files are actually skipped).",
     oracle="""
         SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
@@ -602,3 +602,36 @@ def s19_time_travel(spark, sf_dir):
     )
     row1 = n1.crossJoin(added).select(F.lit(1).alias("version"), "n_rows", "n_added")
     return row0.unionByName(row1)
+
+
+@query(
+    "s20_bloom_pruned_read",
+    group="S20",
+    doc="Bloom-sidecar file skipping "
+        "(sources/layout.py:save_bloom_indexed/read_bloom_pruned): "
+        "documents land in 16 key-hashed file groups, each with a Bloom "
+        "bitmap over its doc_ids in a _blooms.json sidecar; an equality "
+        "lookup probes the bitmaps and reads ONLY the 'maybe' groups — "
+        "the equality complement of the sorted-layout footer-stats "
+        "pruners (works on ANY layout, like Parquet bloom pages / "
+        "Iceberg puffin). No false negatives by construction; the exact "
+        "predicate still runs after pruning. Tests pin the strict-subset "
+        "scan; here three point lookups are hash-verified.",
+    oracle="""
+        SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+        FROM documents WHERE doc_id IN (7, 123, 321)
+    """,
+)
+def s20_bloom_pruned_read(spark, sf_dir):
+    from hiero_spark.sources import layout
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    path = _export_dir("docs_bloom_indexed")
+    layout.save_bloom_indexed(spark, docs, path, "doc_id", n_files=16)
+    parts = [layout.read_bloom_pruned(spark, path, k) for k in (7, 123, 321)]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
+    )

@@ -32,6 +32,7 @@ a 2-D rectangle that a single-column sort layout reads 16/16 for
 from __future__ import annotations
 
 import glob as _glob
+import os
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
@@ -335,3 +336,121 @@ def read_prefix_pruned(
     if not kept:
         return spark.read.parquet(path).limit(0).filter(F.lit(False))
     return spark.read.parquet(*kept).filter(F.col(col).startswith(prefix))
+
+
+# --- Bloom-filter file skipping (round-8 continuation) -------------------
+
+
+def save_bloom_indexed(
+    spark: SparkSession,
+    df,
+    path: str,
+    key_col: str,
+    n_files: int = 16,
+    m_bits: int = 1 << 16,
+    n_hashes: int = 3,
+) -> dict:
+    """Write `df` in `n_files` key-hashed file groups, each carrying a
+    Bloom bitmap over its keys in a `_blooms.json` sidecar.
+
+    The footer-stats pruners above (numeric range, string prefix) need
+    the layout SORTED on the predicate column; a Bloom sidecar is the
+    equality-predicate complement that works on ANY layout — the same
+    role as Parquet's optional bloom_filter pages or Iceberg's puffin
+    files, vendored here as explicit metadata.
+
+    Build is one distributed pass: every key explodes its k bit
+    positions tagged with its file group, then ONE groupBy((grp, word))
+    bit_or — partial aggregation ORs words map-side, so the shuffle is
+    O(n_files x m_bits/64) words regardless of row count. The sidecar
+    holds hex-encoded words only for non-zero positions (sparse).
+
+    Probing (`read_bloom_pruned`) needs the identical hash family; the
+    positions column expression is shared, and the probe computes the
+    literal's positions through the SAME JVM expression (a 1-row
+    select), never a Python reimplementation that could drift.
+    """
+    import json as _json
+
+    grp = F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_files))
+    (
+        df.withColumn("_grp", grp)
+        .repartition(n_files, "_grp")
+        .write.mode("overwrite")
+        .partitionBy("_grp")
+        .parquet(path)
+    )
+    from hiero_spark.functions.bloom import _positions
+
+    words = (
+        df.select(
+            grp.alias("g"),
+            F.explode(_positions(F.col(key_col), m_bits, n_hashes)).alias("p"),
+        )
+        .select(
+            "g",
+            F.shiftright("p", 6).alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").alias("b"),
+        )
+        .groupBy("g", "w")
+        .agg(F.bit_or("b").alias("word"))
+        .collect()
+    )
+    blooms: dict[str, dict[str, str]] = {}
+    for r in words:
+        blooms.setdefault(str(r["g"]), {})[str(r["w"])] = format(
+            r["word"] & 0xFFFFFFFFFFFFFFFF, "x"
+        )
+    sidecar = {
+        "key_col": key_col,
+        "n_files": n_files,
+        "m_bits": m_bits,
+        "n_hashes": n_hashes,
+        "blooms": blooms,
+    }
+    with open(os.path.join(path, "_blooms.json"), "w") as fh:
+        _json.dump(sidecar, fh)
+    return sidecar
+
+
+def read_bloom_pruned(spark: SparkSession, path: str, value) -> DataFrame:
+    """Equality lookup bounded by the Bloom sidecar: read ONLY the file
+    groups whose bitmap reports 'maybe' for `value`, then apply the
+    exact predicate (no false negatives => pruning never loses a row;
+    false positives only cost extra I/O).  For a point lookup the
+    expected survivor count is 1 + (n_files-1) x fp_rate.
+
+    The probe literal is cast to the stored key column's exact type
+    before hashing: xxhash64 is type-sensitive (INT 7 and BIGINT 7
+    hash differently), so an uncast Python int probing a BIGINT column
+    would silently miss every group — a false negative the cast rules
+    out by making the probe expression identical to the build's."""
+    import json as _json
+
+    with open(os.path.join(path, "_blooms.json")) as fh:
+        sc = _json.load(fh)
+    from hiero_spark.functions.bloom import _positions
+
+    key_col, m_bits, n_hashes = sc["key_col"], sc["m_bits"], sc["n_hashes"]
+    base = spark.read.parquet(path)
+    key_type = base.schema[key_col].dataType
+    lit = F.lit(value).cast(key_type)
+    pos_row = spark.range(1).select(
+        _positions(lit, m_bits, n_hashes).alias("p")
+    ).collect()[0]["p"]
+    survivors = []
+    for g, wordmap in sc["blooms"].items():
+        hit = True
+        for p in pos_row:
+            word = int(wordmap.get(str(p >> 6), "0"), 16)
+            if not (word >> (p & 63)) & 1:
+                hit = False
+                break
+        if hit:
+            survivors.append(int(g))
+    if not survivors:
+        return base.limit(0).filter(F.lit(False))
+    pruned = spark.read.option("basePath", path).parquet(
+        *[os.path.join(path, f"_grp={g}") for g in sorted(survivors)]
+    )
+    return pruned.filter(F.col(key_col) == lit).drop("_grp")

@@ -46,6 +46,7 @@ BNLJ_ALLOWED = {
     "n1_minhash_star_verdict": "scalar broadcast: 1-row hot-cluster size/min-id combine",
     "a10_hll_intersection_verdict": "scalar broadcast: 1-row sketch-estimate combines",
     "s19_time_travel": "scalar broadcast: 1-row per-version count combines",
+    "n2_mmr_diversify": "intended broadcast fan-out of the bounded query set (batch-ANN shape)",
 }
 
 _SPECS = all_queries()

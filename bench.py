@@ -675,6 +675,9 @@ def main() -> None:
         "n1_minhash_star_verdict",
         "s20_bloom_pruned_read",
         "n2_mmr_diversify",
+        "n4_pmi_collocations",
+        "ext_seasonal_decompose",
+        "ext_top_journeys",
     ]
 
     def run_r6_ops(data_dir: str) -> dict[str, float]:

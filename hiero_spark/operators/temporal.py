@@ -377,3 +377,81 @@ def rolling_distinct(
         fanned.groupBy(key_col, "bucket_ts")
         .agg(F.count_distinct("e").alias("n_distinct"))
     )
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    half_window: int = 12,
+    period: int = 24,
+) -> DataFrame:
+    """Classical additive decomposition of an hourly series into
+    trend + seasonal + residual — the moving-average core of STL,
+    in EXACT long arithmetic so the whole table hash-checks.
+
+    Steps (per key):
+      1. hourly cents sums (integer hour buckets, epoch-us DIV 3600e6);
+      2. trend = centered moving average over RANGE +/-`half_window`
+         hour buckets (25 points at the default) — RANGE, not ROWS, so
+         gaps in the series can't de-center the window; only FULL
+         windows survive (edge trim, documented);
+      3. seasonal = per hour-of-day mean of the detrended series;
+      4. residual = detrended - seasonal.
+
+    Exactness: divisions would leave the integer ring, so every series
+    is carried SCALED — detrend_xw = w*cents - trend_sum where
+    w = 2*half_window+1, and the per-phase seasonal mean divides with
+    DIV (both engines truncate toward zero, the pinned dialect fact).
+
+    Scale shape: one partial+final hourly aggregation, then windows
+    partitioned by key over O(hours) rows — the window input is the
+    DOWNSAMPLED series (8.8k rows/key/year), never raw events, so a
+    key's whole window history fits one task at any corpus size; more
+    keys = more parallelism.
+    """
+    w = 2 * half_window + 1
+    cents = F.round(F.col(value_col) * 100, 0).cast("long")
+    hourly = (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.expr(f"unix_micros({ts_col}) DIV 3600000000").alias("hb"),
+            cents.alias("c"),
+        )
+        .groupBy("key", "hb")
+        .agg(F.sum("c").alias("cents"))
+    )
+    win = (
+        Window.partitionBy("key").orderBy("hb").rangeBetween(-half_window, half_window)
+    )
+    trended = hourly.select(
+        "key",
+        "hb",
+        "cents",
+        F.sum("cents").over(win).alias("trend_sum"),
+        F.count(F.lit(1)).over(win).alias("n_win"),
+    ).filter(F.col("n_win") == w)
+    det = trended.select(
+        "key",
+        "hb",
+        "cents",
+        F.col("trend_sum").alias(f"trend_sum{w}"),
+        (F.lit(w) * F.col("cents") - F.col("trend_sum")).alias("detrend_xw"),
+        F.pmod(F.col("hb"), F.lit(period)).alias("phase"),
+    )
+    seas = det.groupBy("key", "phase").agg(
+        F.expr("sum(detrend_xw) DIV count(*)").alias("seasonal_xw")
+    )
+    return (
+        det.join(seas, ["key", "phase"])
+        .select(
+            F.col("key").alias(key_col),
+            F.col("hb").alias("hour_bucket"),
+            "cents",
+            f"trend_sum{w}",
+            F.col("detrend_xw").alias(f"detrend_x{w}"),
+            F.col("seasonal_xw").alias(f"seasonal_x{w}"),
+            (F.col("detrend_xw") - F.col("seasonal_xw")).alias(f"residual_x{w}"),
+        )
+    )

@@ -829,3 +829,129 @@ def n2_mmr_diversify(spark, sf_dir):
         F.col("embedding").alias("query_vec"),
     )
     return mmr_diversify(emb, queries, n_candidates=24, k=8)
+
+
+from hiero_spark.functions.collocations import pmi_oracle_sql as _pmi_oracle
+
+
+@query(
+    "n4_pmi_collocations",
+    group="N4",
+    doc="PMI collocation mining (functions/collocations.py): top-50 "
+        "adjacent bigrams by pointwise mutual information among pairs "
+        "seen >= 5 times. ONE explode into a Zipf-compressed (w1, w2) "
+        "count shuffle; unigram margins are group-bys over the bigram "
+        "count table (never a second corpus scan); log is monotone so "
+        "the rank key is the exact integer cross-ratio "
+        "c_xy*N*1e6 DIV (c_x*c_y) — both engines truncate toward zero, "
+        "so scores hash-match with no tolerance; final top-k is "
+        "TakeOrdered.",
+    oracle=_pmi_oracle(min_count=5, k=50),
+)
+def n4_pmi_collocations(spark, sf_dir):
+    from hiero_spark.functions.collocations import pmi_collocations
+
+    return pmi_collocations(t(spark, sf_dir, "documents"), min_count=5, k=50)
+
+
+@query(
+    "ext_seasonal_decompose",
+    group="ext-window",
+    doc="Classical additive seasonal decomposition "
+        "(operators/temporal.py:seasonal_decompose): hourly cents "
+        "series per event_type -> centered +/-12h RANGE moving-average "
+        "trend (full windows only — RANGE so gaps can't de-center), "
+        "per hour-of-day seasonal mean of the detrended series, "
+        "residual. Every series is carried x25-SCALED so the whole "
+        "table is exact longs (the one division, the seasonal mean, "
+        "uses DIV — both engines truncate toward zero). Window input "
+        "is the downsampled series, never raw events: a key's whole "
+        "history fits one task at any corpus size.",
+    oracle="""
+        WITH h AS (
+          SELECT event_type AS key,
+                 CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hb,
+                 CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT))
+                      AS BIGINT) AS cents
+          FROM events GROUP BY 1, 2
+        ), tr AS (
+          SELECT key, hb, cents,
+                 CAST(SUM(cents) OVER w AS BIGINT) AS trend_sum,
+                 COUNT(*) OVER w AS n_win
+          FROM h WINDOW w AS (PARTITION BY key ORDER BY hb
+                              RANGE BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+        ), d AS (
+          SELECT key, hb, cents, trend_sum,
+                 25 * cents - trend_sum AS detrend, hb % 24 AS phase
+          FROM tr WHERE n_win = 25
+        ), s AS (
+          SELECT key, phase,
+                 CAST(SUM(detrend) AS BIGINT) // COUNT(*) AS seasonal
+          FROM d GROUP BY 1, 2
+        )
+        SELECT d.key AS event_type, d.hb AS hour_bucket, d.cents,
+               d.trend_sum AS trend_sum25, d.detrend AS detrend_x25,
+               CAST(s.seasonal AS BIGINT) AS seasonal_x25,
+               CAST(d.detrend - s.seasonal AS BIGINT) AS residual_x25
+        FROM d JOIN s USING (key, phase)
+    """,
+)
+def ext_seasonal_decompose(spark, sf_dir):
+    from hiero_spark.operators.temporal import seasonal_decompose
+
+    return seasonal_decompose(t(spark, sf_dir, "events"))
+
+
+@query(
+    "ext_top_journeys",
+    group="ext-window",
+    doc="Top-20 user journeys: each user's first 8 events in (ts, "
+        "event_id) order joined into a '>' path string, counted, "
+        "top-k by (n_users DESC, path) — the sequence-mining read "
+        "behind funnel design. One window pass bounded to rn<=8, one "
+        "path-count shuffle whose keys are bounded-length strings; "
+        "collect_list stays per-user (<=8 structs), array_sort makes "
+        "the order deterministic inside the aggregation (rn is "
+        "unique), TakeOrdered for the final k.",
+    oracle="""
+        WITH e AS (
+          SELECT user_id, event_type,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS rn
+          FROM events
+        ), p AS (
+          SELECT user_id,
+                 string_agg(event_type, '>' ORDER BY rn) AS path
+          FROM e WHERE rn <= 8 GROUP BY user_id
+        )
+        SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM p GROUP BY path
+        ORDER BY n_users DESC, path
+        LIMIT 20
+    """,
+)
+def ext_top_journeys(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    firstk = (
+        ev.select(
+            "user_id", "event_type", F.row_number().over(w).alias("rn")
+        ).filter(F.col("rn") <= 8)
+    )
+    paths = firstk.groupBy("user_id").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda s: s["event_type"],
+            ),
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.desc("n_users"), F.asc("path"))
+        .limit(20)
+    )

@@ -678,6 +678,7 @@ def main() -> None:
         "n4_pmi_collocations",
         "ext_seasonal_decompose",
         "ext_top_journeys",
+        "s21_incremental_join_view",
     ]
 
     def run_r6_ops(data_dir: str) -> dict[str, float]:

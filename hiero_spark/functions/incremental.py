@@ -271,3 +271,53 @@ def quantiles_from_state(
             ).cast("long").alias(f"p{tag}_cents_lo")
         )
     return c.groupBy("key").agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# Incremental JOIN-view maintenance (delta rules)
+
+
+def join_view(a: DataFrame, b: DataFrame, key: str) -> DataFrame:
+    """Initial materialization of the equi-join view A |x| B on `key`.
+
+    The join complement of agg_state/quantile_state: together they
+    cover the two shapes real materialized views are made of (the
+    Vertica/Materialize/DBSP "incremental view maintenance" core).
+    """
+    return a.join(b, key)
+
+
+def join_view_delta(
+    a_old: DataFrame,
+    b_old: DataFrame,
+    da: DataFrame,
+    db: DataFrame,
+    key: str,
+) -> DataFrame:
+    """The exact delta of the join view under append-only inserts:
+
+        d(A |x| B)  =  dA |x| (B u dB)   u   A |x| dB
+
+    (the standard bilinear delta rule; the dA|x|dB cross term is folded
+    into the first leg so each inserted pair appears EXACTLY once).
+    Appending this to the stored view reproduces (A u dA) |x| (B u dB)
+    with no re-join of history against history.
+
+    Scale shape: deltas are the small side, so both legs broadcast the
+    delta — the stored sides are SCANNED but never SHUFFLED, and with a
+    key-bucketed/sorted layout (sources/layout.py) the scan itself
+    prunes to the buckets the delta's keys hash to, making maintenance
+    O(|delta| + touched buckets), the materialized-view contract.
+    Updates/deletes ride the same rule with signed multiplicities —
+    here append-only, matching the upsert/SCD2 seam documented in
+    sources/versioned.py.
+    """
+    leg1 = b_old.unionByName(db).join(F.broadcast(da), key)
+    leg2 = a_old.join(F.broadcast(db), key)
+    return leg1.select(*leg2.columns).unionByName(leg2)
+
+
+def merge_join_view(view: DataFrame, delta: DataFrame) -> DataFrame:
+    """Fold a delta into the stored view (append-only union; column
+    order normalized by name)."""
+    return view.unionByName(delta.select(*view.columns))

@@ -635,3 +635,53 @@ def s20_bloom_pruned_read(spark, sf_dir):
     return out.select(
         "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
     )
+
+
+@query(
+    "s21_incremental_join_view",
+    group="S21",
+    doc="Incremental JOIN-view maintenance "
+        "(functions/incremental.py:join_view_delta): the materialized "
+        "orders|x|customer view is maintained under appends to BOTH "
+        "sides by the bilinear delta rule dV = dA|x|(B u dB) u A|x|dB "
+        "— each new pair lands exactly once, history never re-joins "
+        "history, and both legs broadcast the DELTA so the stored "
+        "sides are scanned but never shuffled. Returns per-nation "
+        "counts + cents sums from the maintained view; the oracle "
+        "recomputes from the full join, so a hash match certifies "
+        "fold == recompute through the aggregate (the exact row-level "
+        "equality is pinned in tests/test_join_view.py).",
+    oracle="""
+        SELECT c_nationkey,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS total_cents
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_nationkey
+    """,
+)
+def s21_incremental_join_view(spark, sf_dir):
+    from hiero_spark.functions.incremental import (
+        join_view, join_view_delta, merge_join_view,
+    )
+
+    orders = t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    cust = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_nationkey"
+    )
+    a_old = orders.filter(F.col("o_orderkey") % 10 != 0)
+    da = orders.filter(F.col("o_orderkey") % 10 == 0)
+    b_old = cust.filter(F.col("custkey") % 20 != 0)
+    db = cust.filter(F.col("custkey") % 20 == 0)
+
+    view = join_view(a_old, b_old, "custkey")
+    delta = join_view_delta(a_old, b_old, da, db, "custkey")
+    merged = merge_join_view(view, delta)
+    return merged.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").alias("total_cents"),
+    )

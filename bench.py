@@ -679,6 +679,8 @@ def main() -> None:
         "ext_seasonal_decompose",
         "ext_top_journeys",
         "s21_incremental_join_view",
+        "s22_deletion_propagation",
+        "ext_market_basket",
     ]
 
     def run_r6_ops(data_dir: str) -> dict[str, float]:

@@ -955,3 +955,74 @@ def ext_top_journeys(spark, sf_dir):
         .orderBy(F.desc("n_users"), F.asc("path"))
         .limit(20)
     )
+
+
+@query(
+    "ext_market_basket",
+    group="ext-join",
+    doc="Market-basket pair mining over order baskets: distinct "
+        "(order, part) items self-join WITHIN each order (shuffle on "
+        "orderkey; per-order quadratic bounded by basket size, ~7 in "
+        "TPC-H — never a corpus-wide cross), pairs canonicalized "
+        "pa < pb, counted, support-gated >= 2, top-25 by (support "
+        "DESC, pa, pb). Lift rides as the exact integer cross-ratio "
+        "c_ab*n_orders*1e6 DIV (c_a*c_b) (the PMI discipline — log/"
+        "division-free ranking, truncation identical in both "
+        "engines); item margins are group-bys over the ITEMS table, "
+        "n_orders is a 1-row scalar broadcast.",
+    oracle="""
+        WITH items AS (
+          SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        ), pairs AS (
+          SELECT a.p AS pa, b.p AS pb
+          FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+        ), pc AS (
+          SELECT pa, pb, CAST(COUNT(*) AS BIGINT) AS c_ab
+          FROM pairs GROUP BY 1, 2
+        ), ic AS (
+          SELECT p, CAST(COUNT(*) AS BIGINT) AS c FROM items GROUP BY 1
+        ), n AS (
+          SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n_orders FROM items
+        )
+        SELECT pa, pb, c_ab,
+               CAST(c_ab * n_orders * 1000000 // (ia.c * ib.c) AS BIGINT)
+                 AS lift_scaled
+        FROM pc
+        JOIN ic ia ON ia.p = pc.pa
+        JOIN ic ib ON ib.p = pc.pb
+        CROSS JOIN n
+        WHERE c_ab >= 2
+        ORDER BY c_ab DESC, pa, pb
+        LIMIT 25
+    """,
+)
+def ext_market_basket(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    # checkpoint: five consumers (both pair sides, margins, n_orders)
+    # would otherwise each re-scan lineitem (observed 5 scans; the PMI
+    # lesson — join-key null filters defeat ReuseExchange)
+    items = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct().localCheckpoint()
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = a.join(
+        b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p"))
+    ).select(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
+    pc = pairs.groupBy("pa", "pb").agg(F.count(F.lit(1)).alias("c_ab"))
+    ic = items.groupBy("p").agg(F.count(F.lit(1)).alias("c"))
+    n = items.agg(F.count_distinct("o").alias("n_orders"))
+    return (
+        pc.filter(F.col("c_ab") >= 2)
+        .join(ic.select(F.col("p").alias("pa"), F.col("c").alias("c_a")), "pa")
+        .join(ic.select(F.col("p").alias("pb"), F.col("c").alias("c_b")), "pb")
+        .join(F.broadcast(n))
+        .select(
+            "pa", "pb", "c_ab",
+            F.expr("c_ab * n_orders * 1000000 DIV (c_a * c_b)").alias(
+                "lift_scaled"
+            ),
+        )
+        .orderBy(F.desc("c_ab"), F.asc("pa"), F.asc("pb"))
+        .limit(25)
+    )

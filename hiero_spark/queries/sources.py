@@ -685,3 +685,48 @@ def s21_incremental_join_view(spark, sf_dir):
         F.count(F.lit(1)).alias("n_orders"),
         F.sum("cents").alias("total_cents"),
     )
+
+
+@query(
+    "s22_deletion_propagation",
+    group="S22",
+    doc="Right-to-be-forgotten deletion "
+        "(sources/layout.py:delete_bloom_keys): doomed doc_ids route to "
+        "their key-hashed file groups by COMPUTING pmod(xxhash64(key)) "
+        "— no scan locates them — the Bloom sidecar short-circuits "
+        "definitely-absent keys (a replayed forget-me batch rewrites "
+        "NOTHING), and only the touched groups rewrite in one dynamic-"
+        "partition-overwrite job; their bitmaps are rebuilt from the "
+        "survivors. The layout is rebuilt fresh each run (deletion is "
+        "destructive), then three ids are deleted and two never-seen "
+        "ids are requested; the oracle recomputes the surviving "
+        "count/sum and pins that lookups of deleted keys return "
+        "nothing.",
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               CAST(0 AS BIGINT) AS n_found_deleted
+        FROM documents WHERE doc_id NOT IN (7, 123, 321)
+    """,
+)
+def s22_deletion_propagation(spark, sf_dir):
+    from hiero_spark.sources import layout
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    path = _export_dir("docs_bloom_delete")
+    layout.save_bloom_indexed(spark, docs, path, "doc_id", n_files=16)
+    layout.delete_bloom_keys(
+        spark, path, [7, 123, 321, 10_000_000, 20_000_000]
+    )
+    found = [
+        layout.read_bloom_pruned(spark, path, k) for k in (7, 123, 321)
+    ]
+    n_found = found[0].unionByName(found[1]).unionByName(found[2]).count()
+    return (
+        spark.read.parquet(path)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+        .withColumn("n_found_deleted", F.lit(n_found).cast("long"))
+    )

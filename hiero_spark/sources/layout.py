@@ -454,3 +454,116 @@ def read_bloom_pruned(spark: SparkSession, path: str, value) -> DataFrame:
         *[os.path.join(path, f"_grp={g}") for g in sorted(survivors)]
     )
     return pruned.filter(F.col(key_col) == lit).drop("_grp")
+
+
+def delete_bloom_keys(spark: SparkSession, path: str, keys: list) -> dict:
+    """Targeted key deletion (the right-to-be-forgotten path) over a
+    `save_bloom_indexed` layout — rewrite ONLY the file groups that can
+    contain a doomed key; every other group's bytes never move.
+
+    Two layout properties make this O(touched groups), not O(table):
+
+    * the layout is KEY-HASHED, so each key's group is COMPUTED
+      (pmod(xxhash64(key), n_files)) — unlike `upsert_partitioned`,
+      which must scan key+partition columns to locate changed keys,
+      no scan at all is needed to route a deletion;
+    * the Bloom sidecar short-circuits keys that are definitely absent
+      — a delete request full of never-seen keys (common in forget-me
+      batches replayed across shards) rewrites NOTHING.
+
+    All touched groups rewrite in ONE job (broadcast anti-join +
+    dynamic partition overwrite); groups whose every row died write
+    nothing under dynamic overwrite, so their directories are cleared
+    explicitly (the upsert_partitioned lesson). Bloom bits can't be
+    unset, so touched groups' bitmaps are REBUILT from the survivors
+    in one more job and the sidecar is rewritten; untouched groups
+    keep their stored words verbatim.
+
+    `keys` is a driver-side list (bounded — a forget-me batch); for
+    delete sets beyond driver memory, route through
+    `upsert_partitioned` with delete rows instead.
+    """
+    import json as _json
+    import shutil
+
+    with open(os.path.join(path, "_blooms.json")) as fh:
+        sc = _json.load(fh)
+    from hiero_spark.functions.bloom import _positions
+
+    key_col, m_bits, n_hashes = sc["key_col"], sc["m_bits"], sc["n_hashes"]
+    n_files = sc["n_files"]
+    base_all = spark.read.parquet(path)
+    key_type = base_all.schema[key_col].dataType
+
+    # keys ride as strings and CAST to the stored column's exact type,
+    # so the hash expression matches the build's (int/string keys only)
+    kdf = spark.createDataFrame([(str(k),) for k in keys], "k string")
+    lit = F.col("k").cast(key_type)
+    routed = kdf.select(
+        lit.alias("key"),
+        F.pmod(F.xxhash64(lit), F.lit(n_files)).alias("g"),
+        _positions(lit, m_bits, n_hashes).alias("p"),
+    ).collect()
+
+    def _maybe(g: int, positions) -> bool:
+        wordmap = sc["blooms"].get(str(g), {})
+        return all(
+            (int(wordmap.get(str(p >> 6), "0"), 16) >> (p & 63)) & 1
+            for p in positions
+        )
+
+    touched = sorted({r["g"] for r in routed if _maybe(r["g"], r["p"])})
+    live_keys = [r["key"] for r in routed if _maybe(r["g"], r["p"])]
+    if not touched:
+        return {
+            "groups_total": n_files, "groups_rewritten": 0,
+            "rows_deleted": 0, "keys_skipped_by_bloom": len(keys),
+        }
+
+    doomed = spark.createDataFrame(
+        [(str(k),) for k in live_keys], "k string"
+    ).select(F.col("k").cast(key_type).alias(key_col))
+    sub = spark.read.option("basePath", path).parquet(
+        *[os.path.join(path, f"_grp={g}") for g in touched]
+    )
+    n_before = sub.count()
+    survivors = sub.join(F.broadcast(doomed), key_col, "left_anti").persist()
+    n_after = survivors.count()
+    present = {r[0] for r in survivors.select("_grp").distinct().collect()}
+    (
+        survivors.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_grp")
+        .parquet(path)
+    )
+    words = (
+        survivors.select(
+            F.col("_grp").alias("g"),
+            F.explode(_positions(F.col(key_col), m_bits, n_hashes)).alias("p"),
+        )
+        .select(
+            "g",
+            F.shiftright("p", 6).alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").alias("b"),
+        )
+        .groupBy("g", "w")
+        .agg(F.bit_or("b").alias("word"))
+        .collect()
+    )
+    survivors.unpersist()
+    for g in touched:
+        sc["blooms"].pop(str(g), None)
+        if g not in present:
+            shutil.rmtree(os.path.join(path, f"_grp={g}"), ignore_errors=True)
+    for r in words:
+        sc["blooms"].setdefault(str(r["g"]), {})[str(r["w"])] = format(
+            r["word"] & 0xFFFFFFFFFFFFFFFF, "x"
+        )
+    with open(os.path.join(path, "_blooms.json"), "w") as fh:
+        _json.dump(sc, fh)
+    return {
+        "groups_total": n_files,
+        "groups_rewritten": len(touched),
+        "rows_deleted": n_before - n_after,
+        "keys_skipped_by_bloom": len(keys) - len(live_keys),
+    }

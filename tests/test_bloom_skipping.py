@@ -43,3 +43,53 @@ def test_sidecar_is_sparse_and_typed(bloom_table):
     # 2000 keys x 3 hashes over 16 groups x 1024 words: far from dense
     total_words = sum(len(v) for v in sc["blooms"].values())
     assert 0 < total_words < 16 * 1024
+
+
+def test_delete_rewrites_only_touched_groups(spark, tmp_path):
+    import os
+
+    path = str(tmp_path / "deltbl")
+    df = spark.range(500).selectExpr("id", "id * 2 AS v")
+    L.save_bloom_indexed(spark, df, path, "id", n_files=8)
+    mtimes = {
+        g: os.path.getmtime(os.path.join(path, g))
+        for g in os.listdir(path) if g.startswith("_grp=")
+    }
+    import time as _t
+    _t.sleep(1.1)
+    stats = L.delete_bloom_keys(spark, path, [7, 123])
+    assert stats["rows_deleted"] == 2
+    assert 1 <= stats["groups_rewritten"] <= 2
+    after = {
+        g: os.path.getmtime(os.path.join(path, g))
+        for g in os.listdir(path) if g.startswith("_grp=")
+    }
+    untouched = [g for g in mtimes if after[g] == mtimes[g]]
+    assert len(untouched) >= 8 - stats["groups_rewritten"]
+    # deleted keys gone, everything else intact
+    assert L.read_bloom_pruned(spark, path, 7).count() == 0
+    assert L.read_bloom_pruned(spark, path, 8).collect()[0].v == 16
+    assert spark.read.parquet(path).count() == 498
+
+
+def test_absent_keys_rewrite_nothing(spark, tmp_path):
+    path = str(tmp_path / "deltbl2")
+    df = spark.range(100).selectExpr("id", "id AS v")
+    L.save_bloom_indexed(spark, df, path, "id", n_files=8)
+    stats = L.delete_bloom_keys(spark, path, [100000, 200000, 300000])
+    assert stats["groups_rewritten"] == 0
+    assert stats["keys_skipped_by_bloom"] >= 1  # bloom fp may admit some
+    assert spark.read.parquet(path).count() == 100
+
+
+def test_deleted_group_bitmap_rebuilt(spark, tmp_path):
+    # after deleting, the rebuilt bitmap must NOT claim the dead key
+    # in most cases (bloom fp aside) and must still find all survivors
+    path = str(tmp_path / "deltbl3")
+    df = spark.range(200).selectExpr("id", "id AS v")
+    L.save_bloom_indexed(spark, df, path, "id", n_files=4)
+    L.delete_bloom_keys(spark, path, list(range(0, 200, 2)))  # evens die
+    for k in (1, 51, 199):
+        assert L.read_bloom_pruned(spark, path, k).count() == 1
+    for k in (0, 50, 198):
+        assert L.read_bloom_pruned(spark, path, k).count() == 0

@@ -48,6 +48,7 @@ BNLJ_ALLOWED = {
     "s19_time_travel": "scalar broadcast: 1-row per-version count combines",
     "n2_mmr_diversify": "intended broadcast fan-out of the bounded query set (batch-ANN shape)",
     "n4_pmi_collocations": "scalar broadcast: 1-row total-bigram count N joins the scored pairs",
+    "ext_market_basket": "scalar broadcast: 1-row n_orders joins the scored pairs",
 }
 
 _SPECS = all_queries()

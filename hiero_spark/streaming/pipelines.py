@@ -519,3 +519,69 @@ def ohlc_stream(
             "close_cents", "volume_cents",
         )
     )
+
+
+def join_view_stream_sink(
+    tagged_stream: DataFrame,
+    state_dir: str,
+    checkpoint: str,
+    key_col: str = "key",
+):
+    """X18: streaming JOIN-view maintenance — the streaming twin of
+    s21_incremental_join_view, fed by a CDC-style tagged union stream
+    (each row carries side='a'|'b' plus (key, val), the one-topic
+    multi-table ingest shape).
+
+    Every micro-batch splits into (da, db) and folds through the SAME
+    batch delta rule (functions/incremental.py:join_view_delta):
+
+        dV = dA |x| (B u dB)  u  A |x| dB
+
+    so after ANY batch the accumulated view equals a from-scratch join
+    of everything ingested so far — one code path on/offline, the
+    X13/X16 foreachBatch contract. The stored sides are parquet
+    appends; maintenance work per batch is O(|batch| x matches), the
+    stored sides scan but never shuffle (both legs broadcast the
+    delta).
+
+    Exactly-once across restarts comes from the checkpoint's batch
+    tracking (three appends per batch commit together or replay
+    together), so the upstream must be replay-free (availableNow over
+    immutable files) — the X16 caveat, pinned by the restart test.
+    """
+    from hiero_spark.functions.incremental import join_view_delta
+
+    import os
+
+    a_store = os.path.join(state_dir, "a")
+    b_store = os.path.join(state_dir, "b")
+    view_store = os.path.join(state_dir, "view")
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if batch_df.isEmpty():
+            return
+        da = batch_df.filter(F.col("side") == "a").select(
+            key_col, F.col("val").alias("a_val")
+        )
+        db = batch_df.filter(F.col("side") == "b").select(
+            key_col, F.col("val").alias("b_val")
+        )
+
+        def stored(path, like):
+            if os.path.exists(os.path.join(path, "_SUCCESS")):
+                return spark.read.parquet(path)
+            return like.limit(0)
+
+        a_old = stored(a_store, da)
+        b_old = stored(b_store, db)
+        delta = join_view_delta(a_old, b_old, da, db, key_col)
+        delta.write.mode("append").parquet(view_store)
+        da.write.mode("append").parquet(a_store)
+        db.write.mode("append").parquet(b_store)
+
+    return (
+        tagged_stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )

@@ -719,3 +719,47 @@ def test_streaming_ohlc_matches_batch(spark, sf_dir, events_stream):
     assert set(got) <= set(expected)      # append emits only closed windows
     assert all(got[k] == expected[k] for k in got)
     assert len(got) / len(expected) > 0.8
+
+
+def test_join_view_stream_matches_recompute(spark, tmp_path):
+    """X18: after every micro-batch the accumulated view equals a
+    from-scratch join of everything ingested so far (fold == recompute
+    through the bilinear delta rule), including cross-batch matches in
+    BOTH directions and the within-batch cross term."""
+    b0 = [(1, "a", "a0"), (2, "a", "a1"), (1, "b", "b0")]          # 1 matches
+    b1 = [(2, "b", "b1"), (3, "b", "b2"), (1, "a", "a2"),          # 2 closes,
+          (4, "a", "a3"), (4, "b", "b3")]                          # 4 in-batch
+    src = tmp_path / "cdc_src"
+    src.mkdir()
+    state = str(tmp_path / "state")
+    ck = str(tmp_path / "ckpt")
+    schema = "key long, side string, val string"
+
+    def run_one(rows, name):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src / name)
+        )
+        stream = spark.readStream.schema(schema).parquet(f"{src}/b*.parquet")
+        q = (
+            pl.join_view_stream_sink(stream, state, ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def recompute(all_rows):
+        df = spark.createDataFrame(all_rows, schema)
+        a = df.filter("side = 'a'").selectExpr("key", "val AS a_val")
+        b = df.filter("side = 'b'").selectExpr("key", "val AS b_val")
+        return sorted(map(tuple, a.join(b, "key").collect()))
+
+    run_one(b0, "b0.parquet")
+    view = spark.read.parquet(f"{state}/view")
+    assert sorted(map(tuple, view.collect())) == recompute(b0)
+
+    run_one(b1, "b1.parquet")
+    view = spark.read.parquet(f"{state}/view")
+    got = sorted(map(tuple, view.collect()))
+    assert got == recompute(b0 + b1)
+    # the key-4 pair was born INSIDE batch 1 (cross term lands once)
+    assert sum(1 for r in got if r[0] == 4) == 1

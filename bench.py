@@ -681,6 +681,7 @@ def main() -> None:
         "s21_incremental_join_view",
         "s22_deletion_propagation",
         "ext_market_basket",
+        "a17_join_cardinality",
     ]
 
     def run_r6_ops(data_dir: str) -> dict[str, float]:

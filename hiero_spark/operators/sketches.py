@@ -487,3 +487,57 @@ def count_min_estimate(
         .groupBy(col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cm_estimate"))
     )
+
+
+def join_cardinality(
+    a: DataFrame,
+    b: DataFrame,
+    key_a: str,
+    key_b: str,
+    label: str,
+) -> DataFrame:
+    """Cost-based-planner statistics in one row: the textbook equi-join
+    cardinality estimate
+
+        |A |x| B|  ~=  n_a * n_b / max(ndv_a, ndv_b)
+
+    (uniform-distribution + containment assumption — the formula every
+    CBO uses before histograms refine it), side by side with the ACTUAL
+    join count and the scaled error, all in exact long arithmetic so
+    the whole row hash-checks.
+
+    Each side's stats are ONE partial+final aggregate (count +
+    count_distinct — at 100 TB you collect these with HLL during ingest
+    and the estimate is free at plan time; exact ndv here keeps the
+    oracle exact, approx_count_distinct is the drop-in). The 1-row
+    frames combine via scalar broadcasts; the actual count joins key
+    columns only (column-pruned scans).
+    """
+    sa = a.agg(
+        F.count(F.lit(1)).alias("n_left"),
+        F.count_distinct(F.col(key_a)).alias("ndv_left"),
+    )
+    sb = b.agg(
+        F.count(F.lit(1)).alias("n_right"),
+        F.count_distinct(F.col(key_b)).alias("ndv_right"),
+    )
+    actual = (
+        a.select(F.col(key_a).alias("k"))
+        .join(b.select(F.col(key_b).alias("k")), "k")
+        .agg(F.count(F.lit(1)).alias("actual_rows"))
+    )
+    return (
+        sa.join(F.broadcast(sb))
+        .join(F.broadcast(actual))
+        .select(
+            F.lit(label).alias("join_name"),
+            "n_left", "n_right", "ndv_left", "ndv_right",
+            F.expr("n_left * n_right DIV greatest(ndv_left, ndv_right)")
+            .alias("est_rows"),
+            "actual_rows",
+            F.expr(
+                "abs(n_left * n_right DIV greatest(ndv_left, ndv_right)"
+                " - actual_rows) * 10000 DIV actual_rows"
+            ).alias("err_bp"),
+        )
+    )

@@ -869,3 +869,60 @@ def a10_hll_intersection_verdict(spark, sf_dir):
         (F.abs(est_inter - F.col("n_inter"))
          <= 0.15 * F.col("n_inter")).alias("inter_within_15pct"),
     )
+
+
+@query(
+    "a17_join_cardinality",
+    group="A17",
+    doc="CBO join-cardinality estimation "
+        "(operators/sketches.py:join_cardinality): the textbook "
+        "n_a*n_b/max(ndv) uniform+containment estimate next to the "
+        "ACTUAL count and basis-point error, for two joins with "
+        "opposite regimes — orders|x|customer (FK->PK, containment "
+        "holds, estimate near-exact) and lineitem|x|orders (FK->PK on "
+        "the bigger fact). All exact longs (exact ndv here; HLL is the "
+        "at-scale drop-in, collected at ingest), so the verdict table "
+        "hash-checks with no tolerance.",
+    oracle="""
+        WITH oc AS (
+          SELECT 'orders_customer' AS join_name,
+                 (SELECT COUNT(*) FROM orders) AS n_left,
+                 (SELECT COUNT(*) FROM customer) AS n_right,
+                 (SELECT COUNT(DISTINCT o_custkey) FROM orders) AS ndv_left,
+                 (SELECT COUNT(DISTINCT c_custkey) FROM customer) AS ndv_right,
+                 (SELECT COUNT(*) FROM orders JOIN customer
+                    ON o_custkey = c_custkey) AS actual_rows
+        ), lo AS (
+          SELECT 'lineitem_orders' AS join_name,
+                 (SELECT COUNT(*) FROM lineitem) AS n_left,
+                 (SELECT COUNT(*) FROM orders) AS n_right,
+                 (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem) AS ndv_left,
+                 (SELECT COUNT(DISTINCT o_orderkey) FROM orders) AS ndv_right,
+                 (SELECT COUNT(*) FROM lineitem JOIN orders
+                    ON l_orderkey = o_orderkey) AS actual_rows
+        ), u AS (SELECT * FROM oc UNION ALL SELECT * FROM lo)
+        SELECT join_name,
+               CAST(n_left AS BIGINT) AS n_left,
+               CAST(n_right AS BIGINT) AS n_right,
+               CAST(ndv_left AS BIGINT) AS ndv_left,
+               CAST(ndv_right AS BIGINT) AS ndv_right,
+               CAST(n_left * n_right // GREATEST(ndv_left, ndv_right)
+                    AS BIGINT) AS est_rows,
+               CAST(actual_rows AS BIGINT) AS actual_rows,
+               CAST(ABS(n_left * n_right // GREATEST(ndv_left, ndv_right)
+                        - actual_rows) * 10000 // actual_rows
+                    AS BIGINT) AS err_bp
+        FROM u
+    """,
+)
+def a17_join_cardinality(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    li = t(spark, sf_dir, "lineitem")
+    r1 = sk.join_cardinality(
+        orders, cust, "o_custkey", "c_custkey", "orders_customer"
+    )
+    r2 = sk.join_cardinality(
+        li, orders, "l_orderkey", "o_orderkey", "lineitem_orders"
+    )
+    return r1.unionByName(r2)

@@ -49,6 +49,7 @@ BNLJ_ALLOWED = {
     "n2_mmr_diversify": "intended broadcast fan-out of the bounded query set (batch-ANN shape)",
     "n4_pmi_collocations": "scalar broadcast: 1-row total-bigram count N joins the scored pairs",
     "ext_market_basket": "scalar broadcast: 1-row n_orders joins the scored pairs",
+    "a17_join_cardinality": "scalar broadcast: 1-row stats x 1-row actual-count combines",
 }
 
 _SPECS = all_queries()

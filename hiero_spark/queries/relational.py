@@ -522,3 +522,91 @@ def ext_gap_fill_linear(spark, sf_dir):
         "value",
         "filled",
     )
+
+
+@query(
+    "ext_grouping_sets",
+    group="ext-agg",
+    doc="Arbitrary GROUPING SETS — ((returnflag, linestatus), "
+        "(returnflag), (linenumber)) — via the DataFrame groupingSets "
+        "API (Spark 4), with grouping_id() disambiguating which set "
+        "each output row belongs to (the NULL-vs-grouped-NULL problem "
+        "rollup/cube share). One expand+aggregate pass, same "
+        "partial-agg shape as a plain groupBy.",
+    oracle="""
+        SELECT l_returnflag, l_linestatus, l_linenumber,
+               CAST(GROUPING(l_returnflag) * 4 + GROUPING(l_linestatus) * 2
+                    + GROUPING(l_linenumber) AS BIGINT) AS gid,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), (l_linenumber))
+    """,
+)
+def ext_grouping_sets(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["l_returnflag"], ["l_linenumber"]],
+        "l_returnflag", "l_linestatus", "l_linenumber",
+    ).agg(
+        F.grouping_id().cast("long").alias("gid"),
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
+    "ext_window_distribution",
+    group="ext-window",
+    doc="Distribution window functions — percent_rank, cume_dist, "
+        "ntile(4) — per customer market segment over account balance. "
+        "percent_rank/cume_dist are emitted as EXACT basis points "
+        "((rank-1)*10000 DIV (n-1), cum*10000 DIV n) derived from "
+        "rank/count windows, sidestepping double-division ulp "
+        "concerns; ntile is the built-in (identical floor-split "
+        "semantics in both engines). Unique (segment, custkey) order "
+        "key, so every column hash-checks.",
+    oracle="""
+        WITH r AS (
+          SELECT c_mktsegment, c_custkey,
+                 CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS bal_cents,
+                 RANK() OVER w AS rnk,
+                 COUNT(*) OVER (PARTITION BY c_mktsegment) AS n,
+                 CAST(NTILE(4) OVER w AS BIGINT) AS quartile
+          FROM customer
+          WINDOW w AS (PARTITION BY c_mktsegment
+                       ORDER BY ROUND(c_acctbal * 100, 0), c_custkey)
+        )
+        SELECT c_mktsegment, c_custkey, bal_cents,
+               CAST((rnk - 1) * 10000 // (n - 1) AS BIGINT) AS pr_bp,
+               CAST(rnk * 10000 // n AS BIGINT) AS cd_bp,
+               quartile
+        FROM r
+    """,
+)
+def ext_window_distribution(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    cust = t(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100, 0).cast("long")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.round(F.col("c_acctbal") * 100, 0), F.col("c_custkey")
+    )
+    seg = Window.partitionBy("c_mktsegment")
+    r = cust.select(
+        "c_mktsegment",
+        "c_custkey",
+        cents.alias("bal_cents"),
+        F.rank().over(w).alias("rnk"),
+        F.count(F.lit(1)).over(seg).alias("n"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+    return r.select(
+        "c_mktsegment",
+        "c_custkey",
+        "bal_cents",
+        F.expr("(rnk - 1) * 10000 DIV (n - 1)").alias("pr_bp"),
+        F.expr("rnk * 10000 DIV n").alias("cd_bp"),
+        "quartile",
+    )

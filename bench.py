@@ -682,6 +682,9 @@ def main() -> None:
         "s22_deletion_propagation",
         "ext_market_basket",
         "a17_join_cardinality",
+        "s23_compaction",
+        "ext_grouping_sets",
+        "ext_window_distribution",
     ]
 
     def run_r6_ops(data_dir: str) -> dict[str, float]:

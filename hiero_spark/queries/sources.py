@@ -730,3 +730,63 @@ def s22_deletion_propagation(spark, sf_dir):
         )
         .withColumn("n_found_deleted", F.lit(n_found).cast("long"))
     )
+
+
+@query(
+    "s23_compaction",
+    group="S23",
+    doc="Small-file compaction as a commit "
+        "(sources/versioned.py:compact_version — the OPTIMIZE "
+        "contract): four tiny appends then a compaction that swaps the "
+        "small files for one packed file in a NEW manifest; data is "
+        "the same rows (layout commit, not a data change), old "
+        "versions still read their own files. Returns the pre- and "
+        "post-compaction aggregate plus file counts; the oracle "
+        "recomputes the aggregate from orders and pins the counts "
+        "(4 appends of 1 file each -> 1 file).",
+    oracle="""
+        WITH base AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                 CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                      AS BIGINT) AS sum_cents
+          FROM orders WHERE o_orderkey % 4 IN (0, 1, 2, 3)
+        )
+        SELECT 'before' AS stage, n_rows, sum_cents,
+               CAST(4 AS BIGINT) AS n_files FROM base
+        UNION ALL
+        SELECT 'after' AS stage, n_rows, sum_cents,
+               CAST(1 AS BIGINT) AS n_files FROM base
+    """,
+)
+def s23_compaction(spark, sf_dir):
+    import shutil
+
+    from hiero_spark.sources import versioned as V
+
+    path = _export_dir("orders_compaction")
+    shutil.rmtree(path, ignore_errors=True)
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    for r in range(4):
+        V.commit_version(
+            orders.filter(F.col("o_orderkey") % 4 == r).coalesce(1), path
+        )
+    pre_files = len(V._load_manifest(path, 3)["files"])
+    pre = V.read_version(spark, path, 3).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+    ).select(
+        F.lit("before").alias("stage"), "n_rows", "sum_cents",
+        F.lit(pre_files).cast("long").alias("n_files"),
+    )
+    stats = V.compact_version(spark, path, target_files=1)
+    post = V.read_version(spark, path, stats["version"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+    ).select(
+        F.lit("after").alias("stage"), "n_rows", "sum_cents",
+        F.lit(stats["new_files"]).cast("long").alias("n_files"),
+    )
+    return pre.unionByName(post)

@@ -174,3 +174,86 @@ def vacuum(path: str, keep_last: int = 2) -> dict:
         "files_deleted": len(doomed),
         "files_kept": len(all_files) - len(doomed),
     }
+
+
+def compact_version(
+    spark: SparkSession,
+    path: str,
+    target_files: int = 1,
+    small_threshold_bytes: int | None = None,
+) -> dict:
+    """OPTIMIZE / bin-packing compaction as a new commit: coalesce the
+    latest version's SMALL files into `target_files` larger ones and
+    publish a manifest whose file list swaps the small files for the
+    compacted ones — large files are referenced verbatim, data is
+    byte-for-byte the same rows, and every OLD version still reads
+    exactly its own files (compaction is a layout commit, not a data
+    change; Delta's OPTIMIZE contract).
+
+    `small_threshold_bytes=None` compacts everything; with a threshold,
+    only files under it rewrite — the cost is O(small files), which is
+    the point: streaming ingest makes many tiny commits, and compaction
+    folds them without touching the big history. The old small files
+    stay on disk for time travel until `vacuum` drops their last
+    referencing manifest.
+    """
+    versions = list_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no versions at {path}")
+    latest = versions[-1]
+    files = _load_manifest(path, latest)["files"]
+    sizes = {f: os.path.getsize(os.path.join(path, f)) for f in files}
+    if small_threshold_bytes is None:
+        small = list(files)
+    else:
+        small = [f for f in files if sizes[f] < small_threshold_bytes]
+    keep = [f for f in files if f not in set(small)]
+    if len(small) <= target_files:
+        return {"version": latest, "compacted": 0, "kept": len(files)}
+
+    new_v = latest + 1
+    commit_dir = os.path.join("data", f"c{new_v:05d}")
+    (
+        spark.read.parquet(*[os.path.join(path, f) for f in small])
+        .coalesce(target_files)
+        .write.mode("error")
+        .parquet(os.path.join(path, commit_dir))
+    )
+    new_files = sorted(
+        os.path.join(commit_dir, os.path.basename(f))
+        for f in _glob.glob(os.path.join(path, commit_dir, "part-*.parquet"))
+    )
+    manifest = {
+        "version": new_v,
+        "op": "compact",
+        "files": keep + new_files,
+        "n_files": len(keep) + len(new_files),
+    }
+    with open(_manifest_path(path, new_v), "w") as fh:
+        json.dump(manifest, fh, indent=1)
+    return {
+        "version": new_v,
+        "compacted": len(small),
+        "new_files": len(new_files),
+        "kept": len(keep),
+    }
+
+
+def read_version_evolved(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Schema-evolved read: like `read_version` but merges the schemas
+    of the version's files (mergeSchema), so a commit that ADDED a
+    column reads alongside older commits — old files' rows surface
+    NULL for the new column, the Delta/Iceberg add-column contract.
+    Column renames/drops/retypes are NOT handled (those need column-id
+    mapping, the seam production formats cover with field IDs —
+    documented, not simulated)."""
+    if version is None:
+        versions = list_versions(path)
+        if not versions:
+            raise FileNotFoundError(f"no versions at {path}")
+        version = versions[-1]
+    manifest = _load_manifest(path, version)
+    files = [os.path.join(path, f) for f in manifest["files"]]
+    return spark.read.option("mergeSchema", "true").parquet(*files)

@@ -86,3 +86,63 @@ def test_bad_inputs(spark, table):
         V.commit_version(spark.range(1), table, mode="merge")
     with pytest.raises(FileNotFoundError):
         V.read_version(spark, table, 99)
+
+
+def test_compaction_preserves_rows_and_history(spark, table):
+    # five tiny appends -> many small files
+    for i in range(1, 6):
+        V.commit_version(
+            spark.range(i * 100, i * 100 + 5).selectExpr("id", "id * 2 AS val"),
+            table,
+        )
+    before = V.read_version(spark, table)
+    n_files_before = len(V._load_manifest(table, 5)["files"])
+    stats = V.compact_version(spark, table, target_files=1)
+    assert stats["version"] == 6 and stats["compacted"] == n_files_before
+    after = V.read_version(spark, table)  # latest = compacted
+    assert sorted(map(tuple, after.collect())) == sorted(
+        map(tuple, before.collect())
+    )
+    assert len(V._load_manifest(table, 6)["files"]) == 1
+    # every old version still reads its own files byte-stably
+    assert V.read_version(spark, table, 0).count() == 10
+    assert V.read_version(spark, table, 5).count() == 35
+
+
+def test_compaction_threshold_keeps_big_files(spark, table):
+    # one big commit + two tiny ones; threshold compacts only the tiny
+    V.commit_version(
+        spark.range(1000, 6000).selectExpr("id", "id * 2 AS val"), table
+    )
+    big = set(V._load_manifest(table, 1)["files"])
+    V.commit_version(spark.range(1, 3).selectExpr("id", "id * 2 AS val"), table)
+    V.commit_version(spark.range(3, 5).selectExpr("id", "id * 2 AS val"), table)
+    big_size = min(
+        os.path.getsize(os.path.join(table, f)) for f in big
+    )
+    stats = V.compact_version(
+        spark, table, target_files=1, small_threshold_bytes=big_size
+    )
+    files = V._load_manifest(table, stats["version"])["files"]
+    assert big <= set(files)  # big files referenced verbatim, not rewritten
+    assert V.read_version(spark, table).count() == 10 + 5000 + 4
+
+
+def test_compaction_noop_when_nothing_small(spark, table):
+    stats = V.compact_version(spark, table, target_files=2)
+    # v0 wrote few files; <= target means no new commit
+    if stats["compacted"] == 0:
+        assert V.list_versions(table)[-1] == 0
+
+
+def test_schema_evolution_add_column(spark, table):
+    evolved = spark.range(100, 103).selectExpr(
+        "id", "id * 2 AS val", "CONCAT('s', id) AS note"
+    )
+    V.commit_version(evolved, table)
+    df = V.read_version_evolved(spark, table)
+    assert set(df.columns) == {"id", "val", "note"}
+    rows = {r.id: r.note for r in df.collect()}
+    assert rows[100] == "s100" and rows[0] is None  # old rows -> NULL
+    # plain read of the OLD version is untouched by evolution
+    assert set(V.read_version(spark, table, 0).columns) == {"id", "val"}

@@ -685,6 +685,8 @@ def main() -> None:
         "s23_compaction",
         "ext_grouping_sets",
         "ext_window_distribution",
+        "s24_wap_commit",
+        "ext_k_anonymity",
     ]
 
     def run_r6_ops(data_dir: str) -> dict[str, float]:

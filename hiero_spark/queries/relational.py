@@ -610,3 +610,33 @@ def ext_window_distribution(spark, sf_dir):
         F.expr("rnk * 10000 DIV n").alias("cd_bp"),
         "quartile",
     )
+
+
+@query(
+    "ext_k_anonymity",
+    group="ext-agg",
+    doc="k-anonymity audit over quasi-identifiers (nationkey, "
+        "mktsegment): every equivalence class with its size and a "
+        "risky flag (size < k=20 means those customers are "
+        "re-identifiable within their class — the privacy audit run "
+        "before publishing a dataset, alongside scrub_pii and the "
+        "bloom-routed deletion path). ONE partial+final groupBy; "
+        "output is bounded by the quasi-identifier domain.",
+    oracle="""
+        SELECT c_nationkey, c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS class_size,
+               COUNT(*) < 20 AS risky
+        FROM customer
+        GROUP BY c_nationkey, c_mktsegment
+    """,
+)
+def ext_k_anonymity(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "customer")
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("class_size"))
+        .select(
+            "c_nationkey", "c_mktsegment", "class_size",
+            (F.col("class_size") < 20).alias("risky"),
+        )
+    )

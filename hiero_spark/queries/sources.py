@@ -790,3 +790,61 @@ def s23_compaction(spark, sf_dir):
         F.lit(stats["new_files"]).cast("long").alias("n_files"),
     )
     return pre.unionByName(post)
+
+
+@query(
+    "s24_wap_commit",
+    group="S24",
+    doc="Write-Audit-Publish quality gate "
+        "(sources/versioned.py:wap_commit): a staged commit is "
+        "invisible to readers (manifest lands as staged.json, outside "
+        "the v*.json glob), the declarative Checks report runs over "
+        "the WOULD-BE version in one aggregation job, and only a clean "
+        "audit publishes — the Iceberg WAP pattern as three metadata "
+        "ops. Here a clean append publishes, then replaying the SAME "
+        "batch trips the unique(doc_id) check and aborts; the oracle "
+        "recomputes both audits' violation counts and the final row "
+        "count from documents.",
+    oracle="""
+        WITH slice1 AS (
+          SELECT COUNT(*) AS n1 FROM documents WHERE doc_id % 3 = 1
+        ), base AS (
+          SELECT COUNT(*) AS n0 FROM documents WHERE doc_id % 3 = 0
+        )
+        SELECT 'append' AS attempt, 'unique' AS chk, 'doc_id' AS col,
+               CAST(0 AS BIGINT) AS n_viol, TRUE AS passed,
+               CAST(n0 + n1 AS BIGINT) AS n_rows_after
+        FROM slice1, base
+        UNION ALL
+        SELECT 'replay' AS attempt, 'unique' AS chk, 'doc_id' AS col,
+               CAST(n1 AS BIGINT) AS n_viol, FALSE AS passed,
+               CAST(n0 + n1 AS BIGINT) AS n_rows_after
+        FROM slice1, base
+    """,
+)
+def s24_wap_commit(spark, sf_dir):
+    import shutil
+
+    from hiero_spark.functions.checks import Checks
+    from hiero_spark.sources import versioned as V
+
+    path = _export_dir("docs_wap")
+    shutil.rmtree(path, ignore_errors=True)
+    docs = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    V.commit_version(docs.filter(F.col("doc_id") % 3 == 0), path)
+    batch = docs.filter(F.col("doc_id") % 3 == 1)
+
+    rows = []
+    for attempt in ("append", "replay"):
+        res = V.wap_commit(spark, batch, path, Checks().unique("doc_id"))
+        n_after = V.read_version(spark, path).count()
+        r = res["report"][0]
+        rows.append(
+            (attempt, r["check"], r["column"], int(r["n_violations"]),
+             bool(r["passed"]), int(n_after))
+        )
+    return spark.createDataFrame(
+        rows,
+        "attempt string, chk string, col string, n_viol long,"
+        " passed boolean, n_rows_after long",
+    )

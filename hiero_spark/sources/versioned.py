@@ -257,3 +257,102 @@ def read_version_evolved(
     manifest = _load_manifest(path, version)
     files = [os.path.join(path, f) for f in manifest["files"]]
     return spark.read.option("mergeSchema", "true").parquet(*files)
+
+
+def commit_staged(df: DataFrame, path: str, mode: str = "append") -> dict:
+    """Stage a commit WITHOUT publishing it: data lands in its own
+    commit dir and the manifest is written as `staged.json` — invisible
+    to `list_versions`/`read_version` (their glob is `v*.json`), so no
+    reader can observe the data until `publish_staged` promotes it.
+    One staged commit at a time (the single-writer contract)."""
+    if os.path.exists(os.path.join(_manifest_dir(path), "staged.json")):
+        raise RuntimeError(f"{path} already has a staged commit")
+    versions = list_versions(path)
+    new_v = (versions[-1] + 1) if versions else 0
+    commit_dir = os.path.join("data", f"c{new_v:05d}")
+    df.write.mode("error").parquet(os.path.join(path, commit_dir))
+    new_files = sorted(
+        os.path.join(commit_dir, os.path.basename(f))
+        for f in _glob.glob(os.path.join(path, commit_dir, "part-*.parquet"))
+    )
+    prev_files: list[str] = []
+    if versions and mode == "append":
+        prev_files = _load_manifest(path, versions[-1])["files"]
+    manifest = {
+        "version": new_v,
+        "op": f"staged-{mode}" if versions else "staged-create",
+        "files": prev_files + new_files,
+        "n_files": len(prev_files) + len(new_files),
+        "staged_files": new_files,
+    }
+    os.makedirs(_manifest_dir(path), exist_ok=True)
+    with open(os.path.join(_manifest_dir(path), "staged.json"), "w") as fh:
+        json.dump(manifest, fh, indent=1)
+    return manifest
+
+
+def read_staged(spark: SparkSession, path: str) -> DataFrame:
+    """Scan the staged commit's WHOLE would-be version (history + new
+    files) — what the audit step validates, exactly what readers would
+    see after publish."""
+    with open(os.path.join(_manifest_dir(path), "staged.json")) as fh:
+        manifest = json.load(fh)
+    return spark.read.parquet(
+        *[os.path.join(path, f) for f in manifest["files"]]
+    )
+
+
+def publish_staged(path: str) -> dict:
+    """Promote the staged manifest to the next version (a metadata-only
+    rename — the WAP 'publish' is O(1) regardless of data size)."""
+    sp = os.path.join(_manifest_dir(path), "staged.json")
+    with open(sp) as fh:
+        manifest = json.load(fh)
+    manifest["op"] = manifest["op"].replace("staged-", "")
+    with open(_manifest_path(path, manifest["version"]), "w") as fh:
+        json.dump(manifest, fh, indent=1)
+    os.remove(sp)
+    return manifest
+
+
+def abort_staged(path: str) -> dict:
+    """Drop the staged commit: delete its manifest and ONLY the files
+    it newly wrote (history files belong to published versions)."""
+    import shutil
+
+    sp = os.path.join(_manifest_dir(path), "staged.json")
+    with open(sp) as fh:
+        manifest = json.load(fh)
+    # the staged commit dir holds ONLY this stage's files (+ _SUCCESS
+    # markers) — drop it whole so the version number is reusable
+    commit_dirs = {os.path.dirname(rel) for rel in manifest["staged_files"]}
+    for d in commit_dirs:
+        shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+    os.remove(sp)
+    return {"aborted_version": manifest["version"],
+            "files_dropped": len(manifest["staged_files"])}
+
+
+def wap_commit(
+    spark: SparkSession, df: DataFrame, path: str, checks, mode: str = "append"
+) -> dict:
+    """Write-Audit-Publish: stage `df`, run the declarative quality
+    `checks` (functions/checks.py:Checks — ONE aggregation job) over the
+    would-be version, and publish only if every check passes; a failing
+    audit aborts and readers NEVER see the data — the Iceberg WAP /
+    staging-branch pattern as three manifest operations.
+
+    Returns {published, version, report} with the long-form check
+    report either way."""
+    commit_staged(df, path, mode)
+    report_rows = checks.report(read_staged(spark, path)).collect()
+    ok = all(r["passed"] for r in report_rows)
+    report = [
+        {k: r[k] for k in ("check", "column", "n_violations", "passed")}
+        for r in report_rows
+    ]
+    if ok:
+        m = publish_staged(path)
+        return {"published": True, "version": m["version"], "report": report}
+    abort_staged(path)
+    return {"published": False, "version": None, "report": report}

@@ -146,3 +146,46 @@ def test_schema_evolution_add_column(spark, table):
     assert rows[100] == "s100" and rows[0] is None  # old rows -> NULL
     # plain read of the OLD version is untouched by evolution
     assert set(V.read_version(spark, table, 0).columns) == {"id", "val"}
+
+
+def test_wap_publish_on_clean_audit(spark, table):
+    from hiero_spark.functions.checks import Checks
+
+    batch = spark.range(100, 105).selectExpr("id", "id * 2 AS val")
+    res = V.wap_commit(
+        spark, batch, table,
+        Checks().not_null("id").unique("id").in_range("val", 0, 10_000),
+    )
+    assert res["published"] and res["version"] == 1
+    assert V.read_version(spark, table).count() == 15
+    assert all(r["passed"] for r in res["report"])
+
+
+def test_wap_abort_never_publishes_bad_data(spark, table):
+    from hiero_spark.functions.checks import Checks
+
+    bad = spark.range(5, 8).selectExpr("id", "id * 2 AS val")  # id 5-7 dup v0
+    res = V.wap_commit(spark, bad, table, Checks().unique("id"))
+    assert not res["published"]
+    # table is EXACTLY as before: one version, 10 rows, no staged leftovers
+    assert V.list_versions(table) == [0]
+    assert V.read_version(spark, table).count() == 10
+    assert not os.path.exists(
+        os.path.join(table, "_manifest", "staged.json")
+    )
+    # a later clean commit gets the recycled version number
+    ok = spark.range(100, 102).selectExpr("id", "id * 2 AS val")
+    res2 = V.wap_commit(spark, ok, table, Checks().unique("id"))
+    assert res2["published"] and res2["version"] == 1
+
+
+def test_staged_invisible_to_readers(spark, table):
+    batch = spark.range(200, 203).selectExpr("id", "id * 2 AS val")
+    V.commit_staged(batch, table)
+    assert V.list_versions(table) == [0]
+    assert V.read_version(spark, table).count() == 10  # reader blind to stage
+    assert V.read_staged(spark, table).count() == 13   # auditor sees all
+    with pytest.raises(RuntimeError):
+        V.commit_staged(batch, table)  # single staged commit at a time
+    V.abort_staged(table)
+    assert V.read_version(spark, table).count() == 10

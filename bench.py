@@ -687,6 +687,7 @@ def main() -> None:
         "ext_window_distribution",
         "s24_wap_commit",
         "ext_k_anonymity",
+        "n1_entity_resolution",
     ]
 
     def run_r6_ops(data_dir: str) -> dict[str, float]:

@@ -89,6 +89,10 @@ DUCKDB_ONLY: dict[str, tuple[str, str]] = {
         r"\bjson_extract(?:_string)?\s*\(",
         "get_json_object(col, path)",
     ),
+    "arg_min_max": (
+        r"\barg_(?:min|max)\s*\(",
+        "min_by(col, ord) / max_by(col, ord)",
+    ),
     "blob_type": (r"\bAS\s+BLOB\b", "CAST(... AS BINARY)"),
 }
 

@@ -1026,3 +1026,99 @@ def ext_market_basket(spark, sf_dir):
         .orderBy(F.desc("c_ab"), F.asc("pa"), F.asc("pb"))
         .limit(25)
     )
+
+
+@query(
+    "n1_entity_resolution",
+    group="N1",
+    doc="Entity-resolution flagship: deterministic dirty records "
+        "(every 5th customer re-appears with its name's 3rd char "
+        "dropped, id offset +1e6) -> blocking on (nationkey, "
+        "acctbal_cents) -> levenshtein<=1 match INSIDE blocks (never "
+        "all-pairs; block size bounds the quadratic) -> "
+        "connected_components (hash-min + pointer jumping) -> golden "
+        "record per cluster (min-id's name via min_by). The oracle is "
+        "the SAME general pipeline in SQL — blocks, levenshtein, and "
+        "a recursive-CTE transitive closure — so accidental matches "
+        "(distinct customers sharing a block with near-identical "
+        "names) resolve identically in both engines; nothing relies "
+        "on the planted star shape.",
+    oracle="""
+        WITH RECURSIVE recs AS (
+          SELECT c_custkey AS rec_id, c_name AS name,
+                 c_nationkey AS nat,
+                 CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS cents
+          FROM customer
+          UNION ALL
+          SELECT c_custkey + 1000000,
+                 SUBSTRING(c_name, 1, 2) || SUBSTRING(c_name, 4),
+                 c_nationkey,
+                 CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)
+          FROM customer WHERE c_custkey % 5 = 0
+        ), e AS (
+          SELECT a.rec_id AS u, b.rec_id AS v
+          FROM recs a
+          JOIN recs b ON a.nat = b.nat AND a.cents = b.cents
+                     AND a.rec_id < b.rec_id
+          WHERE levenshtein(a.name, b.name) <= 1
+        ), sym AS (
+          SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e
+        ), reach AS (
+          SELECT u AS node, u AS lbl FROM sym
+          UNION
+          SELECT r.node, s.v AS lbl
+          FROM reach r JOIN sym s ON s.u = r.lbl
+        ), comp AS (
+          SELECT node, MIN(lbl) AS component FROM reach GROUP BY node
+        )
+        SELECT comp.component AS canonical_id,
+               CAST(COUNT(*) AS BIGINT) AS n_members,
+               arg_min(r.name, r.rec_id) AS canonical_name
+        FROM comp JOIN recs r ON r.rec_id = comp.node
+        GROUP BY comp.component
+    """,
+)
+def n1_entity_resolution(spark, sf_dir):
+    from hiero_spark.functions.graph import connected_components
+
+    cents = F.round(F.col("c_acctbal") * 100, 0).cast("long")
+    cust = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("rec_id"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("nat"),
+        cents.alias("cents"),
+    )
+    variants = cust.filter(F.col("rec_id") % 5 == 0).select(
+        (F.col("rec_id") + 1_000_000).alias("rec_id"),
+        F.concat(
+            F.substring("name", 1, 2), F.expr("substring(name, 4)")
+        ).alias("name"),
+        "nat",
+        "cents",
+    )
+    recs = cust.unionByName(variants).localCheckpoint()
+    a, b = recs.alias("a"), recs.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.nat") == F.col("b.nat"))
+            & (F.col("a.cents") == F.col("b.cents"))
+            & (F.col("a.rec_id") < F.col("b.rec_id")),
+        )
+        .filter(F.levenshtein(F.col("a.name"), F.col("b.name")) <= 1)
+        .select(F.col("a.rec_id").alias("src"), F.col("b.rec_id").alias("dst"))
+    )
+    comp = connected_components(edges)
+    return (
+        comp.join(recs, comp["node"] == recs["rec_id"])
+        .groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min_by("name", "rec_id").alias("canonical_name"),
+        )
+        .select(
+            F.col("component").alias("canonical_id"),
+            "n_members",
+            "canonical_name",
+        )
+    )

@@ -127,3 +127,60 @@ def ewma_levels(
         n.cast("long").alias("n_buckets"),
         F.round(level, 6).alias("ewma_level"),
     )
+
+
+def holt_levels(
+    bucketed: DataFrame,
+    key_col: str,
+    bucket_col: str,
+    value_col: str,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+) -> DataFrame:
+    """Per-key Holt double-exponential smoothing (level + trend) — the
+    forecasting step up from ewma_levels when a series drifts: EWMA
+    lags a trending series by design; Holt tracks the slope and the
+    1-step forecast is level + trend.
+
+    Same scale/exactness contract as ewma_levels: the recursion
+
+        l_i = a*x_i + (1-a)(l_{i-1} + b_{i-1})
+        b_i = B(l_i - l_{i-1}) + (1-B) b_{i-1}
+
+    cannot ride a window frame, so each key's bucketed series collects
+    into ONE ordered array (bounded: time buckets, not events) and a
+    single F.aggregate fold carries a struct(l, b) accumulator.  Init
+    is the classic l_1 = x_1, b_1 = x_2 - x_1, folding from i = 2.
+    DuckDB runs the IDENTICAL fold via list_reduce over struct_pack, so
+    the order-dependent double arithmetic is bit-identical and the
+    rounded outputs hash-check."""
+    series = (
+        bucketed.groupBy(key_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(bucket_col, value_col))
+            ).alias("_s")
+        )
+    )
+    vals = F.transform(F.col("_s"), lambda s: s[value_col].cast("double"))
+    n = F.size(vals)
+    a, b = float(alpha), float(beta)
+    x1 = F.element_at(vals, 1)
+    x2 = F.element_at(vals, 2)
+    init = F.struct(x1.alias("l"), (x2 - x1).alias("b"))
+
+    def step(acc, x):
+        nl = x * F.lit(a) + (acc["l"] + acc["b"]) * F.lit(1.0 - a)
+        nb = (nl - acc["l"]) * F.lit(b) + acc["b"] * F.lit(1.0 - b)
+        return F.struct(nl.alias("l"), nb.alias("b"))
+
+    folded = F.aggregate(F.slice(vals, 2, n - 1), init, step)
+    level = F.when(n >= 2, folded["l"]).otherwise(x1)
+    trend = F.when(n >= 2, folded["b"]).otherwise(F.lit(0.0))
+    return series.select(
+        key_col,
+        n.cast("long").alias("n_buckets"),
+        F.round(level, 6).alias("holt_level"),
+        F.round(trend, 6).alias("holt_trend"),
+        F.round(level + trend, 6).alias("forecast_next"),
+    )

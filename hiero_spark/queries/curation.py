@@ -1438,3 +1438,76 @@ def n4_stopword_fraction(spark, sf_dir):
         tx.stopword_fraction(F.col("text")).alias("stop_frac"),
         (F.size(F.array_distinct(hits)) >= 2).alias("prose_gate"),
     )
+
+
+@query(
+    "ext_holt_forecast",
+    group="ext-window",
+    doc="Holt double-exponential smoothing (level+trend) per event "
+        "type (operators/anomaly.py:holt_levels) — the forecasting "
+        "step up from ext_ewma_levels when a series drifts; "
+        "forecast_next = level + trend. Same recursive-fold contract: "
+        "one bounded ordered array per key, struct(l, b) accumulator "
+        "through F.aggregate; DuckDB reproduces the IDENTICAL FP op "
+        "sequence with 2-arg list_reduce by prepending the "
+        "[x1, x2-x1] seed PAIR to the pair-mapped tail. The "
+        "accumulator is a 2-element DOUBLE LIST, not a struct: DuckDB "
+        "1.0.0's list_reduce mis-evaluates struct_pack lambdas whose "
+        "fields share any acc subexpression (probed: [seed(1,100),"
+        "(2,0),(3,0)] under l:=acc.l+e.l, b:=(acc.l+e.l)*10+acc.b "
+        "returns b=220, not the sequential 190; the list form returns "
+        "190). With the list accumulator the rounded outputs are "
+        "bit-identical.",
+    oracle="""
+        WITH hourly AS (
+          SELECT event_type,
+                 CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket_ts,
+                 COUNT(*) AS n_events
+          FROM events GROUP BY 1, 2
+        ), s AS (
+          SELECT event_type,
+                 list_transform(list(n_events ORDER BY bucket_ts),
+                                x -> CAST(x AS DOUBLE)) AS l
+          FROM hourly GROUP BY event_type
+        ), folded AS (
+          SELECT event_type, l,
+                 CASE WHEN len(l) >= 2 THEN
+                   list_reduce(
+                     list_prepend(
+                       [l[1], l[2] - l[1]],
+                       list_transform(l[2:],
+                         x -> [x, CAST(0 AS DOUBLE)])),
+                     (acc, e) -> [
+                       e[1] * CAST(0.3 AS DOUBLE)
+                       + (acc[1] + acc[2]) * CAST(0.7 AS DOUBLE),
+                       (e[1] * CAST(0.3 AS DOUBLE)
+                        + (acc[1] + acc[2]) * CAST(0.7 AS DOUBLE)
+                        - acc[1]) * CAST(0.1 AS DOUBLE)
+                       + acc[2] * CAST(0.9 AS DOUBLE)])
+                 ELSE [l[1], CAST(0 AS DOUBLE)] END AS f
+          FROM s
+        )
+        SELECT event_type,
+               CAST(len(l) AS BIGINT) AS n_buckets,
+               ROUND(f[1], 6) AS holt_level,
+               ROUND(f[2], 6) AS holt_trend,
+               ROUND(f[1] + f[2], 6) AS forecast_next
+        FROM folded
+    """,
+)
+def ext_holt_forecast(spark, sf_dir):
+    from hiero_spark.operators.anomaly import holt_levels
+
+    hourly = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias(
+                "bucket_ts"
+            ),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return holt_levels(
+        hourly, "event_type", "bucket_ts", "n_events", alpha=0.3, beta=0.1
+    )

@@ -86,3 +86,45 @@ def test_ewma_order_independent_of_input_layout(spark):
         "key", "b", "v",
     ).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def _ref_holt(xs, a=0.3, b=0.1):
+    l, tr = xs[0], xs[1] - xs[0]
+    for x in xs[1:]:
+        nl = x * a + (l + tr) * (1.0 - a)
+        tr = (nl - l) * b + tr * (1.0 - b)
+        l = nl
+    return round(l, 6), round(tr, 6)
+
+
+def _holt_run(spark, series):
+    from hiero_spark.operators.anomaly import holt_levels
+
+    df = spark.createDataFrame(
+        [("k", i, float(v)) for i, v in enumerate(series)],
+        "key string, bucket long, val double",
+    )
+    return holt_levels(df, "key", "bucket", "val").collect()[0]
+
+
+def test_holt_constant_series_flat(spark):
+    r = _holt_run(spark, [5.0] * 10)
+    assert (r.holt_level, r.holt_trend, r.forecast_next) == (5.0, 0.0, 5.0)
+
+
+def test_holt_linear_ramp_recovers_slope(spark):
+    r = _holt_run(spark, [2.0 * i for i in range(12)])
+    assert abs(r.holt_trend - 2.0) < 1e-6
+    assert abs(r.forecast_next - 24.0) < 1e-6  # x_11 = 22, next = 24
+
+
+def test_holt_matches_reference_fold(spark):
+    xs = [3.0, 7.0, 4.0, 9.0, 1.0, 6.0, 6.5, 2.25]
+    r = _holt_run(spark, xs)
+    want_l, want_t = _ref_holt(xs)
+    assert (r.holt_level, r.holt_trend) == (want_l, want_t)
+
+
+def test_holt_single_point(spark):
+    r = _holt_run(spark, [42.0])
+    assert (r.n_buckets, r.holt_level, r.holt_trend) == (1, 42.0, 0.0)

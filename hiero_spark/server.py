@@ -1,0 +1,302 @@
+"""Headless HTTP JSON facade — the seam where hiero's web UI attaches.
+
+The reference is a web spreadsheet for big data: a TypeScript UI speaks
+JSON to a root node, which fans mergeable sketches out to workers and
+streams PartialResults back as they refine (SURVEY.md §3-§4). The UI
+layer itself is deliberately out of scope (§7.4.5); this module is the
+Spark-side analog of the ROOT NODE's API surface, so any UI — a browser
+table widget, a notebook, `curl` — gets the same contract the reference
+UI consumes. stdlib only (http.server + json): no new dependencies.
+
+  GET /api/tables                          catalog: name, schema, columns
+  GET /api/queries                         registry: name, group, doc
+  GET /api/query/<name>?limit=N            run a registered query (rows)
+  GET /api/sql?q=<select...>               ANSI-SQL entry point (facade)
+  GET /api/page/<table>?order=a,-b&k=20[&after=...]   O1 spreadsheet scroll
+  GET /api/sketch/summary?table=T          A1 row count
+  GET /api/sketch/colstats?table=T&col=C   A2 per-column stats
+  GET /api/sketch/histogram?table=T&col=C&buckets=N[&spec=1]  A4 (+Vega)
+  GET /api/sketch/cdf?table=T&col=C&buckets=N[&spec=1]        A5 (+Vega)
+  GET /api/sketch/heavy_hitters?table=T&cols=a,b&k=K          A8
+  GET /api/sketch/quantiles?table=T&col=C&probs=0.5,0.9       A11
+  GET /api/progressive/histogram?table=T&col=C&tiers=K
+      -> one JSON line per tier: {"fraction": f, "rows": [...]}  —
+      hiero's PartialResult stream over plain chunked HTTP.
+
+Scale contract (the root-node invariant): every response is RENDER-sized,
+never data-sized. Query/page rows are capped (`limit` <= MAX_ROWS),
+sketch outputs are O(buckets) by construction, and the progressive stream
+is `tiers` lines of O(buckets) each. The 100 TB cost lives in the Spark
+jobs behind the endpoint; the HTTP layer only ever ships what a screen
+can show, exactly like the reference's tree-merged sketch results.
+
+Concurrency: ThreadingHTTPServer + Spark's thread-safe job submission —
+two browser panes refining two histograms become two concurrent Spark
+jobs, scheduled by the FAIR/FIFO scheduler like the reference's
+concurrent sketch executions.
+"""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+import json
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+from pyspark.sql import DataFrame, SparkSession
+
+from hiero_spark import catalog, viz
+from hiero_spark.operators import pagination, sketches
+from hiero_spark.registry import all_queries
+from hiero_spark.views import RecordOrder
+
+MAX_ROWS = 1000
+
+
+def _json_default(v):
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def _dumps(obj) -> bytes:
+    return json.dumps(obj, default=_json_default).encode()
+
+
+def _rows(df: DataFrame, limit: int = MAX_ROWS) -> list[dict]:
+    limit = max(1, min(int(limit), MAX_ROWS))
+    return [r.asDict(recursive=True) for r in df.limit(limit).collect()]
+
+
+def _parse_order(spec: str) -> RecordOrder:
+    """'a,-b' -> RecordOrder(((a, asc), (b, desc)))."""
+    cols = []
+    for part in spec.split(","):
+        part = part.strip()
+        if not part:
+            continue
+        if part.startswith("-"):
+            cols.append((part[1:], False))
+        else:
+            cols.append((part.lstrip("+"), True))
+    if not cols:
+        raise ValueError("empty order spec")
+    return RecordOrder(cols=tuple(cols))
+
+
+class HieroHandler(BaseHTTPRequestHandler):
+    # injected by serve(): spark session + data directory
+    spark: SparkSession = None
+    sf_dir: str = ""
+
+    def log_message(self, fmt, *args):  # quiet by default (tests, daemons)
+        pass
+
+    # -- plumbing ---------------------------------------------------------
+    def _send(self, obj, status: int = 200):
+        body = _dumps(obj)
+        self.send_response(status)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _error(self, status: int, msg: str):
+        self._send({"error": msg}, status=status)
+
+    def _table(self, q) -> DataFrame:
+        name = q.get("table", [""])[0]
+        return catalog.load_table(self.spark, self.sf_dir, name)
+
+    # -- routes -----------------------------------------------------------
+    def do_GET(self):  # noqa: N802 (http.server API)
+        url = urlparse(self.path)
+        q = parse_qs(url.query)
+        parts = [p for p in url.path.split("/") if p]
+        try:
+            if parts[:2] == ["api", "tables"]:
+                return self._send(
+                    [
+                        {
+                            "name": n,
+                            "columns": [
+                                {"name": f.name, "type": f.dataType.simpleString()}
+                                for f in catalog.load_table(
+                                    self.spark, self.sf_dir, n
+                                ).schema.fields
+                            ],
+                        }
+                        for n in catalog.TABLES
+                    ]
+                )
+            if parts[:2] == ["api", "queries"]:
+                return self._send(
+                    [
+                        {
+                            "name": n,
+                            "group": getattr(s, "group", None),
+                            "doc": (getattr(s, "doc", "") or "").split(". ")[0],
+                            "has_oracle": bool(getattr(s, "oracle", None)),
+                        }
+                        for n, s in sorted(all_queries().items())
+                    ]
+                )
+            if parts[:2] == ["api", "query"] and len(parts) == 3:
+                specs = all_queries()
+                if parts[2] not in specs:
+                    return self._error(404, f"unknown query {parts[2]!r}")
+                df = specs[parts[2]].fn(self.spark, self.sf_dir)
+                return self._send(
+                    {
+                        "query": parts[2],
+                        "columns": df.columns,
+                        "rows": _rows(df, int(q.get("limit", [MAX_ROWS])[0])),
+                    }
+                )
+            if parts[:2] == ["api", "sql"]:
+                sql = q.get("q", [""])[0]
+                if not sql.lstrip().lower().startswith(("select", "with")):
+                    return self._error(400, "only SELECT/WITH statements")
+                catalog.register_views(self.spark, self.sf_dir)
+                df = self.spark.sql(sql)
+                return self._send(
+                    {
+                        "columns": df.columns,
+                        "rows": _rows(df, int(q.get("limit", [MAX_ROWS])[0])),
+                    }
+                )
+            if parts[:2] == ["api", "page"] and len(parts) == 3:
+                df = catalog.load_table(self.spark, self.sf_dir, parts[2])
+                order = _parse_order(q.get("order", [""])[0])
+                k = min(int(q.get("k", ["20"])[0]), MAX_ROWS)
+                after = (
+                    json.loads(q["after"][0]) if "after" in q else None
+                )
+                page = pagination.next_k(df, order, k, start=after)
+                rows = _rows(page, k)
+                return self._send(
+                    {
+                        "rows": rows,
+                        # resume token: order-col snapshot of the last row
+                        "next_after": (
+                            {nm: rows[-1][nm] for nm, _ in order.cols}
+                            if rows
+                            else None
+                        ),
+                    }
+                )
+            if parts[:2] == ["api", "sketch"] and len(parts) == 3:
+                return self._sketch(parts[2], q)
+            if parts[:3] == ["api", "progressive", "histogram"]:
+                return self._progressive_histogram(q)
+            return self._error(404, f"no route for {url.path}")
+        except (KeyError, ValueError) as e:
+            return self._error(400, str(e))
+
+    def _sketch(self, kind: str, q):
+        df = self._table(q)
+        col = q.get("col", [""])[0]
+        n = int(q.get("buckets", ["20"])[0])
+        if kind == "summary":
+            return self._send({"rows": _rows(sketches.summary(df))})
+        if kind == "colstats":
+            return self._send({"rows": _rows(sketches.basic_col_stats(df, col))})
+        if kind == "histogram":
+            numeric = dict(df.dtypes)[col] not in ("string", "boolean")
+            hist = (
+                sketches.histogram1d(df, col, n=n).orderBy("bucket")
+                if numeric
+                else sketches.histogram_categorical(df, col)
+                .orderBy("bucket_count", ascending=False)
+                .limit(n)
+            )
+            out = {"rows": _rows(hist)}
+            if q.get("spec"):
+                out["vega"] = viz.histogram_spec(
+                    hist, "bucket" if numeric else col, "bucket_count"
+                )
+            return self._send(out)
+        if kind == "cdf":
+            row = sketches.data_range(df, col).collect()[0]
+            lo, hi = float(row["min_val"]), float(row["max_val"])
+            cdf = sketches.cdf(df, col, lo, hi, n)
+            out = {"rows": _rows(cdf), "lo": lo, "hi": hi}
+            if q.get("spec"):
+                out["vega"] = viz.cdf_spec(cdf, "bucket", "cum_count")
+            return self._send(out)
+        if kind == "heavy_hitters":
+            cols = [c for c in q.get("cols", [""])[0].split(",") if c]
+            k = min(int(q.get("k", ["10"])[0]), MAX_ROWS)
+            return self._send({"rows": _rows(sketches.heavy_hitters(df, cols, k))})
+        if kind == "quantiles":
+            probs = [float(p) for p in q.get("probs", ["0.5"])[0].split(",")]
+            exact = q.get("exact", ["1"])[0] == "1"
+            return self._send(
+                {"rows": _rows(sketches.quantiles(df, col, probs, exact=exact))}
+            )
+        return self._error(404, f"unknown sketch {kind!r}")
+
+    def _progressive_histogram(self, q):
+        """PartialResult stream: one JSON line per tier, flushed as computed.
+
+        Uses progressive_prefix (hiero's refine-in-place shape): each line
+        is an exact histogram of a known fraction; the LAST line is the
+        exact full answer, so a client may stop reading whenever the shape
+        has stabilized — same early-abort the reference UI offers.
+        """
+        from hiero_spark.progressive import progressive_prefix
+
+        df = self._table(q)
+        col = q.get("col", [""])[0]
+        n = int(q.get("buckets", ["20"])[0])
+        tiers = max(2, min(int(q.get("tiers", ["4"])[0]), 16))
+        key = q.get("key", [df.columns[0]])[0]
+        row = sketches.data_range(df, col).collect()[0]
+        lo, hi = float(row["min_val"]), float(row["max_val"])
+
+        self.send_response(200)
+        self.send_header("Content-Type", "application/x-ndjson")
+        self.end_headers()  # no Content-Length: close-delimited stream
+        for frac, hist in progressive_prefix(
+            df,
+            lambda d: sketches.histogram1d(d, col, lo, hi, n).orderBy("bucket"),
+            [key],
+            tiers=tiers,
+        ):
+            line = _dumps({"fraction": frac, "rows": _rows(hist)}) + b"\n"
+            self.wfile.write(line)
+            self.wfile.flush()
+
+
+def serve(
+    spark: SparkSession, sf_dir: str, host: str = "127.0.0.1", port: int = 0
+) -> ThreadingHTTPServer:
+    """Build a server bound to (host, port); caller runs serve_forever()."""
+    handler = type(
+        "BoundHieroHandler", (HieroHandler,), {"spark": spark, "sf_dir": sf_dir}
+    )
+    return ThreadingHTTPServer((host, port), handler)
+
+
+def main():  # pragma: no cover - interactive entry point
+    import argparse
+
+    from hiero_spark.session import get_spark
+
+    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8008)
+    args = ap.parse_args()
+    srv = serve(get_spark(), args.sf_dir, args.host, args.port)
+    print(f"hiero_spark API on http://{args.host}:{srv.server_address[1]}")
+    srv.serve_forever()
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

@@ -1,0 +1,150 @@
+"""HTTP JSON facade (hiero_spark/server.py) — drive every endpoint through
+a real socket, the way the reference's web UI drives its root node."""
+
+import json
+import threading
+import urllib.request
+
+import pytest
+
+from hiero_spark.server import serve
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def api(spark):
+    srv = serve(spark, SF_SMOKE)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    yield base
+    srv.shutdown()
+
+
+def _get(base, path):
+    with urllib.request.urlopen(base + path, timeout=120) as r:
+        return r.status, json.loads(r.read())
+
+
+def test_tables_catalog(api):
+    status, body = _get(api, "/api/tables")
+    assert status == 200
+    names = {t["name"] for t in body}
+    assert {"lineitem", "orders", "documents", "embeddings"} <= names
+    li = next(t for t in body if t["name"] == "lineitem")
+    cols = {c["name"]: c["type"] for c in li["columns"]}
+    assert cols["l_quantity"].startswith("decimal") or cols["l_quantity"] in (
+        "double",
+        "bigint",
+    )
+
+
+def test_queries_listing_matches_registry(api):
+    from hiero_spark.registry import all_queries
+
+    status, body = _get(api, "/api/queries")
+    assert status == 200
+    assert {q["name"] for q in body} == set(all_queries())
+    assert all("group" in q and "has_oracle" in q for q in body)
+
+
+def test_run_registered_query(api, spark):
+    status, body = _get(api, "/api/query/a8_heavy_hitters?limit=10")
+    assert status == 200
+    assert body["query"] == "a8_heavy_hitters"
+    assert 0 < len(body["rows"]) <= 10
+    # same result as calling the registry directly
+    from hiero_spark.registry import all_queries
+
+    direct = all_queries()["a8_heavy_hitters"].fn(spark, SF_SMOKE)
+    assert len(body["rows"]) == direct.limit(10).count()
+
+
+def test_unknown_query_404(api):
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(api, "/api/query/nope")
+    assert e.value.code == 404
+
+
+def test_sql_endpoint(api):
+    status, body = _get(
+        api,
+        "/api/sql?q="
+        + urllib.request.quote(
+            "SELECT o_orderstatus, COUNT(*) AS n FROM orders GROUP BY 1"
+        ),
+    )
+    assert status == 200
+    assert body["columns"] == ["o_orderstatus", "n"]
+    assert sum(r["n"] for r in body["rows"]) > 0
+
+
+def test_sql_rejects_non_select(api):
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(api, "/api/sql?q=" + urllib.request.quote("DROP TABLE orders"))
+    assert e.value.code == 400
+
+
+def test_page_scroll_resumes(api):
+    status, p1 = _get(api, "/api/page/orders?order=o_orderkey&k=5")
+    assert status == 200 and len(p1["rows"]) == 5
+    after = urllib.request.quote(json.dumps(p1["next_after"]))
+    status, p2 = _get(api, f"/api/page/orders?order=o_orderkey&k=5&after={after}")
+    # NextK is inclusive of the start row: page2 begins where page1 ended
+    assert p2["rows"][0]["o_orderkey"] == p1["rows"][-1]["o_orderkey"]
+    k1 = [r["o_orderkey"] for r in p1["rows"]]
+    k2 = [r["o_orderkey"] for r in p2["rows"]]
+    assert k1 == sorted(k1) and k2 == sorted(k2) and k2[0] == k1[-1]
+
+
+def test_sketch_histogram_numeric_and_vega(api):
+    status, body = _get(
+        api, "/api/sketch/histogram?table=lineitem&col=l_quantity&buckets=10&spec=1"
+    )
+    assert status == 200
+    assert 0 < len(body["rows"]) <= 10
+    assert body["vega"]["mark"] == "bar"
+
+
+def test_sketch_histogram_categorical(api):
+    status, body = _get(
+        api, "/api/sketch/histogram?table=orders&col=o_orderstatus&buckets=5"
+    )
+    assert status == 200
+    assert {r["o_orderstatus"] for r in body["rows"]} <= {"F", "O", "P"}
+
+
+def test_sketch_cdf_monotone(api):
+    status, body = _get(api, "/api/sketch/cdf?table=lineitem&col=l_quantity&buckets=20")
+    cum = [r["cum_count"] for r in body["rows"]]
+    assert cum == sorted(cum) and cum[-1] > 0
+
+
+def test_sketch_quantiles_and_colstats(api):
+    status, body = _get(
+        api, "/api/sketch/quantiles?table=lineitem&col=l_extendedprice&probs=0.25,0.5,0.75"
+    )
+    assert status == 200 and len(body["rows"]) == 1
+    status, body = _get(api, "/api/sketch/colstats?table=lineitem&col=l_quantity")
+    assert body["rows"][0]["missing_count"] == 0
+
+
+def test_progressive_histogram_stream(api, spark):
+    """PartialResult contract: fractions increase, final line is the exact
+    full histogram."""
+    url = (
+        api
+        + "/api/progressive/histogram?table=lineitem&col=l_quantity"
+        + "&buckets=8&tiers=3&key=l_orderkey"
+    )
+    with urllib.request.urlopen(url, timeout=300) as r:
+        lines = [json.loads(line) for line in r.read().splitlines() if line.strip()]
+    fracs = [ln["fraction"] for ln in lines]
+    assert len(lines) == 3 and fracs == sorted(fracs) and fracs[-1] == 1.0
+    # refinement: total counted rows grow toward the exact total
+    totals = [sum(row["bucket_count"] for row in ln["rows"]) for ln in lines]
+    assert totals == sorted(totals)
+    from hiero_spark import catalog
+
+    exact = catalog.load_table(spark, SF_SMOKE, "lineitem").count()
+    assert totals[-1] == exact

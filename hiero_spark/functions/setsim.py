@@ -143,3 +143,100 @@ def jaccard_join(
             F.round(jac, 6).alias("jaccard"),
         )
     )
+
+
+def containment_join(
+    docs: DataFrame,
+    threshold: float = 0.9,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hashed: bool = False,
+) -> DataFrame:
+    """Directional set-CONTAINMENT join: all ordered pairs (a != b) where
+    |A n B| / |A| >= threshold over word-k-gram shingle sets — the
+    quote/excerpt/boilerplate-inclusion detector Jaccard structurally
+    misses (a 50-shingle snippet verbatim inside a 5000-shingle page has
+    containment 1.0 but Jaccard ~0.01). Returns (id_a, id_b, n_common,
+    n_a, containment): "a is t-contained in b".
+
+    Prefix filtering adapts asymmetrically (Chaudhuri et al. SSJoin):
+    |A n B| >= t*|A| forces A to share a token within its first
+    |A| - ceil(t*|A|) + 1 RAREST-ordered tokens, so only A-side prefixes
+    generate candidates — but no symmetric bound exists for B (B may
+    contain A's rare tokens anywhere), so the B side posts its full
+    token list. The scale contract still holds: the join keys are
+    exclusively A-PREFIX tokens, which are the globally rarest by
+    construction, so the join output is bounded by
+    sum_{tok in prefixes} df(tok) — short posting lists only; the Zipf
+    head joins nothing because hot tokens never appear in a prefix.
+    The only unbounded-looking step, shuffling B's full postings on tok,
+    is one (tok, id, |B|) triple per shingle — the same volume the df
+    aggregation already shuffled — and the length filter |B| >= t*|A|
+    prunes candidates before pair dedup. Arrays join back once per side
+    onto the deduped pair list (the jaccard_join shape).
+
+    ``hashed=True`` swaps string shingles for xxhash64 longs end-to-end
+    (the 100 TB arm, ~3x smaller shuffles; 2^-64 per-pair collisions)."""
+    toks = (
+        dd_shingle_hash_array(F.col(text_col), k)
+        if hashed
+        else dd_shingle_array(F.col(text_col), k)
+    )
+    sets = docs.select(F.col(id_col).alias("id"), toks.alias("s"))
+    flat = sets.select("id", F.explode("s").alias("tok"))
+    dfreq = flat.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    ordered = (
+        flat.join(dfreq, "tok")
+        .groupBy("id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("df", "tok"))),
+                lambda x: x["tok"],
+            ).alias("s")
+        )
+    )
+    tt = float(threshold)
+    sized = ordered.select(
+        "id",
+        "s",
+        F.slice(
+            "s",
+            1,
+            F.greatest(
+                F.lit(1),
+                (F.size("s") - F.ceil(F.size("s") * F.lit(tt)) + 1).cast("int"),
+            ),
+        ).alias("prefix"),
+    )
+    a = sized.select(
+        F.col("id").alias("id_a"),
+        F.size("s").alias("n_a"),
+        F.explode("prefix").alias("tok"),
+    )
+    b = sized.select(
+        F.col("id").alias("id_b"),
+        F.size("s").alias("n_b"),
+        F.explode("s").alias("tok"),  # full postings: no sound B-side prefix
+    )
+    pairs = (
+        a.join(b, "tok")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .filter(F.col("n_b") >= F.ceil(F.col("n_a") * F.lit(tt)))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    cand = pairs.join(
+        sized.select(F.col("id").alias("id_a"), F.col("s").alias("s_a")), "id_a"
+    ).join(
+        sized.select(F.col("id").alias("id_b"), F.col("s").alias("s_b")), "id_b"
+    )
+    inter = F.size(F.array_intersect("s_a", "s_b"))
+    cont = inter.cast("double") / F.size("s_a").cast("double")
+    return cand.filter(cont >= tt).select(
+        "id_a",
+        "id_b",
+        inter.cast("long").alias("n_common"),
+        F.size("s_a").cast("long").alias("n_a"),
+        F.round(cont, 6).alias("containment"),
+    )

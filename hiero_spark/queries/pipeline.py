@@ -451,3 +451,72 @@ def n6_stratified_sample(spark, sf_dir):
     return pl.stratified_sample(docs, "lang", "doc_id", 50, seed=3).select(
         "lang", "doc_id"
     )
+
+
+@query(
+    "n6_curriculum_order",
+    group="N6",
+    doc="Curriculum ordering: documents staged easy->hard by fixed "
+        "quality-score bands, deterministically shuffled WITHIN each "
+        "stage (the anti-clustering requirement applies per stage too), "
+        "first 50 positions per stage emitted with their order. Scale "
+        "shape: banding is a pure expression (no global sort, unlike "
+        "ntile), the within-stage order is the mirrorable LCG "
+        "permutation of n6_global_shuffle, and the rank<=50 filter "
+        "triggers Spark's WindowGroupLimit (per-partition top-k BEFORE "
+        "the per-stage shuffle) so no stage ever materializes its full "
+        "membership on one reducer.",
+    oracle=f"""
+        WITH q AS (
+          SELECT doc_id,
+                 LEAST(CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                            AS DOUBLE) / 100.0, 1.0) * 0.6 +
+                 (CASE WHEN CAST(length(text) AS DOUBLE)
+                            / len(regexp_split_to_array(trim(text), '\\s+'))
+                            BETWEEN 3.0 AND 10.0
+                       THEN 1.0 ELSE 0.5 END) * 0.4 AS quality
+          FROM documents
+        ), staged AS (
+          SELECT doc_id, quality,
+                 CASE WHEN quality < 0.55 THEN 1
+                      WHEN quality < 0.70 THEN 2
+                      WHEN quality < 0.85 THEN 3
+                      ELSE 4 END AS stage,
+                 ((doc_id + 11) * {pl._LCG_MULT}) % {pl._LCG_MOD} AS skey
+          FROM q
+        ), ranked AS (
+          SELECT stage, doc_id, quality, skey,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY stage
+                                         ORDER BY skey, doc_id) AS INT) AS pos
+          FROM staged
+        )
+        SELECT stage, pos, doc_id, ROUND(quality, 6) AS quality
+        FROM ranked WHERE pos <= 50
+    """,
+)
+def n6_curriculum_order(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    from hiero_spark.functions import text as tx
+
+    docs = t(spark, sf_dir, "documents")
+    q = F.col("quality")
+    staged = docs.select(
+        "doc_id",
+        tx.quality_score(F.col("text")).alias("quality"),
+    ).select(
+        "doc_id",
+        "quality",
+        F.when(q < 0.55, 1)
+        .when(q < 0.70, 2)
+        .when(q < 0.85, 3)
+        .otherwise(4)
+        .alias("stage"),
+        pl.shuffle_key(F.col("doc_id"), seed=11).alias("skey"),
+    )
+    w = Window.partitionBy("stage").orderBy("skey", "doc_id")
+    return (
+        staged.withColumn("pos", F.row_number().over(w).cast("int"))
+        .filter(F.col("pos") <= 50)
+        .select("stage", "pos", "doc_id", F.round("quality", 6).alias("quality"))
+    )

@@ -640,3 +640,101 @@ def ext_k_anonymity(spark, sf_dir):
             (F.col("class_size") < 20).alias("risky"),
         )
     )
+
+
+@query(
+    "ext_join_full",
+    group="ext-join",
+    doc="Full-outer join: per-nation customer and supplier counts kept "
+        "even when one side has no rows for that nation — completes the "
+        "inner/left/semi/anti join matrix. Both sides pre-aggregate to "
+        "one row per key BEFORE the join (partial map-side combine), so "
+        "the full-outer shuffle moves 25-ish rows, not base tables; "
+        "coalesce folds the two key columns into one output key.",
+    oracle="""
+        WITH c AS (
+          SELECT c_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n_customers
+          FROM customer GROUP BY c_nationkey
+        ), s AS (
+          SELECT s_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n_suppliers
+          FROM supplier GROUP BY s_nationkey
+        )
+        SELECT COALESCE(c.nk, s.nk) AS nationkey,
+               COALESCE(n_customers, 0) AS n_customers,
+               COALESCE(n_suppliers, 0) AS n_suppliers
+        FROM c FULL OUTER JOIN s ON c.nk = s.nk
+    """,
+)
+def ext_join_full(spark, sf_dir):
+    cust = (
+        t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk_c"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    supp = (
+        t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk_s"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    return cust.join(
+        supp, F.col("nk_c") == F.col("nk_s"), "full_outer"
+    ).select(
+        F.coalesce("nk_c", "nk_s").alias("nationkey"),
+        F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+        F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+    )
+
+
+@query(
+    "ext_l_diversity",
+    group="ext-agg",
+    doc="l-diversity audit, the step past ext_k_anonymity: a class can "
+        "be large (k-anonymous) yet reveal its sensitive attribute if "
+        "every member shares one value. Per quasi-identifier class "
+        "(nationkey, mktsegment): distinct sensitive values "
+        "(o_orderpriority of the customers' orders), the top value's "
+        "share, and a risky flag (fewer than l=3 distinct values OR "
+        "top value above 80%). One join orders->customer on the "
+        "broadcastable customer dim, then ONE two-level aggregate; "
+        "output bounded by the QI domain.",
+    oracle="""
+        WITH j AS (
+          SELECT c_nationkey, c_mktsegment, o_orderpriority
+          FROM orders JOIN customer ON o_custkey = c_custkey
+        ), v AS (
+          SELECT c_nationkey, c_mktsegment, o_orderpriority,
+                 COUNT(*) AS cnt
+          FROM j GROUP BY 1, 2, 3
+        )
+        SELECT c_nationkey, c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS l_distinct,
+               CAST(SUM(cnt) AS BIGINT) AS class_rows,
+               ROUND(MAX(cnt) * 1.0 / SUM(cnt), 6) AS top_share,
+               (COUNT(*) < 3 OR MAX(cnt) * 1.0 / SUM(cnt) > 0.8) AS risky
+        FROM v GROUP BY c_nationkey, c_mktsegment
+    """,
+)
+def ext_l_diversity(spark, sf_dir):
+    j = t(spark, sf_dir, "orders").join(
+        F.broadcast(
+            t(spark, sf_dir, "customer").select(
+                "c_custkey", "c_nationkey", "c_mktsegment"
+            )
+        ),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    v = j.groupBy("c_nationkey", "c_mktsegment", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    top_share = F.round(
+        F.max("cnt") * F.lit(1.0) / F.sum("cnt"), 6
+    )
+    return v.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("l_distinct"),
+        F.sum("cnt").alias("class_rows"),
+        top_share.alias("top_share"),
+        (
+            (F.count(F.lit(1)) < 3)
+            | (F.max("cnt") * F.lit(1.0) / F.sum("cnt") > 0.8)
+        ).alias("risky"),
+    )

@@ -268,6 +268,71 @@ def n1_jaccard_join(spark, sf_dir):
 
 
 @query(
+    "n1_containment_join",
+    group="N1",
+    doc="Directional set-CONTAINMENT join, |A n B|/|A| >= 0.8 over word "
+        "3-gram shingles (functions/setsim.py:containment_join) — the "
+        "quote/excerpt detector Jaccard structurally misses (a snippet "
+        "verbatim inside a long page has containment 1.0, Jaccard ~0). "
+        "Prefix filtering is asymmetric: only A-side rarest-token "
+        "prefixes generate candidates (no sound B-side bound exists), "
+        "so join keys are exclusively rare tokens and the output is "
+        "bounded by the prefix posting lists; the |B| >= 0.8|A| length "
+        "filter prunes before pair dedup.",
+    oracle=r"""
+        WITH w AS (
+          SELECT doc_id,
+                 regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+          FROM documents
+        ), sh AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(range(1, len(ws) - 1),
+                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sl
+          FROM w WHERE len(ws) >= 3
+        ), toks AS (SELECT doc_id, unnest(sl) AS tok FROM sh),
+        ordered AS (
+          SELECT t.doc_id, list(t.tok ORDER BY d.df, t.tok) AS s
+          FROM toks t
+          JOIN (SELECT tok, COUNT(*) AS df FROM toks GROUP BY tok) d
+            USING (tok)
+          GROUP BY t.doc_id
+        ), sized AS (
+          SELECT doc_id, s,
+                 s[1:GREATEST(1, len(s)
+                   - CAST(CEIL(len(s) * 0.8) AS BIGINT) + 1)] AS prefix
+          FROM ordered
+        ), pre AS (SELECT doc_id, s, unnest(prefix) AS tok FROM sized),
+        post AS (SELECT doc_id, s, unnest(s) AS tok FROM sized),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                 a.s AS s_a, b.s AS s_b
+          FROM pre a JOIN post b
+            ON a.tok = b.tok AND a.doc_id <> b.doc_id
+          WHERE len(b.s) >= CEIL(len(a.s) * 0.8)
+        ), scored AS (
+          SELECT id_a, id_b,
+                 len(list_intersect(s_a, s_b)) AS n_common,
+                 len(s_a) AS n_a
+          FROM cand
+        )
+        SELECT id_a, id_b,
+               CAST(n_common AS BIGINT) AS n_common,
+               CAST(n_a AS BIGINT) AS n_a,
+               ROUND(CAST(n_common AS DOUBLE) / n_a, 6) AS containment
+        FROM scored
+        WHERE CAST(n_common AS DOUBLE) / n_a >= 0.8
+    """,
+)
+def n1_containment_join(spark, sf_dir):
+    from hiero_spark.functions.setsim import containment_join
+
+    docs = t(spark, sf_dir, "documents").filter(
+        F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+")) >= 3
+    )
+    return containment_join(docs, threshold=0.8, k=3)
+
+
+@query(
     "ext_interval_concurrency",
     group="ext-window",
     doc="Peak concurrency per event type over half-open 30-minute "

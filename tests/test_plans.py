@@ -237,3 +237,19 @@ def test_rolling_distinct_is_bounded_fanout(qs):
     plan = P.plan_str(qs["ext_rolling_distinct"])
     assert "rangepartitioning" not in plan.lower(), plan
     assert any("Generate" in n for n in names), names  # the bounded explode
+
+
+def test_curriculum_order_uses_window_group_limit(qs):
+    """The rank<=50 filter must push a Partial WindowGroupLimit below the
+    per-stage exchange — without it every stage's full membership sorts
+    on one reducer, the scale-killer the docstring rules out."""
+    plan = P.plan_str(qs["n6_curriculum_order"])
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan
+
+
+def test_containment_join_carries_no_arrays_through_candidates(qs):
+    """Same invariant as the jaccard join: the shingle arrays join back
+    onto the deduped pair list; they never ride the token self-join."""
+    plan = P.plan_str(qs["n1_containment_join"])
+    assert "CartesianProduct" not in plan

@@ -514,3 +514,59 @@ def test_grouped_pps_exact_k_per_group(spark):
     for r in out.collect():
         per_group[r["g"]] = per_group.get(r["g"], 0) + r["n_sel"]
     assert per_group == {"a": 7, "b": 7, "c": 7}  # exactly k each, no 'z'
+
+
+def test_containment_join_equals_brute_force(spark):
+    # asymmetric prefix filtering is a COMPLETENESS claim: check against
+    # the all-ordered-pairs ground truth, including the snippet-in-page
+    # case Jaccard misses
+    from hiero_spark.functions.setsim import containment_join
+
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    page = base + " kilo lima mike november oscar papa quebec romeo sierra tango"
+    texts = {
+        0: base,            # fully contained in 1 (containment 1.0 -> 1)
+        1: page,
+        2: base.replace("delta", "xray"),
+        3: "one two three four five six seven",
+        4: "one two three four five six seven",  # mutual containment with 3
+        5: "totally different words appear here and nothing else matches",
+    }
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = sorted(
+        (r["id_a"], r["id_b"], r["containment"])
+        for r in containment_join(docs, threshold=0.7, k=3).collect()
+    )
+
+    def shingles(s):
+        ws = s.split()
+        return {" ".join(ws[i:i + 3]) for i in range(len(ws) - 2)}
+
+    exp = sorted(
+        (a, b, round(len(shingles(ta) & shingles(tb)) / len(shingles(ta)), 6))
+        for a, ta in texts.items()
+        for b, tb in texts.items()
+        if a != b
+        and len(shingles(ta) & shingles(tb)) / len(shingles(ta)) >= 0.7
+    )
+    assert got == exp
+    assert (0, 1, 1.0) in got       # snippet-in-page: the Jaccard blind spot
+    assert (1, 0, 1.0) not in got   # page is NOT contained in the snippet
+    assert (3, 4, 1.0) in got and (4, 3, 1.0) in got  # dup: both directions
+
+
+def test_containment_join_hashed_equals_string_arm(spark):
+    from hiero_spark.catalog import load_table
+    from hiero_spark.functions.setsim import containment_join
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    s = sorted(
+        tuple(r)
+        for r in containment_join(docs, threshold=0.8, k=3).collect()
+    )
+    h = sorted(
+        tuple(r)
+        for r in containment_join(docs, threshold=0.8, k=3, hashed=True).collect()
+    )
+    assert [x[2:] for x in s] == [x[2:] for x in h]  # same scores...
+    assert s == h                                    # ...and same pairs

@@ -604,6 +604,83 @@ def main() -> None:
             },
         }
 
+    def e2e_throughput() -> dict:
+        """End-to-end curation-core throughput at 1M docs — the headline
+        number a pipeline owner actually budgets with (docs/sec through
+        the REAL gate+dedup path, not per-op micro-times). Reuses the
+        cached skew corpus (hot boilerplate cluster included, so the
+        exact-dedup groupBy sees the adversarial key distribution).
+
+        The measured pipeline is the curation core in one lineage:
+        language-id -> quality gate -> Gopher gates (dup-line share,
+        top-2gram share, symbol ratio) -> exact-fingerprint dedup
+        keep-first -> corpus stats. ONE scan computes every gate flag
+        (all Catalyst expressions), ONE shuffle deduplicates (partial
+        aggregation combines the 50k-copy hot key map-side), and the
+        final stats aggregate is a second tiny shuffle. Warm min-of-2;
+        uncompressed_mb is summed text bytes so the MB/s figure is
+        layout-independent."""
+        import os
+
+        from pyspark.sql import functions as F
+
+        from hiero_spark.functions import text as tx
+
+        big_path = "/tmp/hiero_spark_bench_skew/corpus_1m"
+        if not os.path.exists(f"{big_path}/_SUCCESS"):
+            from hiero_spark.sources.readers import synthetic_boilerplate_corpus
+
+            synthetic_boilerplate_corpus(spark, 1_000_000, 50_000).write.mode(
+                "overwrite"
+            ).parquet(big_path)
+        big = spark.read.parquet(big_path)
+        n_docs = 1_000_000
+        text_bytes = big.agg(
+            F.sum(F.octet_length("text")).alias("b")
+        ).collect()[0]["b"]
+
+        def pipeline():
+            gated = (
+                tx.with_language_id(big, "text")
+                .withColumn("n_tok", tx.token_count(F.col("text")))
+                .withColumn("fp", tx.fingerprint(F.col("text")))
+                .filter(
+                    # the synthetic corpus has hash-token words, so its
+                    # honest lang-id is 'und'; the gate keeps en+und to
+                    # exercise the expression without zeroing the corpus
+                    F.col("pred_lang").isin("en", "und")
+                    & (tx.quality_score(F.col("text")) >= 0.5)
+                    & (tx.duplicate_line_fraction(F.col("text")) <= 0.99)
+                    & (tx.top_2gram_share(F.col("text")) <= 0.5)
+                    & (tx.symbol_word_ratio(F.col("text")) <= 0.10)
+                )
+            )
+            kept = gated.groupBy("fp").agg(
+                F.min("doc_id").alias("keep_id"),
+                F.first("n_tok").alias("n_tok"),
+            )
+            return kept.agg(
+                F.count(F.lit(1)).alias("kept_docs"),
+                F.sum("n_tok").alias("kept_tokens"),
+            )
+
+        kept_row = pipeline().collect()[0]  # warm (plan/codegen/cache)
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            pipeline().collect()
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+        return {
+            "n_docs": n_docs,
+            "uncompressed_mb": round(text_bytes / 1e6, 1),
+            "kept_docs": int(kept_row["kept_docs"]),
+            "kept_tokens": int(kept_row["kept_tokens"]),
+            "wall_sec": round(best, 2),
+            "docs_per_sec": int(n_docs / best),
+            "mb_per_sec": round(text_bytes / 1e6 / best, 1),
+        }
+
     # Round-6 operators, timed once each at sf (NOT part of the headline —
     # the headline set stays fixed for round-over-round comparability; this
     # block gives the new surface a measured number).  Training-loop
@@ -725,6 +802,7 @@ def main() -> None:
     pyds_vs_grok = pyds_payoff(sf_dir)
     tix = text_index_payoff(sf_dir)
     skew = skew_stress()
+    e2e = e2e_throughput()
     r6_ops = run_r6_ops(sf_dir)
 
     total = round(sum(timings.values()), 3)
@@ -745,6 +823,7 @@ def main() -> None:
                 "pyds_payoff": pyds_vs_grok,
                 "text_index_payoff": tix,
                 "skew_stress": skew,
+                "e2e_throughput": e2e,
                 "round_ops": r6_ops,
             },
             fh,

@@ -520,3 +520,183 @@ def n6_curriculum_order(spark, sf_dir):
         .filter(F.col("pos") <= 50)
         .select("stage", "pos", "doc_id", F.round("quality", 6).alias("quality"))
     )
+
+
+@query(
+    "n6_oov_curve",
+    group="N6",
+    doc="Vocabulary-coverage curve: share of total token OCCURRENCES "
+        "covered by the top-V tokens, for V in (100, 1000, 10000) — the "
+        "number that sizes a tokenizer vocabulary (its complement is "
+        "the OOV rate). Scale shape: ONE token-count shuffle "
+        "(Zipf-compressed), then TakeOrderedAndProject keeps only the "
+        "top-10k vocab rows (per-partition top-k merge, never a global "
+        "sort of the vocabulary); the rank window and cutoff sums run "
+        "over that bounded 10k-row frame. Coverage is an exact integer "
+        "ratio rounded once.",
+    oracle=r"""
+        WITH toks AS (
+          SELECT UNNEST(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+          FROM documents
+        ), counts AS (
+          SELECT token, COUNT(*) AS freq FROM toks
+          WHERE token <> '' GROUP BY token
+        ), total AS (SELECT SUM(freq) AS n FROM counts),
+        top AS (
+          SELECT freq,
+                 ROW_NUMBER() OVER (ORDER BY freq DESC, token ASC) AS rk
+          FROM counts ORDER BY freq DESC, token ASC LIMIT 10000
+        )
+        SELECT v.vocab_size,
+               CAST(COALESCE(SUM(CASE WHEN t.rk <= v.vocab_size
+                                      THEN t.freq END), 0) AS BIGINT)
+                 AS covered_occurrences,
+               CAST(MAX(total.n) AS BIGINT) AS total_occurrences,
+               ROUND(COALESCE(SUM(CASE WHEN t.rk <= v.vocab_size
+                                       THEN t.freq END), 0)
+                     * 1.0 / MAX(total.n), 6) AS coverage
+        FROM (VALUES (100), (1000), (10000)) v(vocab_size), top t, total
+        GROUP BY v.vocab_size
+    """,
+)
+def n6_oov_curve(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    toks = (
+        t(spark, sf_dir, "documents")
+        .select(
+            F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+            ).alias("token")
+        )
+        .filter(F.col("token") != "")
+    )
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    total = counts.agg(F.sum("freq").alias("n"))
+    top = counts.orderBy(F.col("freq").desc(), F.col("token").asc()).limit(10000)
+    ranked = top.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.orderBy(F.col("freq").desc(), F.col("token").asc())
+        ),
+    )
+    # cutoffs ride an exploded literal array (no join node at all); the
+    # 1-row total is the documented scalar-broadcast shape
+    return (
+        ranked.withColumn(
+            "vocab_size", F.explode(F.array(F.lit(100), F.lit(1000), F.lit(10000)))
+        )
+        .crossJoin(F.broadcast(total))
+        .groupBy("vocab_size")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("rk") <= F.col("vocab_size"), F.col("freq"))),
+                F.lit(0),
+            ).cast("long").alias("covered_occurrences"),
+            F.max("n").cast("long").alias("total_occurrences"),
+            F.round(
+                F.coalesce(
+                    F.sum(
+                        F.when(F.col("rk") <= F.col("vocab_size"), F.col("freq"))
+                    ),
+                    F.lit(0),
+                )
+                * F.lit(1.0)
+                / F.max("n"),
+                6,
+            ).alias("coverage"),
+        )
+    )
+
+
+@query(
+    "n6_dataset_drift",
+    group="N6",
+    doc="Statistical drift audit (PSI) between two corpus snapshots "
+        "(deterministically: even vs odd doc_ids): per document-length "
+        "bucket, reference/current counts and the Population Stability "
+        "Index term, plus the running PSI in bucket order (last row = "
+        "total; terms are nonnegative by construction). n6_dataset_diff "
+        "answers WHICH rows changed; this answers whether the "
+        "DISTRIBUTION moved and where. Cross-engine exactness: +1 "
+        "Laplace smoothing keeps every ln over a POSITIVE INTEGER "
+        "(the n4_char_entropy discipline — both engines call libm on "
+        "identical ints; ln(p_c/p_r) decomposes to 4 integer-input "
+        "logs so no products can overflow at scale), and the running "
+        "sum is window-ordered, never an unordered double aggregate. "
+        "ONE scan, output bounded by the 10-bucket domain.",
+    oracle=r"""
+        WITH d AS (
+          SELECT doc_id % 2 AS side,
+                 LEAST(len(regexp_split_to_array(trim(text), '\s+')) // 10,
+                       9) AS bucket
+          FROM documents
+        ), b AS (
+          SELECT g.bucket,
+                 COALESCE(SUM(CASE WHEN side = 0 THEN 1 END), 0) + 1 AS nr,
+                 COALESCE(SUM(CASE WHEN side = 1 THEN 1 END), 0) + 1 AS nc
+          FROM (SELECT UNNEST(range(0, 10)) AS bucket) g
+          LEFT JOIN d ON d.bucket = g.bucket
+          GROUP BY g.bucket
+        ), tot AS (
+          SELECT SUM(nr) AS tr, SUM(nc) AS tc FROM b
+        ), terms AS (
+          SELECT bucket,
+                 CAST(nr - 1 AS BIGINT) AS n_ref,
+                 CAST(nc - 1 AS BIGINT) AS n_cur,
+                 (nc * 1.0 / tc - nr * 1.0 / tr)
+                 * (ln(nc) - ln(tc) - ln(nr) + ln(tr)) AS term
+          FROM b, tot
+        )
+        SELECT bucket, n_ref, n_cur,
+               ROUND(term, 6) AS psi_term,
+               ROUND(SUM(term) OVER (ORDER BY bucket
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+                 AS cum_psi
+        FROM terms
+    """,
+)
+def n6_dataset_drift(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    from hiero_spark.functions import text as tx
+
+    d = t(spark, sf_dir, "documents").select(
+        F.pmod(F.col("doc_id"), F.lit(2)).alias("side"),
+        F.least(
+            (tx.token_count(F.col("text")) / F.lit(10)).cast("long"),
+            F.lit(9),
+        ).alias("bucket"),
+    )
+    grid = spark.createDataFrame([(i,) for i in range(10)], "bucket long")
+    b = (
+        grid.join(d, "bucket", "left")
+        .groupBy("bucket")
+        .agg(
+            (
+                F.coalesce(F.sum(F.when(F.col("side") == 0, 1)), F.lit(0)) + 1
+            ).alias("nr"),
+            (
+                F.coalesce(F.sum(F.when(F.col("side") == 1, 1)), F.lit(0)) + 1
+            ).alias("nc"),
+        )
+    )
+    tot = b.agg(F.sum("nr").alias("tr"), F.sum("nc").alias("tc"))
+    terms = b.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        (F.col("nr") - 1).cast("long").alias("n_ref"),
+        (F.col("nc") - 1).cast("long").alias("n_cur"),
+        (
+            (F.col("nc") * F.lit(1.0) / F.col("tc")
+             - F.col("nr") * F.lit(1.0) / F.col("tr"))
+            * (F.log("nc") - F.log("tc") - F.log("nr") + F.log("tr"))
+        ).alias("term"),
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return terms.select(
+        "bucket",
+        "n_ref",
+        "n_cur",
+        F.round("term", 6).alias("psi_term"),
+        F.round(F.sum("term").over(w), 6).alias("cum_psi"),
+    )

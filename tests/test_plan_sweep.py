@@ -50,6 +50,8 @@ BNLJ_ALLOWED = {
     "n4_pmi_collocations": "scalar broadcast: 1-row total-bigram count N joins the scored pairs",
     "ext_market_basket": "scalar broadcast: 1-row n_orders joins the scored pairs",
     "a17_join_cardinality": "scalar broadcast: 1-row stats x 1-row actual-count combines",
+    "n6_oov_curve": "scalar broadcast: 1-row total-occurrences joins the 10k-row top-vocab frame",
+    "n6_dataset_drift": "scalar broadcast: 1-row smoothed totals join the 10-bucket terms",
 }
 
 _SPECS = all_queries()

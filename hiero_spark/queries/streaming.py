@@ -330,3 +330,65 @@ def x10_attribution_batch(spark, sf_dir):
     # the same helper builds the batch plan (withWatermark is a no-op on
     # batch DataFrames), so the driver hashes the exact streaming logic
     return attribution_join(views, clicks)
+
+
+@query(
+    "x19_quality_monitor",
+    group="X19",
+    doc="Streaming data-quality monitor, batch mode: per 1-minute ingest "
+        "window (deterministic 1-doc/sec clock from doc_id), gate pass "
+        "counts (quality / symbol / dup-line / prose — the funnel's "
+        "Catalyst expressions), all-gates pass rate, alert below 50%. "
+        "The EXACT streaming code path (streaming/pipelines.py:"
+        "quality_monitor_stream) runs here on a batch frame — windowed "
+        "conditional sums are mergeable, so the state per window is one "
+        "row and append mode emits it once; the streaming twin equality "
+        "is pinned in tests/test_streaming.py.",
+    oracle=r"""
+        WITH m AS (
+          SELECT doc_id, text,
+                 CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok,
+                 CAST(length(text) AS DOUBLE) AS n_chr,
+                 regexp_split_to_array(text, '\n') AS lines,
+                 regexp_split_to_array(trim(text), '\s+') AS toks,
+                 length(regexp_replace(text, '[A-Za-z0-9\s.,;:!?()-]', '', 'g')) AS n_sym,
+                 epoch('2024-01-01 00:00:00'::TIMESTAMP) + doc_id AS ets
+          FROM documents
+        ), f AS (
+          SELECT doc_id,
+                 (ets - ets % 60) AS bucket_ts,
+                 LEAST(CAST(n_tok AS DOUBLE) / 100.0, 1.0) * 0.6 +
+                 (CASE WHEN n_chr / CAST(n_tok AS DOUBLE) >= 3.0
+                        AND n_chr / CAST(n_tok AS DOUBLE) <= 10.0
+                       THEN 1.0 ELSE 0.5 END) * 0.4 >= 0.5 AS g1,
+                 ROUND(CAST(n_sym AS DOUBLE) / len(toks), 6) <= 0.10 AS g2,
+                 ROUND(CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
+                       / len(lines), 6) <= 0.30 AS g3,
+                 len(list_distinct(list_filter(
+                   regexp_split_to_array(trim(lower(text)), '\s+'),
+                   x -> x IN ('the','of','and','to','in','a','is','that','for','it')
+                 ))) >= 2 AS g4
+          FROM m
+        )
+        SELECT CAST(bucket_ts AS BIGINT) AS bucket_ts,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+               CAST(SUM(CASE WHEN g2 THEN 1 ELSE 0 END) AS BIGINT) AS n_symbol,
+               CAST(SUM(CASE WHEN g3 THEN 1 ELSE 0 END) AS BIGINT) AS n_dupline,
+               CAST(SUM(CASE WHEN g4 THEN 1 ELSE 0 END) AS BIGINT) AS n_prose,
+               CAST(SUM(CASE WHEN g1 AND g2 AND g3 AND g4 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_pass_all,
+               ROUND(SUM(CASE WHEN g1 AND g2 AND g3 AND g4 THEN 1 ELSE 0 END)
+                     * 1.0 / COUNT(*), 6) AS pass_rate,
+               SUM(CASE WHEN g1 AND g2 AND g3 AND g4 THEN 1 ELSE 0 END)
+                 * 1.0 / COUNT(*) < 0.5 AS alert
+        FROM f GROUP BY 1
+    """,
+)
+def x19_quality_monitor(spark, sf_dir):
+    from hiero_spark.streaming.pipelines import (
+        quality_monitor_stream, with_synthetic_ingest_ts,
+    )
+
+    docs = with_synthetic_ingest_ts(t(spark, sf_dir, "documents"))
+    return quality_monitor_stream(docs)

@@ -259,12 +259,16 @@ def read_version_evolved(
     return spark.read.option("mergeSchema", "true").parquet(*files)
 
 
-def commit_staged(df: DataFrame, path: str, mode: str = "append") -> dict:
+def commit_staged(
+    df: DataFrame, path: str, mode: str = "append", note: dict | None = None
+) -> dict:
     """Stage a commit WITHOUT publishing it: data lands in its own
     commit dir and the manifest is written as `staged.json` — invisible
     to `list_versions`/`read_version` (their glob is `v*.json`), so no
     reader can observe the data until `publish_staged` promotes it.
-    One staged commit at a time (the single-writer contract)."""
+    One staged commit at a time (the single-writer contract). `note`
+    is caller metadata carried verbatim into the manifest (e.g. the
+    streaming batch_id the X20 replay guard keys on)."""
     if os.path.exists(os.path.join(_manifest_dir(path), "staged.json")):
         raise RuntimeError(f"{path} already has a staged commit")
     versions = list_versions(path)
@@ -284,6 +288,7 @@ def commit_staged(df: DataFrame, path: str, mode: str = "append") -> dict:
         "files": prev_files + new_files,
         "n_files": len(prev_files) + len(new_files),
         "staged_files": new_files,
+        "note": note or {},
     }
     os.makedirs(_manifest_dir(path), exist_ok=True)
     with open(os.path.join(_manifest_dir(path), "staged.json"), "w") as fh:
@@ -300,6 +305,25 @@ def read_staged(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(
         *[os.path.join(path, f) for f in manifest["files"]]
     )
+
+
+def read_staged_delta(spark: SparkSession, path: str) -> DataFrame:
+    """Scan ONLY the staged commit's newly-written files — the audit
+    scope for per-batch gates, where re-auditing already-published
+    history every batch would be O(table) instead of O(batch)."""
+    with open(os.path.join(_manifest_dir(path), "staged.json")) as fh:
+        manifest = json.load(fh)
+    return spark.read.parquet(
+        *[os.path.join(path, f) for f in manifest["staged_files"]]
+    )
+
+
+def manifest_notes(path: str) -> dict[int, dict]:
+    """{version: note} for every retained manifest — the metadata seam
+    replay guards and lineage audits read (O(versions) tiny JSONs)."""
+    return {
+        v: _load_manifest(path, v).get("note", {}) for v in list_versions(path)
+    }
 
 
 def publish_staged(path: str) -> dict:
@@ -334,7 +358,13 @@ def abort_staged(path: str) -> dict:
 
 
 def wap_commit(
-    spark: SparkSession, df: DataFrame, path: str, checks, mode: str = "append"
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    checks,
+    mode: str = "append",
+    note: dict | None = None,
+    audit_scope: str = "version",
 ) -> dict:
     """Write-Audit-Publish: stage `df`, run the declarative quality
     `checks` (functions/checks.py:Checks — ONE aggregation job) over the
@@ -342,10 +372,25 @@ def wap_commit(
     audit aborts and readers NEVER see the data — the Iceberg WAP /
     staging-branch pattern as three manifest operations.
 
+    audit_scope="version" audits everything readers would see after
+    publish (history + delta — the one-shot batch gate);
+    audit_scope="delta" audits only the newly staged files — the
+    per-batch streaming gate, O(batch) per commit, where history was
+    already audited when IT published. Cross-commit invariants (global
+    key uniqueness) are out of delta scope by construction — run the
+    X12 admit gate inside the batch or a version-scoped audit cadence.
+
     Returns {published, version, report} with the long-form check
     report either way."""
-    commit_staged(df, path, mode)
-    report_rows = checks.report(read_staged(spark, path)).collect()
+    if audit_scope not in ("version", "delta"):
+        raise ValueError(f"audit_scope must be version|delta, got {audit_scope!r}")
+    commit_staged(df, path, mode, note=note)
+    audit_df = (
+        read_staged(spark, path)
+        if audit_scope == "version"
+        else read_staged_delta(spark, path)
+    )
+    report_rows = checks.report(audit_df).collect()
     ok = all(r["passed"] for r in report_rows)
     report = [
         {k: r[k] for k in ("check", "column", "n_violations", "passed")}

@@ -585,3 +585,144 @@ def join_view_stream_sink(
         .option("checkpointLocation", checkpoint)
         .outputMode("update")
     )
+
+
+def with_synthetic_ingest_ts(
+    docs: DataFrame, id_col: str = "doc_id", base: str = "2024-01-01 00:00:00"
+) -> DataFrame:
+    """Deterministic 1-doc-per-second ingest clock for feeds that carry no
+    event time (the documents table): ts = base + id seconds. Production
+    replaces this with the real ingest timestamp column; everything
+    downstream (windows, watermarks, twins, oracles) is agnostic."""
+    return docs.withColumn(
+        "ts",
+        F.timestamp_seconds(
+            F.unix_timestamp(F.lit(base)) + F.col(id_col).cast("long")
+        ),
+    )
+
+
+def quality_monitor_stream(
+    doc_stream: DataFrame,
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """X19: streaming data-quality monitoring — the gate-rate dashboard a
+    production ingest pipeline alarms on (a crawler gone bad shows up as
+    a pass-rate cliff long before a corpus-level audit would catch it).
+
+    Per ingest window: doc count, per-gate pass counts (quality score,
+    symbol ratio, duplicate-line share, prose gate — the SAME Catalyst
+    expressions the batch curation funnel evaluates, one code path
+    on/offline), the all-gates pass rate, and an alert flag. Every
+    aggregate is a conditional sum — mergeable partial state, so this is
+    a plain windowed aggregation: one small state row per window inside
+    the watermark horizon, emitted exactly once in append mode when the
+    watermark closes the window. Requires a `ts` column
+    (with_synthetic_ingest_ts supplies one for clockless feeds)."""
+    from hiero_spark.functions import text as tx
+
+    txt = F.col("text")
+    g1 = tx.quality_score(txt) >= 0.5
+    g2 = tx.symbol_word_ratio(txt) <= 0.10
+    g3 = tx.duplicate_line_fraction(txt) <= 0.30
+    g4 = tx.prose_gate(txt)
+    cnt = lambda c: F.sum(c.cast("long")).alias  # noqa: E731
+    passed = (g1 & g2 & g3 & g4).cast("long")
+    return (
+        doc_stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            cnt(g1)("n_quality"),
+            cnt(g2)("n_symbol"),
+            cnt(g3)("n_dupline"),
+            cnt(g4)("n_prose"),
+            F.sum(passed).alias("n_pass_all"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("bucket_ts"),
+            "n_docs", "n_quality", "n_symbol", "n_dupline", "n_prose",
+            "n_pass_all",
+            F.round(F.col("n_pass_all") / F.col("n_docs"), 6).alias("pass_rate"),
+            (F.col("n_pass_all") / F.col("n_docs") < 0.5).alias("alert"),
+        )
+    )
+
+
+def make_wap_fold(table_path: str, checks, quarantine_path: str):
+    """The per-micro-batch Write-Audit-Publish fold (factored out of
+    wap_stream_sink so tests can drive replay scenarios directly).
+
+    Exactly-once ACROSS CRASHES, not just clean restarts — stronger
+    than the X16 caveat, because the versioned table's own metadata
+    closes the replay window foreachBatch leaves open:
+
+    * publish completed, then crash before checkpoint commit: the
+      replayed batch finds its batch_id in a published manifest's note
+      (sources/versioned.py:manifest_notes) and no-ops;
+    * crash between stage and publish: the stale staged.json is
+      aborted (its files were never reader-visible) and the replayed
+      batch re-stages from scratch — the stage/publish pair is made
+      idempotent by the abort, not by assuming replay-free sources.
+
+    A batch that FAILS the audit is quarantined (overwrite into
+    quarantine_path/batch=<id>, itself replay-idempotent) instead of
+    dropped: readers never see it, but reprocessing is a batch replay
+    of the quarantine dir through wap_commit once the data is fixed.
+    The audit runs at delta scope — O(batch) per commit, history was
+    audited when it published."""
+    from hiero_spark.sources import versioned as V
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        if any(
+            n.get("batch_id") == batch_id
+            for n in V.manifest_notes(table_path).values()
+        ):
+            return  # replay of a completed publish: exactly-once no-op
+        staged = os.path.join(table_path, "_manifest", "staged.json")
+        if os.path.exists(staged):
+            V.abort_staged(table_path)  # crash left a stage mid-flight
+        res = V.wap_commit(
+            spark,
+            batch_df,
+            table_path,
+            checks,
+            note={"batch_id": batch_id},
+            audit_scope="delta",
+        )
+        if not res["published"]:
+            batch_df.write.mode("overwrite").parquet(
+                os.path.join(quarantine_path, f"batch={batch_id}")
+            )
+
+    return fold
+
+
+def wap_stream_sink(
+    stream_df: DataFrame,
+    table_path: str,
+    checks,
+    checkpoint: str,
+    quarantine_path: str,
+):
+    """X20: streaming ingest through the Write-Audit-Publish gate — each
+    micro-batch stages into the snapshot-versioned table, is audited by
+    the declarative Checks at delta scope, and publishes (or
+    quarantines) atomically; readers of read_version/read_latest only
+    ever see batches that passed. Composes X13's foreachBatch shape
+    with the versioned table's staging (one code path with the batch
+    wap_commit). See make_wap_fold for the crash/replay contract."""
+    return (
+        stream_df.writeStream.foreachBatch(
+            make_wap_fold(table_path, checks, quarantine_path)
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

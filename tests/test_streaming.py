@@ -763,3 +763,162 @@ def test_join_view_stream_matches_recompute(spark, tmp_path):
     assert got == recompute(b0 + b1)
     # the key-4 pair was born INSIDE batch 1 (cross term lands once)
     assert sum(1 for r in got if r[0] == 4) == 1
+
+
+def test_quality_monitor_stream_matches_batch(spark, sf_dir):
+    """X19: streaming gate-rate monitor — closed windows must equal the
+    registered batch twin (x19_quality_monitor) exactly; append emits
+    each window once."""
+    from hiero_spark.registry import all_queries
+
+    docs_static = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # FileStreamSource needs a directory/glob (read_events_stream note)
+    stream = pl.with_synthetic_ingest_ts(
+        spark.readStream.schema(docs_static.schema).parquet(
+            f"{sf_dir}/documents*.parquet"
+        )
+    )
+    pl.run_to_memory(
+        pl.quality_monitor_stream(stream), "t_qmon", output_mode="append"
+    )
+    got = {
+        r["bucket_ts"]: (
+            r["n_docs"], r["n_quality"], r["n_symbol"], r["n_dupline"],
+            r["n_prose"], r["n_pass_all"], r["pass_rate"], r["alert"],
+        )
+        for r in spark.table("t_qmon").collect()
+    }
+    expected = {
+        r["bucket_ts"]: (
+            r["n_docs"], r["n_quality"], r["n_symbol"], r["n_dupline"],
+            r["n_prose"], r["n_pass_all"], r["pass_rate"], r["alert"],
+        )
+        for r in all_queries()["x19_quality_monitor"].fn(
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(got) <= set(expected)       # append emits only closed windows
+    assert all(got[k] == expected[k] for k in got)
+    # a single availableNow batch can hold back at most the open tail
+    # window plus the 2-minute watermark horizon (2 windows)
+    assert len(got) >= len(expected) - 3
+    assert len(got) >= 1
+
+
+def test_quality_monitor_restart_exact_once(spark, tmp_path):
+    """X19 across a kill/restart: a gate-rate window finalized before the
+    restart emits exactly once; a late doc replayed behind the restored
+    watermark neither re-emits the window nor perturbs its counts; a
+    window closed only by post-restart data emits exactly once with
+    counts spanning the restart."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    schema = "doc_id long, text string, ts timestamp"
+    src = tmp_path / "src"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    run = _restart_runner(spark, src, ckpt, out, pl.quality_monitor_stream, schema)
+
+    prose = "the cat sat on the mat and it is a fine day for all of us " * 8
+    b1 = [
+        (1, prose, base + dt.timedelta(seconds=10)),        # 12:00 window
+        (2, "@@@@ ####", base + dt.timedelta(seconds=20)),  # fails gates
+        (3, "clock", base + dt.timedelta(minutes=10)),      # wm -> 12:08
+    ]
+    spark.createDataFrame(b1, schema).write.parquet(str(src / "b1.parquet"))
+    run()  # 12:00 window closes; emission lands by end of run 2
+
+    b2 = [
+        # late doc behind the restored 12:08 watermark: dropped; the
+        # already-finalized 12:00 window must not re-emit or change
+        (4, prose, base + dt.timedelta(seconds=40)),
+        (5, prose, base + dt.timedelta(minutes=10, seconds=30)),  # 12:10 win
+        (6, "clock", base + dt.timedelta(minutes=30)),      # wm -> 12:28
+    ]
+    spark.createDataFrame(b2, schema).write.parquet(str(src / "b2.parquet"))
+    run()  # closes the 12:10 window (docs 3 and 5, one per side of restart)
+
+    row = lambda r: (  # noqa: E731
+        r["bucket_ts"], r["n_docs"], r["n_quality"], r["n_symbol"],
+        r["n_dupline"], r["n_prose"], r["n_pass_all"], r["pass_rate"],
+        r["alert"],
+    )
+    got = sorted(row(r) for r in spark.read.parquet(out).collect())
+    # expected counts come from the SAME code path run in batch mode over
+    # exactly the docs streaming must have attributed to each window
+    def batch_window(rows):
+        df = spark.createDataFrame(rows, schema)
+        return [row(r) for r in pl.quality_monitor_stream(df).collect()]
+
+    expected = sorted(batch_window(b1[:2]) + batch_window([b1[2], b2[1]]))
+    assert got == expected, (got, expected)
+    assert len(got) == 2  # 12:00 once, 12:10 once; 12:30 still open
+
+
+def test_wap_stream_sink_publish_quarantine_replay(spark, tmp_path):
+    """X20: streaming WAP ingest. A clean batch publishes a version
+    carrying its batch_id; a violating batch quarantines without readers
+    ever seeing a row; replays are exactly-once through the versioned
+    table's own metadata (completed publish -> no-op; stale staged
+    commit -> aborted and re-staged)."""
+    from hiero_spark.functions.checks import Checks
+    from hiero_spark.sources import versioned as V
+
+    schema = "doc_id long, val long"
+    src = tmp_path / "src"
+    src.mkdir()
+    table = str(tmp_path / "table")
+    quar = str(tmp_path / "quarantine")
+    ckpt = str(tmp_path / "ckpt")
+    checks = Checks().not_null("val").in_range("val", 0, 100)
+
+    def run():
+        q = pl.wap_stream_sink(
+            spark.readStream.schema(schema).parquet(str(src) + "/*"),
+            table, checks, ckpt, quar,
+        )
+        q.awaitTermination(120)
+
+    b1 = [(1, 10), (2, 20)]
+    spark.createDataFrame(b1, schema).write.parquet(str(src / "b1.parquet"))
+    run()
+    assert V.list_versions(table) == [0]
+    assert V.manifest_notes(table)[0] == {"batch_id": 0}
+    assert V.read_version(spark, table).count() == 2
+
+    b2 = [(3, 30), (4, 999)]  # 999 violates in_range
+    spark.createDataFrame(b2, schema).write.parquet(str(src / "b2.parquet"))
+    run()
+    assert V.list_versions(table) == [0]  # nothing published
+    assert V.read_version(spark, table).count() == 2  # readers unaffected
+    quarantined = sorted(
+        (r["doc_id"], r["val"])
+        for r in spark.read.parquet(f"{quar}/batch=1").collect()
+    )
+    assert quarantined == sorted(b2)
+
+    b3 = [(5, 50)]
+    spark.createDataFrame(b3, schema).write.parquet(str(src / "b3.parquet"))
+    run()
+    assert V.list_versions(table) == [0, 1]
+    assert V.manifest_notes(table)[1] == {"batch_id": 2}
+    assert V.read_version(spark, table).count() == 3
+
+    # replay of a COMPLETED publish (crash before checkpoint commit):
+    # the fold sees batch_id 0 already in a manifest note and no-ops
+    fold = pl.make_wap_fold(table, checks, quar)
+    fold(spark.createDataFrame(b1, schema), 0)
+    assert V.list_versions(table) == [0, 1]
+    assert V.read_version(spark, table).count() == 3
+
+    # crash BETWEEN stage and publish: a stale staged.json is aborted
+    # (its files were never visible) and the replayed batch re-stages
+    V.commit_staged(
+        spark.createDataFrame([(9, 90)], schema), table, note={"batch_id": 7}
+    )
+    fold(spark.createDataFrame([(9, 90)], schema), 7)
+    assert V.list_versions(table) == [0, 1, 2]
+    assert V.manifest_notes(table)[2] == {"batch_id": 7}
+    assert V.read_version(spark, table).count() == 4

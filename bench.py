@@ -765,6 +765,16 @@ def main() -> None:
         "s24_wap_commit",
         "ext_k_anonymity",
         "n1_entity_resolution",
+        "ext_holt_forecast",
+        "n1_containment_join",
+        "ext_l_diversity",
+        "n6_curriculum_order",
+        "n6_oov_curve",
+        "n6_dataset_drift",
+        "ext_join_full",
+        "n7_bfs_levels",
+        "ext_dp_release",
+        "x19_quality_monitor",
     ]
 
     def run_r6_ops(data_dir: str) -> dict[str, float]:

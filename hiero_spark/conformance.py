@@ -94,6 +94,12 @@ DUCKDB_ONLY: dict[str, tuple[str, str]] = {
         "min_by(col, ord) / max_by(col, ord)",
     ),
     "blob_type": (r"\bAS\s+BLOB\b", "CAST(... AS BINARY)"),
+    "recursive_cte_union_distinct": (
+        r"\bWITH\s+RECURSIVE\b[\s\S]*\bUNION\b(?!\s+ALL)",
+        "Spark 4 recursive CTEs accept UNION ALL only "
+        "(UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE); dedup per step needs the "
+        "iterative DataFrame loop (functions/graph.py:bfs_levels)",
+    ),
 }
 
 # Failures no regex can see: structural dialect gaps, keyed by query name.

@@ -179,3 +179,55 @@ def connected_components(
             .localCheckpoint()
         )
     return labels.select("node", F.col("label").alias("component"))
+
+
+def bfs_levels(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 4,
+) -> DataFrame:
+    """(node, dist): multi-source unweighted shortest-path hop distance
+    (BFS levels) over the undirected graph, bounded at `max_hops`.
+
+    Pregel frontier discipline — the property that keeps this alive on
+    a 100 TB graph: each round joins ONLY the previous round's frontier
+    (nodes first reached last round) against the edge list, so round
+    cost is O(frontier-adjacent edges), never O(all edges); the dist
+    table grows monotonically by set-union and is never recomputed.
+    A node's distance is final the round it is first reached (BFS
+    invariant), so "new this round" is one anti-join against dist.
+    Rounds are O(max_hops) — distance doesn't pointer-jump the way
+    component labels do (doubling reach would need dist+dist joins,
+    i.e. all-pairs work), so callers bound hops explicitly; small-world
+    graphs saturate in a handful of rounds anyway. localCheckpoint cuts
+    lineage per round (the pagerank/connected_components contract), and
+    an empty frontier short-circuits (the checkpoint makes isEmpty a
+    metadata peek, not a recompute). Exact integer output — the oracle
+    is a bounded-depth recursive closure, hash-checked, no tolerance.
+    """
+    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
+        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    )
+    dist = (
+        sources.select(F.col(sources.columns[0]).alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+        .localCheckpoint()
+    )
+    frontier = dist.select("node")
+    for h in range(1, max_hops + 1):
+        nxt = (
+            sym.join(frontier, sym["u"] == frontier["node"])
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(dist, "node", "left_anti")
+            .withColumn("dist", F.lit(h).cast("long"))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        dist = dist.unionByName(nxt).localCheckpoint()
+        frontier = nxt.select("node")
+    return dist

@@ -1,0 +1,131 @@
+"""Differentially-private aggregate release: the step past auditing.
+
+ext_k_anonymity and ext_l_diversity AUDIT a release; this module
+produces one — per-group counts with truncated discrete-Laplace
+(two-sided geometric) noise, the mechanism DP count releases actually
+use (alpha^|k| mass, sensitivity-1 counts => eps-DP up to the
+documented truncation). Three design decisions carry the verifiability
+story the rest of the repo runs on:
+
+- Noise is drawn by INVERSE CDF against a uniform in [0,1): the CDF of
+  the truncated mechanism is a fixed list of 2*trunc constants computed
+  once driver-side and embedded as literals in BOTH the Spark plan and
+  the DuckDB oracle, so noise = -trunc + #(thresholds <= u) is a pure
+  comparison fold — bit-identical across engines, hash-checked with no
+  tolerance.
+- The uniform comes from a seeded LCG over the group's integer key in
+  exact BIGINT arithmetic, divided by 2^31 (a dyadic, so the double is
+  exact). A pluggable generator is the explicit seam: PRODUCTION MUST
+  SUPPLY SECRET RANDOMNESS — a deterministic seed makes the release
+  reproducible for tests/audits but voids the privacy guarantee, which
+  is exactly the trade a verification harness wants and a real release
+  must flip.
+- Truncation at +/-trunc bounds the error a consumer sees; the pmf mass
+  beyond the truncation (reported by `truncated_mass`) quantifies the
+  (eps, delta)-style slack it introduces.
+
+Scale shape: one partial+final groupBy for the counts; the noise is a
+per-row expression over the group keys (no shuffle, no UDF — a fold of
+2*trunc codegen comparisons). Output is bounded by the group domain.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+LCG_A = 1103515245
+LCG_C = 12345
+LCG_M = 2147483648  # 2^31; u = x / 2^31 is an exact dyadic double
+
+
+def discrete_laplace_cdf(eps: float, trunc: int) -> list[float]:
+    """Cumulative probabilities of the truncated discrete Laplace on
+    [-trunc, trunc]: pmf(k) proportional to exp(-eps)^|k|. Returns the
+    2*trunc interior thresholds; noise = -trunc + #(thresholds <= u)."""
+    alpha = math.exp(-eps)
+    pmf = [alpha ** abs(k) for k in range(-trunc, trunc + 1)]
+    z = sum(pmf)
+    cdf, acc = [], 0.0
+    for p in pmf[:-1]:
+        acc += p / z
+        cdf.append(acc)
+    return cdf
+
+
+def truncated_mass(eps: float, trunc: int) -> float:
+    """Probability mass the UNtruncated mechanism puts beyond +/-trunc —
+    the delta-style slack truncation introduces (two geometric tails)."""
+    alpha = math.exp(-eps)
+    # untruncated Z = (1 + alpha) / (1 - alpha); each tail sums
+    # alpha^(trunc+1) / (1 - alpha)
+    return 2 * alpha ** (trunc + 1) / (1 + alpha)
+
+
+def lcg_uniform(key: Column, seed: int = 0) -> Column:
+    """Deterministic uniform in [0,1) from an integer group key: one
+    LCG step in exact BIGINT arithmetic, then an exact dyadic division.
+    The seed shifts the KEY before the multiply (an additive constant
+    after it would move u by only seed/2^31 — too small to cross any
+    CDF threshold). Replace with secret randomness for a real release
+    (see module docstring)."""
+    x = ((key.cast("long") + F.lit(seed)) * F.lit(LCG_A) + F.lit(LCG_C)) % F.lit(
+        LCG_M
+    )
+    return x / F.lit(float(LCG_M))
+
+
+def dp_noisy_counts(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    eps: float = 0.5,
+    trunc: int = 20,
+    seed: int = 0,
+) -> DataFrame:
+    """(group..., released): per-group count plus truncated discrete-
+    Laplace noise. `key_col` must be an integer-typed group column (it
+    seeds the per-group noise draw). The true count is intentionally
+    NOT in the output — releasing it next to the noisy value would
+    defeat the mechanism; tests recover it independently."""
+    cdf = discrete_laplace_cdf(eps, trunc)
+    counts = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("_n"))
+    u = lcg_uniform(F.col(key_col), seed)
+    noise = sum(
+        (F.when(u >= F.lit(c), 1).otherwise(0) for c in cdf),
+        F.lit(-trunc),
+    )
+    return counts.select(
+        *group_cols, (F.col("_n") + noise).cast("long").alias("released")
+    )
+
+
+def dp_oracle_sql(
+    table_sql: str,
+    group_cols: list[str],
+    key_col: str,
+    eps: float = 0.5,
+    trunc: int = 20,
+    seed: int = 0,
+) -> str:
+    """The DuckDB mirror of dp_noisy_counts: SAME literal thresholds
+    (repr round-trips the exact double), SAME LCG arithmetic. Kept next
+    to the implementation so the constants cannot drift apart."""
+    cdf = discrete_laplace_cdf(eps, trunc)
+    gcols = ", ".join(group_cols)
+    noise_terms = " + ".join(
+        f"(CASE WHEN u >= CAST({c!r} AS DOUBLE) THEN 1 ELSE 0 END)"
+        for c in cdf
+    )
+    return f"""
+        WITH c AS (
+          SELECT {gcols}, COUNT(*) AS n,
+                 (((CAST({key_col} AS BIGINT) + {seed}) * {LCG_A} + {LCG_C})
+                   % {LCG_M}) / CAST({LCG_M} AS DOUBLE) AS u
+          FROM {table_sql} GROUP BY {gcols}
+        )
+        SELECT {gcols},
+               CAST(n + ({noise_terms}) - {trunc} AS BIGINT) AS released
+        FROM c
+    """

@@ -986,6 +986,64 @@ def n7_connected_components(spark, sf_dir):
 
 
 @query(
+    "n7_bfs_levels",
+    group="N7",
+    doc="Multi-source BFS shortest-path levels over the REAL customer–"
+        "supplier bipartite supply graph (orders⋈lineitem edges, supplier "
+        "node ids offset by 1e6 — the entity-resolution id convention): "
+        "hop distance from every nation-0 customer, bounded at 4 hops. "
+        "Frontier-only Pregel rounds (functions/graph.py:bfs_levels) — "
+        "each round joins just the newly-reached frontier with the edge "
+        "list, so round cost tracks the frontier, not the graph. Oracle "
+        "is the general bounded-depth recursive closure (the "
+        "n1_entity_resolution precedent), not a planted shape: DuckDB "
+        "re-derives distances from the same edges, exact integers, "
+        "hash-checked with no tolerance.",
+    oracle="""
+        WITH RECURSIVE
+        e AS (
+          SELECT DISTINCT CAST(o_custkey AS BIGINT) AS c,
+                 CAST(l_suppkey AS BIGINT) + 1000000 AS s
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        ),
+        sym AS (
+          SELECT c AS u, s AS v FROM e
+          UNION ALL
+          SELECT s AS u, c AS v FROM e
+        ),
+        walk(node, d) AS (
+          SELECT CAST(c_custkey AS BIGINT), 0
+          FROM customer WHERE c_nationkey = 0
+          UNION
+          SELECT sym.v, walk.d + 1
+          FROM walk JOIN sym ON sym.u = walk.node
+          WHERE walk.d < 4
+        )
+        SELECT node, CAST(MIN(d) AS BIGINT) AS dist
+        FROM walk GROUP BY node
+    """,
+)
+def n7_bfs_levels(spark, sf_dir):
+    from hiero_spark.functions.graph import bfs_levels
+
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    cust = t(spark, sf_dir, "customer")
+    edges = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_custkey").cast("long").alias("src"),
+            (F.col("l_suppkey").cast("long") + 1000000).alias("dst"),
+        )
+        .distinct()
+    )
+    sources = cust.filter(F.col("c_nationkey") == 0).select(
+        F.col("c_custkey").cast("long").alias("node")
+    )
+    return bfs_levels(edges, sources, max_hops=4)
+
+
+@query(
     "n6_mixture_apply",
     group="N6",
     doc="Mixture weights APPLIED: alpha-tempered per-source weights "

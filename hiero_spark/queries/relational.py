@@ -738,3 +738,31 @@ def ext_l_diversity(spark, sf_dir):
             | (F.max("cnt") * F.lit(1.0) / F.sum("cnt") > 0.8)
         ).alias("risky"),
     )
+
+from hiero_spark.functions.privacy import dp_oracle_sql  # noqa: E402
+
+
+@query(
+    "ext_dp_release",
+    group="ext-agg",
+    doc="Differentially-private count release — the PRODUCING step the "
+        "k-anonymity / l-diversity audits sit in front of: customers per "
+        "nation with truncated discrete-Laplace noise (eps=0.5, trunc=20, "
+        "inverse-CDF against a seeded per-group uniform). The 40 CDF "
+        "thresholds are computed once driver-side and embedded as the "
+        "SAME literal doubles in the Spark plan and this oracle "
+        "(functions/privacy.py:dp_oracle_sql keeps them from drifting), "
+        "and the uniform is exact BIGINT LCG arithmetic over a dyadic "
+        "division — so the whole mechanism is bit-identical across "
+        "engines and hash-checked with no tolerance. Deterministic seed "
+        "= verifiable harness, NOT a private release; production swaps "
+        "in secret randomness (the documented seam). True counts are "
+        "not in the output.",
+    oracle=dp_oracle_sql("customer", ["c_nationkey"], "c_nationkey"),
+)
+def ext_dp_release(spark, sf_dir):
+    from hiero_spark.functions.privacy import dp_noisy_counts
+
+    return dp_noisy_counts(
+        t(spark, sf_dir, "customer"), ["c_nationkey"], "c_nationkey"
+    )

@@ -75,3 +75,51 @@ def test_cc_pointer_jump_beats_linear_propagation(spark):
     )
     cc = connected_components(edges, n_iter=5)
     assert {r.component for r in cc.collect()} == {0}
+
+
+# --- BFS levels (round-8 continuation) -----------------------------------
+
+
+def test_bfs_hand_built_chain_and_branch(spark):
+    from hiero_spark.functions.graph import bfs_levels
+
+    # 0-1-2-3-4 chain plus branch 2-10; source {0}
+    e = _edges(spark, [(0, 1), (1, 2), (2, 3), (3, 4), (2, 10)])
+    src = spark.createDataFrame([(0,)], ["node"])
+    got = {r["node"]: r["dist"] for r in bfs_levels(e, src, max_hops=4).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: 4, 10: 3}
+
+
+def test_bfs_multi_source_min_and_undirected(spark):
+    from hiero_spark.functions.graph import bfs_levels
+
+    # directed edge 5->6 must still be walkable 6->5 (symmetrized);
+    # node 6 is closer to source 7 than to source 0
+    e = _edges(spark, [(0, 1), (1, 5), (5, 6), (7, 6)])
+    src = spark.createDataFrame([(0,), (7,)], ["node"])
+    got = {r["node"]: r["dist"] for r in bfs_levels(e, src, max_hops=4).collect()}
+    assert got == {0: 0, 7: 0, 1: 1, 6: 1, 5: 2}
+
+
+def test_bfs_hop_bound_and_unreached_excluded(spark):
+    from hiero_spark.functions.graph import bfs_levels
+
+    # chain 0..5 with max_hops=2: nodes past distance 2 absent;
+    # disconnected island {100,101} never appears
+    e = _edges(
+        spark, [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (100, 101)]
+    )
+    src = spark.createDataFrame([(0,)], ["node"])
+    got = {r["node"]: r["dist"] for r in bfs_levels(e, src, max_hops=2).collect()}
+    assert got == {0: 0, 1: 1, 2: 2}
+
+
+def test_bfs_early_exit_on_empty_frontier(spark):
+    from hiero_spark.functions.graph import bfs_levels
+
+    # component exhausts at hop 1; max_hops=50 must not loop 50 rounds
+    # (isEmpty short-circuit) and the result is still exact
+    e = _edges(spark, [(0, 1), (5, 6)])
+    src = spark.createDataFrame([(0,)], ["node"])
+    got = {r["node"]: r["dist"] for r in bfs_levels(e, src, max_hops=50).collect()}
+    assert got == {0: 0, 1: 1}

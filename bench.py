@@ -775,6 +775,9 @@ def main() -> None:
         "n7_bfs_levels",
         "ext_dp_release",
         "x19_quality_monitor",
+        "ext_ols_trend",
+        "n7_shortest_paths",
+        "n7_label_propagation",
     ]
 
     def run_r6_ops(data_dir: str) -> dict[str, float]:

@@ -231,3 +231,113 @@ def bfs_levels(
         dist = dist.unionByName(nxt).localCheckpoint()
         frontier = nxt.select("node")
     return dist
+
+
+def bellman_ford(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    n_rounds: int = 3,
+) -> DataFrame:
+    """(node, dist): cheapest WEIGHTED distance from any source over
+    paths of at most `n_rounds` edges — Bellman-Ford with a bounded
+    round count (bfs_levels' weighted sibling; hops generalize to
+    nonnegative integer edge weights).
+
+    Each round relaxes every edge once: dist' = min(dist, min over
+    in-edges (dist(u) + w)) as one join + one min-groupBy — a full
+    O(E) pass per round, NOT frontier-only, because a weighted
+    distance can improve after first discovery (the property that
+    separates this from BFS). The exact long min-monoid makes the
+    fixpoint trajectory engine- and partitioning-independent, so the
+    round-k table is mirrored exactly by k chained CTEs (the pagerank
+    oracle pattern). Bounded rounds are the contract, not a cut
+    corner: round k IS "best within k legs", the question supply-path
+    analyses ask; a full fixpoint on a 100 TB graph would run
+    delta-stepping instead (documented seam). localCheckpoint per
+    round cuts lineage.
+    """
+    sym = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v"), F.col(weight).alias("w")
+    ).union(
+        edges.select(
+            F.col(dst).alias("u"), F.col(src).alias("v"), F.col(weight).alias("w")
+        )
+    )
+    dist = (
+        sources.select(F.col(sources.columns[0]).alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+        .localCheckpoint()
+    )
+    for _ in range(n_rounds):
+        relaxed = (
+            sym.join(dist, sym["u"] == dist["node"])
+            .select(F.col("v").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+    return dist
+
+
+def label_propagation(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_rounds: int = 3,
+) -> DataFrame:
+    """(node, label): semi-supervised node classification — seed nodes
+    carry known class labels, every round each UNSEEDED node takes the
+    majority label among its labeled neighbors (ties -> smallest
+    label; unlabeled neighbors don't vote). Seeds are clamped: they
+    never change class, which is what separates classification from
+    connected_components' label-minimum collapse.
+
+    Per round: one join edges⋈labels + one (node, label) count + one
+    deterministic argmax (row_number over cnt DESC, label ASC — the
+    exact tie order the oracle mirrors, so the whole trajectory is
+    engine- and partitioning-independent integers). Round cost is
+    O(E) joins against a labels table bounded by |V|; rounds bound
+    propagation distance from the seed set, the usual 2-3 for
+    small-world graphs. localCheckpoint cuts lineage per round.
+    """
+    from pyspark.sql.window import Window
+
+    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
+        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    )
+    seed_df = (
+        seeds.select(
+            F.col(seeds.columns[0]).alias("node"),
+            F.col(seeds.columns[1]).cast("long").alias("label"),
+        )
+        .localCheckpoint()
+    )
+    labels = seed_df
+    w = Window.partitionBy("node").orderBy(
+        F.col("cnt").desc(), F.col("label").asc()
+    )
+    for _ in range(n_rounds):
+        votes = (
+            sym.join(labels, sym["v"] == labels["node"])
+            .groupBy(F.col("u").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        winner = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+        )
+        labels = (
+            seed_df.unionByName(
+                winner.join(seed_df, "node", "left_anti")
+            ).localCheckpoint()
+        )
+    return labels

@@ -184,3 +184,70 @@ def holt_levels(
         F.round(trend, 6).alias("holt_trend"),
         F.round(level + trend, 6).alias("forecast_next"),
     )
+
+
+def ols_trend(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key ordinary-least-squares trend over the hourly cents
+    series: slope (cents/hour), intercept, and R² from the closed-form
+    sufficient statistics — the "is this KPI growing and how fast"
+    readout next to holt_levels' forecast.
+
+    Scale shape: the only corpus-wide pass is the hourly groupBy
+    (partial+final); the regression itself is ONE more aggregate over
+    the bounded bucket series (keys × hours rows), with x re-based to
+    hours-since-first-bucket per key so the sums stay small. All five
+    sufficient statistics (Σx, Σy, Σxy, Σx², Σy²) are EXACT longs —
+    order-free, so engine/partitioning can't move them — and only the
+    final slope/intercept/R² expressions touch doubles, as identical
+    op sequences on identical longs (bit-identical across engines,
+    ROUND display-only). Overflow headroom is documented, not assumed:
+    n·Σxy needs |hours|²·Σ|y| ≲ 2^63 — holds to ~1e5 buckets of 1e9
+    cents/hour; past that, carry the sums as DECIMAL(38,0)/HUGEINT.
+    Single-bucket keys (zero x-variance) are excluded — their slope is
+    undefined and the engines disagree on x/0.
+    """
+    cents = F.round(F.col(value_col) * 100, 0).cast("long")
+    hourly = (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.expr(f"unix_micros({ts_col}) DIV 3600000000").alias("hb"),
+            cents.alias("c"),
+        )
+        .groupBy("key", "hb")
+        .agg(F.sum("c").alias("y"))
+    )
+    based = hourly.select(
+        "key",
+        (F.col("hb") - F.min("hb").over(Window.partitionBy("key"))).alias("x"),
+        "y",
+    )
+    s = based.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = num / den
+    n_d, sx_d, sy_d = (F.col(c).cast("double") for c in ("n", "sx", "sy"))
+    syy_d = F.col("syy").cast("double")
+    return (
+        s.filter(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") > 0)
+        .select(
+            F.col("key").alias("event_type"),
+            F.col("n").cast("long").alias("n_hours"),
+            F.round(slope, 6).alias("slope_cents_per_hour"),
+            F.round((sy_d - slope * sx_d) / n_d, 6).alias("intercept_cents"),
+            F.round(
+                num * num / (den * (n_d * syy_d - sy_d * sy_d)), 6
+            ).alias("r2"),
+        )
+    )

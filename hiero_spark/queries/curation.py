@@ -1569,3 +1569,208 @@ def ext_holt_forecast(spark, sf_dir):
     return holt_levels(
         hourly, "event_type", "bucket_ts", "n_events", alpha=0.3, beta=0.1
     )
+
+
+@query(
+    "ext_ols_trend",
+    group="ext-window",
+    doc="Per-key OLS trend over the hourly cents series "
+        "(operators/anomaly.py:ols_trend): slope (cents/hour), "
+        "intercept, R² from closed-form sufficient statistics — the "
+        "'is this KPI growing and how fast' readout next to "
+        "ext_holt_forecast. All five sufficient sums are EXACT longs "
+        "(order-free; x re-based per key keeps them small, overflow "
+        "headroom documented in the operator), only the final three "
+        "expressions touch doubles as identical op sequences on "
+        "identical longs — bit-identical across engines, ROUND "
+        "display-only. One corpus pass (hourly groupBy) + one bounded "
+        "aggregate over keys × hours.",
+    oracle="""
+        WITH h AS (
+          SELECT event_type AS key,
+                 CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hb,
+                 CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT))
+                      AS BIGINT) AS y
+          FROM events GROUP BY 1, 2
+        ), b AS (
+          SELECT key, hb - MIN(hb) OVER (PARTITION BY key) AS x, y FROM h
+        ), s AS (
+          SELECT key, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                 SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+          FROM b GROUP BY key
+        )
+        SELECT key AS event_type,
+               CAST(n AS BIGINT) AS n_hours,
+               ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+                 AS slope_cents_per_hour,
+               ROUND((CAST(sy AS DOUBLE)
+                      - CAST(n * sxy - sx * sy AS DOUBLE)
+                        / CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(sx AS DOUBLE))
+                     / CAST(n AS DOUBLE), 6) AS intercept_cents,
+               ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                     * CAST(n * sxy - sx * sy AS DOUBLE)
+                     / (CAST(n * sxx - sx * sx AS DOUBLE)
+                        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+                 AS r2
+        FROM s WHERE n * sxx - sx * sx > 0
+    """,
+)
+def ext_ols_trend(spark, sf_dir):
+    from hiero_spark.operators.anomaly import ols_trend
+
+    return ols_trend(t(spark, sf_dir, "events"))
+
+
+def _bf_iter(prev: str, cur: str) -> str:
+    """One Bellman-Ford relaxation round as a CTE (the _pr_oracle_iter
+    pattern): every edge relaxed once, exact long min-monoid."""
+    return f"""{cur} AS (
+          SELECT node, CAST(MIN(dist) AS BIGINT) AS dist FROM (
+            SELECT node, dist FROM {prev}
+            UNION ALL
+            SELECT sym.v AS node, {prev}.dist + sym.w AS dist
+            FROM {prev} JOIN sym ON sym.u = {prev}.node
+          ) GROUP BY node
+        )"""
+
+
+@query(
+    "n7_shortest_paths",
+    group="N7",
+    doc="Weighted shortest supply paths: Bellman-Ford over the customer-"
+        "supplier graph with edge weight = the pair's best (min) "
+        "order-to-ship lead time in whole days (exact integer DIV of "
+        "epoch micros — both engines truncate the positive diff the "
+        "same way). 3 relaxation rounds from nation-0 customers = "
+        "cheapest cumulative lead time within 3 legs "
+        "(functions/graph.py:bellman_ford — bounded rounds ARE the "
+        "contract; a weighted distance can improve after discovery, so "
+        "rounds are full O(E) relaxations, not BFS frontiers). Oracle "
+        "mirrors the identical long min-monoid trajectory as 3 chained "
+        "CTEs (the n7_pagerank pattern), hash-checked, no tolerance.",
+    oracle=f"""
+        WITH e AS (
+          SELECT CAST(o_custkey AS BIGINT) AS c,
+                 CAST(l_suppkey AS BIGINT) + 1000000 AS s,
+                 CAST(MIN((epoch_us(l_shipdate) - epoch_us(o_orderdate))
+                          // 86400000000) AS BIGINT) AS w
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+          GROUP BY 1, 2
+        ),
+        sym AS (
+          SELECT c AS u, s AS v, w FROM e
+          UNION ALL
+          SELECT s AS u, c AS v, w FROM e
+        ),
+        r0 AS (
+          SELECT CAST(c_custkey AS BIGINT) AS node,
+                 CAST(0 AS BIGINT) AS dist
+          FROM customer WHERE c_nationkey = 0
+        ),
+        {_bf_iter("r0", "r1")},
+        {_bf_iter("r1", "r2")},
+        {_bf_iter("r2", "r3")}
+        SELECT node, dist FROM r3
+    """,
+)
+def n7_shortest_paths(spark, sf_dir):
+    from hiero_spark.functions.graph import bellman_ford
+
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    cust = t(spark, sf_dir, "customer")
+    # l_shipdate/o_orderdate are TIMESTAMP_NTZ; unix_micros needs TIMESTAMP
+    # (UTC session TZ makes the cast wall-clock identity, and the DIFFERENCE
+    # is TZ-independent either way)
+    days = F.expr(
+        "(unix_micros(cast(l_shipdate as timestamp))"
+        " - unix_micros(cast(o_orderdate as timestamp))) DIV 86400000000"
+    )
+    edges = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .groupBy(
+            F.col("o_custkey").cast("long").alias("src"),
+            (F.col("l_suppkey").cast("long") + 1000000).alias("dst"),
+        )
+        .agg(F.min(days).cast("long").alias("w"))
+    )
+    sources = cust.filter(F.col("c_nationkey") == 0).select(
+        F.col("c_custkey").cast("long").alias("node")
+    )
+    return bellman_ford(edges, sources, n_rounds=3)
+
+
+def _lp_iter(prev: str, cur: str) -> str:
+    """One label-propagation round as a CTE: seeds clamped, unseeded
+    nodes take the deterministic majority (cnt DESC, label ASC)."""
+    return f"""{cur} AS (
+          SELECT node, label FROM seeds
+          UNION ALL
+          SELECT node, label FROM (
+            SELECT sym.u AS node, {prev}.label,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY sym.u
+                     ORDER BY COUNT(*) DESC, {prev}.label ASC) AS rn
+            FROM sym JOIN {prev} ON sym.v = {prev}.node
+            GROUP BY sym.u, {prev}.label
+          ) WHERE rn = 1 AND node NOT IN (SELECT node FROM seeds)
+        )"""
+
+
+@query(
+    "n7_label_propagation",
+    group="N7",
+    doc="Semi-supervised node classification by label propagation "
+        "(functions/graph.py:label_propagation): every 10th doc is a "
+        "seed carrying class doc_id%5; 3 rounds of clamped majority "
+        "vote over the SAME arithmetic link graph as n7_pagerank. The "
+        "argmax is deterministic (cnt DESC, label ASC — the window "
+        "fuzzer's total-order lesson), so the whole integer trajectory "
+        "is engine- and partitioning-independent and the oracle mirrors "
+        "it exactly as 3 chained CTEs; unlabeled neighbors don't vote, "
+        "nodes no labeled neighbor has reached stay absent that round.",
+    oracle=f"""
+        WITH params AS (SELECT MAX(doc_id) + 1 AS n FROM documents),
+        edges AS (
+          SELECT doc_id AS src, (doc_id * 7 + j * 13) % n AS dst
+          FROM documents, params, UNNEST([1, 2, 3]) AS u(j)
+          WHERE (doc_id * 7 + j * 13) % n <> doc_id
+        ),
+        sym AS (
+          SELECT src AS u, dst AS v FROM edges
+          UNION ALL
+          SELECT dst AS u, src AS v FROM edges
+        ),
+        seeds AS (
+          SELECT doc_id AS node, CAST(doc_id % 5 AS BIGINT) AS label
+          FROM documents WHERE doc_id % 10 = 0
+        ),
+        {_lp_iter("seeds", "l1")},
+        {_lp_iter("l1", "l2")},
+        {_lp_iter("l2", "l3")}
+        SELECT node, label FROM l3
+    """,
+)
+def n7_label_propagation(spark, sf_dir):
+    from hiero_spark.functions.graph import label_propagation
+
+    docs = t(spark, sf_dir, "documents")
+    n = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    edges = (
+        docs.select(
+            "doc_id",
+            F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("j"),
+        )
+        .select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * 7 + F.col("j") * 13) % n).alias("dst"),
+        )
+        .filter(F.col("dst") != F.col("src"))
+    )
+    seeds = docs.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("node"), (F.col("doc_id") % 5).alias("label")
+    )
+    return label_propagation(edges, seeds, n_rounds=3)

@@ -128,3 +128,62 @@ def test_holt_matches_reference_fold(spark):
 def test_holt_single_point(spark):
     r = _holt_run(spark, [42.0])
     assert (r.n_buckets, r.holt_level, r.holt_trend) == (1, 42.0, 0.0)
+
+
+# --- OLS trend (round-8 continuation) ------------------------------------
+
+
+def _ols_events(spark, rows):
+    """rows: (key, hour_index, value_dollars) -> events-shaped frame."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    data = [
+        (k, base + dt.timedelta(hours=h), float(v)) for k, h, v in rows
+    ]
+    return spark.createDataFrame(data, "event_type string, ts timestamp, value double")
+
+
+def test_ols_perfect_line(spark):
+    from hiero_spark.operators.anomaly import ols_trend
+
+    # y = 200 + 300x cents (hours 0..4, dollars 2,5,8,11,14)
+    rows = [("a", h, 2 + 3 * h) for h in range(5)]
+    got = ols_trend(_ols_events(spark, rows)).collect()[0]
+    assert got["n_hours"] == 5
+    assert got["slope_cents_per_hour"] == 300.0
+    assert got["intercept_cents"] == 200.0
+    assert got["r2"] == 1.0
+
+
+def test_ols_hand_computed_scatter(spark):
+    from hiero_spark.operators.anomaly import ols_trend
+
+    # y cents = (100, 300, 200) at x = (0, 1, 2): slope = 50, b = 150
+    rows = [("a", 0, 1.0), ("a", 1, 3.0), ("a", 2, 2.0)]
+    got = ols_trend(_ols_events(spark, rows)).collect()[0]
+    assert got["slope_cents_per_hour"] == 50.0
+    assert got["intercept_cents"] == 150.0
+    # num = n*sxy - sx*sy = 3*700 - 3*600 = 300; den = n*sxx - sx² = 6;
+    # r2 = 300² / (6 * (3*140000 - 600²)) = 90000 / 360000
+    assert got["r2"] == 0.25
+
+
+def test_ols_single_bucket_key_excluded(spark):
+    from hiero_spark.operators.anomaly import ols_trend
+
+    rows = [("a", 0, 1.0), ("a", 1, 2.0), ("lonely", 3, 9.0)]
+    got = {r["event_type"] for r in ols_trend(_ols_events(spark, rows)).collect()}
+    assert got == {"a"}  # zero x-variance keys have no defined slope
+
+
+def test_ols_x_rebase_is_per_key(spark):
+    from hiero_spark.operators.anomaly import ols_trend
+
+    # identical series shifted 1000 hours apart must fit identically
+    rows = [("a", h, 1 + h) for h in range(4)] + [
+        ("b", 1000 + h, 1 + h) for h in range(4)
+    ]
+    got = {r["event_type"]: (r["slope_cents_per_hour"], r["intercept_cents"])
+           for r in ols_trend(_ols_events(spark, rows)).collect()}
+    assert got["a"] == got["b"] == (100.0, 100.0)

@@ -123,3 +123,85 @@ def test_bfs_early_exit_on_empty_frontier(spark):
     src = spark.createDataFrame([(0,)], ["node"])
     got = {r["node"]: r["dist"] for r in bfs_levels(e, src, max_hops=50).collect()}
     assert got == {0: 0, 1: 1}
+
+
+# --- Bellman-Ford (round-8 continuation) ----------------------------------
+
+
+def _wedges(spark, triples):
+    return spark.createDataFrame(triples, ["src", "dst", "w"])
+
+
+def test_bf_weighted_beats_hop_count(spark):
+    from hiero_spark.functions.graph import bellman_ford
+
+    # 0->3 direct costs 10; 0->1->2->3 costs 3 — the cheaper LONGER path
+    # must win once enough rounds have run (the BFS-vs-BF difference)
+    e = _wedges(spark, [(0, 3, 10), (0, 1, 1), (1, 2, 1), (2, 3, 1)])
+    src = spark.createDataFrame([(0,)], ["node"])
+    one = {r["node"]: r["dist"] for r in bellman_ford(e, src, n_rounds=1).collect()}
+    assert one[3] == 10  # after 1 round only the direct edge reached it
+    full = {r["node"]: r["dist"] for r in bellman_ford(e, src, n_rounds=3).collect()}
+    assert full == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_bf_undirected_and_multi_source(spark):
+    from hiero_spark.functions.graph import bellman_ford
+
+    e = _wedges(spark, [(5, 0, 2), (1, 5, 7)])  # edges point INTO 0/at 5
+    src = spark.createDataFrame([(0,), (1,)], ["node"])
+    got = {r["node"]: r["dist"] for r in bellman_ford(e, src, n_rounds=2).collect()}
+    assert got == {0: 0, 1: 0, 5: 2}  # 5 via 0 (2) beats via 1 (7)
+
+
+def test_bf_round_bound_is_leg_bound(spark):
+    from hiero_spark.functions.graph import bellman_ford
+
+    # chain of weight-1 edges: round k reaches exactly k legs
+    e = _wedges(spark, [(i, i + 1, 1) for i in range(5)])
+    src = spark.createDataFrame([(0,)], ["node"])
+    got = {r["node"]: r["dist"] for r in bellman_ford(e, src, n_rounds=2).collect()}
+    assert got == {0: 0, 1: 1, 2: 2}
+
+
+# --- label propagation (round-8 continuation) ------------------------------
+
+
+def test_lp_seeds_clamped_and_majority_wins(spark):
+    from hiero_spark.functions.graph import label_propagation
+
+    # node 10 has seeded neighbors 0,1 (label 7) and 2 (label 3):
+    # majority 7 wins; seed 2 must keep label 3 even though its own
+    # neighbors would vote otherwise
+    e = _edges(spark, [(0, 10), (1, 10), (2, 10), (0, 2), (1, 2)])
+    seeds = spark.createDataFrame(
+        [(0, 7), (1, 7), (2, 3)], ["node", "label"]
+    )
+    got = {r["node"]: r["label"]
+           for r in label_propagation(e, seeds, n_rounds=2).collect()}
+    assert got[10] == 7
+    assert got[0] == 7 and got[1] == 7 and got[2] == 3  # clamped
+
+
+def test_lp_tie_breaks_to_smallest_label(spark):
+    from hiero_spark.functions.graph import label_propagation
+
+    e = _edges(spark, [(0, 10), (1, 10)])
+    seeds = spark.createDataFrame([(0, 9), (1, 4)], ["node", "label"])
+    got = {r["node"]: r["label"]
+           for r in label_propagation(e, seeds, n_rounds=1).collect()}
+    assert got[10] == 4  # 1-1 tie -> smallest label
+
+
+def test_lp_propagates_by_rounds_and_skips_unreached(spark):
+    from hiero_spark.functions.graph import label_propagation
+
+    # chain seed-0 - 1 - 2 - 3; island 99
+    e = _edges(spark, [(0, 1), (1, 2), (2, 3), (99, 98)])
+    seeds = spark.createDataFrame([(0, 5)], ["node", "label"])
+    one = {r["node"]: r["label"]
+           for r in label_propagation(e, seeds, n_rounds=1).collect()}
+    assert one == {0: 5, 1: 5}  # one hop per round
+    three = {r["node"]: r["label"]
+             for r in label_propagation(e, seeds, n_rounds=3).collect()}
+    assert three == {0: 5, 1: 5, 2: 5, 3: 5}  # island never labeled

@@ -542,7 +542,7 @@ def test_jpeg_rejects_progressive_truncated_and_junk():
     rows = [[(10, 20, 30)] * 8] * 8
     good = jp.encode_jpeg(rows)
     assert jp.decode_jpeg(b"not a jpeg") is None
-    assert jp.decode_jpeg(good[: len(good) // 2]) is None or True  # no crash
+    jp.decode_jpeg(good[: len(good) // 2])  # truncated input must not raise
     prog = bytearray(good)
     i = prog.find(b"\xff\xc0")
     prog[i + 1] = 0xC2  # claim progressive

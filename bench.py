@@ -778,6 +778,7 @@ def main() -> None:
         "ext_ols_trend",
         "n7_shortest_paths",
         "n7_label_propagation",
+        "n2_hard_negatives",
     ]
 
     def run_r6_ops(data_dir: str) -> dict[str, float]:

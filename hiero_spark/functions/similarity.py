@@ -556,3 +556,51 @@ def centroid_outliers(
             F.col("rnk").cast("long").alias("rnk"),
         )
     )
+
+
+def hard_negatives(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    lo: float = 0.10,
+    hi: float = 0.90,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+    qvec_col: str = "query_vec",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor, the k
+    MOST similar corpus vectors inside the band lo <= cos < hi — similar
+    enough to be informative negatives, below the near-duplicate
+    threshold that would make them false negatives (the curation step
+    between semantic dedup and training-pair assembly; random negatives
+    are trivially easy and teach nothing).
+
+    Same scale shape as batch_topk: anchors broadcast, each corpus
+    partition scores locally, the ONLY shuffle is the per-anchor window
+    over (anchor, neighbor, score) tuples — vectors never shuffle; the
+    band filter prunes BEFORE the shuffle, so the exchanged rows are the
+    band's, not the corpus's. Self-pairs are excluded by id (a vector is
+    nobody's negative). Ranking is (cos DESC, id ASC) over the same
+    doubles both engines compute (the n2 family contract); ROUND is
+    display-only.
+    """
+    from pyspark.sql.window import Window
+
+    scored = emb.crossJoin(F.broadcast(queries)).select(
+        F.col(qid_col),
+        F.col(id_col).alias("neighbor_id"),
+        cosine(
+            F.col(vec_col).cast("array<double>"),
+            F.col(qvec_col).cast("array<double>"),
+        ).alias("cos_sim"),
+    )
+    band = scored.filter(
+        (F.col("neighbor_id") != F.col(qid_col))
+        & (F.col("cos_sim") >= F.lit(lo))
+        & (F.col("cos_sim") < F.lit(hi))
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return band.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

@@ -1391,3 +1391,51 @@ def n2_ivf_kmeans(spark, sf_dir):
             (F.col("_n_self") == 1).alias("self_found"),
         )
     )
+
+
+@query(
+    "n2_hard_negatives",
+    group="N2",
+    doc="Hard-negative mining for contrastive training "
+        "(functions/similarity.py:hard_negatives): per anchor (every "
+        "50th vector), the 5 most similar corpus vectors inside the "
+        "0.10 <= cos < 0.90 band — informative negatives below the "
+        "near-duplicate threshold. Batch-ANN scale shape: anchors "
+        "broadcast, band filter prunes BEFORE the only shuffle (the "
+        "per-anchor top-k window over scalar tuples); self-pairs "
+        "excluded by id. Both engines rank the same doubles "
+        "(n2_ann_batch contract), ROUND display-only.",
+    oracle="""
+        WITH q AS (
+          SELECT vec_id AS query_id, embedding AS qv
+          FROM embeddings WHERE vec_id % 50 = 0
+        ), scored AS (
+          SELECT query_id, e.vec_id AS neighbor_id,
+                 list_sum(list_transform(range(1, len(e.embedding) + 1),
+                          i -> CAST(e.embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+                 AS cs
+          FROM embeddings e, q
+        ), band AS (
+          SELECT query_id, neighbor_id, cs FROM scored
+          WHERE neighbor_id <> query_id AND cs >= 0.10 AND cs < 0.90
+        ), ranked AS (
+          SELECT query_id, neighbor_id, cs,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY cs DESC, neighbor_id ASC) AS INT) AS rank
+          FROM band
+        )
+        SELECT query_id, neighbor_id, ROUND(cs, 4) AS cos_sim, rank
+        FROM ranked WHERE rank <= 5
+    """,
+)
+def n2_hard_negatives(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = sim.hard_negatives(emb, anchors, k=5, lo=0.10, hi=0.90)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cos_sim", 4).alias("cos_sim"), "rank"
+    )

@@ -643,3 +643,29 @@ def test_tfidf_rare_term_outranks_common(spark):
     assert sorted(by_doc[9])[0] == (1, "zebra")  # tf=2, df=1 dominates
     # docs 0-4: all terms have identical tf/df -> alphabetical tie-break
     assert sorted(by_doc[0]) == [(1, "common"), (2, "everywhere")]
+
+
+def test_hard_negatives_band_self_exclusion_and_rank(spark):
+    """Planted geometry: identical vector excluded by the hi bound
+    (near-dup), orthogonal excluded by lo, mid-band kept and ranked by
+    similarity; self never appears."""
+    from hiero_spark.functions.similarity import hard_negatives
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),   # anchor
+        (1, [1.0, 0.0, 0.0]),   # exact dup: cos 1.0 >= hi -> excluded
+        (2, [0.0, 1.0, 0.0]),   # orthogonal: cos 0 < lo -> excluded
+        (3, [1.0, 1.0, 0.0]),   # cos ~0.707 -> hard negative, rank 1
+        (4, [1.0, 2.0, 0.0]),   # cos ~0.447 -> rank 2
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    anchors = emb.filter("vec_id = 0").selectExpr(
+        "vec_id AS query_id", "embedding AS query_vec"
+    )
+    got = [
+        (r["neighbor_id"], r["rank"])
+        for r in hard_negatives(emb, anchors, k=5, lo=0.10, hi=0.90)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == [(3, 1), (4, 2)]

@@ -726,3 +726,83 @@ def wap_stream_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def anomaly_stream_sink(
+    events: DataFrame,
+    state_path: str,
+    alerts_path: str,
+    checkpoint: str,
+    z_threshold: float = 3.0,
+    trailing: int = 24,
+):
+    """X21: streaming anomaly monitoring — the on-line face of
+    ext_rolling_anomaly, maintained incrementally instead of re-scanning
+    history. Each micro-batch folds its hourly (key, bucket) counts into
+    a persisted bucket-count state (exact long addition — the agg_state
+    monoid, so fold == recompute bit-for-bit), then the rolling z-score
+    recomputes over the STATE table and rewrites the alert set.
+
+    The cost split is the whole point: per batch O(batch) to bucket +
+    O(buckets) to merge/score — the raw event history is never re-read,
+    and the scored table is keys x hours (thousands of rows at any
+    corpus size), so 'recompute the windows' is the cheap step by
+    construction (same bounded-bucket argument as rolling_zscore's
+    docstring). Alerts rewrite atomically per batch (mode=overwrite):
+    readers always see the complete current alert set, and a re-run of
+    the same fold is idempotent on the ALERTS side. State appends share
+    the X16 replay caveat: a batch replayed after a crash-between-
+    write-and-commit would double its counts — run a replay-free source
+    (availableNow over immutable files) or the X12 admit gate in-batch.
+    The equivalence 'alerts after any batch == batch operator over
+    everything ingested' is pinned in tests."""
+    from hiero_spark.operators.anomaly import rolling_zscore
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        batch_state = (
+            batch_df.groupBy(
+                "event_type",
+                F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias(
+                    "bucket_ts"
+                ),
+            )
+            .agg(F.count(F.lit(1)).alias("n_events"))
+        )
+        if os.path.exists(os.path.join(state_path, "_SUCCESS")):
+            merged = (
+                spark.read.parquet(state_path)
+                .unionByName(batch_state)
+                .groupBy("event_type", "bucket_ts")
+                .agg(F.sum("n_events").alias("n_events"))
+            )
+        else:
+            merged = batch_state
+        # bucket table is bounded (keys x hours): materialize off the
+        # input path before overwriting it (read-then-overwrite hazard)
+        merged = merged.localCheckpoint()
+        merged.write.mode("overwrite").parquet(state_path)
+        scored = rolling_zscore(
+            merged, "event_type", "bucket_ts", "n_events", trailing
+        )
+        alerts = scored.filter(
+            F.col("zscore").isNotNull() & (F.abs("zscore") >= z_threshold)
+        ).select(
+            "event_type",
+            "bucket_ts",
+            "n_events",
+            F.round("baseline_mean", 6).alias("baseline_mean"),
+            F.round("zscore", 6).alias("zscore"),
+        )
+        alerts.write.mode("overwrite").parquet(alerts_path)
+
+    return (
+        events.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

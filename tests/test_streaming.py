@@ -922,3 +922,68 @@ def test_wap_stream_sink_publish_quarantine_replay(spark, tmp_path):
     assert V.list_versions(table) == [0, 1, 2]
     assert V.manifest_notes(table)[2] == {"batch_id": 7}
     assert V.read_version(spark, table).count() == 4
+
+
+def test_anomaly_stream_sink_fold_equals_recompute(spark, tmp_path):
+    """X21: after ANY batch, the maintained alert set must equal the
+    batch operator (hourly_count_anomalies) over everything ingested so
+    far — the agg_state fold==recompute contract lifted to the alerting
+    pipeline. A spike split ACROSS the restart must still alert from the
+    summed count."""
+    import datetime as dt
+
+    from hiero_spark.operators.anomaly import hourly_count_anomalies
+
+    base = dt.datetime(2024, 1, 1)
+    schema = "event_id long, event_type string, ts timestamp"
+    src = tmp_path / "src"
+    src.mkdir()
+    state = str(tmp_path / "state")
+    alerts = str(tmp_path / "alerts")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        q = pl.anomaly_stream_sink(
+            spark.readStream.schema(schema).parquet(str(src) + "/*"),
+            state, alerts, ckpt, z_threshold=3.0, trailing=24,
+        )
+        q.awaitTermination(120)
+
+    def alert_rows(df):
+        return sorted(
+            (r["event_type"], r["bucket_ts"], r["n_events"], r["zscore"])
+            for r in df.collect()
+        )
+
+    def expected(rows):
+        ev = spark.createDataFrame(rows, schema)
+        return alert_rows(
+            hourly_count_anomalies(ev, z_threshold=3.0, trailing=24)
+        )
+
+    # 10 calm hours at 2-3 events/hour (nonzero variance, or std=0 gives
+    # every bucket a NULL zscore by design), then a spike hour: half now...
+    eid = iter(range(10_000))
+    b1 = [
+        (next(eid), "view", base + dt.timedelta(hours=h, minutes=m))
+        for h in range(10)
+        for m in ((5, 35) if h % 2 else (5, 25, 45))
+    ] + [
+        (next(eid), "view", base + dt.timedelta(hours=10, minutes=m))
+        for m in range(10)  # 10 of the spike's 20 events
+    ]
+    spark.createDataFrame(b1, schema).write.parquet(str(src / "b1.parquet"))
+    run()
+    assert alert_rows(spark.read.parquet(alerts)) == expected(b1)
+
+    # ...half after a restart: the summed 20-event hour must alert
+    b2 = [
+        (next(eid), "view", base + dt.timedelta(hours=10, minutes=30 + m))
+        for m in range(10)
+    ]
+    spark.createDataFrame(b2, schema).write.parquet(str(src / "b2.parquet"))
+    run()
+    got = alert_rows(spark.read.parquet(alerts))
+    assert got == expected(b1 + b2)
+    assert any(b == int((base + dt.timedelta(hours=10)).timestamp()) and n == 20
+               for _, b, n, _ in got)  # the cross-restart spike alerted

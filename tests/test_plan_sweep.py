@@ -52,6 +52,7 @@ BNLJ_ALLOWED = {
     "a17_join_cardinality": "scalar broadcast: 1-row stats x 1-row actual-count combines",
     "n6_oov_curve": "scalar broadcast: 1-row total-occurrences joins the 10k-row top-vocab frame",
     "n6_dataset_drift": "scalar broadcast: 1-row smoothed totals join the 10-bucket terms",
+    "n2_hard_negatives": "intended broadcast fan-out of the bounded anchor set (batch-ANN shape)",
 }
 
 _SPECS = all_queries()

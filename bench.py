@@ -779,6 +779,7 @@ def main() -> None:
         "n7_shortest_paths",
         "n7_label_propagation",
         "n2_hard_negatives",
+        "n5_rejection_reasons",
     ]
 
     def run_r6_ops(data_dir: str) -> dict[str, float]:

@@ -1774,3 +1774,111 @@ def n7_label_propagation(spark, sf_dir):
         F.col("doc_id").alias("node"), (F.col("doc_id") % 5).alias("label")
     )
     return label_propagation(edges, seeds, n_rounds=3)
+
+
+@query(
+    "n5_rejection_reasons",
+    group="N5",
+    doc="Per-document rejection audit — the row-level complement of "
+        "n5_curation_funnel's counts: each doc is attributed to its "
+        "FIRST failing gate in funnel order (lang -> quality -> "
+        "dup-line -> 2-gram -> symbol -> stopword, else 'kept'), "
+        "aggregated to docs + token mass + the smallest doc_id as a "
+        "drill-down example per reason. Same ONE-scan gate expressions "
+        "as the funnel (no new passes), one bounded groupBy — at 100 TB "
+        "this is the 'why did my documents get dropped' report a "
+        "pipeline owner actually debugs with, and reason counts sum to "
+        "the corpus by construction (each doc lands in exactly one "
+        "bucket, unlike the funnel's cumulative survivors).",
+    oracle=r"""
+        WITH m AS (
+          SELECT doc_id, text,
+                 CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok,
+                 CAST(length(text) AS DOUBLE) AS n_chr,
+                 regexp_split_to_array(text, '\n') AS lines,
+                 regexp_split_to_array(trim(text), '\s+') AS toks,
+                 length(regexp_replace(text, '[A-Za-z0-9\s.,;:!?()-]', '', 'g')) AS n_sym
+          FROM documents
+        ), b AS (
+          SELECT doc_id, len(toks) AS nt,
+                 unnest(list_transform(range(1, len(toks)),
+                                       i -> toks[i] || ' ' || toks[i+1])) AS bigram
+          FROM m WHERE len(toks) >= 2
+        ), c AS (
+          SELECT doc_id, nt, bigram, COUNT(*) AS cnt FROM b GROUP BY 1, 2, 3
+        ), tg AS (
+          SELECT doc_id,
+                 ROUND(LEAST(MAX(cnt) * 2.0, CAST(nt AS DOUBLE)) / nt, 6) AS t2g
+          FROM c GROUP BY doc_id, nt
+        ), f AS (
+          SELECT m.doc_id, m.n_tok,
+                 (CASE WHEN length(m.text) - length(regexp_replace(m.text, '[一-鿿]', '', 'g')) > 0
+                        AND (length(m.text) - length(regexp_replace(m.text, '[一-鿿]', '', 'g'))) * 10
+                            >= length(m.text) * 3 THEN 'zh'
+                       WHEN contains(' ' || lower(m.text) || ' ', ' the ') THEN 'en'
+                       WHEN contains(' ' || lower(m.text) || ' ', ' le ') THEN 'fr'
+                       WHEN contains(' ' || lower(m.text) || ' ', ' der ') THEN 'de'
+                       WHEN contains(' ' || lower(m.text) || ' ', ' el ') THEN 'es'
+                       ELSE 'und' END) = 'en' AS g_lang,
+                 LEAST(CAST(m.n_tok AS DOUBLE) / 100.0, 1.0) * 0.6 +
+                 (CASE WHEN m.n_chr / CAST(m.n_tok AS DOUBLE) >= 3.0
+                        AND m.n_chr / CAST(m.n_tok AS DOUBLE) <= 10.0
+                       THEN 1.0 ELSE 0.5 END) * 0.4 >= 0.5 AS g_quality,
+                 ROUND(CAST(len(m.lines) - len(list_distinct(m.lines)) AS DOUBLE)
+                       / len(m.lines), 6) <= 0.30 AS g_dupline,
+                 COALESCE(tg.t2g, 0.0) <= 0.20 AS g_2gram,
+                 ROUND(CAST(m.n_sym AS DOUBLE) / len(m.toks), 6) <= 0.10 AS g_symbol,
+                 len(list_distinct(list_filter(
+                   regexp_split_to_array(trim(lower(m.text)), '\s+'),
+                   x -> x IN ('the','of','and','to','in','a','is','that','for','it')
+                 ))) >= 2 AS g_stop
+          FROM m LEFT JOIN tg ON tg.doc_id = m.doc_id
+        ), r AS (
+          SELECT doc_id, n_tok,
+                 CASE WHEN NOT g_lang THEN 'lang_not_en'
+                      WHEN NOT g_quality THEN 'quality'
+                      WHEN NOT g_dupline THEN 'dup_line'
+                      WHEN NOT g_2gram THEN 'top_2gram'
+                      WHEN NOT g_symbol THEN 'symbol'
+                      WHEN NOT g_stop THEN 'stopword'
+                      ELSE 'kept' END AS reason
+          FROM f
+        )
+        SELECT reason,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+               CAST(MIN(doc_id) AS BIGINT) AS example_doc
+        FROM r GROUP BY reason
+    """,
+)
+def n5_rejection_reasons(spark, sf_dir):
+    docs = tx.with_language_id(t(spark, sf_dir, "documents"), "text")
+    txt = F.col("text")
+    flagged = docs.select(
+        "doc_id",
+        tx.token_count(txt).alias("n_tok"),
+        (F.col("pred_lang") == "en").alias("g_lang"),
+        (tx.quality_score(txt) >= 0.5).alias("g_quality"),
+        (tx.duplicate_line_fraction(txt) <= 0.30).alias("g_dupline"),
+        (tx.top_2gram_share(txt) <= 0.20).alias("g_2gram"),
+        (tx.symbol_word_ratio(txt) <= 0.10).alias("g_symbol"),
+        tx.prose_gate(txt).alias("g_stop"),
+    )
+    reason = (
+        F.when(~F.col("g_lang"), "lang_not_en")
+        .when(~F.col("g_quality"), "quality")
+        .when(~F.col("g_dupline"), "dup_line")
+        .when(~F.col("g_2gram"), "top_2gram")
+        .when(~F.col("g_symbol"), "symbol")
+        .when(~F.col("g_stop"), "stopword")
+        .otherwise("kept")
+    )
+    return (
+        flagged.select("doc_id", "n_tok", reason.alias("reason"))
+        .groupBy("reason")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.min("doc_id").cast("long").alias("example_doc"),
+        )
+    )

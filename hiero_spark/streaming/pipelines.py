@@ -806,3 +806,48 @@ def anomaly_stream_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def count_min_stream_sink(
+    stream_df: DataFrame,
+    sketch_path: str,
+    checkpoint: str,
+    col: str = "event_type",
+    depth: int = 4,
+    width: int = 256,
+):
+    """X22: streaming count-min maintenance — each micro-batch's sketch
+    merges cell-wise into the persisted one (operators/sketches.py:
+    count_min_build/merge). LINEARITY is what makes the streaming face
+    exact, not approximate-on-top-of-approximate: sketch(history u
+    batch) == merge(sketch(history), sketch(batch)) cell-for-cell, so
+    the maintained sketch after ANY batch equals a monolithic rebuild
+    over everything ingested — the same pin a8_count_min_verdict makes
+    for shard merges, lifted to foreachBatch. Per batch: O(batch) to
+    hash + one groupBy to <= depth*width cells + a <= depth*width-row
+    rewrite; history never re-read, state is a few KB regardless of
+    stream volume. X16's replay caveat applies to the state append
+    (availableNow over immutable files, or the X12 admit gate)."""
+    from hiero_spark.operators.sketches import count_min_build, count_min_merge
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        batch_sk = count_min_build(batch_df, col, depth, width)
+        if os.path.exists(os.path.join(sketch_path, "_SUCCESS")):
+            merged = count_min_merge(spark.read.parquet(sketch_path), batch_sk)
+        else:
+            merged = batch_sk
+        # <= depth*width rows: materialize off the input path before the
+        # overwrite (the X21 read-then-overwrite discipline)
+        merged.localCheckpoint().write.mode("overwrite").parquet(sketch_path)
+
+    return (
+        stream_df.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

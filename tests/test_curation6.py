@@ -159,3 +159,19 @@ class TestStopwordFraction:
         assert out[1] == 0.0
         assert out[2] == 0.0
         assert abs(out[3] - 1 / 3) < 1e-6
+
+
+def test_rejection_reasons_partition_the_corpus(spark, sf_dir):
+    """Every doc lands in exactly one reason bucket: counts sum to the
+    corpus, and 'kept' equals the funnel's final pre-dedup survivor
+    stage (stage 6, all gates passed)."""
+    from hiero_spark.registry import all_queries
+
+    qs = all_queries()
+    reasons = {r["reason"]: (r["n_docs"], r["n_tokens"])
+               for r in qs["n5_rejection_reasons"].fn(spark, sf_dir).collect()}
+    funnel = {r["gate"]: (r["n_docs"], r["n_tokens"])
+              for r in qs["n5_curation_funnel"].fn(spark, sf_dir).collect()}
+    assert sum(n for n, _ in reasons.values()) == funnel["total"][0]
+    assert sum(tk for _, tk in reasons.values()) == funnel["total"][1]
+    assert reasons["kept"] == funnel["stopword"]  # stage-6 survivors

@@ -987,3 +987,42 @@ def test_anomaly_stream_sink_fold_equals_recompute(spark, tmp_path):
     assert got == expected(b1 + b2)
     assert any(b == int((base + dt.timedelta(hours=10)).timestamp()) and n == 20
                for _, b, n, _ in got)  # the cross-restart spike alerted
+
+
+def test_count_min_stream_equals_monolithic_rebuild(spark, tmp_path):
+    """X22: after each of two batches (restart between), the maintained
+    sketch must equal count_min_build over everything ingested so far,
+    cell for cell — linearity lifted to the streaming fold."""
+    from hiero_spark.operators.sketches import count_min_build
+
+    schema = "event_id long, event_type string"
+    src = tmp_path / "src"
+    src.mkdir()
+    sk = str(tmp_path / "sketch")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        q = pl.count_min_stream_sink(
+            spark.readStream.schema(schema).parquet(str(src) + "/*"),
+            sk, ckpt, col="event_type", depth=3, width=16,
+        )
+        q.awaitTermination(120)
+
+    def cells(df):
+        return sorted((r["row_j"], r["bucket"], r["cnt"]) for r in df.collect())
+
+    b1 = [(i, f"t{i % 5}") for i in range(40)]
+    spark.createDataFrame(b1, schema).write.parquet(str(src / "b1.parquet"))
+    run()
+    assert cells(spark.read.parquet(sk)) == cells(
+        count_min_build(spark.createDataFrame(b1, schema), "event_type", 3, 16)
+    )
+
+    b2 = [(100 + i, f"t{i % 7}") for i in range(33)]
+    spark.createDataFrame(b2, schema).write.parquet(str(src / "b2.parquet"))
+    run()
+    assert cells(spark.read.parquet(sk)) == cells(
+        count_min_build(
+            spark.createDataFrame(b1 + b2, schema), "event_type", 3, 16
+        )
+    )

@@ -780,6 +780,7 @@ def main() -> None:
         "n7_label_propagation",
         "n2_hard_negatives",
         "n5_rejection_reasons",
+        "ext_dp_histogram",
     ]
 
     def run_r6_ops(data_dir: str) -> dict[str, float]:

@@ -129,3 +129,65 @@ def dp_oracle_sql(
                CAST(n + ({noise_terms}) - {trunc} AS BIGINT) AS released
         FROM c
     """
+
+
+def dp_noisy_histogram(
+    df: DataFrame,
+    domain: DataFrame,
+    group_col: str,
+    eps: float = 0.5,
+    trunc: int = 20,
+    seed: int = 0,
+) -> DataFrame:
+    """dp_noisy_counts over a KNOWN bounded domain: every domain value
+    gets a released count, including groups with NO rows — omitting
+    empty buckets leaks their emptiness exactly (presence/absence is the
+    strongest membership signal), so a real histogram release completes
+    the domain first. `domain` is the dimension table of legal values
+    (broadcastable by definition); observed counts left-join onto it
+    and absent groups release 0 + noise like any other."""
+    cdf = discrete_laplace_cdf(eps, trunc)
+    counts = df.groupBy(F.col(group_col)).agg(F.count(F.lit(1)).alias("_n"))
+    dom = domain.select(F.col(domain.columns[0]).alias(group_col))
+    full = dom.join(F.broadcast(counts), group_col, "left").select(
+        group_col, F.coalesce(F.col("_n"), F.lit(0)).alias("_n")
+    )
+    u = lcg_uniform(F.col(group_col), seed)
+    noise = sum(
+        (F.when(u >= F.lit(c), 1).otherwise(0) for c in cdf),
+        F.lit(-trunc),
+    )
+    return full.select(
+        group_col, (F.col("_n") + noise).cast("long").alias("released")
+    )
+
+
+def dp_histogram_oracle_sql(
+    table_sql: str,
+    domain_sql: str,
+    group_col: str,
+    domain_col: str,
+    eps: float = 0.5,
+    trunc: int = 20,
+    seed: int = 0,
+) -> str:
+    """DuckDB mirror of dp_noisy_histogram (same literal thresholds)."""
+    cdf = discrete_laplace_cdf(eps, trunc)
+    noise_terms = " + ".join(
+        f"(CASE WHEN u >= CAST({c!r} AS DOUBLE) THEN 1 ELSE 0 END)"
+        for c in cdf
+    )
+    return f"""
+        WITH c AS (
+          SELECT {group_col}, COUNT(*) AS n FROM {table_sql}
+          GROUP BY {group_col}
+        ), full_dom AS (
+          SELECT d.{domain_col} AS {group_col}, COALESCE(c.n, 0) AS n,
+                 (((CAST(d.{domain_col} AS BIGINT) + {seed}) * {LCG_A}
+                   + {LCG_C}) % {LCG_M}) / CAST({LCG_M} AS DOUBLE) AS u
+          FROM {domain_sql} d LEFT JOIN c ON c.{group_col} = d.{domain_col}
+        )
+        SELECT {group_col},
+               CAST(n + ({noise_terms}) - {trunc} AS BIGINT) AS released
+        FROM full_dom
+    """

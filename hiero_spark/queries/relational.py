@@ -766,3 +766,32 @@ def ext_dp_release(spark, sf_dir):
     return dp_noisy_counts(
         t(spark, sf_dir, "customer"), ["c_nationkey"], "c_nationkey"
     )
+
+
+from hiero_spark.functions.privacy import dp_histogram_oracle_sql  # noqa: E402
+
+
+@query(
+    "ext_dp_histogram",
+    group="ext-agg",
+    doc="Domain-complete DP histogram — the release shape a real "
+        "publication needs where ext_dp_release is the mechanism demo: "
+        "suppliers per nation over the FULL nation-table domain, so "
+        "nations with NO suppliers release 0+noise like any other "
+        "(omitting empty buckets leaks emptiness exactly — "
+        "presence/absence is the strongest membership signal). "
+        "Broadcast domain left-join + the same shared-literal "
+        "inverse-CDF mechanism (functions/privacy.py), bit-identical "
+        "across engines.",
+    oracle=dp_histogram_oracle_sql(
+        "supplier", "nation", "s_nationkey", "n_nationkey"
+    ),
+)
+def ext_dp_histogram(spark, sf_dir):
+    from hiero_spark.functions.privacy import dp_noisy_histogram
+
+    return dp_noisy_histogram(
+        t(spark, sf_dir, "supplier"),
+        t(spark, sf_dir, "nation").select("n_nationkey"),
+        "s_nationkey",
+    )

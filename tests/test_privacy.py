@@ -64,3 +64,18 @@ def test_oracle_sql_matches_spark(spark, tmp_path):
     con.execute(f"CREATE VIEW t AS SELECT * FROM read_parquet('{p}/*.parquet')")
     exp = dict(con.execute(dp_oracle_sql("t", ["g"], "g")).fetchall())
     assert got == {k: int(v) for k, v in exp.items()}
+
+
+def test_histogram_completes_the_domain(spark):
+    """Empty domain buckets must appear and release 0+noise — absence
+    is the leak the completion step closes."""
+    from hiero_spark.functions.privacy import dp_noisy_histogram
+
+    df = spark.createDataFrame([(1, 0)] * 4 + [(3, 0)], ["g", "x"])
+    dom = spark.createDataFrame([(k,) for k in range(5)], ["g"])
+    got = {r["g"]: r["released"] for r in
+           dp_noisy_histogram(df, dom, "g").collect()}
+    assert set(got) == {0, 1, 2, 3, 4}       # every domain value released
+    for k in (0, 2, 4):                      # empty buckets: 0 + noise
+        assert abs(got[k]) <= 20
+    assert abs(got[1] - 4) <= 20 and abs(got[3] - 1) <= 20

@@ -781,6 +781,7 @@ def main() -> None:
         "n2_hard_negatives",
         "n5_rejection_reasons",
         "ext_dp_histogram",
+        "ext_winsorize",
     ]
 
     def run_r6_ops(data_dir: str) -> dict[str, float]:

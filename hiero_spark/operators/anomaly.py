@@ -251,3 +251,80 @@ def ols_trend(
             ).alias("r2"),
         )
     )
+
+
+def winsorize_stats(
+    df: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    q_lo: int = 1,
+    q_hi: int = 99,
+) -> DataFrame:
+    """Per-key winsorization report: exact [p_lo, p_hi] clamp bounds
+    (rank-based, no interpolation), how many rows each side clamps, and
+    the winsorized sum — the outlier-robust preprocessing step feature
+    pipelines run before scaling, with the bounds exact enough to audit.
+
+    Percentile definition (both engines, exactly): bound_q = the
+    smallest value whose cumulative count reaches ceil(q*n/100) —
+    integer arithmetic only, so there is no interpolation mode to
+    disagree on. Scale shape is the rolling_distinct collapse: values
+    quantize to cents and COLLAPSE TO DISTINCT (key, cents) counts
+    first (Zipf compression — the cumulative window then runs over the
+    bounded distinct-value series per key, never the raw rows), bounds
+    come back as a keys×2 broadcast join, and the clamp statistics are
+    one conditional aggregate over the compressed table. Everything is
+    exact longs end to end.
+    """
+    c = F.round(F.col(value_col) * 100, 0).cast("long")
+    d = (
+        df.select(F.col(key_col).alias("key"), c.alias("c"))
+        .groupBy("key", "c")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wcum = Window.partitionBy("key").orderBy("c")
+    wall = Window.partitionBy("key")
+    cum = d.select(
+        "key",
+        "c",
+        "cnt",
+        F.sum("cnt").over(wcum).alias("cm"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+    bounds = cum.groupBy("key").agg(
+        F.max("n").alias("n"),
+        F.min(
+            F.when(F.col("cm") >= F.expr(f"(n * {q_lo} + 99) DIV 100"), F.col("c"))
+        ).alias("lo_cents"),
+        F.min(
+            F.when(F.col("cm") >= F.expr(f"(n * {q_hi} + 99) DIV 100"), F.col("c"))
+        ).alias("hi_cents"),
+    )
+    clamped = (
+        d.join(F.broadcast(bounds), "key")
+        .groupBy("key", "n", "lo_cents", "hi_cents")
+        .agg(
+            F.sum(F.when(F.col("c") < F.col("lo_cents"), F.col("cnt")).otherwise(0))
+            .cast("long")
+            .alias("n_clamped_lo"),
+            F.sum(F.when(F.col("c") > F.col("hi_cents"), F.col("cnt")).otherwise(0))
+            .cast("long")
+            .alias("n_clamped_hi"),
+            F.sum(
+                F.least(F.greatest(F.col("c"), F.col("lo_cents")), F.col("hi_cents"))
+                * F.col("cnt")
+            )
+            .cast("long")
+            .alias("winsorized_sum_cents"),
+        )
+        .select(
+            F.col("key").alias(key_col),
+            F.col("n").cast("long").alias("n"),
+            F.col("lo_cents").cast("long").alias("lo_cents"),
+            F.col("hi_cents").cast("long").alias("hi_cents"),
+            "n_clamped_lo",
+            "n_clamped_hi",
+            "winsorized_sum_cents",
+        )
+    )
+    return clamped

@@ -1882,3 +1882,55 @@ def n5_rejection_reasons(spark, sf_dir):
             F.min("doc_id").cast("long").alias("example_doc"),
         )
     )
+
+
+@query(
+    "ext_winsorize",
+    group="ext-agg",
+    doc="Per-key winsorization report (operators/anomaly.py:"
+        "winsorize_stats): exact rank-based [p1, p99] clamp bounds over "
+        "event value cents, rows clamped each side, winsorized sum — "
+        "the outlier-robust preprocessing audit. Percentile = smallest "
+        "value whose cumulative count reaches ceil(q*n/100), integer "
+        "arithmetic only (no interpolation mode to disagree on). Scale "
+        "shape: collapse to DISTINCT (key, cents) counts first (Zipf "
+        "compression — the cumulative window runs over the bounded "
+        "distinct-value series, never raw rows), bounds broadcast back, "
+        "one conditional aggregate. Exact longs end to end.",
+    oracle="""
+        WITH v AS (
+          SELECT event_type AS key,
+                 CAST(ROUND(value * 100, 0) AS BIGINT) AS c
+          FROM events
+        ), d AS (
+          SELECT key, c, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM v GROUP BY 1, 2
+        ), cum AS (
+          SELECT key, c, cnt,
+                 SUM(cnt) OVER (PARTITION BY key ORDER BY c) AS cm,
+                 SUM(cnt) OVER (PARTITION BY key) AS n
+          FROM d
+        ), b AS (
+          SELECT key, MAX(n) AS n,
+                 MIN(CASE WHEN cm >= (n * 1 + 99) // 100 THEN c END) AS lo_cents,
+                 MIN(CASE WHEN cm >= (n * 99 + 99) // 100 THEN c END) AS hi_cents
+          FROM cum GROUP BY key
+        )
+        SELECT d.key AS event_type,
+               CAST(b.n AS BIGINT) AS n,
+               CAST(b.lo_cents AS BIGINT) AS lo_cents,
+               CAST(b.hi_cents AS BIGINT) AS hi_cents,
+               CAST(SUM(CASE WHEN d.c < b.lo_cents THEN d.cnt ELSE 0 END)
+                    AS BIGINT) AS n_clamped_lo,
+               CAST(SUM(CASE WHEN d.c > b.hi_cents THEN d.cnt ELSE 0 END)
+                    AS BIGINT) AS n_clamped_hi,
+               CAST(SUM(LEAST(GREATEST(d.c, b.lo_cents), b.hi_cents) * d.cnt)
+                    AS BIGINT) AS winsorized_sum_cents
+        FROM d JOIN b USING (key)
+        GROUP BY d.key, b.n, b.lo_cents, b.hi_cents
+    """,
+)
+def ext_winsorize(spark, sf_dir):
+    from hiero_spark.operators.anomaly import winsorize_stats
+
+    return winsorize_stats(t(spark, sf_dir, "events"))

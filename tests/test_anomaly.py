@@ -187,3 +187,34 @@ def test_ols_x_rebase_is_per_key(spark):
     got = {r["event_type"]: (r["slope_cents_per_hour"], r["intercept_cents"])
            for r in ols_trend(_ols_events(spark, rows)).collect()}
     assert got["a"] == got["b"] == (100.0, 100.0)
+
+
+def test_winsorize_hand_computed(spark):
+    from hiero_spark.operators.anomaly import winsorize_stats
+
+    # 100 rows 1..100 dollars: ceil(1*100/100)=1 -> lo=100 cents (rank 1),
+    # ceil(99*100/100)=99 -> hi=9900 cents (rank 99); one row clamps high
+    rows = [("a", float(i)) for i in range(1, 101)]
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    got = winsorize_stats(df).collect()[0]
+    assert (got["n"], got["lo_cents"], got["hi_cents"]) == (100, 100, 9900)
+    assert (got["n_clamped_lo"], got["n_clamped_hi"]) == (0, 1)
+    # sum 1..99 dollars + clamped 99 = 4950+99 = 5049 dollars
+    assert got["winsorized_sum_cents"] == 504900
+
+
+def test_winsorize_duplicates_and_small_groups(spark):
+    from hiero_spark.operators.anomaly import winsorize_stats
+
+    # heavy duplication: the distinct-value collapse must still weight by
+    # count (cum over cnt, not rows); tiny group: bounds = min/max
+    rows = [("a", 5.0)] * 98 + [("a", 1.0), ("a", 100.0), ("b", 7.0)]
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    got = {r["event_type"]: r for r in winsorize_stats(df).collect()}
+    a = got["a"]
+    # n=100: k_lo=1 -> lo=100 (the single 1.0); k_hi=99 -> cm(500)=99 -> hi=500
+    assert (a["lo_cents"], a["hi_cents"]) == (100, 500)
+    assert (a["n_clamped_lo"], a["n_clamped_hi"]) == (0, 1)
+    b = got["b"]
+    assert (b["n"], b["lo_cents"], b["hi_cents"]) == (1, 700, 700)
+    assert b["winsorized_sum_cents"] == 700

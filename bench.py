@@ -782,6 +782,7 @@ def main() -> None:
         "n5_rejection_reasons",
         "ext_dp_histogram",
         "ext_winsorize",
+        "a18_skew_audit",
     ]
 
     def run_r6_ops(data_dir: str) -> dict[str, float]:

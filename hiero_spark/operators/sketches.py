@@ -541,3 +541,57 @@ def join_cardinality(
             ).alias("err_bp"),
         )
     )
+
+
+def skew_audit(
+    df: DataFrame, key_col: str, percentiles: tuple = (50, 99)
+) -> DataFrame:
+    """One-row skew report for a prospective join/groupBy key: rows,
+    distinct keys, the heaviest key's count and share, and exact
+    rank-based percentiles of the per-key count distribution — the
+    pre-flight check that decides between a plain shuffle join, a
+    broadcast, AQE skew handling, or salting (operators/skew.py).
+
+    Scale shape: ONE partial+final count per key (the only corpus-wide
+    pass), then every statistic — including the percentiles — computes
+    over the per-key COUNT DISTRIBUTION collapsed to (count, n_keys)
+    pairs (Zipf compression again: distinct count values are few even
+    when keys are billions). Percentile = smallest count whose
+    cumulative key mass reaches ceil(q*K/100), the winsorize_stats
+    definition — exact longs, no interpolation.
+    """
+    per_key = df.groupBy(F.col(key_col)).agg(F.count(F.lit(1)).alias("c"))
+    dist = per_key.groupBy("c").agg(F.count(F.lit(1)).alias("nk"))
+    # single-partition window: the input is the count DISTRIBUTION —
+    # distinct per-key-count values, a handful of rows by Zipf even when
+    # keys are billions (same argument as winsorize_stats)
+    w = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+    cum = dist.select("c", "nk", F.sum("nk").over(w).alias("cm"))
+    totals = dist.agg(
+        F.sum(F.col("c") * F.col("nk")).cast("long").alias("n_rows"),
+        F.sum("nk").cast("long").alias("n_keys"),
+        F.max("c").cast("long").alias("max_key_rows"),
+    )
+    pct_cols = [
+        F.min(
+            F.when(
+                F.col("cm") >= F.expr(f"(k * {q} + 99) DIV 100"), F.col("c")
+            )
+        )
+        .cast("long")
+        .alias(f"p{q}_key_rows")
+        for q in percentiles
+    ]
+    pcts = cum.crossJoin(F.broadcast(totals.select(F.col("n_keys").alias("k")))).agg(
+        *pct_cols
+    )
+    return totals.crossJoin(F.broadcast(pcts)).select(
+        "n_rows",
+        "n_keys",
+        "max_key_rows",
+        *[f"p{q}_key_rows" for q in percentiles],
+        F.round(F.col("max_key_rows") / F.col("n_rows"), 6).alias("top_key_share"),
+        F.round(
+            F.col("max_key_rows") / F.col(f"p{percentiles[0]}_key_rows"), 6
+        ).alias("skew_ratio"),
+    )

@@ -926,3 +926,49 @@ def a17_join_cardinality(spark, sf_dir):
         li, orders, "l_orderkey", "o_orderkey", "lineitem_orders"
     )
     return r1.unionByName(r2)
+
+
+@query(
+    "a18_skew_audit",
+    group="A18",
+    doc="Join-key skew audit (operators/sketches.py:skew_audit) over "
+        "events.user_id: rows, distinct keys, heaviest key's rows and "
+        "share, exact rank-based p50/p99 of the per-key count "
+        "distribution, and the max/p50 skew ratio — the pre-flight "
+        "number that picks plain shuffle vs broadcast vs AQE skew "
+        "handling vs salting. One corpus pass (per-key counts); every "
+        "statistic then computes over the count DISTRIBUTION collapsed "
+        "to (count, n_keys) pairs — a handful of rows by Zipf even at "
+        "billions of keys, so the single-partition cumulative window "
+        "is bounded by construction. Exact longs; ROUND display-only.",
+    oracle="""
+        WITH pk AS (
+          SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c
+          FROM events GROUP BY user_id
+        ), d AS (
+          SELECT c, CAST(COUNT(*) AS BIGINT) AS nk FROM pk GROUP BY c
+        ), cum AS (
+          SELECT c, nk, SUM(nk) OVER (ORDER BY c) AS cm FROM d
+        ), t AS (
+          SELECT CAST(SUM(c * nk) AS BIGINT) AS n_rows,
+                 CAST(SUM(nk) AS BIGINT) AS n_keys,
+                 CAST(MAX(c) AS BIGINT) AS max_key_rows
+          FROM d
+        ), p AS (
+          SELECT
+            CAST(MIN(CASE WHEN cm >= (t.n_keys * 50 + 99) // 100
+                          THEN c END) AS BIGINT) AS p50_key_rows,
+            CAST(MIN(CASE WHEN cm >= (t.n_keys * 99 + 99) // 100
+                          THEN c END) AS BIGINT) AS p99_key_rows
+          FROM cum, t
+        )
+        SELECT n_rows, n_keys, max_key_rows, p50_key_rows, p99_key_rows,
+               ROUND(max_key_rows * 1.0 / n_rows, 6) AS top_key_share,
+               ROUND(max_key_rows * 1.0 / p50_key_rows, 6) AS skew_ratio
+        FROM t, p
+    """,
+)
+def a18_skew_audit(spark, sf_dir):
+    from hiero_spark.operators.sketches import skew_audit
+
+    return skew_audit(t(spark, sf_dir, "events"), "user_id")

@@ -53,6 +53,7 @@ BNLJ_ALLOWED = {
     "n6_oov_curve": "scalar broadcast: 1-row total-occurrences joins the 10k-row top-vocab frame",
     "n6_dataset_drift": "scalar broadcast: 1-row smoothed totals join the 10-bucket terms",
     "n2_hard_negatives": "intended broadcast fan-out of the bounded anchor set (batch-ANN shape)",
+    "a18_skew_audit": "scalar broadcast: 1-row totals join the Zipf-bounded count distribution",
 }
 
 _SPECS = all_queries()

@@ -235,3 +235,26 @@ def test_count_min_single_shuffle_plan(spark):
     names = P.node_names(sk.count_min_build(df, "k"))
     assert sum("Exchange" in n for n in names) == 1, names
     assert sum("HashAggregate" in n for n in names) >= 2, names
+
+
+def test_skew_audit_hand_computed(spark):
+    from hiero_spark.operators.sketches import skew_audit
+
+    # keys: a x 8, b x 1, c x 1 -> counts {8,1,1}; K=3
+    # p50: ceil(150/100)=2 -> cm(1)=2 >= 2 -> p50=1; p99: ceil(297/100)=3 -> 8
+    rows = [("a",)] * 8 + [("b",), ("c",)]
+    df = spark.createDataFrame(rows, ["k"])
+    got = skew_audit(df, "k").collect()[0]
+    assert (got["n_rows"], got["n_keys"], got["max_key_rows"]) == (10, 3, 8)
+    assert (got["p50_key_rows"], got["p99_key_rows"]) == (1, 8)
+    assert got["top_key_share"] == 0.8
+    assert got["skew_ratio"] == 8.0
+
+
+def test_skew_audit_uniform_keys(spark):
+    from hiero_spark.operators.sketches import skew_audit
+
+    df = spark.createDataFrame([(i % 5,) for i in range(50)], ["k"])
+    got = skew_audit(df, "k").collect()[0]
+    assert got["max_key_rows"] == got["p50_key_rows"] == 10
+    assert got["skew_ratio"] == 1.0

@@ -851,3 +851,82 @@ def count_min_stream_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def scd2_stream_sink(
+    change_stream: DataFrame,
+    closed_path: str,
+    current_path: str,
+    checkpoint: str,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    attr_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+):
+    """X23: streaming SCD-Type-2 dimension maintenance — fold a change
+    stream into the validity-interval history the batch scd2_from_log
+    builds, without ever re-reading it.
+
+    The split that makes it incremental: CLOSED runs are immutable the
+    moment their valid_to is known, so they live in an append-only
+    directory (O(new closures) written per batch); only CURRENT rows
+    (one per key) can still change, so they live in a small overwrite
+    table. Per batch, only keys the batch touches re-derive: their
+    stored current row is re-expressed as the event that opened it
+    (tiebreak -1 sorts it before any same-timestamp batch event) and
+    runs through THE SAME batch operator with the batch's events — a
+    cross-batch continuation of an unchanged attribute keeps its
+    original valid_from, a change closes the stored run at the change's
+    timestamp, exactly as a monolithic rebuild would (pinned in tests
+    across a restart). Untouched keys' current rows carry forward
+    unread-in-spirit: the rewrite is O(keys), and partitioning current
+    by key-hash would make it O(touched) (the upsert_partitioned seam).
+
+    Contract: batch events must not predate a touched key's CURRENT
+    run (append-only time per key) — an older event would rewrite
+    closed history, which is bitemporal territory; X16's replay caveat
+    applies to the closed-run appends."""
+    from hiero_spark.operators.temporal import scd2_from_log
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        log = batch_df.select(
+            F.col(key_col),
+            F.col(ts_col),
+            F.col(attr_col),
+            F.col(tiebreak_col).cast("long").alias("_tb"),
+        )
+        if os.path.exists(os.path.join(current_path, "_SUCCESS")):
+            cur = spark.read.parquet(current_path)
+            keys = log.select(F.col(key_col).alias("key")).distinct()
+            touched = cur.join(keys, "key", "left_semi")
+            untouched = cur.join(keys, "key", "left_anti")
+            reopened = touched.select(
+                F.col("key").alias(key_col),
+                F.timestamp_micros(F.col("valid_from")).alias(ts_col),
+                F.col("attr").alias(attr_col),
+                F.lit(-1).cast("long").alias("_tb"),
+            )
+            log = log.unionByName(reopened)
+        else:
+            untouched = None
+        runs = scd2_from_log(log, key_col, ts_col, attr_col, "_tb")
+        closed = runs.filter(~F.col("is_current")).localCheckpoint()
+        current = runs.filter(F.col("is_current"))
+        if untouched is not None:
+            current = current.unionByName(untouched)
+        current = current.localCheckpoint()  # off current_path before overwrite
+        if not closed.isEmpty():
+            closed.write.mode("append").parquet(closed_path)
+        current.write.mode("overwrite").parquet(current_path)
+
+    return (
+        change_stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1026,3 +1026,69 @@ def test_count_min_stream_equals_monolithic_rebuild(spark, tmp_path):
             spark.createDataFrame(b1 + b2, schema), "event_type", 3, 16
         )
     )
+
+
+def test_scd2_stream_equals_monolithic_rebuild(spark, tmp_path):
+    """X23: after each of two batches (restart between), closed ∪ current
+    must equal scd2_from_log over every event ingested so far — including
+    a run CONTINUED across the restart (keeps its original valid_from), a
+    change at the boundary, a brand-new key, and an untouched key."""
+    import datetime as dt
+
+    from hiero_spark.operators.temporal import scd2_from_log
+
+    base = dt.datetime(2024, 1, 1)
+    schema = "user_id long, ts timestamp, event_type string, event_id long"
+    src = tmp_path / "src"
+    src.mkdir()
+    closed, cur = str(tmp_path / "closed"), str(tmp_path / "cur")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        q = pl.scd2_stream_sink(
+            spark.readStream.schema(schema).parquet(str(src) + "/*"),
+            closed, cur, ckpt,
+        )
+        q.awaitTermination(120)
+
+    def dim():
+        import os
+
+        parts = [spark.read.parquet(cur)]
+        if os.path.exists(os.path.join(closed, "_SUCCESS")):
+            parts.append(spark.read.parquet(closed))
+        full = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+        return sorted(tuple(r) for r in full.collect())
+
+    def rebuild(rows):
+        df = spark.createDataFrame(rows, schema)
+        return sorted(
+            tuple(r)
+            for r in scd2_from_log(
+                df, "user_id", "ts", "event_type", "event_id"
+            ).collect()
+        )
+
+    h = dt.timedelta(hours=1)
+    b1 = [
+        (1, base, "a", 1), (1, base + h, "a", 2), (1, base + 2 * h, "b", 3),
+        (2, base, "x", 4),           # untouched in batch 2
+        (3, base + h, "m", 5),       # continued across the restart
+    ]
+    spark.createDataFrame(b1, schema).write.parquet(str(src / "b1.parquet"))
+    run()
+    assert dim() == rebuild(b1)
+
+    b2 = [
+        (1, base + 4 * h, "a", 6),   # change at the boundary (b -> a)
+        (3, base + 5 * h, "m", 7),   # same attr: run continues, no new row
+        (4, base + 6 * h, "z", 8),   # brand-new key
+    ]
+    spark.createDataFrame(b2, schema).write.parquet(str(src / "b2.parquet"))
+    run()
+    got = dim()
+    assert got == rebuild(b1 + b2)
+    # the continued run kept its ORIGINAL valid_from and stayed one row
+    m_rows = [r for r in got if r[0] == 3]
+    assert len(m_rows) == 1
+    assert m_rows[0][2] == int((base + h).timestamp()) * 1_000_000

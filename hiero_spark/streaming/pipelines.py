@@ -930,3 +930,52 @@ def scd2_stream_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def hll_distinct_stream_sink(
+    stream_df: DataFrame,
+    sketch_path: str,
+    checkpoint: str,
+    col: str = "user_id",
+    group_col: str = "event_type",
+):
+    """X24: streaming distinct-count maintenance via mergeable HLL
+    state — the third of the mergeable-sketch folds (X22 count-min =
+    frequencies, s17 histogram state = quantiles, this = cardinality).
+    Each micro-batch's per-group HLL sketches union into the persisted
+    ones; HLL union is a sketch-level merge (register-wise max), so the
+    maintained sketch equals the one a monolithic hll_sketch_agg over
+    everything ingested would build — estimates agree exactly, pinned
+    across a restart. State is one ~KB binary per group regardless of
+    stream volume; per batch: O(batch) to sketch + O(groups) to merge
+    and rewrite. X16's replay caveat applies (union is idempotent for
+    DUPLICATE VALUES but a replayed batch is harmless here precisely
+    because HLL registers are max-merged — replay safety comes free,
+    unlike the additive count-min)."""
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        batch_sk = batch_df.groupBy(F.col(group_col)).agg(
+            F.hll_sketch_agg(F.col(col)).alias("hll")
+        )
+        if os.path.exists(os.path.join(sketch_path, "_SUCCESS")):
+            merged = (
+                spark.read.parquet(sketch_path)
+                .unionByName(batch_sk)
+                .groupBy(group_col)
+                .agg(F.hll_union_agg(F.col("hll")).alias("hll"))
+            )
+        else:
+            merged = batch_sk
+        merged.localCheckpoint().write.mode("overwrite").parquet(sketch_path)
+
+    return (
+        stream_df.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1092,3 +1092,48 @@ def test_scd2_stream_equals_monolithic_rebuild(spark, tmp_path):
     m_rows = [r for r in got if r[0] == 3]
     assert len(m_rows) == 1
     assert m_rows[0][2] == int((base + h).timestamp()) * 1_000_000
+
+
+def test_hll_stream_estimate_equals_monolithic(spark, tmp_path):
+    """X24: maintained per-group HLL estimates must equal a monolithic
+    hll_sketch_agg over everything ingested (register-max merge), across
+    a restart; replaying the same fold is harmless (max is idempotent)."""
+    schema = "event_id long, event_type string, user_id long"
+    src = tmp_path / "src"
+    src.mkdir()
+    sk = str(tmp_path / "sketch")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        q = pl.hll_distinct_stream_sink(
+            spark.readStream.schema(schema).parquet(str(src) + "/*"),
+            sk, ckpt,
+        )
+        q.awaitTermination(120)
+
+    def estimates():
+        return {
+            r["event_type"]: r["est"]
+            for r in spark.read.parquet(sk)
+            .select("event_type", F.expr("hll_sketch_estimate(hll)").alias("est"))
+            .collect()
+        }
+
+    def mono(rows):
+        df = spark.createDataFrame(rows, schema)
+        return {
+            r["event_type"]: r["est"]
+            for r in df.groupBy("event_type")
+            .agg(F.expr("hll_sketch_estimate(hll_sketch_agg(user_id))").alias("est"))
+            .collect()
+        }
+
+    b1 = [(i, f"t{i % 3}", i % 50) for i in range(200)]
+    spark.createDataFrame(b1, schema).write.parquet(str(src / "b1.parquet"))
+    run()
+    assert estimates() == mono(b1)
+
+    b2 = [(1000 + i, f"t{i % 4}", 40 + i % 30) for i in range(150)]
+    spark.createDataFrame(b2, schema).write.parquet(str(src / "b2.parquet"))
+    run()
+    assert estimates() == mono(b1 + b2)

@@ -783,6 +783,7 @@ def main() -> None:
         "ext_dp_histogram",
         "ext_winsorize",
         "a18_skew_audit",
+        "n6_dataset_card",
     ]
 
     def run_r6_ops(data_dir: str) -> dict[str, float]:

@@ -1934,3 +1934,97 @@ def ext_winsorize(spark, sf_dir):
     from hiero_spark.operators.anomaly import winsorize_stats
 
     return winsorize_stats(t(spark, sf_dir, "events"))
+
+
+@query(
+    "n6_dataset_card",
+    group="N6",
+    doc="Dataset card (datasheet) per source — the one-page artifact a "
+        "corpus release ships: docs, token/char mass, exact-duplicate "
+        "rate (distinct md5 fingerprints), language share, mean doc "
+        "length, mean quality. Quality is aggregated in EXACT "
+        "MILLI-UNITS (quality_score's two terms are min(n_tok,100)*6 "
+        "and 400/200 — integer per doc, so the corpus sum is an exact "
+        "long and the mean is one final division; summing raw doubles "
+        "would be order-dependent). One scan of conditional sums + one "
+        "fingerprint-distinct shuffle per source; output bounded by "
+        "the source domain.",
+    oracle=r"""
+        WITH m AS (
+          SELECT source, lang, md5(text) AS fp,
+                 CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+                   AS n_tok,
+                 CAST(length(text) AS BIGINT) AS n_chr
+          FROM documents
+        ), q AS (
+          SELECT source, lang, fp, n_tok, n_chr,
+                 LEAST(n_tok, 100) * 6 +
+                 (CASE WHEN CAST(n_chr AS DOUBLE) / n_tok >= 3.0
+                        AND CAST(n_chr AS DOUBLE) / n_tok <= 10.0
+                       THEN 400 ELSE 200 END) AS q_milli
+          FROM m
+        ), d AS (
+          SELECT source, CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_fp
+          FROM q GROUP BY source
+        )
+        SELECT q.source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+               CAST(SUM(n_chr) AS BIGINT) AS n_chars,
+               CAST(MAX(d.n_fp) AS BIGINT) AS n_distinct,
+               ROUND(1.0 - MAX(d.n_fp) * 1.0 / COUNT(*), 6) AS dup_rate,
+               ROUND(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * 1.0
+                     / COUNT(*), 6) AS en_share,
+               ROUND(SUM(n_tok) * 1.0 / COUNT(*), 6) AS mean_doc_tokens,
+               ROUND(SUM(q_milli) * 1.0 / (1000 * COUNT(*)), 6) AS mean_quality
+        FROM q JOIN d ON d.source = q.source
+        GROUP BY q.source
+    """,
+)
+def n6_dataset_card(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    txt = F.col("text")
+    n_tok = tx.token_count(txt)
+    n_chr = F.length(txt).cast("long")
+    avg_word = n_chr.cast("double") / n_tok.cast("double")
+    q_milli = (
+        F.least(n_tok, F.lit(100)) * 6
+        + F.when((avg_word >= 3.0) & (avg_word <= 10.0), 400).otherwise(200)
+    ).cast("long")
+    base = docs.select(
+        "source",
+        "lang",
+        tx.fingerprint(txt).alias("fp"),
+        n_tok.alias("n_tok"),
+        n_chr.alias("n_chr"),
+        q_milli.alias("q_milli"),
+    )
+    d = base.groupBy("source").agg(
+        F.count_distinct("fp").cast("long").alias("n_fp")
+    )
+    return (
+        base.join(F.broadcast(d), "source")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.sum("n_chr").cast("long").alias("n_chars"),
+            F.max("n_fp").cast("long").alias("n_distinct"),
+            F.round(
+                F.lit(1.0) - F.max("n_fp") * F.lit(1.0) / F.count(F.lit(1)), 6
+            ).alias("dup_rate"),
+            F.round(
+                F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+                * F.lit(1.0)
+                / F.count(F.lit(1)),
+                6,
+            ).alias("en_share"),
+            F.round(F.sum("n_tok") * F.lit(1.0) / F.count(F.lit(1)), 6).alias(
+                "mean_doc_tokens"
+            ),
+            F.round(
+                F.sum("q_milli") * F.lit(1.0) / (F.lit(1000) * F.count(F.lit(1))),
+                6,
+            ).alias("mean_quality"),
+        )
+    )

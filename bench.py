@@ -784,6 +784,7 @@ def main() -> None:
         "ext_winsorize",
         "a18_skew_audit",
         "n6_dataset_card",
+        "ext_lateness_audit",
     ]
 
     def run_r6_ops(data_dir: str) -> dict[str, float]:

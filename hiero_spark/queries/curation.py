@@ -2028,3 +2028,81 @@ def n6_dataset_card(spark, sf_dir):
             ).alias("mean_quality"),
         )
     )
+
+
+@query(
+    "ext_lateness_audit",
+    group="ext-agg",
+    doc="Watermark-sizing audit: the lateness distribution (ingest time "
+        "minus event time) per event type — exact rank-based p50/p99/"
+        "max lateness seconds and the share of rows a 1-hour watermark "
+        "would have dropped. THE measurement that sizes X1-X24's "
+        "watermarks: pick the bound from p99, audit the drop share it "
+        "implies. Ingest clock is the documented deterministic stand-in "
+        "(event_id * 7919 % 7200 s — the with_synthetic_ingest_ts "
+        "convention; production uses the real ingest column, everything "
+        "downstream is agnostic). Lateness values collapse to DISTINCT "
+        "(type, seconds) counts before the cumulative window (the "
+        "winsorize_stats shape — bounded by the delay domain, never "
+        "raw rows); percentile = smallest value whose cumulative count "
+        "reaches ceil(q*n/100), exact longs.",
+    oracle="""
+        WITH v AS (
+          SELECT event_type AS key,
+                 CAST((event_id * 7919) % 7200 AS BIGINT) AS late_s
+          FROM events
+        ), d AS (
+          SELECT key, late_s, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM v GROUP BY 1, 2
+        ), cum AS (
+          SELECT key, late_s, cnt,
+                 SUM(cnt) OVER (PARTITION BY key ORDER BY late_s) AS cm,
+                 SUM(cnt) OVER (PARTITION BY key) AS n
+          FROM d
+        )
+        SELECT key AS event_type,
+               CAST(MAX(n) AS BIGINT) AS n_rows,
+               CAST(MIN(CASE WHEN cm >= (n * 50 + 99) // 100
+                             THEN late_s END) AS BIGINT) AS p50_lateness_s,
+               CAST(MIN(CASE WHEN cm >= (n * 99 + 99) // 100
+                             THEN late_s END) AS BIGINT) AS p99_lateness_s,
+               CAST(MAX(late_s) AS BIGINT) AS max_lateness_s,
+               ROUND(SUM(CASE WHEN late_s > 3600 THEN cnt ELSE 0 END) * 1.0
+                     / MAX(n), 6) AS dropped_at_1h_share
+        FROM cum GROUP BY key
+    """,
+)
+def ext_lateness_audit(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    ev = t(spark, sf_dir, "events")
+    late = ((F.col("event_id") * 7919) % 7200).cast("long")
+    d = (
+        ev.select(F.col("event_type").alias("key"), late.alias("late_s"))
+        .groupBy("key", "late_s")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wcum = Window.partitionBy("key").orderBy("late_s")
+    wall = Window.partitionBy("key")
+    cum = d.select(
+        "key",
+        "late_s",
+        "cnt",
+        F.sum("cnt").over(wcum).alias("cm"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+    pct = lambda q: F.min(  # noqa: E731
+        F.when(F.col("cm") >= F.expr(f"(n * {q} + 99) DIV 100"), F.col("late_s"))
+    ).cast("long")
+    return cum.groupBy(F.col("key").alias("event_type")).agg(
+        F.max("n").cast("long").alias("n_rows"),
+        pct(50).alias("p50_lateness_s"),
+        pct(99).alias("p99_lateness_s"),
+        F.max("late_s").cast("long").alias("max_lateness_s"),
+        F.round(
+            F.sum(F.when(F.col("late_s") > 3600, F.col("cnt")).otherwise(0))
+            * F.lit(1.0)
+            / F.max("n"),
+            6,
+        ).alias("dropped_at_1h_share"),
+    )

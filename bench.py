@@ -785,6 +785,7 @@ def main() -> None:
         "a18_skew_audit",
         "n6_dataset_card",
         "ext_lateness_audit",
+        "n6_triplets",
     ]
 
     def run_r6_ops(data_dir: str) -> dict[str, float]:

@@ -604,3 +604,65 @@ def hard_negatives(
     return band.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def mine_triplets(
+    emb: DataFrame,
+    anchors: DataFrame,
+    margin: float = 0.05,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+    qvec_col: str = "query_vec",
+) -> DataFrame:
+    """(anchor, positive, negative) training triplets: positive = the
+    anchor's nearest neighbor, negative = the MOST similar neighbor at
+    least `margin` below the positive — the distance-weighted hard
+    mining rule (semi-hard negatives teach the margin; random ones are
+    trivially satisfied and teach nothing). One broadcast scoring scan
+    (the batch_topk shape), then both legs are rank-1 windows over the
+    same scored tuples — scalars shuffle, vectors never do. Anchors
+    whose corpus has no qualifying negative (margin wider than the
+    similarity spread) drop out by the inner join; ties break by
+    neighbor id, so the triplet set is deterministic (the n2 contract:
+    both engines rank identical doubles)."""
+    from pyspark.sql.window import Window
+
+    scored = emb.crossJoin(F.broadcast(anchors)).select(
+        F.col(qid_col),
+        F.col(id_col).alias("neighbor_id"),
+        cosine(
+            F.col(vec_col).cast("array<double>"),
+            F.col(qvec_col).cast("array<double>"),
+        ).alias("cos_sim"),
+    ).filter(F.col("neighbor_id") != F.col(qid_col))
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    pos = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col(qid_col).alias("anchor"),
+            F.col("neighbor_id").alias("positive_id"),
+            F.col("cos_sim").alias("pos_sim"),
+        )
+    )
+    neg = (
+        scored.join(
+            F.broadcast(pos), scored[qid_col] == pos["anchor"]
+        )
+        .filter(F.col("cos_sim") <= F.col("pos_sim") - F.lit(margin))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "anchor",
+            F.col("neighbor_id").alias("negative_id"),
+            F.col("cos_sim").alias("neg_sim"),
+        )
+    )
+    return pos.join(neg, "anchor").select(
+        "anchor",
+        "positive_id",
+        F.round("pos_sim", 4).alias("pos_sim"),
+        "negative_id",
+        F.round("neg_sim", 4).alias("neg_sim"),
+    )

@@ -1439,3 +1439,55 @@ def n2_hard_negatives(spark, sf_dir):
     return out.select(
         "query_id", "neighbor_id", F.round("cos_sim", 4).alias("cos_sim"), "rank"
     )
+
+
+@query(
+    "n6_triplets",
+    group="N6",
+    doc="Contrastive-training triplet assembly "
+        "(functions/similarity.py:mine_triplets): per anchor (every "
+        "100th vector), positive = nearest neighbor, negative = the "
+        "most similar neighbor at least 0.05 below the positive — the "
+        "distance-weighted semi-hard mining rule (random negatives are "
+        "trivially satisfied and teach nothing). One broadcast scoring "
+        "scan feeds both rank-1 windows; scalars shuffle, vectors "
+        "never. Deterministic by the n2 ranking contract.",
+    oracle="""
+        WITH q AS (
+          SELECT vec_id AS query_id, embedding AS qv
+          FROM embeddings WHERE vec_id % 100 = 0
+        ), scored AS (
+          SELECT query_id, e.vec_id AS neighbor_id,
+                 list_sum(list_transform(range(1, len(e.embedding) + 1),
+                          i -> CAST(e.embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+                 AS cs
+          FROM embeddings e, q
+          WHERE e.vec_id <> query_id
+        ), pos AS (
+          SELECT query_id AS anchor, neighbor_id AS positive_id, cs AS pos_sim
+          FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                         ORDER BY cs DESC, neighbor_id ASC) AS rn FROM scored)
+          WHERE rn = 1
+        ), neg AS (
+          SELECT anchor, neighbor_id AS negative_id, cs AS neg_sim
+          FROM (
+            SELECT p.anchor, s.neighbor_id, s.cs,
+                   row_number() OVER (PARTITION BY p.anchor
+                     ORDER BY s.cs DESC, s.neighbor_id ASC) AS rn
+            FROM scored s JOIN pos p ON s.query_id = p.anchor
+            WHERE s.cs <= p.pos_sim - 0.05
+          ) WHERE rn = 1
+        )
+        SELECT pos.anchor, positive_id, ROUND(pos_sim, 4) AS pos_sim,
+               negative_id, ROUND(neg_sim, 4) AS neg_sim
+        FROM pos JOIN neg ON neg.anchor = pos.anchor
+    """,
+)
+def n6_triplets(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return sim.mine_triplets(emb, anchors, margin=0.05)

@@ -669,3 +669,31 @@ def test_hard_negatives_band_self_exclusion_and_rank(spark):
         .collect()
     ]
     assert got == [(3, 1), (4, 2)]
+
+
+def test_triplets_margin_and_determinism(spark):
+    """Planted geometry: positive = nearest, negative = best at least
+    margin below it (skipping a too-close runner-up); anchors with no
+    qualifying negative drop out."""
+    from hiero_spark.functions.similarity import mine_triplets
+
+    rows = [
+        (0, [1.0, 0.0]),            # anchor
+        (1, [0.9999, 0.01]),        # nearest -> positive (~1.0)
+        (2, [0.999, 0.04]),         # within margin of pos -> NOT negative
+        (3, [1.0, 1.0]),            # ~0.707 -> the semi-hard negative
+        (4, [0.0, 1.0]),            # 0.0 -> easier, not picked
+        (10, [5.0, 5.0]),           # anchor 2: only neighbors far below
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    anchors = emb.filter("vec_id in (0, 10)").selectExpr(
+        "vec_id AS query_id", "embedding AS query_vec"
+    )
+    got = {r["anchor"]: (r["positive_id"], r["negative_id"])
+           for r in mine_triplets(emb, anchors, margin=0.05).collect()}
+    assert got[0] == (1, 3)
+    assert 10 in got  # its positive/negative exist too (margin wide enough)
+
+    # margin wider than the whole similarity spread -> anchor drops out
+    none = mine_triplets(emb, anchors.filter("query_id = 0"), margin=2.0)
+    assert none.count() == 0

@@ -54,6 +54,7 @@ BNLJ_ALLOWED = {
     "n6_dataset_drift": "scalar broadcast: 1-row smoothed totals join the 10-bucket terms",
     "n2_hard_negatives": "intended broadcast fan-out of the bounded anchor set (batch-ANN shape)",
     "a18_skew_audit": "scalar broadcast: 1-row totals join the Zipf-bounded count distribution",
+    "n6_triplets": "intended broadcast fan-out of the bounded anchor set (batch-ANN shape)",
 }
 
 _SPECS = all_queries()

@@ -1137,3 +1137,48 @@ def test_hll_stream_estimate_equals_monolithic(spark, tmp_path):
     spark.createDataFrame(b2, schema).write.parquet(str(src / "b2.parquet"))
     run()
     assert estimates() == mono(b1 + b2)
+
+
+def test_ohlc_restart_exact_once(spark, tmp_path):
+    """X17 across a kill/restart: a candle finalized before the restart
+    emits exactly once and never re-emits; a candle whose events span the
+    restart emits once with open/close picked across BOTH batches."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    schema = "event_id long, event_type string, ts timestamp, value double"
+    src = tmp_path / "src"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    run = _restart_runner(spark, src, ckpt, out, pl.ohlc_stream, schema)
+
+    b1 = [
+        (1, "px", base + dt.timedelta(minutes=1), 10.00),   # 12:00 open
+        (2, "px", base + dt.timedelta(minutes=30), 14.00),  # 12:00 high
+        (3, "px", base + dt.timedelta(hours=1, minutes=5), 11.00),  # 13:00 open
+        # wm -> 13:00: closes the 12:00 candle, leaves 13:00 open
+        (4, "clock", base + dt.timedelta(hours=2), 1.00),
+    ]
+    spark.createDataFrame(b1, schema).write.parquet(str(src / "b1.parquet"))
+    run()  # 12:00 candle closes
+
+    b2 = [
+        (5, "px", base + dt.timedelta(hours=1, minutes=50), 9.00),  # 13:00 close
+        (6, "clock", base + dt.timedelta(hours=6), 1.00),   # wm -> 17:00
+    ]
+    spark.createDataFrame(b2, schema).write.parquet(str(src / "b2.parquet"))
+    run()  # closes the 13:00 candle with events from both sides
+
+    rows = sorted(
+        (r["event_type"], r["bucket_ts"], r["n_events"], r["open_cents"],
+         r["high_cents"], r["low_cents"], r["close_cents"])
+        for r in spark.read.parquet(out).collect()
+        if r["event_type"] == "px"
+    )
+    noon = int(base.timestamp())
+    one = int((base + dt.timedelta(hours=1)).timestamp())
+    assert rows == [
+        ("px", noon, 2, 1000, 1400, 1000, 1400),  # finalized pre-restart, once
+        ("px", one, 2, 1100, 1100, 900, 900),     # spans the restart, once
+    ]

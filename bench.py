@@ -786,6 +786,7 @@ def main() -> None:
         "n6_dataset_card",
         "ext_lateness_audit",
         "n6_triplets",
+        "ext_rollup_answer",
     ]
 
     def run_r6_ops(data_dir: str) -> dict[str, float]:

@@ -795,3 +795,42 @@ def ext_dp_histogram(spark, sf_dir):
         t(spark, sf_dir, "nation").select("n_nationkey"),
         "s_nationkey",
     )
+
+
+@query(
+    "ext_rollup_answer",
+    group="ext-agg",
+    doc="Materialized-rollup reuse: the monthly revenue question answered "
+        "from the DAILY rollup instead of the event log — sums and counts "
+        "are additive, so re-aggregating the cube's partials is EXACT, "
+        "and the oracle (computed straight from the base table) IS the "
+        "additivity proof, hash-checked. This is the read side of the "
+        "s17 incremental-aggregate state: maintain the fine-grained cube "
+        "once (O(delta) per batch), answer every coarser slice from its "
+        "keys x days rows without touching raw events — the "
+        "materialized-view contract a 100 TB dashboard runs on.",
+    oracle="""
+        SELECT event_type,
+               CAST(strftime(ts, '%Y-%m') AS VARCHAR) AS month,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+                 AS sum_cents
+        FROM events
+        GROUP BY 1, 2
+    """,
+)
+def ext_rollup_answer(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    daily = ev.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("pn"), F.sum(cents).alias("ps")
+    )
+    # the question is answered from the CUBE's partials, never the log
+    return daily.groupBy(
+        "event_type", F.substring("day", 1, 7).alias("month")
+    ).agg(
+        F.sum("pn").cast("long").alias("n_events"),
+        F.sum("ps").cast("long").alias("sum_cents"),
+    )

@@ -787,6 +787,7 @@ def main() -> None:
         "ext_lateness_audit",
         "n6_triplets",
         "ext_rollup_answer",
+        "s25_malformed_ingest",
     ]
 
     def run_r6_ops(data_dir: str) -> dict[str, float]:

@@ -848,3 +848,49 @@ def s24_wap_commit(spark, sf_dir):
         "attempt string, chk string, col string, n_viol long,"
         " passed boolean, n_rows_after long",
     )
+
+
+@query(
+    "s25_malformed_ingest",
+    group="S25",
+    doc="Malformed-row ingestion audit: NDJSON with 3 deterministically "
+        "injected corrupt lines read in PERMISSIVE mode with a "
+        "_corrupt_record column — real crawl feeds always carry broken "
+        "lines, and silently dropping them (DROPMALFORMED) hides feed "
+        "regressions. The pin: every valid row parses (count + key sum "
+        "equal the pristine table), every corrupt line is accounted for "
+        "(the literal 3 in the oracle), nothing is silently lost. "
+        "Schema-explicit read, so the audit costs one scan.",
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_valid,
+               CAST(3 AS BIGINT) AS n_corrupt,
+               CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+        FROM nation
+    """,
+)
+def s25_malformed_ingest(spark, sf_dir):
+    from pyspark.sql.types import StringType
+
+    nation = t(spark, sf_dir, "nation")
+    path = _export_dir("nation_malformed")
+    nation.select("n_nationkey", "n_name", "n_regionkey").write.mode(
+        "overwrite"
+    ).json(path)
+    with open(os.path.join(path, "part-corrupt.json"), "w") as fh:
+        fh.write('{"n_nationkey": oops}\n{broken\nnot json at all\n')
+    schema = (
+        nation.select("n_nationkey", "n_name", "n_regionkey")
+        .schema.add("_corrupt_record", StringType())
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    bad = F.col("_corrupt_record").isNotNull()
+    return back.agg(
+        F.sum(F.when(~bad, 1).otherwise(0)).cast("long").alias("n_valid"),
+        F.sum(F.when(bad, 1).otherwise(0)).cast("long").alias("n_corrupt"),
+        F.sum(F.when(~bad, F.col("n_nationkey"))).cast("long").alias("key_sum"),
+    )

@@ -205,3 +205,102 @@ def test_lp_propagates_by_rounds_and_skips_unreached(spark):
     three = {r["node"]: r["label"]
              for r in label_propagation(e, seeds, n_rounds=3).collect()}
     assert three == {0: 5, 1: 5, 2: 5, 3: 5}  # island never labeled
+
+
+# --- differential fuzz (round-8 continuation): random graphs vs a pure-
+# Python reference — the window/set-op fuzzer discipline applied to the
+# iterative graph operators
+
+
+def _py_bfs(edges, sources, max_hops):
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    dist = {s: 0 for s in sources}
+    frontier = set(sources)
+    for h in range(1, max_hops + 1):
+        nxt = set()
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = h
+                    nxt.add(v)
+        if not nxt:
+            break
+        frontier = nxt
+    return dist
+
+
+def _py_bf(edges, sources, n_rounds):
+    adj = {}
+    for u, v, w in edges:
+        adj.setdefault(u, []).append((v, w))
+        adj.setdefault(v, []).append((u, w))
+    dist = {s: 0 for s in sources}
+    for _ in range(n_rounds):
+        new = dict(dist)
+        for u, d in dist.items():
+            for v, w in adj.get(u, ()):
+                if v not in new or d + w < new[v]:
+                    new[v] = d + w
+        dist = new
+    return dist
+
+
+def test_bfs_fuzz_vs_python_reference(spark):
+    import random
+
+    from hiero_spark.functions.graph import bfs_levels
+
+    rng = random.Random(1234)
+    for trial in range(5):
+        n = rng.randint(8, 24)
+        edges = sorted(
+            {
+                (rng.randrange(n), rng.randrange(n))
+                for _ in range(rng.randint(n, 3 * n))
+            }
+        )
+        edges = [(u, v) for u, v in edges if u != v]
+        sources = rng.sample(range(n), rng.randint(1, 3))
+        hops = rng.randint(1, 4)
+        got = {
+            r["node"]: r["dist"]
+            for r in bfs_levels(
+                spark.createDataFrame(edges, ["src", "dst"]),
+                spark.createDataFrame([(s,) for s in sources], ["node"]),
+                max_hops=hops,
+            ).collect()
+        }
+        assert got == _py_bfs(edges, sources, hops), (trial, edges, sources)
+
+
+def test_bellman_ford_fuzz_vs_python_reference(spark):
+    import random
+
+    from hiero_spark.functions.graph import bellman_ford
+
+    rng = random.Random(99)
+    for trial in range(5):
+        n = rng.randint(8, 20)
+        edges = sorted(
+            {
+                (rng.randrange(n), rng.randrange(n))
+                for _ in range(rng.randint(n, 3 * n))
+            }
+        )
+        edges = [
+            (u, v, rng.randint(0, 9)) for u, v in edges if u != v
+        ]
+        sources = rng.sample(range(n), rng.randint(1, 2))
+        rounds = rng.randint(1, 4)
+        got = {
+            r["node"]: r["dist"]
+            for r in bellman_ford(
+                spark.createDataFrame(edges, ["src", "dst", "w"]),
+                spark.createDataFrame([(s,) for s in sources], ["node"]),
+                n_rounds=rounds,
+            ).collect()
+        }
+        assert got == _py_bf(edges, sources, rounds), (trial, edges, sources)

@@ -788,6 +788,7 @@ def main() -> None:
         "n6_triplets",
         "ext_rollup_answer",
         "s25_malformed_ingest",
+        "n1_cluster_sizes",
     ]
 
     def run_r6_ops(data_dir: str) -> dict[str, float]:

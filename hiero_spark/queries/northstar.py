@@ -1491,3 +1491,81 @@ def n6_triplets(spark, sf_dir):
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     return sim.mine_triplets(emb, anchors, margin=0.05)
+
+
+@query(
+    "n1_cluster_sizes",
+    group="N1",
+    doc="Near-dup cluster-size distribution — the dedup dashboard number "
+        "(how much boilerplate, how big the worst clusters, how many "
+        "docs dedup removes): per component size, cluster count, docs "
+        "covered, and removable docs (size-1 each); unclustered docs "
+        "report as the size-1 row with zero removable. Same component "
+        "derivation as n1_dedup_clusters (hash-min label propagation / "
+        "recursive-CTE oracle); the distribution is two bounded "
+        "aggregates on top.",
+    oracle=r"""
+        WITH RECURSIVE toks AS (
+          SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+          FROM documents
+        ), sh AS (
+          SELECT DISTINCT doc_id AS doc, array_to_string(w[i:i+2], ' ') AS shingle
+          FROM toks, UNNEST(range(1, GREATEST(len(w) - 2, 1) + 1)) AS u(i)
+        ), sizes AS (SELECT doc, COUNT(*) AS n FROM sh GROUP BY doc),
+        inter AS (
+          SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_inter
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+          GROUP BY 1, 2
+        ), pairs AS (
+          SELECT doc_a, doc_b FROM inter
+          JOIN sizes sa ON sa.doc = doc_a JOIN sizes sb ON sb.doc = doc_b
+          WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.4
+        ), edges AS (
+          SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION ALL
+          SELECT doc_b, doc_a FROM pairs
+        ), reach AS (
+          SELECT a AS doc, a AS r FROM edges
+          UNION
+          SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.doc
+        ), comp AS (
+          SELECT doc, MIN(r) AS canonical FROM reach GROUP BY doc
+        ), csz AS (
+          SELECT canonical, CAST(COUNT(*) AS BIGINT) AS sz FROM comp GROUP BY 1
+        ), clustered AS (
+          SELECT sz AS cluster_size,
+                 CAST(COUNT(*) AS BIGINT) AS n_clusters,
+                 CAST(SUM(sz) AS BIGINT) AS n_docs,
+                 CAST(SUM(sz - 1) AS BIGINT) AS n_removable
+          FROM csz GROUP BY sz
+        ), singles AS (
+          SELECT CAST(1 AS BIGINT) AS cluster_size,
+                 CAST(COUNT(*) AS BIGINT) AS n_clusters,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(0 AS BIGINT) AS n_removable
+          FROM documents WHERE doc_id NOT IN (SELECT doc FROM comp)
+        )
+        SELECT * FROM clustered UNION ALL SELECT * FROM singles
+    """,
+)
+def n1_cluster_sizes(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(docs, "text", "doc_id", k=3, threshold=0.4)
+    comp = dd.dedup_clusters(pairs)
+    csz = comp.groupBy("canonical").agg(F.count(F.lit(1)).alias("sz"))
+    clustered = csz.groupBy(F.col("sz").cast("long").alias("cluster_size")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.sum("sz").cast("long").alias("n_docs"),
+        F.sum(F.col("sz") - 1).cast("long").alias("n_removable"),
+    )
+    singles = (
+        docs.join(comp, docs["doc_id"] == comp["doc"], "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+        .select(
+            F.lit(1).cast("long").alias("cluster_size"),
+            "n_clusters",
+            F.col("n_clusters").alias("n_docs"),
+            F.lit(0).cast("long").alias("n_removable"),
+        )
+    )
+    return clustered.unionByName(singles)

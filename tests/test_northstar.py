@@ -697,3 +697,16 @@ def test_triplets_margin_and_determinism(spark):
     # margin wider than the whole similarity spread -> anchor drops out
     none = mine_triplets(emb, anchors.filter("query_id = 0"), margin=2.0)
     assert none.count() == 0
+
+
+def test_cluster_sizes_account_for_every_doc(spark, sf_dir):
+    """The size distribution is a partition of the corpus: docs covered
+    sum to the table, removable = docs - clusters, sizes >= 1."""
+    from hiero_spark.registry import all_queries
+
+    rows = all_queries()["n1_cluster_sizes"].fn(spark, sf_dir).collect()
+    total_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r["n_docs"] for r in rows) == total_docs
+    for r in rows:
+        assert r["n_docs"] == r["cluster_size"] * r["n_clusters"]
+        assert r["n_removable"] == r["n_docs"] - r["n_clusters"]

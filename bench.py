@@ -789,6 +789,7 @@ def main() -> None:
         "ext_rollup_answer",
         "s25_malformed_ingest",
         "n1_cluster_sizes",
+        "n6_padding_waste",
     ]
 
     def run_r6_ops(data_dir: str) -> dict[str, float]:

@@ -2106,3 +2106,66 @@ def ext_lateness_audit(spark, sf_dir):
             6,
         ).alias("dropped_at_1h_share"),
     )
+
+
+@query(
+    "n6_padding_waste",
+    group="N6",
+    doc="Padding-waste analysis for batched training: docs bucketed by "
+        "length (64-token granularity, capped at the 512 max sequence "
+        "length) with, per bucket, doc/token mass, padding tokens under "
+        "LENGTH-BUCKETED batching (pad to bucket top) vs NAIVE batching "
+        "(pad everything to 512), and the padding fractions — the number "
+        "that justifies length-grouped batching, computed exactly. Pure "
+        "integer expressions off the one token-count scan; truncated "
+        "docs (>512) contribute zero padding by definition.",
+    oracle=r"""
+        WITH m AS (
+          SELECT doc_id,
+                 LEAST(CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                            AS BIGINT), 512) AS n_tok
+          FROM documents
+        ), b AS (
+          SELECT doc_id, n_tok,
+                 LEAST(((n_tok + 63) // 64) * 64, 512) AS bucket
+          FROM m
+        )
+        SELECT CAST(bucket AS BIGINT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+               CAST(SUM(bucket - n_tok) AS BIGINT) AS pad_bucketed,
+               CAST(SUM(512 - n_tok) AS BIGINT) AS pad_naive,
+               ROUND(SUM(bucket - n_tok) * 1.0 / SUM(bucket), 6)
+                 AS bucketed_waste_frac,
+               ROUND(SUM(512 - n_tok) * 1.0 / (512 * COUNT(*)), 6)
+                 AS naive_waste_frac
+        FROM b GROUP BY bucket
+    """,
+)
+def n6_padding_waste(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    n_tok = F.least(tx.token_count(F.col("text")), F.lit(512)).alias("n_tok")
+    b = docs.select(n_tok).select(
+        "n_tok",
+        F.least(
+            ((F.col("n_tok") + 63) / 64).cast("long") * 64, F.lit(512)
+        ).alias("bucket"),
+    )
+    return b.groupBy(F.col("bucket").cast("long").alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.sum(F.col("bucket") - F.col("n_tok")).cast("long").alias("pad_bucketed"),
+        F.sum(F.lit(512) - F.col("n_tok")).cast("long").alias("pad_naive"),
+        F.round(
+            F.sum(F.col("bucket") - F.col("n_tok"))
+            * F.lit(1.0)
+            / F.sum("bucket"),
+            6,
+        ).alias("bucketed_waste_frac"),
+        F.round(
+            F.sum(F.lit(512) - F.col("n_tok"))
+            * F.lit(1.0)
+            / (F.lit(512) * F.count(F.lit(1))),
+            6,
+        ).alias("naive_waste_frac"),
+    )

@@ -790,6 +790,7 @@ def main() -> None:
         "s25_malformed_ingest",
         "n1_cluster_sizes",
         "n6_padding_waste",
+        "n4_pr_curve",
     ]
 
     def run_r6_ops(data_dir: str) -> dict[str, float]:

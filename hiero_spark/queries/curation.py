@@ -2169,3 +2169,98 @@ def n6_padding_waste(spark, sf_dir):
             6,
         ).alias("naive_waste_frac"),
     )
+
+
+@query(
+    "n4_pr_curve",
+    group="N4",
+    doc="Precision/recall threshold sweep — model evaluation inside the "
+        "engine: the quality heuristic (exact MILLI-UNIT score, the "
+        "n6_dataset_card formulation) as a predictor of the prose gate, "
+        "swept over a fixed threshold grid (300..900 by 100). Scale "
+        "shape: the corpus collapses to DISTINCT (score, label) counts "
+        "first (score domain is a few hundred values — the winsorize "
+        "Zipf argument), then the 7-threshold confusion table is a "
+        "7-way fan-out of that tiny frame, never of the corpus. "
+        "TP/FP/FN/TN are exact longs; precision/recall/F1 are one "
+        "final division each, ROUND display-only.",
+    oracle=r"""
+        WITH m AS (
+          SELECT CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+                   AS n_tok,
+                 CAST(length(text) AS BIGINT) AS n_chr,
+                 (len(list_distinct(list_filter(
+                    regexp_split_to_array(trim(lower(text)), '\s+'),
+                    x -> x IN ('the','of','and','to','in','a','is','that','for','it')
+                  ))) >= 2) AS label
+          FROM documents
+        ), s AS (
+          SELECT LEAST(n_tok, 100) * 6 +
+                 (CASE WHEN CAST(n_chr AS DOUBLE) / n_tok >= 3.0
+                        AND CAST(n_chr AS DOUBLE) / n_tok <= 10.0
+                       THEN 400 ELSE 200 END) AS q_milli,
+                 label, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM m GROUP BY 1, 2
+        ), sweep AS (
+          SELECT thr, q_milli, label, cnt
+          FROM s, UNNEST([300, 400, 500, 600, 700, 800, 900]) AS u(thr)
+        )
+        SELECT CAST(thr AS BIGINT) AS threshold_milli,
+               CAST(SUM(CASE WHEN q_milli >= thr AND label THEN cnt ELSE 0 END)
+                    AS BIGINT) AS tp,
+               CAST(SUM(CASE WHEN q_milli >= thr AND NOT label THEN cnt ELSE 0 END)
+                    AS BIGINT) AS fp,
+               CAST(SUM(CASE WHEN q_milli < thr AND label THEN cnt ELSE 0 END)
+                    AS BIGINT) AS fn,
+               CAST(SUM(CASE WHEN q_milli < thr AND NOT label THEN cnt ELSE 0 END)
+                    AS BIGINT) AS tn,
+               ROUND(SUM(CASE WHEN q_milli >= thr AND label THEN cnt ELSE 0 END)
+                     * 1.0
+                     / NULLIF(SUM(CASE WHEN q_milli >= thr THEN cnt ELSE 0 END), 0),
+                     6) AS precision,
+               ROUND(SUM(CASE WHEN q_milli >= thr AND label THEN cnt ELSE 0 END)
+                     * 1.0
+                     / NULLIF(SUM(CASE WHEN label THEN cnt ELSE 0 END), 0),
+                     6) AS recall
+        FROM sweep GROUP BY thr
+    """,
+)
+def n4_pr_curve(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    txt = F.col("text")
+    n_tok = tx.token_count(txt)
+    n_chr = F.length(txt).cast("long")
+    avg_word = n_chr.cast("double") / n_tok.cast("double")
+    q_milli = (
+        F.least(n_tok, F.lit(100)) * 6
+        + F.when((avg_word >= 3.0) & (avg_word <= 10.0), 400).otherwise(200)
+    ).cast("long")
+    s = (
+        docs.select(
+            q_milli.alias("q_milli"), tx.prose_gate(txt).alias("label")
+        )
+        .groupBy("q_milli", "label")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    thr = F.explode(
+        F.array(*[F.lit(v) for v in (300, 400, 500, 600, 700, 800, 900)])
+    ).alias("thr")
+    sweep = s.select("q_milli", "label", "cnt", thr)
+    pred = F.col("q_milli") >= F.col("thr")
+    c = lambda cond: F.sum(F.when(cond, F.col("cnt")).otherwise(0)).cast("long")  # noqa: E731
+    return sweep.groupBy(F.col("thr").cast("long").alias("threshold_milli")).agg(
+        c(pred & F.col("label")).alias("tp"),
+        c(pred & ~F.col("label")).alias("fp"),
+        c(~pred & F.col("label")).alias("fn"),
+        c(~pred & ~F.col("label")).alias("tn"),
+        F.round(
+            c(pred & F.col("label")) * F.lit(1.0) / F.nullif(c(pred), F.lit(0)),
+            6,
+        ).alias("precision"),
+        F.round(
+            c(pred & F.col("label"))
+            * F.lit(1.0)
+            / F.nullif(c(F.col("label")), F.lit(0)),
+            6,
+        ).alias("recall"),
+    )

@@ -791,6 +791,7 @@ def main() -> None:
         "n1_cluster_sizes",
         "n6_padding_waste",
         "n4_pr_curve",
+        "n3_image_near_dups",
     ]
 
     def run_r6_ops(data_dir: str) -> dict[str, float]:

@@ -961,3 +961,157 @@ def synthetic_cut_video(
 
     base = docs.select(F.col(id_col).cast("long").alias("media_id"))
     return base.mapInPandas(run, "media_id long, payload binary")
+
+
+PATTERN_SCHEMA = "media_id long, payload binary"
+AHASH_SCHEMA = "media_id long, phash_hi long, phash_lo long, decoded boolean"
+
+
+def synthetic_pattern_images(
+    docs: DataFrame, id_col: str = "doc_id", size: int = 16
+) -> DataFrame:
+    """Per-row synthesized grayscale BMP test cards for the image-dedup
+    path: pixel(i, j) = (37*(id DIV 10) + 11*i + 5*j) % 256, so every
+    group of 10 consecutive ids shares a base pattern; each doc then
+    perturbs the first (id % 10) pixels of row 0 by +64 (mod 256) — a
+    planted NEAR-duplicate family whose average-hash Hamming distances
+    are small within a group. Gray pixels round-trip the 24bpp BMP and
+    the integer luma exactly ((299g+587g+114g)//1000 == g), so the
+    whole hash is doc_id arithmetic the oracle recomputes — the
+    synthetic_tone_media discipline for images. Built inside Arrow
+    batches; no driver-side generation."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                base = 37 * (mid // 10)
+                rows = []
+                for i in range(size):
+                    row = []
+                    for j in range(size):
+                        g = (base + 11 * i + 5 * j) % 256
+                        if i == 0 and j < mid % 10:
+                            g = (g + 64) % 256
+                        row.append((g, g, g))
+                    rows.append(row)
+                payloads.append(_encode_bmp(rows))
+            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": payloads})
+
+    return (
+        docs.select(F.col(id_col).alias("media_id"))
+        .mapInPandas(run, PATTERN_SCHEMA)
+    )
+
+
+def average_hash(media: DataFrame, grid: int = 8) -> DataFrame:
+    """Perceptual average-hash over binary image payloads: decode
+    (BMP/PNG/JPEG ladder), integer luma per pixel, block-sum downsample
+    to grid x grid (pixel (i,j) -> block (i*grid DIV h, j*grid DIV w) —
+    exact integer partition, any dimensions), bit_k = 1 iff
+    block_sum_k * n_blocks > total_sum (strict; cross-multiplied so no
+    division ever happens). The 64 bits ship as TWO 32-bit halves
+    (phash_hi = bits 32..63, phash_lo = bits 0..31) so every value
+    stays positive — no signed-shift/overflow semantics to disagree on
+    anywhere. Undecodable payloads emit decoded=false with NULL hash
+    (the resize_images contract). mapInPandas: decode never leaves the
+    worker, output is 3 scalars per image."""
+    from hiero_spark.functions.jpeg import decode_jpeg
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n_blocks = grid * grid
+        for pdf in batches:
+            out = {"media_id": [], "phash_hi": [], "phash_lo": [], "decoded": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                dec = None
+                if payload is not None:
+                    b = bytes(payload)
+                    dec = _decode_bmp(b) or _decode_png(b) or decode_jpeg(b)
+                out["media_id"].append(mid)
+                if dec is None:
+                    out["phash_hi"].append(None)
+                    out["phash_lo"].append(None)
+                    out["decoded"].append(False)
+                    continue
+                w, h, rows = dec
+                sums = [0] * n_blocks
+                total = 0
+                for i in range(h):
+                    bi = i * grid // h
+                    row = rows[i]
+                    for j in range(w):
+                        r, g, bl = row[j]
+                        luma = (299 * r + 587 * g + 114 * bl) // 1000
+                        sums[bi * grid + (j * grid // w)] += luma
+                        total += luma
+                hi = lo = 0
+                for k in range(n_blocks):
+                    if sums[k] * n_blocks > total:
+                        if k >= 32:
+                            hi |= 1 << (k - 32)
+                        else:
+                            lo |= 1 << k
+                out["phash_hi"].append(hi)
+                out["phash_lo"].append(lo)
+                out["decoded"].append(True)
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(run, AHASH_SCHEMA)
+
+
+def image_near_dups(hashes: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """(id_a, id_b, hamming): image near-duplicate pairs by average-hash
+    Hamming distance — the pHash dedup every image-corpus pipeline runs.
+    Candidates come from 8-band blocking (8 bits per band): two hashes
+    within Hamming 6 differ in at most 6 bands, so BY PIGEONHOLE at
+    least one of the 8 bands matches exactly — recall is guaranteed,
+    never probabilistic (the SimHash banding argument with a provable
+    bound). The join shuffles (band_idx, band_val, id) triples only;
+    verification is bit_count(xor) on the two 32-bit halves. Quadratic
+    only inside identical-band buckets (same-image families — the
+    output), never corpus-wide."""
+    h = hashes.filter(F.col("decoded")).select("media_id", "phash_hi", "phash_lo")
+    bands = h.select(
+        "media_id",
+        "phash_hi",
+        "phash_lo",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        (
+                            (
+                                F.col("phash_hi") if b >= 4 else F.col("phash_lo")
+                            ).bitwiseAND(F.lit(255 << (8 * (b % 4))))
+                        ).alias("band_val"),
+                    )
+                    for b in range(8)
+                ]
+            )
+        ).alias("band"),
+    ).select("media_id", "phash_hi", "phash_lo", "band.band_idx", "band.band_val")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+            (
+                F.bit_count(
+                    F.col("a.phash_hi").bitwiseXOR(F.col("b.phash_hi"))
+                )
+                + F.bit_count(
+                    F.col("a.phash_lo").bitwiseXOR(F.col("b.phash_lo"))
+                )
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.col("hamming") <= max_hamming)

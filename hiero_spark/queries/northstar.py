@@ -1569,3 +1569,67 @@ def n1_cluster_sizes(spark, sf_dir):
         )
     )
     return clustered.unionByName(singles)
+
+
+@query(
+    "n3_image_near_dups",
+    group="N3",
+    doc="Image near-duplicate detection by perceptual average-hash "
+        "(functions/multimodal.py:average_hash/image_near_dups) — the "
+        "pHash dedup an image-corpus pipeline runs before training. "
+        "Test cards are synthesized grayscale BMPs whose pixels are "
+        "doc_id arithmetic (groups of 10 share a base pattern with "
+        "per-doc perturbations), decoded by the VENDORED codec ladder "
+        "and hashed in pure integer arithmetic (block sums, "
+        "cross-multiplied mean threshold, two 32-bit halves — no "
+        "division, no sign games), so the oracle recomputes every hash "
+        "and every Hamming pair from the same arithmetic: the whole "
+        "decode→hash→band→verify pipeline is hash-checked, no "
+        "tolerance. Candidates: 8-band blocking with the pigeonhole "
+        "recall GUARANTEE (Hamming<=6 differs in <=6 of 8 bands).",
+    oracle="""
+        WITH px AS (
+          SELECT doc_id, i, j,
+                 CASE WHEN i = 0 AND j < doc_id % 10
+                      THEN ((37 * (doc_id // 10) + 11 * i + 5 * j) % 256
+                            + 64) % 256
+                      ELSE (37 * (doc_id // 10) + 11 * i + 5 * j) % 256
+                 END AS g
+          FROM documents,
+               UNNEST(range(16)) AS u(i), UNNEST(range(16)) AS v(j)
+          WHERE doc_id < 200
+        ), blk AS (
+          SELECT doc_id, (i // 2) * 8 + (j // 2) AS k, SUM(g) AS bs
+          FROM px GROUP BY 1, 2
+        ), tot AS (
+          SELECT doc_id, SUM(bs) AS ts FROM blk GROUP BY 1
+        ), ph AS (
+          SELECT blk.doc_id,
+                 CAST(SUM(CASE WHEN bs * 64 > ts AND k >= 32
+                               THEN (CAST(1 AS BIGINT) << (k - 32))
+                               ELSE 0 END) AS BIGINT) AS hi,
+                 CAST(SUM(CASE WHEN bs * 64 > ts AND k < 32
+                               THEN (CAST(1 AS BIGINT) << k)
+                               ELSE 0 END) AS BIGINT) AS lo
+          FROM blk JOIN tot ON tot.doc_id = blk.doc_id
+          GROUP BY 1
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+                    AS BIGINT) AS hamming
+        FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 6
+    """,
+)
+def n3_image_near_dups(spark, sf_dir):
+    from hiero_spark.functions.multimodal import (
+        average_hash, image_near_dups, synthetic_pattern_images,
+    )
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    pairs = image_near_dups(
+        average_hash(synthetic_pattern_images(docs)), max_hamming=6
+    )
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )

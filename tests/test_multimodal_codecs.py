@@ -675,3 +675,58 @@ def test_scene_cuts_fades_below_threshold(spark):
     )
     df = mm.detect_scene_cuts(media)
     assert df.count() == 3 and df.filter("is_cut").count() == 0
+
+
+def test_average_hash_identical_far_and_undecodable(spark):
+    """pHash: byte-identical images hash equal (hamming 0), an inverted
+    image is far, junk bytes emit decoded=false and never pair."""
+    from hiero_spark.functions.multimodal import (
+        _encode_bmp, average_hash, image_near_dups,
+    )
+
+    base = [[((11 * i + 5 * j) % 256,) * 3 for j in range(16)] for i in range(16)]
+    inv = [[(255 - p[0],) * 3 for p in row] for row in base]
+    rows = [
+        (1, _encode_bmp(base)),
+        (2, _encode_bmp(base)),        # exact duplicate of 1
+        (3, _encode_bmp(inv)),         # photometric inverse: far
+        (4, b"not an image at all"),   # undecodable
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    h = {r["media_id"]: (r["phash_hi"], r["phash_lo"], r["decoded"])
+         for r in average_hash(media).collect()}
+    assert h[1][:2] == h[2][:2] and h[1][2]
+    assert h[4] == (None, None, False)
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in image_near_dups(average_hash(media), 6).collect()}
+    assert pairs.get((1, 2)) == 0
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+    assert not any(4 in p for p in pairs)
+
+
+def test_image_near_dups_pigeonhole_recall_vs_bruteforce(spark):
+    """Banded candidates must find EVERY pair the brute-force Hamming
+    scan finds at the threshold (the recall guarantee is provable, so
+    test it)."""
+    from hiero_spark.functions.multimodal import (
+        average_hash, image_near_dups, synthetic_pattern_images,
+    )
+
+    docs = spark.range(60).withColumnRenamed("id", "doc_id")
+    hashes = average_hash(synthetic_pattern_images(docs)).collect()
+    brute = set()
+    for x in hashes:
+        for y in hashes:
+            if x["media_id"] < y["media_id"]:
+                d = bin(x["phash_hi"] ^ y["phash_hi"]).count("1") + bin(
+                    x["phash_lo"] ^ y["phash_lo"]
+                ).count("1")
+                if d <= 6:
+                    brute.add((x["media_id"], y["media_id"], d))
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in image_near_dups(
+            average_hash(synthetic_pattern_images(docs)), 6
+        ).collect()
+    }
+    assert got == brute and len(brute) > 0

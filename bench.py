@@ -792,6 +792,7 @@ def main() -> None:
         "n6_padding_waste",
         "n4_pr_curve",
         "n3_image_near_dups",
+        "n3_video_near_dups",
     ]
 
     def run_r6_ops(data_dir: str) -> dict[str, float]:

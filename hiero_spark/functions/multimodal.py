@@ -1005,6 +1005,34 @@ def synthetic_pattern_images(
     )
 
 
+def _ahash_ints(dec, grid: int = 8):
+    """Average-hash core over a decoded (w, h, rows) image: integer luma,
+    exact block partition (pixel (i,j) -> block (i*grid DIV h,
+    j*grid DIV w)), strict cross-multiplied mean threshold; returns the
+    (hi, lo) 32-bit halves. Shared by image AND per-frame video hashing
+    so the two dedup families cannot drift."""
+    w, h, rows = dec
+    n_blocks = grid * grid
+    sums = [0] * n_blocks
+    total = 0
+    for i in range(h):
+        bi = i * grid // h
+        row = rows[i]
+        for j in range(w):
+            r, g, bl = row[j]
+            luma = (299 * r + 587 * g + 114 * bl) // 1000
+            sums[bi * grid + (j * grid // w)] += luma
+            total += luma
+    hi = lo = 0
+    for k in range(n_blocks):
+        if sums[k] * n_blocks > total:
+            if k >= 32:
+                hi |= 1 << (k - 32)
+            else:
+                lo |= 1 << k
+    return hi, lo
+
+
 def average_hash(media: DataFrame, grid: int = 8) -> DataFrame:
     """Perceptual average-hash over binary image payloads: decode
     (BMP/PNG/JPEG ladder), integer luma per pixel, block-sum downsample
@@ -1020,7 +1048,6 @@ def average_hash(media: DataFrame, grid: int = 8) -> DataFrame:
     from hiero_spark.functions.jpeg import decode_jpeg
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        n_blocks = grid * grid
         for pdf in batches:
             out = {"media_id": [], "phash_hi": [], "phash_lo": [], "decoded": []}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
@@ -1034,24 +1061,7 @@ def average_hash(media: DataFrame, grid: int = 8) -> DataFrame:
                     out["phash_lo"].append(None)
                     out["decoded"].append(False)
                     continue
-                w, h, rows = dec
-                sums = [0] * n_blocks
-                total = 0
-                for i in range(h):
-                    bi = i * grid // h
-                    row = rows[i]
-                    for j in range(w):
-                        r, g, bl = row[j]
-                        luma = (299 * r + 587 * g + 114 * bl) // 1000
-                        sums[bi * grid + (j * grid // w)] += luma
-                        total += luma
-                hi = lo = 0
-                for k in range(n_blocks):
-                    if sums[k] * n_blocks > total:
-                        if k >= 32:
-                            hi |= 1 << (k - 32)
-                        else:
-                            lo |= 1 << k
+                hi, lo = _ahash_ints(dec, grid)
                 out["phash_hi"].append(hi)
                 out["phash_lo"].append(lo)
                 out["decoded"].append(True)
@@ -1115,3 +1125,103 @@ def image_near_dups(hashes: DataFrame, max_hamming: int = 6) -> DataFrame:
         .distinct()
     )
     return cand.filter(F.col("hamming") <= max_hamming)
+
+
+FRAME_HASH_SCHEMA = "media_id long, frame_idx int, phash_hi long, phash_lo long"
+
+
+def synthetic_pattern_video(
+    docs: DataFrame, id_col: str = "doc_id", n_frames: int = 6, size: int = 16
+) -> DataFrame:
+    """Framepack videos for the video-dedup path: frame f pixel (i,j) =
+    (37*(id DIV 5) + 23*f + 11*i + 5*j) % 256, so groups of 5 videos
+    share every frame; frame 0 additionally perturbs the first
+    (id % 5) pixels of its top row — within a group, frames 1..n-1
+    stay byte-identical (exact shared hashes) while frame 0 drifts.
+    All doc_id arithmetic, mirrored by the oracle; batch-side build."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                base = 37 * (mid // 5)
+                frames = []
+                for f in range(n_frames):
+                    rows = []
+                    for i in range(size):
+                        row = []
+                        for j in range(size):
+                            g = (base + 23 * f + 11 * i + 5 * j) % 256
+                            if f == 0 and i == 0 and j < mid % 5:
+                                g = (g + 64) % 256
+                            row.append((g, g, g))
+                        rows.append(row)
+                    frames.append(_encode_bmp(rows))
+                payloads.append(encode_framepack(frames))
+            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": payloads})
+
+    return (
+        docs.select(F.col(id_col).cast("long").alias("media_id"))
+        .mapInPandas(run, PATTERN_SCHEMA)
+    )
+
+
+def frame_hashes(media: DataFrame, grid: int = 8) -> DataFrame:
+    """Per-frame average-hash over framepack videos: decode each frame
+    (BMP/PNG/JPEG ladder) and emit (media_id, frame_idx, hi, lo) through
+    the SAME hash core as image dedup (_ahash_ints). Undecodable frames
+    are skipped; decode never leaves the worker."""
+    from hiero_spark.functions.jpeg import decode_jpeg
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "frame_idx": [], "phash_hi": [], "phash_lo": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                frames = (
+                    _decode_framepack(bytes(payload))
+                    if payload is not None
+                    else None
+                )
+                if not frames:
+                    continue
+                for idx, fb in enumerate(frames):
+                    dec = _decode_bmp(fb) or _decode_png(fb) or decode_jpeg(fb)
+                    if dec is None:
+                        continue
+                    hi, lo = _ahash_ints(dec, grid)
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(idx)
+                    out["phash_hi"].append(hi)
+                    out["phash_lo"].append(lo)
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(run, FRAME_HASH_SCHEMA)
+
+
+def video_near_dups(media: DataFrame, min_shared: int = 3) -> DataFrame:
+    """(id_a, id_b, n_shared): video near-duplicate pairs — videos whose
+    DISTINCT frame-hash sets share at least `min_shared` values (frame
+    order ignored: re-cut/re-ordered copies still match, the shingle
+    trick lifted to frames). Candidate generation IS the verification:
+    the join key is the full 64-bit frame hash, so shuffled rows are
+    (hash, id) pairs and the per-pair count is exact — no banding
+    needed because identical frames, not merely similar ones, are the
+    video-dedup signal (a near-identical frame still hashes equal under
+    the block mean). Completes the dedup family: text (MinHash/PPJoin),
+    image (banded pHash), video (shared frame hashes)."""
+    hs = frame_hashes(media).select("media_id", "phash_hi", "phash_lo").distinct()
+    a, b = hs.alias("a"), hs.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.phash_hi") == F.col("b.phash_hi"))
+            & (F.col("a.phash_lo") == F.col("b.phash_lo"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .groupBy(
+            F.col("a.media_id").alias("id_a"), F.col("b.media_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

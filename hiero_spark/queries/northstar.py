@@ -1633,3 +1633,63 @@ def n3_image_near_dups(spark, sf_dir):
     return pairs.select(
         "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
     )
+
+
+@query(
+    "n3_video_near_dups",
+    group="N3",
+    doc="Video near-duplicate detection by shared frame hashes "
+        "(functions/multimodal.py:frame_hashes/video_near_dups): "
+        "framepack videos decode per frame through the vendored codec "
+        "ladder into the SAME average-hash core as image dedup, and "
+        "videos sharing >= 3 distinct 64-bit frame hashes pair — frame "
+        "order ignored, so re-cut copies match (the shingle trick "
+        "lifted to frames). Test videos are doc_id arithmetic (groups "
+        "of 5 share frames 1..5; frame 0 drifts per video), so the "
+        "oracle recomputes every frame hash and every shared-count "
+        "from the same arithmetic — decode→hash→join hash-checked, no "
+        "tolerance. Completes the dedup family: text, image, video.",
+    oracle="""
+        WITH px AS (
+          SELECT doc_id, f, i, j,
+                 CASE WHEN f = 0 AND i = 0 AND j < doc_id % 5
+                      THEN ((37 * (doc_id // 5) + 23 * f + 11 * i + 5 * j)
+                            % 256 + 64) % 256
+                      ELSE (37 * (doc_id // 5) + 23 * f + 11 * i + 5 * j) % 256
+                 END AS g
+          FROM documents,
+               UNNEST(range(6)) AS w(f),
+               UNNEST(range(16)) AS u(i), UNNEST(range(16)) AS v(j)
+          WHERE doc_id < 100
+        ), blk AS (
+          SELECT doc_id, f, (i // 2) * 8 + (j // 2) AS k, SUM(g) AS bs
+          FROM px GROUP BY 1, 2, 3
+        ), tot AS (
+          SELECT doc_id, f, SUM(bs) AS ts FROM blk GROUP BY 1, 2
+        ), ph AS (
+          SELECT blk.doc_id, blk.f,
+                 CAST(SUM(CASE WHEN bs * 64 > ts AND k >= 32
+                               THEN (CAST(1 AS BIGINT) << (k - 32))
+                               ELSE 0 END) AS BIGINT) AS hi,
+                 CAST(SUM(CASE WHEN bs * 64 > ts AND k < 32
+                               THEN (CAST(1 AS BIGINT) << k)
+                               ELSE 0 END) AS BIGINT) AS lo
+          FROM blk JOIN tot ON tot.doc_id = blk.doc_id AND tot.f = blk.f
+          GROUP BY 1, 2
+        ), hs AS (
+          SELECT DISTINCT doc_id, hi, lo FROM ph
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM hs a JOIN hs b
+          ON a.hi = b.hi AND a.lo = b.lo AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING COUNT(*) >= 3
+    """,
+)
+def n3_video_near_dups(spark, sf_dir):
+    from hiero_spark.functions.multimodal import (
+        synthetic_pattern_video, video_near_dups,
+    )
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return video_near_dups(synthetic_pattern_video(docs), min_shared=3)

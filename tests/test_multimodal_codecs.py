@@ -730,3 +730,35 @@ def test_image_near_dups_pigeonhole_recall_vs_bruteforce(spark):
         ).collect()
     }
     assert got == brute and len(brute) > 0
+
+
+def test_video_near_dups_shared_frames_and_reordering(spark):
+    """Two videos sharing 3 identical frames pair regardless of frame
+    ORDER; a video of unrelated frames pairs with nobody; the hash core
+    is the image one (same helper)."""
+    from hiero_spark.functions.multimodal import (
+        _encode_bmp, encode_framepack, video_near_dups,
+    )
+
+    def card(split):
+        # bright left of the split column, dark right: block-aligned
+        # splits give provably distinct aHash bitmaps (no gradient
+        # aliasing — two smooth gradients CAN share a 64-bit hash)
+        return _encode_bmp(
+            [[(255 if j < split else 0,) * 3 for j in range(16)]
+             for i in range(16)]
+        )
+
+    f1, f2, f3, f4, f5 = (card(s) for s in (2, 4, 6, 8, 10))
+    rows = [
+        (1, encode_framepack([f1, f2, f3])),
+        (2, encode_framepack([f3, f1, f2, f4])),  # same 3, reordered + extra
+        (3, encode_framepack([f4, f5, card(14)])),  # shares only f4 with 2
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {(r["id_a"], r["id_b"]): r["n_shared"]
+           for r in video_near_dups(media, min_shared=3).collect()}
+    assert got == {(1, 2): 3}
+    one = {(r["id_a"], r["id_b"]): r["n_shared"]
+           for r in video_near_dups(media, min_shared=1).collect()}
+    assert one[(1, 2)] == 3 and one[(2, 3)] == 1 and (1, 3) not in one

@@ -793,6 +793,7 @@ def main() -> None:
         "n4_pr_curve",
         "n3_image_near_dups",
         "n3_video_near_dups",
+        "n3_audio_near_dups",
     ]
 
     def run_r6_ops(data_dir: str) -> dict[str, float]:

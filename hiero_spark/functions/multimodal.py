@@ -1225,3 +1225,101 @@ def video_near_dups(media: DataFrame, min_shared: int = 3) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+AUDIO_SIG_SCHEMA = "media_id long, win_idx int, sig long"
+
+
+def synthetic_segment_audio(
+    docs: DataFrame, id_col: str = "doc_id", n_segments: int = 8, win: int = 256
+) -> DataFrame:
+    """PCM16 clips for the audio-dedup path: n_segments constant-
+    amplitude segments of `win` samples, a_s = 1000 + 997*((37*(id DIV
+    5) + 23*s) % 29); groups of 5 ids share every segment, segment 0
+    additionally shifts by (id % 5)*13 per clip. Constant segments make
+    the windowed mean EXACTLY the amplitude (doc_id arithmetic the
+    oracle recomputes); int16 round-trips the [-1,1) float samples
+    losslessly (division by 2^15 is dyadic). Batch-side build."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                segs = []
+                for s in range(n_segments):
+                    a = 1000 + 997 * ((37 * (mid // 5) + 23 * s) % 29)
+                    if s == 0:
+                        a += (mid % 5) * 13
+                    segs.append(np.full(win, a, dtype=np.int16))
+                payloads.append(_encode_wav_pcm16(np.concatenate(segs)))
+            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": payloads})
+
+    return (
+        docs.select(F.col(id_col).cast("long").alias("media_id"))
+        .mapInPandas(run, PATTERN_SCHEMA)
+    )
+
+
+def audio_window_signatures(media: DataFrame, win: int = 256) -> DataFrame:
+    """Per-window audio signature: decode (PCM16/ADPCM WAV ladder),
+    recover exact int16 magnitudes (round(sample * 32768) inverts the
+    dyadic normalization losslessly), and emit the mean |amplitude| of
+    each full non-overlapping window as an exact long (sum DIV win) —
+    the energy-profile fingerprint audio dedup matches on. Truncated
+    tail windows are skipped; undecodable payloads emit nothing."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "win_idx": [], "sig": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                dec = _decode_wav(bytes(payload)) if payload is not None else None
+                if dec is None:
+                    dec = (
+                        _decode_wav_ima(bytes(payload))
+                        if payload is not None
+                        else None
+                    )
+                if dec is None:
+                    continue
+                samples = dec[0]
+                mags = np.abs(
+                    np.round(np.asarray(samples) * 32768.0)
+                ).astype(np.int64)
+                for w0 in range(0, len(mags) - win + 1, win):
+                    out["media_id"].append(mid)
+                    out["win_idx"].append(w0 // win)
+                    out["sig"].append(int(mags[w0:w0 + win].sum() // win))
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(run, AUDIO_SIG_SCHEMA)
+
+
+def audio_near_dups(media: DataFrame, min_shared: int = 3, win: int = 256) -> DataFrame:
+    """(id_a, id_b, n_shared): audio near-duplicate pairs — clips whose
+    DISTINCT window-signature sets share at least `min_shared` values
+    (position ignored: re-cut/shifted-by-whole-windows copies match).
+    The join key is the exact signature, so candidates ARE the
+    verification and the shuffle carries (sig, id) pairs only — the
+    video_near_dups contract on the audio axis. Completes dedup across
+    all four modalities: text, image, video, audio."""
+    hs = (
+        audio_window_signatures(media, win)
+        .select("media_id", "sig")
+        .distinct()
+    )
+    a, b = hs.alias("a"), hs.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .groupBy(
+            F.col("a.media_id").alias("id_a"), F.col("b.media_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -1693,3 +1693,43 @@ def n3_video_near_dups(spark, sf_dir):
 
     docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     return video_near_dups(synthetic_pattern_video(docs), min_shared=3)
+
+
+@query(
+    "n3_audio_near_dups",
+    group="N3",
+    doc="Audio near-duplicate detection by shared window signatures "
+        "(functions/multimodal.py:audio_window_signatures/"
+        "audio_near_dups): clips decode through the vendored PCM16/"
+        "ADPCM ladder, every 256-sample window's exact mean |amplitude| "
+        "is its signature, and clips sharing >= 3 distinct signatures "
+        "pair (position ignored — re-cut copies match; the video "
+        "shared-hash contract on the audio axis). Test clips are "
+        "constant-amplitude segments of doc_id arithmetic (groups of 5 "
+        "share segments 1..7, segment 0 drifts), int16 round-trips the "
+        "dyadic normalization losslessly, so the oracle recomputes "
+        "every signature and shared count exactly — decode→fingerprint"
+        "→join hash-checked. Dedup now spans all four modalities.",
+    oracle="""
+        WITH seg AS (
+          SELECT doc_id, s,
+                 1000 + 997 * ((37 * (doc_id // 5) + 23 * s) % 29)
+                 + CASE WHEN s = 0 THEN (doc_id % 5) * 13 ELSE 0 END AS sig
+          FROM documents, UNNEST(range(8)) AS u(s)
+          WHERE doc_id < 100
+        ), hs AS (
+          SELECT DISTINCT doc_id, sig FROM seg
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM hs a JOIN hs b ON a.sig = b.sig AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING COUNT(*) >= 3
+    """,
+)
+def n3_audio_near_dups(spark, sf_dir):
+    from hiero_spark.functions.multimodal import (
+        audio_near_dups, synthetic_segment_audio,
+    )
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return audio_near_dups(synthetic_segment_audio(docs), min_shared=3)

@@ -762,3 +762,37 @@ def test_video_near_dups_shared_frames_and_reordering(spark):
     one = {(r["id_a"], r["id_b"]): r["n_shared"]
            for r in video_near_dups(media, min_shared=1).collect()}
     assert one[(1, 2)] == 3 and one[(2, 3)] == 1 and (1, 3) not in one
+
+
+def test_audio_near_dups_signatures_and_adpcm_skip(spark):
+    """Clips sharing 3 exact window signatures pair regardless of window
+    POSITION; junk bytes emit no signatures; a clip with distinct
+    amplitudes pairs with nobody."""
+    import numpy as np
+
+    from hiero_spark.functions.multimodal import (
+        _encode_wav_pcm16, audio_near_dups, audio_window_signatures,
+    )
+
+    def clip(amps, win=256):
+        return _encode_wav_pcm16(
+            np.concatenate([np.full(win, a, dtype=np.int16) for a in amps])
+        )
+
+    rows = [
+        (1, clip([100, 200, 300])),
+        (2, clip([300, 100, 200, 900])),  # same 3, reordered + extra
+        (3, clip([900, 555, 777])),       # shares only 900 with 2
+        (4, b"not audio"),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    sigs = {(r["media_id"], r["win_idx"]): r["sig"]
+            for r in audio_window_signatures(media).collect()}
+    assert sigs[(1, 0)] == 100 and sigs[(2, 3)] == 900  # exact means
+    assert not any(m == 4 for m, _ in sigs)
+    got = {(r["id_a"], r["id_b"]): r["n_shared"]
+           for r in audio_near_dups(media, min_shared=3).collect()}
+    assert got == {(1, 2): 3}
+    one = {(r["id_a"], r["id_b"]): r["n_shared"]
+           for r in audio_near_dups(media, min_shared=1).collect()}
+    assert one[(2, 3)] == 1 and (1, 3) not in one

@@ -35,47 +35,14 @@ def entry(spark: SparkSession) -> DataFrame:
 #          across the whole registry round after round.
 # _WINDOW_PIN is an optional manual override to put specific names at the
 # very front of the head (normally empty — derivation handles everything).
-# Round 7: front-load (a) the eight oracle queries registered after the
-# r6 window was drawn that have NEVER had a driver run (r6 verdict task
-# 2), (b) queries whose formula/oracle changed this round (stopword gate
-# wired into funnel/pipeline2, persisted PCA model, sf-keyed quantized
-# export), and (c) the round-7 additions (BM25 x2, triangles, PPS
-# sample). The remaining head slots fill with the stalest lapsed greens
-# in registration order.
-_WINDOW_PIN: list[str] = [
-    # (a) never driver-run, registered after the r6 window was drawn
-    "n6_global_shuffle",
-    "n6_chunk_documents",
-    "n6_stratified_sample",
-    "n4_stopword_fraction",
-    "n5_curation_funnel",
-    "n6_dataset_diff",
-    "ext_scd2_build",
-    "ext_ewma_levels",
-    # (b) changed in round 7
-    "n5_curation_pipeline2",
-    "n2_quantized_ann",
-    "n2_pca_rerank_verdict",
-    # (c) new in round 7
-    "n4_bm25_topk",
-    "n4_bm25_indexed",
-    "n7_triangle_count",
-    "n6_weighted_sample",
-    "n1_jaccard_join",
-    "ext_interval_concurrency",
-    "n4_phrase_search",
-    "ext_rolling_distinct",
-    "ext_event_transitions",
-    "n2_centroid_outliers",
-    "s3_json_gz_roundtrip",
-    "ext_time_weighted_avg",
-    "ext_sql_facade",
-    "ext_sql_facade_window",
-    "n4_readability",
-    "s11_prefix_pruned_read",
-    "s17_incremental_quantiles",
-    "n6_weighted_sample_grouped",
-]
+# Round 9: cleared per its own contract.  The r8 verdict found the old
+# head ordering starved never-driver-run queries: "unverified" conflated
+# (a) names that have NEVER had a driver run with (b) old greens whose
+# code-hash lapsed from routine edits, and registration order put the
+# lapsed re-confirmations first.  _ordered_specs now sorts the head by
+# (has_any_historical_green, registration_index) so never-green names
+# always front — no manual pin needed.
+_WINDOW_PIN: list[str] = []
 
 
 # Manual escape hatch: list a name here to force re-verification even if
@@ -102,14 +69,22 @@ def _verified_names() -> set[str]:
 
 
 def _ordered_specs():
-    """Unverified first (pins, then oracle-bearing, registration order),
-    then verified oldest-evidence-first; queries already green yield their
-    slots automatically — no per-round edit needed for the rotation."""
+    """Unverified first, then verified oldest-evidence-first; queries
+    already green yield their slots automatically — no per-round edit
+    needed for the rotation.
+
+    Head order (r8 verdict fix): pins, then NEVER-driver-green names,
+    then hash-lapsed old greens — each group oracle-bearing before
+    rows-only, registration order within.  A query that has never had a
+    driver run outranks a green whose pin merely lapsed from a routine
+    helper edit: the former has zero hard evidence, the latter has a
+    historical green plus the local parity suite."""
     from hiero_spark import evidence
     from hiero_spark.registry import all_queries
 
     specs = all_queries()
     verified = _verified_names()
+    ever_green = evidence.all_green()
     green_round = evidence.latest_green_round()
     reg_idx = {n: i for i, n in enumerate(specs)}
     priority = [n for n in _WINDOW_PIN if n in specs] + list(specs)
@@ -121,7 +96,13 @@ def _ordered_specs():
             continue
         seen.add(n)
         (tail if n in verified else head).append(n)
-    head = [n for n in head if specs[n].oracle] + [n for n in head if not specs[n].oracle]
+    pinned = set(_WINDOW_PIN)
+    head.sort(key=lambda n: (
+        n not in pinned,            # manual pins stay at the very front
+        n in ever_green,            # never-driver-green before lapsed greens
+        specs[n].oracle is None,    # oracle-bearing before rows-only
+        reg_idx[n],
+    ))
     tail.sort(key=lambda n: (green_round.get(n, 0), reg_idx[n]))
     return [(n, specs[n]) for n in head + tail]
 

@@ -137,22 +137,46 @@ def _dep_closure_digest(mod: str) -> str:
 
 
 def spec_hash(spec) -> str:
-    """sha256 over the oracle SQL, the query function's source, the file
-    digest of the fn's own defining module, AND a digest of every
-    hiero_spark module that module transitively imports.
+    """sha256 over the oracle SQL, the query function's source, and the
+    per-function dependency SLICE digest (round-9 format).
 
-    The closure term closes the round-4 helper hole (editing
-    operators/sketches.py lapses every query module that imports it); the
-    own-module digest closes the round-5 ADVICE hole: a module-level
-    helper or constant defined NEXT TO the queries could previously change
-    sibling queries' behavior without lapsing their pins, because the
-    closure deliberately excluded the defining module.  Editing a queries
-    module now conservatively lapses all queries defined in it — the
-    rotation re-earns them at 50/round, which is the cost of making the
-    guarantee module-complete.  (Format change = a one-time global lapse
-    at round 6; __spark_entry__._WINDOW_PIN fronts the names that most
-    need fresh driver evidence that round.)
+    Rounds 4–6 hashed whole module files plus the transitive import
+    closure — sound, but editing one helper in functions/dedup.py lapsed
+    100+ pins, so the 50-slot driver window spent rounds re-confirming
+    greens whose behavior never changed (round-8 verdict #2).  The slice
+    (hiero_spark/evidence_slice.py) follows the names the query function
+    actually references down to top-level function/class segments and
+    hashes only those, over-approximating to the old whole-module+closure
+    digest at every statically-unresolvable point.  Editing a helper now
+    lapses exactly its reachable dependents; comment-only edits lapse
+    nothing.  A fn the slicer can't anchor (nested def, non-package
+    module) falls back to the v2 whole-module format.
     """
+    from hiero_spark import evidence_slice
+
+    try:
+        src = inspect.getsource(spec.fn)
+    except (OSError, TypeError):
+        src = ""
+    mod = getattr(spec.fn, "__module__", "") or ""
+    fn_name = getattr(spec.fn, "__qualname__", "") or getattr(spec.fn, "__name__", "")
+    modules, _deps = _graph()
+    if "." in fn_name or mod not in modules:
+        return _spec_hash_v2(spec)
+    sliced = evidence_slice.slice_digest(mod, fn_name, legacy_closure=_dep_closure_digest)
+    payload = (
+        (spec.oracle or "")
+        + "\n---\n" + src
+        + "\n---v3---\n" + sliced
+    )
+    return hashlib.sha256(payload.encode()).hexdigest()
+
+
+def _spec_hash_v2(spec) -> str:
+    """Rounds 6–8 format: oracle + fn source + own-module file digest +
+    transitive import-closure digest.  Still used (a) as the fallback for
+    fns the slicer can't anchor and (b) by migrate_snapshot_to_v3 to carry
+    still-valid v2 pins forward without a global lapse."""
     try:
         src = inspect.getsource(spec.fn)
     except (OSError, TypeError):
@@ -168,6 +192,35 @@ def spec_hash(spec) -> str:
         + "\n---\n" + closure
     )
     return hashlib.sha256(payload.encode()).hexdigest()
+
+
+def migrate_snapshot_to_v3(write: bool = True) -> tuple[int, int]:
+    """Round-9 migration, same soundness argument as the round-6 one: a
+    name migrates only when its V2 hash computed on the CURRENT committed
+    code equals the pinned value — the code is byte-identical to what the
+    driver verified, so the v3 pin carries exactly the same assurance.
+    Names that fail the comparison stay lapsed for re-verification.
+    Returns (migrated, kept_as_is_or_lapsed)."""
+    from hiero_spark.registry import all_queries
+
+    dirty = dirty_python_files()
+    if dirty:
+        raise SystemExit(f"migrate: commit .py edits first: {dirty}")
+    specs = all_queries()
+    snap = load_snapshot()
+    migrated = other = 0
+    for name, pinned in list(snap.items()):
+        spec = specs.get(name)
+        if spec is not None and _spec_hash_v2(spec) == pinned:
+            snap[name] = spec_hash(spec)
+            migrated += 1
+        else:
+            other += 1
+    if write:
+        with open(SNAPSHOT_PATH, "w") as f:
+            json.dump(dict(sorted(snap.items())), f, indent=1)
+            f.write("\n")
+    return migrated, other
 
 
 def _legacy_spec_hash(spec) -> str:

@@ -139,55 +139,62 @@ def test_force_reverify_overrides_snapshot():
 
 
 def test_helper_edit_lapses_dependent_greens(monkeypatch):
-    """Round-4 verdict item 6: the spec hash must cover helper MODULES the
-    query's module transitively imports, so editing e.g.
-    operators/sketches.py rotates every dependent green back into the
-    window — simulated here by perturbing that one file's digest."""
+    """Round-4 verdict item 6, re-expressed for the round-9 slice hash:
+    editing a helper FUNCTION a query reaches (operators/sketches.summary,
+    called by a1_summary_count) must lapse its pin, while editing an
+    UNRELATED function in the very same helper module must NOT — that
+    narrowing is the round-8 verdict #2 fix."""
+    from hiero_spark import evidence_slice
+
     specs = all_queries()
     victim = "a1_summary_count"  # queries/sketches.py -> operators/sketches.py
     spec = specs[victim]
-
-    modules, deps = evidence._graph()
     target = "hiero_spark.operators.sketches"
-    assert target in modules
-    closure = set()
-    stack = list(deps[spec.fn.__module__])
-    while stack:
-        m = stack.pop()
-        if m not in closure:
-            closure.add(m)
-            stack.extend(deps.get(m, ()))
-    assert target in closure, "dependency graph lost the operators/sketches edge"
+    path = evidence_slice._module_paths()[target]
+    with open(path) as f:
+        original = f.read()
 
     h0 = evidence.spec_hash(spec)
-    real_digest = evidence._file_digest
+    try:
+        # edit the signature of the reachable helper (summary)
+        assert "def summary(" in original
+        edited = original.replace(
+            "def summary(", "def summary(*__tamper_pad__, ", 1
+        )
+        evidence_slice.clear_caches()
+        evidence_slice._SOURCE_OVERRIDES[target] = edited
+        h1 = evidence.spec_hash(spec)
+        assert h1 != h0, "reachable helper edit did not change the spec hash"
 
-    def tampered(path):
-        if path == modules[target]:
-            return "f" * 64  # simulate an edited helper file
-        return real_digest(path)
+        # end-to-end: a green pinned at h0 is no longer verified
+        monkeypatch.setattr(evidence, "load_snapshot", lambda: {victim: h0})
+        monkeypatch.setattr(evidence, "all_green", lambda: {victim})
+        assert victim not in evidence.verified_names(specs)
+    finally:
+        evidence_slice._SOURCE_OVERRIDES.clear()
+        evidence_slice.clear_caches()
 
-    monkeypatch.setattr(evidence, "_CLOSURE_CACHE", {})
-    monkeypatch.setattr(evidence, "_file_digest", tampered)
-    h1 = evidence.spec_hash(spec)
-    assert h1 != h0, "helper edit did not change the spec hash"
-
-    # end-to-end: a green pinned at h0 is no longer verified after the edit
-    monkeypatch.setattr(evidence, "load_snapshot", lambda: {victim: h0})
-    monkeypatch.setattr(evidence, "all_green", lambda: {victim})
-    assert victim not in evidence.verified_names(specs)
-
-    # and an unrelated module's edit does NOT lapse it (blast radius is the
-    # import closure, not the whole tree)
-    monkeypatch.setattr(evidence, "_CLOSURE_CACHE", {})
-    unrelated = "hiero_spark.streaming.pipelines"
-    assert unrelated in modules and unrelated not in closure
-
-    def tampered2(path):
-        if path == modules[unrelated]:
-            return "e" * 64
-        return real_digest(path)
-
-    monkeypatch.setattr(evidence, "_file_digest", tampered2)
-    assert evidence.spec_hash(spec) == h0
-    assert victim in evidence.verified_names(specs)
+    # an UNRELATED function in the SAME module does not lapse the pin
+    try:
+        assert "def find_text(" in original or "def heavy_hitters(" in original
+        unrel = "heavy_hitters" if "def heavy_hitters(" in original else "find_text"
+        nodes = evidence_slice.slice_nodes(
+            spec.fn.__module__, spec.fn.__qualname__
+        )
+        assert ("seg", target, unrel) not in nodes, (
+            f"test premise broken: {victim} reaches {unrel}"
+        )
+        edited = original.replace(f"def {unrel}(", f"def {unrel}(*__tamper_pad__, ", 1)
+        assert edited != original
+        evidence_slice.clear_caches()
+        evidence_slice._SOURCE_OVERRIDES[target] = edited
+        assert evidence.spec_hash(spec) == h0, (
+            "unrelated same-module function edit lapsed the pin — slice "
+            "narrowing regressed to module granularity"
+        )
+        monkeypatch.setattr(evidence, "load_snapshot", lambda: {victim: h0})
+        monkeypatch.setattr(evidence, "all_green", lambda: {victim})
+        assert victim in evidence.verified_names(specs)
+    finally:
+        evidence_slice._SOURCE_OVERRIDES.clear()
+        evidence_slice.clear_caches()

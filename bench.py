@@ -604,6 +604,80 @@ def main() -> None:
             },
         }
 
+    def containment_skew() -> dict:
+        """Round-8 verdict #3: skew-stress the containment join in the
+        real quote-detection regime — 1M docs where one 10-word snippet
+        has 5k VERBATIM standalone copies and is quoted in 100k pages.
+
+        The exposed bound (now fixed in setsim._containment_prepared): a
+        pure-boilerplate doc's prefix token is unavoidably hot, so before
+        the identical-set collapse the 5k copies generated copies x df =
+        ~525M candidate pairs.  Collapsed, candidates are per DISTINCT
+        set: ~100k (one per quoted page) + 1 duplicate-group row; the
+        expanded member-level output (524,995,000 ordered pairs) is
+        reported as arithmetic, not materialized — expand_identical=False
+        is the scale arm.  Both shingle arms measured; candidate counts
+        pin the bound, shuffle bytes pin the cost."""
+        import os
+
+        from pyspark.sql import functions as F
+
+        from hiero_spark import plans as P
+        from hiero_spark.functions.setsim import (
+            containment_candidates,
+            containment_join,
+        )
+        from hiero_spark.sources.readers import synthetic_containment_corpus
+
+        n, pages, quotes = 1_000_000, 100_000, 5_000
+        path = "/tmp/hiero_spark_bench_skew/containment_1m"
+        if not os.path.exists(f"{path}/_SUCCESS"):
+            synthetic_containment_corpus(spark, n, pages, quotes).write.mode(
+                "overwrite"
+            ).parquet(path)
+        docs = spark.read.parquet(path)
+
+        out: dict = {
+            "corpus": {
+                "n_docs": n,
+                "quoted_pages": pages,
+                "snippet_copies": quotes,
+                "doc_len": 30,
+                "snip_len": 10,
+            }
+        }
+        for arm, hashed in (("string", False), ("hashed", True)):
+            res = containment_join(
+                docs, threshold=0.9, k=3, hashed=hashed, expand_identical=False
+            )
+            t0 = time.perf_counter()
+            shuffle = P.shuffle_bytes_written(res.groupBy().count())
+            wall = round(time.perf_counter() - t0, 1)
+            groups = res.agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.sum(
+                    F.when(
+                        F.col("id_a") == F.col("id_b"),
+                        F.col("count_a") * (F.col("count_a") - 1),
+                    ).otherwise(F.col("count_a") * F.col("count_b"))
+                ).alias("expanded"),
+            ).collect()[0]
+            cands = containment_candidates(
+                docs, threshold=0.9, k=3, hashed=hashed
+            ).count()
+            out[f"containment_{arm}"] = {
+                "wall_sec": wall,
+                "shuffle_bytes": shuffle,
+                "candidate_group_pairs": cands,
+                "result_group_rows": int(groups["rows"]),
+                "expanded_member_pairs": int(groups["expanded"]),
+                # each copy's hot prefix token joins every posting of the
+                # snippet's carriers: the other copies + all quoting pages
+                "uncollapsed_candidates_would_be": quotes * (pages + quotes - 1),
+            }
+        spark.catalog.clearCache()
+        return out
+
     def e2e_throughput() -> dict:
         """End-to-end curation-core throughput at 1M docs — the headline
         number a pipeline owner actually budgets with (docs/sec through
@@ -831,6 +905,7 @@ def main() -> None:
     pyds_vs_grok = pyds_payoff(sf_dir)
     tix = text_index_payoff(sf_dir)
     skew = skew_stress()
+    cont_skew = containment_skew()
     e2e = e2e_throughput()
     r6_ops = run_r6_ops(sf_dir)
 
@@ -852,6 +927,7 @@ def main() -> None:
                 "pyds_payoff": pyds_vs_grok,
                 "text_index_payoff": tix,
                 "skew_stress": skew,
+                "containment_skew": cont_skew,
                 "e2e_throughput": e2e,
                 "round_ops": r6_ops,
             },

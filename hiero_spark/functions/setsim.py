@@ -145,6 +145,119 @@ def jaccard_join(
     )
 
 
+def _containment_prepared(
+    docs: DataFrame,
+    threshold: float,
+    k: int,
+    text_col: str,
+    id_col: str,
+    hashed: bool,
+    expand: bool,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared candidate pipeline: (sized distinct-set groups, deduped
+    candidate GROUP pairs).  See containment_join for the algorithm."""
+    toks = (
+        dd_shingle_hash_array(F.col(text_col), k)
+        if hashed
+        else dd_shingle_array(F.col(text_col), k)
+    )
+    sets = docs.select(F.col(id_col).alias("id"), toks.alias("s"))
+    flat = sets.select("id", F.explode("s").alias("tok"))
+    dfreq = flat.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    # the sorted array KEEPS (df, tok) structs: df rides along so the
+    # posting sides below can prune df==1 tokens without a second
+    # dfreq pass over the corpus
+    ordered = (
+        flat.join(dfreq, "tok")
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "tok"))).alias("sd"))
+    )
+    # Collapse IDENTICAL shingle sets to one representative before any
+    # candidate is generated (round-8 verdict #3: the containment skew
+    # stress).  A doc that is pure boilerplate has nothing but hot tokens,
+    # so its prefix is unavoidably hot — with g verbatim copies of a
+    # snippet quoted in p pages, the uncollapsed join generates g*p
+    # candidates and g*p + g^2 verify rows for what is ONE set-level
+    # relationship.  Grouping by the ordered array costs one shuffle of
+    # the same (id, sd) volume the ordered agg already produced, and turns
+    # the hot-copy regime from O(copies * df) into O(df): measured at the
+    # bench's 1M-doc corpus (5k-copy snippet quoted in 100k pages) the
+    # candidate count drops 525M -> 100k (BENCH_DETAIL containment_skew).
+    # (df is a function of tok, so grouping by sd == grouping by the set.)
+    aggs = [F.min("id").alias("id"), F.count(F.lit(1)).alias("n_ids")]
+    if expand:
+        # member lists ride ONLY the expansion join (one task holds one
+        # group's ids: bounded by the largest duplicate cluster — use
+        # expand=False at extreme duplication, where materializing the
+        # g^2 member-level pairs is itself the non-scalable step)
+        aggs.append(F.collect_list("id").alias("ids"))
+    tt = float(threshold)
+    # persisted: the prefix side, the posting side, and both verify joins
+    # all read sized — without the persist Spark recomputes the whole
+    # shingle->df->sort->collapse chain four times (measured 154 s -> 68 s
+    # at the bench's 1M-doc skew corpus). ~n_distinct_sets rows of token
+    # arrays: MEMORY_AND_DISK spills gracefully at scale.
+    sized = (
+        ordered.groupBy("sd")
+        .agg(*aggs)
+        .select(
+            "*",
+            F.transform("sd", lambda x: x["tok"]).alias("s"),
+            F.slice(
+                "sd",
+                1,
+                F.greatest(
+                    F.lit(1),
+                    (F.size("sd") - F.ceil(F.size("sd") * F.lit(tt)) + 1)
+                    .cast("int"),
+                ),
+            ).alias("prefix"),
+        )
+        .persist()
+    )
+    # df==1 tokens appear in exactly one doc, so they can only ever match
+    # their own set — pruning them from BOTH posting sides is sound (a
+    # cross-pair shares a token with df >= 2) and removes the unique-token
+    # bulk of the corpus from the join: the B side posts hot+shared tokens
+    # only, not one row per shingle
+    a = sized.select(
+        F.col("id").alias("id_a"),
+        F.size("sd").alias("n_a"),
+        F.explode("prefix").alias("p"),
+    ).filter(F.col("p.df") >= 2).select("id_a", "n_a", F.col("p.tok").alias("tok"))
+    b = sized.select(
+        F.col("id").alias("id_b"),
+        F.size("sd").alias("n_b"),
+        # full postings: no sound B-side prefix exists
+        F.explode(F.filter("sd", lambda x: x["df"] >= 2)).alias("p"),
+    ).select("id_b", "n_b", F.col("p.tok").alias("tok"))
+    pairs = (
+        a.join(b, "tok")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .filter(F.col("n_b") >= F.ceil(F.col("n_a") * F.lit(tt)))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return sized.drop("sd", "prefix"), pairs
+
+
+def containment_candidates(
+    docs: DataFrame,
+    threshold: float = 0.9,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hashed: bool = False,
+) -> DataFrame:
+    """Deduped candidate GROUP pairs before verification — the diagnostic
+    the skew-stress bench counts (candidate volume is the scale bound the
+    prefix filter + identical-set collapse argue for)."""
+    _sized, pairs = _containment_prepared(
+        docs, threshold, k, text_col, id_col, hashed, expand=False
+    )
+    return pairs
+
+
 def containment_join(
     docs: DataFrame,
     threshold: float = 0.9,
@@ -152,6 +265,7 @@ def containment_join(
     text_col: str = "text",
     id_col: str = "doc_id",
     hashed: bool = False,
+    expand_identical: bool = True,
 ) -> DataFrame:
     """Directional set-CONTAINMENT join: all ordered pairs (a != b) where
     |A n B| / |A| >= threshold over word-k-gram shingle sets — the
@@ -165,78 +279,85 @@ def containment_join(
     |A| - ceil(t*|A|) + 1 RAREST-ordered tokens, so only A-side prefixes
     generate candidates — but no symmetric bound exists for B (B may
     contain A's rare tokens anywhere), so the B side posts its full
-    token list. The scale contract still holds: the join keys are
-    exclusively A-PREFIX tokens, which are the globally rarest by
-    construction, so the join output is bounded by
-    sum_{tok in prefixes} df(tok) — short posting lists only; the Zipf
-    head joins nothing because hot tokens never appear in a prefix.
-    The only unbounded-looking step, shuffling B's full postings on tok,
-    is one (tok, id, |B|) triple per shingle — the same volume the df
-    aggregation already shuffled — and the length filter |B| >= t*|A|
-    prunes candidates before pair dedup. Arrays join back once per side
-    onto the deduped pair list (the jaccard_join shape).
+    token list. The scale contract: join keys are exclusively A-PREFIX
+    tokens (globally rarest by construction), so candidate volume is
+    bounded by sum_{tok in prefixes} df(tok) over DISTINCT sets —
+    identical sets are collapsed to one representative first (see
+    _containment_prepared), which closes the pure-boilerplate hole where
+    a hot snippet's verbatim copies each carried a hot prefix token.
+    The length filter |B| >= t*|A| prunes before pair dedup; arrays join
+    back once per side onto the deduped pair list (the jaccard_join
+    shape).
+
+    ``expand_identical=False`` is the extreme-duplication arm: instead of
+    materializing member-level pairs (g copies quoted in p pages = g*p
+    rows plus the g^2 intra-group clique), return GROUP-level rows —
+    representative ids with ``count_a``/``count_b`` multiplicities, and
+    one self-row (id_a == id_b) per duplicate group standing for its
+    intra-group clique.  The default expands to exactly the historical
+    member-level contract.
 
     ``hashed=True`` swaps string shingles for xxhash64 longs end-to-end
     (the 100 TB arm, ~3x smaller shuffles; 2^-64 per-pair collisions)."""
-    toks = (
-        dd_shingle_hash_array(F.col(text_col), k)
-        if hashed
-        else dd_shingle_array(F.col(text_col), k)
-    )
-    sets = docs.select(F.col(id_col).alias("id"), toks.alias("s"))
-    flat = sets.select("id", F.explode("s").alias("tok"))
-    dfreq = flat.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    ordered = (
-        flat.join(dfreq, "tok")
-        .groupBy("id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("df", "tok"))),
-                lambda x: x["tok"],
-            ).alias("s")
-        )
-    )
     tt = float(threshold)
-    sized = ordered.select(
-        "id",
-        "s",
-        F.slice(
-            "s",
-            1,
-            F.greatest(
-                F.lit(1),
-                (F.size("s") - F.ceil(F.size("s") * F.lit(tt)) + 1).cast("int"),
-            ),
-        ).alias("prefix"),
+    sized, pairs = _containment_prepared(
+        docs, threshold, k, text_col, id_col, hashed, expand=expand_identical
     )
-    a = sized.select(
-        F.col("id").alias("id_a"),
-        F.size("s").alias("n_a"),
-        F.explode("prefix").alias("tok"),
+    extra = ["ids"] if expand_identical else []
+    side_a = sized.select(
+        F.col("id").alias("id_a"), F.col("s").alias("s_a"),
+        F.col("n_ids").alias("n_ids_a"),
+        *[F.col(c).alias(f"{c}_a") for c in extra],
     )
-    b = sized.select(
-        F.col("id").alias("id_b"),
-        F.size("s").alias("n_b"),
-        F.explode("s").alias("tok"),  # full postings: no sound B-side prefix
+    side_b = sized.select(
+        F.col("id").alias("id_b"), F.col("s").alias("s_b"),
+        F.col("n_ids").alias("n_ids_b"),
+        *[F.col(c).alias(f"{c}_b") for c in extra],
     )
-    pairs = (
-        a.join(b, "tok")
-        .filter(F.col("id_a") != F.col("id_b"))
-        .filter(F.col("n_b") >= F.ceil(F.col("n_a") * F.lit(tt)))
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    cand = pairs.join(
-        sized.select(F.col("id").alias("id_a"), F.col("s").alias("s_a")), "id_a"
-    ).join(
-        sized.select(F.col("id").alias("id_b"), F.col("s").alias("s_b")), "id_b"
-    )
+    cand = pairs.join(side_a, "id_a").join(side_b, "id_b")
     inter = F.size(F.array_intersect("s_a", "s_b"))
     cont = inter.cast("double") / F.size("s_a").cast("double")
-    return cand.filter(cont >= tt).select(
+    inter_groups = cand.filter(cont >= tt).select(
         "id_a",
         "id_b",
         inter.cast("long").alias("n_common"),
         F.size("s_a").cast("long").alias("n_a"),
         F.round(cont, 6).alias("containment"),
+        F.col("n_ids_a").alias("count_a"),
+        F.col("n_ids_b").alias("count_b"),
+        *([F.col("ids_a"), F.col("ids_b")] if expand_identical else []),
     )
+    # identical nonempty sets are mutually contained: one clique per
+    # duplicate group (containment exactly 1.0, n_common = n_a = |s|)
+    dup_groups = sized.filter(F.col("n_ids") > 1).select(
+        F.col("id").alias("id_a"),
+        F.col("id").alias("id_b"),
+        F.size("s").cast("long").alias("n_common"),
+        F.size("s").cast("long").alias("n_a"),
+        F.lit(1.0).alias("containment"),
+        F.col("n_ids").alias("count_a"),
+        F.col("n_ids").alias("count_b"),
+        *([F.col("ids").alias("ids_a"), F.col("ids").alias("ids_b")]
+          if expand_identical else []),
+    )
+    if not expand_identical:
+        return inter_groups.unionByName(dup_groups)
+    out_cols = ["id_a", "id_b", "n_common", "n_a", "containment"]
+    expanded_inter = (
+        inter_groups.withColumn("id_a", F.explode("ids_a"))
+        .withColumn("id_b", F.explode("ids_b"))
+        .select(*out_cols)
+    )
+    expanded_dup = (
+        dup_groups.withColumn("member_a", F.explode("ids_a"))
+        .withColumn("member_b", F.explode("ids_b"))
+        .filter(F.col("member_a") != F.col("member_b"))
+        .select(
+            F.col("member_a").alias("id_a"),
+            F.col("member_b").alias("id_b"),
+            "n_common",
+            "n_a",
+            "containment",
+        )
+    )
+    return expanded_inter.unionByName(expanded_dup)

@@ -252,6 +252,43 @@ def synthetic_boilerplate_corpus(
     )
 
 
+def synthetic_containment_corpus(
+    spark: SparkSession, n: int, pages: int, quotes: int, doc_len: int = 30,
+    snip_len: int = 10, vocab: int = 30_000, partitions: int | None = None,
+) -> DataFrame:
+    """Quote-detection skew corpus (round-8 verdict #3): ids [0, quotes)
+    are VERBATIM copies of one snip_len-word snippet — the pure-boilerplate
+    docs whose every shingle is hot; ids [quotes, quotes+pages) are pages
+    that start with the snippet and continue with doc_len - snip_len
+    hash-unique filler words (containment of the snippet in each page is
+    exactly 1.0 over word-3-grams); the rest is the synthetic hash corpus
+    (no structural containment). Pure hash of (id, j): bit-identical at
+    any parallelism."""
+    rng = spark.range(0, n, 1, partitions) if partitions else spark.range(n)
+    snippet_words = F.transform(
+        F.sequence(F.lit(0), F.lit(snip_len - 1)),
+        lambda j: F.concat(F.lit("q"), j.cast("string")),
+    )
+    filler = F.transform(
+        F.sequence(F.lit(0), F.lit(doc_len - snip_len - 1)),
+        lambda j: F.concat(F.lit("u"), F.xxhash64(F.col("id"), j).cast("string")),
+    )
+    normal = F.transform(
+        F.sequence(F.lit(0), F.lit(doc_len - 1)),
+        lambda j: F.concat(
+            F.lit("w"), F.pmod(F.xxhash64(F.col("id"), j), F.lit(vocab))
+        ),
+    )
+    words = (
+        F.when(F.col("id") < quotes, snippet_words)
+        .when(F.col("id") < quotes + pages, F.concat(snippet_words, filler))
+        .otherwise(normal)
+    )
+    return rng.select(
+        F.col("id").alias("doc_id"), F.concat_ws(" ", words).alias("text")
+    )
+
+
 # -- S10: sinks -----------------------------------------------------------------
 
 def save_view(df: DataFrame, path: str, fmt: str = "parquet",

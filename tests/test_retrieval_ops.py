@@ -555,6 +555,62 @@ def test_containment_join_equals_brute_force(spark):
     assert (3, 4, 1.0) in got and (4, 3, 1.0) in got  # dup: both directions
 
 
+def test_containment_join_group_arm_matches_expanded(spark):
+    """expand_identical=False (the extreme-duplication scale arm) must be
+    the exact group-level compression of the member-level contract: a
+    duplicate group's self-row stands for its intra-group clique, and
+    count_a * count_b reproduces every cross-group pair multiplicity."""
+    from hiero_spark.functions.setsim import containment_join
+    from hiero_spark.sources.readers import synthetic_containment_corpus
+
+    docs = synthetic_containment_corpus(
+        spark, n=60, pages=12, quotes=5, doc_len=12, snip_len=6
+    )
+    expanded = sorted(
+        tuple(r)
+        for r in containment_join(docs, threshold=0.9, k=3).collect()
+    )
+    groups = containment_join(
+        docs, threshold=0.9, k=3, expand_identical=False
+    ).collect()
+
+    # rebuild member-level pairs from group rows using the corpus layout:
+    # ids [0,5) are verbatim copies (one group, rep id 0), everything
+    # else is a singleton group
+    members = {0: list(range(5))}
+    rebuilt = []
+    for r in groups:
+        ms_a = members.get(r["id_a"], [r["id_a"]])
+        ms_b = members.get(r["id_b"], [r["id_b"]])
+        assert r["count_a"] == len(ms_a) and r["count_b"] == len(ms_b)
+        for a in ms_a:
+            for b in ms_b:
+                if a != b:
+                    rebuilt.append(
+                        (a, b, r["n_common"], r["n_a"], r["containment"])
+                    )
+    assert sorted(rebuilt) == expanded
+    # the duplicate group is ONE self-row, quote-in-page is one row per page
+    self_rows = [r for r in groups if r["id_a"] == r["id_b"]]
+    assert len(self_rows) == 1 and self_rows[0]["count_a"] == 5
+    cross = [r for r in groups if r["id_a"] != r["id_b"]]
+    assert len(cross) == 12 and all(r["containment"] == 1.0 for r in cross)
+
+
+def test_containment_candidates_bounded_under_duplication(spark):
+    """The skew-stress bound at test scale: candidate GROUP pairs are per
+    distinct set (quote-group -> each quoting page), not per copy."""
+    from hiero_spark.functions.setsim import containment_candidates
+    from hiero_spark.sources.readers import synthetic_containment_corpus
+
+    docs = synthetic_containment_corpus(
+        spark, n=200, pages=20, quotes=50, doc_len=12, snip_len=6
+    )
+    cands = containment_candidates(docs, threshold=0.9, k=3).count()
+    # uncollapsed this would be ~quotes * (pages + quotes - 1) = 3450
+    assert cands <= 25
+
+
 def test_containment_join_hashed_equals_string_arm(spark):
     from hiero_spark.catalog import load_table
     from hiero_spark.functions.setsim import containment_join

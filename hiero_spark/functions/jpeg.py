@@ -510,8 +510,16 @@ def encode_jpeg(rows, quality: int = 75) -> bytes:
             for ci in range(3):
                 q = qy if ci == 0 else qc
                 dct = _fdct_2d(ycc[ci])
+                # baseline range clamp (round-8 ADVICE): at quality >= ~96
+                # quant steps hit 1 and a max-contrast block can quantize
+                # past 1023, whose magnitude category (t=11) has no entry
+                # in the Annex K AC tables — baseline encoders clamp AC to
+                # [-1023, 1023]; the DC DIFF below then also fits its
+                # 11-bit category by construction (|dc| <= 1023 each side
+                # => |diff| <= 2046 < 2048)
                 coef = [
-                    int(round(dct[ZIGZAG[k]] / q[ZIGZAG[k]])) for k in range(64)
+                    max(-1023, min(1023, int(round(dct[ZIGZAG[k]] / q[ZIGZAG[k]]))))
+                    for k in range(64)
                 ]
                 dc_tab = enc["dcl"] if ci == 0 else enc["dcc"]
                 ac_tab = enc["acl"] if ci == 0 else enc["acc"]

@@ -68,10 +68,15 @@ def lcg_uniform(key: Column, seed: int = 0) -> Column:
     LCG step in exact BIGINT arithmetic, then an exact dyadic division.
     The seed shifts the KEY before the multiply (an additive constant
     after it would move u by only seed/2^31 — too small to cross any
-    CDF threshold). Replace with secret randomness for a real release
+    CDF threshold). pmod, not %: truncated modulo follows the dividend's
+    sign, so a negative key yielded u in (-1, 0), every CDF threshold
+    comparison failed, and the noise silently degenerated to the
+    constant -trunc — with both engines agreeing, so parity hid it
+    (round-8 ADVICE). Replace with secret randomness for a real release
     (see module docstring)."""
-    x = ((key.cast("long") + F.lit(seed)) * F.lit(LCG_A) + F.lit(LCG_C)) % F.lit(
-        LCG_M
+    x = F.pmod(
+        (key.cast("long") + F.lit(seed)) * F.lit(LCG_A) + F.lit(LCG_C),
+        F.lit(LCG_M),
     )
     return x / F.lit(float(LCG_M))
 
@@ -121,8 +126,11 @@ def dp_oracle_sql(
     return f"""
         WITH c AS (
           SELECT {gcols}, COUNT(*) AS n,
-                 (((CAST({key_col} AS BIGINT) + {seed}) * {LCG_A} + {LCG_C})
-                   % {LCG_M}) / CAST({LCG_M} AS DOUBLE) AS u
+                 -- pmod, not %: DuckDB's % is truncated too (see
+                 -- lcg_uniform docstring)
+                 (((((CAST({key_col} AS BIGINT) + {seed}) * {LCG_A} + {LCG_C})
+                   % {LCG_M}) + {LCG_M}) % {LCG_M})
+                   / CAST({LCG_M} AS DOUBLE) AS u
           FROM {table_sql} GROUP BY {gcols}
         )
         SELECT {gcols},
@@ -183,8 +191,9 @@ def dp_histogram_oracle_sql(
           GROUP BY {group_col}
         ), full_dom AS (
           SELECT d.{domain_col} AS {group_col}, COALESCE(c.n, 0) AS n,
-                 (((CAST(d.{domain_col} AS BIGINT) + {seed}) * {LCG_A}
-                   + {LCG_C}) % {LCG_M}) / CAST({LCG_M} AS DOUBLE) AS u
+                 (((((CAST(d.{domain_col} AS BIGINT) + {seed}) * {LCG_A}
+                   + {LCG_C}) % {LCG_M}) + {LCG_M}) % {LCG_M})
+                   / CAST({LCG_M} AS DOUBLE) AS u
           FROM {domain_sql} d LEFT JOIN c ON c.{group_col} = d.{domain_col}
         )
         SELECT {group_col},

@@ -53,6 +53,88 @@ from hiero_spark.views import RecordOrder
 
 MAX_ROWS = 1000
 
+# /api/sql guard (round-8 ADVICE, medium): the old prefix check let
+# 'WITH t AS (...) INSERT OVERWRITE ...' through (Spark accepts
+# CTE-prefixed DML) and a plain SELECT could read arbitrary local files
+# via path-based tables (text.`/etc/passwd`).  The guard now walks the
+# PARSED plan (toJSON covers CTE definitions and subquery expressions):
+# every relation must be a registered single-part view name or a CTE
+# defined in the statement itself; any DML/DDL/command node class and
+# the JVM-reflection SQL functions are rejected by name.
+_DENY_NODE_SUFFIXES = ("Command", "Statement")
+_DENY_NODES = frozenset({
+    "InsertIntoStatement", "DeleteFromTable", "UpdateTable", "MergeIntoTable",
+    "DropTable", "DropView", "CreateTable", "CreateTableAsSelect",
+    "ReplaceTable", "ReplaceTableAsSelect", "CreateView", "AlterViewAs",
+    "RenameTable", "SetTableProperties", "UnsetTableProperties",
+    "SetTableLocation", "AddColumns", "DropColumns", "RenameColumn",
+    "AlterColumns", "CreateNamespace", "DropNamespace", "SetCatalogAndNamespace",
+    "CacheTable", "UncacheTable", "RefreshTable", "TruncateTable",
+    "RepairTable", "LoadData", "AnalyzeTable", "AnalyzeTables",
+    "AnalyzeColumn", "CommentOnTable", "CommentOnNamespace", "Call",
+    "WriteFiles", "OverwriteByExpression", "OverwritePartitionsDynamic",
+    "AppendData",
+})
+_DENY_FUNCTIONS = frozenset({"reflect", "java_method"})
+
+
+def _reject_unsafe_sql(spark: SparkSession, sql: str, allowed: set[str]) -> None:
+    """Raise ValueError unless `sql` is a read-only query over registered
+    views.  Fail closed: anything unparseable or unserializable is an
+    error, never a pass."""
+    if not sql.lstrip().lower().startswith(("select", "with")):
+        raise ValueError("only SELECT/WITH statements")
+    try:
+        plan = spark._jsparkSession.sessionState().sqlParser().parsePlan(sql)
+        tree = json.loads(plan.toJSON())
+    except json.JSONDecodeError as e:  # pragma: no cover - jvm serialization
+        raise ValueError(f"could not validate statement: {e}") from e
+    except Exception as e:  # Py4J ParseException etc.
+        raise ValueError(f"parse error: {getattr(e, 'desc', e)}") from e
+
+    nodes: list[dict] = []
+
+    def walk(o):
+        if isinstance(o, dict):
+            if o.get("class"):
+                nodes.append(o)
+            for v in o.values():
+                walk(v)
+        elif isinstance(o, list):
+            for v in o:
+                walk(v)
+
+    walk(tree)
+    # CTE names defined in this statement are legal relation targets
+    cte_names = {
+        rel["_1"]
+        for n in nodes
+        if n["class"].endswith(".UnresolvedWith")
+        for rel in n.get("cteRelations", [])
+        if isinstance(rel, dict) and isinstance(rel.get("_1"), str)
+    }
+    ok_rels = {f"[{name}]" for name in allowed | cte_names}
+    for n in nodes:
+        cls = n["class"]
+        short = cls.rsplit(".", 1)[-1]
+        if (
+            cls.startswith("org.apache.spark.sql.execution.command.")
+            or short.endswith(_DENY_NODE_SUFFIXES)
+            or short in _DENY_NODES
+        ):
+            raise ValueError(f"read-only endpoint: {short} not allowed")
+        if short == "UnresolvedRelation":
+            ident = n.get("multipartIdentifier", "")
+            if ident not in ok_rels:
+                raise ValueError(
+                    f"unknown or path-based table {ident}: only registered "
+                    "views and statement CTEs are readable"
+                )
+        if short == "UnresolvedFunction":
+            parts = (n.get("nameParts") or "").strip("[]").lower()
+            if parts in _DENY_FUNCTIONS:
+                raise ValueError(f"function {parts!r} not allowed")
+
 
 def _json_default(v):
     if isinstance(v, (datetime.date, datetime.datetime)):
@@ -160,8 +242,7 @@ class HieroHandler(BaseHTTPRequestHandler):
                 )
             if parts[:2] == ["api", "sql"]:
                 sql = q.get("q", [""])[0]
-                if not sql.lstrip().lower().startswith(("select", "with")):
-                    return self._error(400, "only SELECT/WITH statements")
+                _reject_unsafe_sql(self.spark, sql, set(catalog.TABLES))
                 catalog.register_views(self.spark, self.sf_dir)
                 df = self.spark.sql(sql)
                 return self._send(

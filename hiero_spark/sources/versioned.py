@@ -159,6 +159,13 @@ def vacuum(path: str, keep_last: int = 2) -> dict:
     referenced: set[str] = set()
     for v in kept_vs:
         referenced.update(_load_manifest(path, v)["files"])
+    # an in-flight staged commit references files through staged.json only
+    # (round-8 ADVICE): without this, vacuuming mid-stage deletes the
+    # staged data out from under publish_staged
+    staged_path = os.path.join(_manifest_dir(path), "staged.json")
+    if os.path.exists(staged_path):
+        with open(staged_path) as fh:
+            referenced.update(json.load(fh)["files"])
     all_files = {
         os.path.relpath(f, path)
         for f in _glob.glob(os.path.join(path, "data", "c*", "part-*.parquet"))

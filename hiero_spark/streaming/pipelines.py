@@ -580,10 +580,15 @@ def join_view_stream_sink(
         da.write.mode("append").parquet(a_store)
         db.write.mode("append").parquet(b_store)
 
+    # started query like every other *_stream_sink in this module
+    # (round-8 ADVICE: returning an unstarted writer here silently
+    # never ran for callers following the X13/X16 sink pattern)
     return (
         tagged_stream.writeStream.foreachBatch(fold)
         .option("checkpointLocation", checkpoint)
         .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
     )
 
 

@@ -529,6 +529,28 @@ def test_jpeg_encode_decode_round_trip():
     assert sum(errs) / len(errs) < 3 and max(errs) <= 12
 
 
+def test_jpeg_high_quality_max_contrast_clamps_not_crashes():
+    """Round-8 ADVICE: at quality >= ~96 quant steps hit 1 and a
+    max-contrast checkerboard quantizes AC coefficients past 1023,
+    whose magnitude category has no Annex K AC entry — the encoder
+    must clamp (as baseline encoders do), not KeyError."""
+    rows = [
+        [((255, 255, 255) if (x + y) % 2 == 0 else (0, 0, 0)) for x in range(16)]
+        for y in range(16)
+    ]
+    for q in (96, 98, 100):
+        data = jp.encode_jpeg(rows, quality=q)
+        out = jp.decode_jpeg(data)
+        assert out is not None and (out[0], out[1]) == (16, 16)
+        # clamping costs some fidelity at the Nyquist extreme, but the
+        # image must still be recognizably a checkerboard
+        got = out[2]
+        bright = [got[y][x][0] > 127 for y in range(16) for x in range(16)]
+        want = [(x + y) % 2 == 0 for y in range(16) for x in range(16)]
+        agree = sum(1 for g, w in zip(bright, want) if g == w)
+        assert agree / 256 > 0.9
+
+
 def test_jpeg_decode_image_real_branch_runs_here():
     rows = [[(200, 40, 90)] * 8] * 8
     feat = mm.decode_image(jp.encode_jpeg(rows, quality=95))

@@ -66,6 +66,25 @@ def test_oracle_sql_matches_spark(spark, tmp_path):
     assert got == {k: int(v) for k, v in exp.items()}
 
 
+def test_negative_keys_draw_real_noise_and_match_oracle(spark, tmp_path):
+    """Round-8 ADVICE: truncated % sent negative keys to u in (-1, 0),
+    degenerating their noise to the constant -trunc while both engines
+    agreed. pmod restores a real draw AND cross-engine equality."""
+    rows = [(k, i) for k in range(-40, 0) for i in range(25)]
+    df = spark.createDataFrame(rows, ["g", "x"])
+    a = {r["g"]: r["released"] for r in
+         dp_noisy_counts(df, ["g"], "g").collect()}
+    noises = {a[k] - 25 for k in a}
+    assert len(noises) >= 5, "negative keys still degenerate"
+    assert noises != {-20}
+    p = str(tmp_path / "neg.parquet")
+    df.write.parquet(p)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW t AS SELECT * FROM read_parquet('{p}/*.parquet')")
+    exp = dict(con.execute(dp_oracle_sql("t", ["g"], "g")).fetchall())
+    assert a == {k: int(v) for k, v in exp.items()}
+
+
 def test_histogram_completes_the_domain(spark):
     """Empty domain buckets must appear and release 0+noise — absence
     is the leak the completion step closes."""

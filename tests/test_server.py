@@ -85,6 +85,48 @@ def test_sql_rejects_non_select(api):
     assert e.value.code == 400
 
 
+@pytest.mark.parametrize(
+    "stmt",
+    [
+        # CTE-prefixed DML: passes a prefix check, must not pass the guard
+        "WITH t AS (SELECT 1) INSERT OVERWRITE TABLE orders SELECT * FROM t",
+        "WITH t AS (SELECT 1) DELETE FROM orders",
+        "WITH t AS (SELECT 1) UPDATE orders SET o_custkey = 0",
+        # path-based table read through a plain SELECT
+        "SELECT * FROM text.`/etc/passwd`",
+        # ...and hidden inside a scalar subquery
+        "SELECT (SELECT count(*) FROM text.`/etc/hosts`) AS c",
+        # catalog-qualified escape from the registered views
+        "SELECT * FROM spark_catalog.default.anything",
+        # JVM reflection functions
+        "SELECT reflect('java.lang.System', 'getProperty', 'user.dir')",
+        "SELECT java_method('java.lang.System', 'lineSeparator')",
+        # unregistered relation
+        "SELECT * FROM not_a_view",
+    ],
+)
+def test_sql_guard_rejects_unsafe_statements(api, stmt):
+    """Round-8 ADVICE (medium): the SELECT/WITH prefix check alone allowed
+    CTE-prefixed DML and path-based file reads."""
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(api, "/api/sql?q=" + urllib.request.quote(stmt))
+    assert e.value.code == 400
+
+
+def test_sql_guard_allows_ctes_subqueries_and_joins(api):
+    stmt = """
+        WITH big AS (SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY 1)
+        SELECT c.c_name, b.n,
+               (SELECT COUNT(*) FROM lineitem) AS total_items
+        FROM big b JOIN customer c ON c.c_custkey = b.o_custkey
+        ORDER BY b.n DESC, c.c_name LIMIT 5
+    """
+    status, body = _get(api, "/api/sql?q=" + urllib.request.quote(stmt))
+    assert status == 200
+    assert body["columns"] == ["c_name", "n", "total_items"]
+    assert len(body["rows"]) == 5
+
+
 def test_page_scroll_resumes(api):
     status, p1 = _get(api, "/api/page/orders?order=o_orderkey&k=5")
     assert status == 200 and len(p1["rows"]) == 5

@@ -740,11 +740,7 @@ def test_join_view_stream_matches_recompute(spark, tmp_path):
             str(src / name)
         )
         stream = spark.readStream.schema(schema).parquet(f"{src}/b*.parquet")
-        q = (
-            pl.join_view_stream_sink(stream, state, ck)
-            .trigger(availableNow=True)
-            .start()
-        )
+        q = pl.join_view_stream_sink(stream, state, ck)
         q.awaitTermination(120)
 
     def recompute(all_rows):

@@ -81,6 +81,27 @@ def test_vacuum_keeps_append_chain_alive(spark, table):
     assert V.read_version(spark, table, 1).count() == 15
 
 
+def test_vacuum_spares_in_flight_staged_commit(spark, table):
+    """Round-8 ADVICE: a staged commit's files are referenced only by
+    staged.json; vacuum mid-stage must not delete them out from under
+    publish_staged."""
+    V.commit_version(
+        spark.range(10, 15).selectExpr("id", "id * 2 AS val"), table, "overwrite"
+    )
+    V.commit_staged(
+        spark.range(20, 24).selectExpr("id", "id * 2 AS val"), table, "append"
+    )
+    audit = V.vacuum(table, keep_last=1)   # drops v0, keeps v1 + the stage
+    assert audit["versions_kept"] == [1]
+    published = V.publish_staged(table)
+    assert published["version"] == 2
+    # the staged rows survived the vacuum and are readable post-publish
+    assert V.read_version(spark, table).count() == 9
+    assert {r["id"] for r in V.read_version(spark, table).collect()} == (
+        set(range(10, 15)) | set(range(20, 24))
+    )
+
+
 def test_bad_inputs(spark, table):
     with pytest.raises(ValueError):
         V.commit_version(spark.range(1), table, mode="merge")

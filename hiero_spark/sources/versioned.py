@@ -23,11 +23,20 @@ Scale contract:
 * manifests are a few KB per version; the driver never holds file
   CONTENTS, only names.
 
-Single-writer by design: production formats add an atomic
-commit protocol (rename-if-absent / optimistic retry on the manifest
-counter) for concurrent writers; this module documents that seam rather
-than simulating it — the engine-side mechanics (immutability, manifest
-planning, pruned diffs) are what the queries exercise.
+Concurrent writers (round-8 verdict #6): commits are published with the
+classic optimistic protocol production formats use — data files land in
+a per-attempt unique directory (immutable, invisible until referenced),
+the manifest is staged to a temp name, then CREATED-if-absent atomically
+at `v{N}.json` via os.link (hard-link creation fails with FileExistsError
+when the name is taken, atomically on POSIX).  Exactly one writer wins a
+version number; the loser re-reads the new latest manifest, rebuilds its
+file list against it (its own data files are reused verbatim — they are
+immutable and attempt-unique), and retries.  A reader can never observe
+a torn version: the manifest name appears only after its bytes are fully
+written, and every file it references was durable before the publish.
+Retries exhausted -> ConcurrentCommitError (the surfaced retry
+contract).  On object stores without atomic create, this seam is where a
+lock service / conditional-put goes — same protocol, different primitive.
 """
 
 from __future__ import annotations
@@ -35,8 +44,16 @@ from __future__ import annotations
 import glob as _glob
 import json
 import os
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Another writer published this version first and retries were
+    exhausted (or retrying was not semantically safe, e.g. compaction
+    planned against a superseded version).  Re-run the operation: the
+    table is in a consistent published state."""
 
 
 def _manifest_dir(path: str) -> str:
@@ -45,6 +62,48 @@ def _manifest_dir(path: str) -> str:
 
 def _manifest_path(path: str, version: int) -> str:
     return os.path.join(_manifest_dir(path), f"v{version:05d}.json")
+
+
+def _atomic_create(tmp: str, final: str) -> bool:
+    """Atomically claim `final` with `tmp`'s contents; False if taken."""
+    try:
+        os.link(tmp, final)
+        return True
+    except FileExistsError:
+        return False
+    finally:
+        os.remove(tmp)
+
+
+def _write_tmp_manifest(path: str, manifest: dict) -> str:
+    """Stage manifest bytes under a name list_versions' v*.json glob can
+    never match."""
+    os.makedirs(_manifest_dir(path), exist_ok=True)
+    tmp = os.path.join(_manifest_dir(path), f".tmp-{uuid.uuid4().hex}.json")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh, indent=1)
+        fh.flush()
+        os.fsync(fh.fileno())
+    return tmp
+
+
+def _publish_manifest(path: str, build, max_retries: int = 5) -> dict:
+    """Optimistic-concurrency publish loop.
+
+    `build(new_v, prev_manifest | None) -> manifest dict` is called with
+    a freshly-read latest version each attempt, so a loser rebuilds its
+    file list against the commit that beat it."""
+    for _ in range(max_retries + 1):
+        versions = list_versions(path)
+        new_v = (versions[-1] + 1) if versions else 0
+        prev = _load_manifest(path, versions[-1]) if versions else None
+        manifest = build(new_v, prev)
+        tmp = _write_tmp_manifest(path, manifest)
+        if _atomic_create(tmp, _manifest_path(path, new_v)):
+            return manifest
+    raise ConcurrentCommitError(
+        f"lost the commit race on {path} {max_retries + 1} times in a row"
+    )
 
 
 def list_versions(path: str) -> list[int]:
@@ -66,38 +125,50 @@ def _load_manifest(path: str, version: int) -> dict:
         return json.load(fh)
 
 
-def commit_version(df: DataFrame, path: str, mode: str = "append") -> dict:
+def _write_commit_files(df: DataFrame, path: str, hint: int) -> list[str]:
+    """Write df into a per-attempt UNIQUE commit dir (two concurrent
+    writers can never collide on the data write; `hint` is a
+    human-debuggable version guess, not an identity).  Returns the
+    relative file list."""
+    commit_dir = os.path.join("data", f"c{hint:05d}-{uuid.uuid4().hex[:8]}")
+    df.write.mode("error").parquet(os.path.join(path, commit_dir))
+    return sorted(
+        os.path.join(commit_dir, os.path.basename(f))
+        for f in _glob.glob(os.path.join(path, commit_dir, "part-*.parquet"))
+    )
+
+
+def commit_version(
+    df: DataFrame, path: str, mode: str = "append", max_retries: int = 5
+) -> dict:
     """Write `df` as a new version of the table at `path`.
 
     mode="append" extends the previous manifest's file list;
     mode="overwrite" starts a fresh list.  Either way the new data
-    lands in its own `data/c{N}/` directory and every pre-existing
+    lands in its own unique `data/c*/` directory and every pre-existing
     file is left untouched (immutability is what makes time travel
-    free).  Returns the new manifest dict.
+    free).  Concurrent-writer safe: the data is written ONCE; the
+    manifest publish runs the optimistic create-if-absent loop (module
+    docstring), rebuilding the append file list against whichever
+    commit won in between.  Raises ConcurrentCommitError when
+    `max_retries` losses in a row exhaust the loop.  Returns the new
+    manifest dict.
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     versions = list_versions(path)
-    new_v = (versions[-1] + 1) if versions else 0
-    commit_dir = os.path.join("data", f"c{new_v:05d}")
-    df.write.mode("error").parquet(os.path.join(path, commit_dir))
-    new_files = sorted(
-        os.path.join(commit_dir, os.path.basename(f))
-        for f in _glob.glob(os.path.join(path, commit_dir, "part-*.parquet"))
-    )
-    prev_files: list[str] = []
-    if versions and mode == "append":
-        prev_files = _load_manifest(path, versions[-1])["files"]
-    manifest = {
-        "version": new_v,
-        "op": mode if versions else "create",
-        "files": prev_files + new_files,
-        "n_files": len(prev_files) + len(new_files),
-    }
-    os.makedirs(_manifest_dir(path), exist_ok=True)
-    with open(_manifest_path(path, new_v), "w") as fh:
-        json.dump(manifest, fh, indent=1)
-    return manifest
+    new_files = _write_commit_files(df, path, (versions[-1] + 1) if versions else 0)
+
+    def build(new_v: int, prev: dict | None) -> dict:
+        prev_files = prev["files"] if (prev and mode == "append") else []
+        return {
+            "version": new_v,
+            "op": mode if prev is not None else "create",
+            "files": prev_files + new_files,
+            "n_files": len(prev_files) + len(new_files),
+        }
+
+    return _publish_manifest(path, build, max_retries)
 
 
 def read_version(
@@ -218,28 +289,34 @@ def compact_version(
     if len(small) <= target_files:
         return {"version": latest, "compacted": 0, "kept": len(files)}
 
-    new_v = latest + 1
-    commit_dir = os.path.join("data", f"c{new_v:05d}")
-    (
-        spark.read.parquet(*[os.path.join(path, f) for f in small])
-        .coalesce(target_files)
-        .write.mode("error")
-        .parquet(os.path.join(path, commit_dir))
+    new_files = _write_commit_files(
+        spark.read.parquet(*[os.path.join(path, f) for f in small]).coalesce(
+            target_files
+        ),
+        path,
+        latest + 1,
     )
-    new_files = sorted(
-        os.path.join(commit_dir, os.path.basename(f))
-        for f in _glob.glob(os.path.join(path, commit_dir, "part-*.parquet"))
-    )
-    manifest = {
-        "version": new_v,
-        "op": "compact",
-        "files": keep + new_files,
-        "n_files": len(keep) + len(new_files),
-    }
-    with open(_manifest_path(path, new_v), "w") as fh:
-        json.dump(manifest, fh, indent=1)
+
+    def build(new_v: int, prev: dict | None) -> dict:
+        # a compaction plan is only valid against the version it planned
+        # from: a commit that landed in between owns files this manifest
+        # would silently drop — retrying is not safe, re-run the whole
+        # compaction instead (the retry contract)
+        if prev is None or prev["version"] != latest:
+            raise ConcurrentCommitError(
+                f"compaction planned against v{latest} of {path} but "
+                f"v{prev['version'] if prev else '?'} is now latest; re-run"
+            )
+        return {
+            "version": new_v,
+            "op": "compact",
+            "files": keep + new_files,
+            "n_files": len(keep) + len(new_files),
+        }
+
+    manifest = _publish_manifest(path, build, max_retries=0)
     return {
-        "version": new_v,
+        "version": manifest["version"],
         "compacted": len(small),
         "new_files": len(new_files),
         "kept": len(keep),
@@ -276,30 +353,29 @@ def commit_staged(
     One staged commit at a time (the single-writer contract). `note`
     is caller metadata carried verbatim into the manifest (e.g. the
     streaming batch_id the X20 replay guard keys on)."""
-    if os.path.exists(os.path.join(_manifest_dir(path), "staged.json")):
+    staged_path = os.path.join(_manifest_dir(path), "staged.json")
+    if os.path.exists(staged_path):
         raise RuntimeError(f"{path} already has a staged commit")
     versions = list_versions(path)
     new_v = (versions[-1] + 1) if versions else 0
-    commit_dir = os.path.join("data", f"c{new_v:05d}")
-    df.write.mode("error").parquet(os.path.join(path, commit_dir))
-    new_files = sorted(
-        os.path.join(commit_dir, os.path.basename(f))
-        for f in _glob.glob(os.path.join(path, commit_dir, "part-*.parquet"))
-    )
+    new_files = _write_commit_files(df, path, new_v)
     prev_files: list[str] = []
     if versions and mode == "append":
         prev_files = _load_manifest(path, versions[-1])["files"]
     manifest = {
         "version": new_v,
         "op": f"staged-{mode}" if versions else "staged-create",
+        "mode": mode,
         "files": prev_files + new_files,
         "n_files": len(prev_files) + len(new_files),
         "staged_files": new_files,
         "note": note or {},
     }
-    os.makedirs(_manifest_dir(path), exist_ok=True)
-    with open(os.path.join(_manifest_dir(path), "staged.json"), "w") as fh:
-        json.dump(manifest, fh, indent=1)
+    # atomic create closes the exists-check TOCTOU: of two concurrent
+    # stagers exactly one claims staged.json, the other raises
+    tmp = _write_tmp_manifest(path, manifest)
+    if not _atomic_create(tmp, staged_path):
+        raise RuntimeError(f"{path} already has a staged commit")
     return manifest
 
 
@@ -333,15 +409,32 @@ def manifest_notes(path: str) -> dict[int, dict]:
     }
 
 
-def publish_staged(path: str) -> dict:
+def publish_staged(path: str, max_retries: int = 5) -> dict:
     """Promote the staged manifest to the next version (a metadata-only
-    rename — the WAP 'publish' is O(1) regardless of data size)."""
+    atomic create — the WAP 'publish' is O(1) regardless of data size).
+
+    Concurrent-writer safe: the version number and (for append-mode
+    stages) the history file list are re-derived against the latest
+    published manifest inside the optimistic loop, so commits that
+    landed while the stage was being audited are kept, not clobbered."""
     sp = os.path.join(_manifest_dir(path), "staged.json")
     with open(sp) as fh:
-        manifest = json.load(fh)
-    manifest["op"] = manifest["op"].replace("staged-", "")
-    with open(_manifest_path(path, manifest["version"]), "w") as fh:
-        json.dump(manifest, fh, indent=1)
+        staged = json.load(fh)
+    # pre-"mode"-field manifests staged with the old single-writer code:
+    # recover the mode from the op tag
+    mode = staged.get("mode") or staged["op"].replace("staged-", "")
+
+    def build(new_v: int, prev: dict | None) -> dict:
+        prev_files = prev["files"] if (prev and mode == "append") else []
+        return {
+            "version": new_v,
+            "op": mode if prev is not None else "create",
+            "files": prev_files + staged["staged_files"],
+            "n_files": len(prev_files) + len(staged["staged_files"]),
+            "note": staged.get("note", {}),
+        }
+
+    manifest = _publish_manifest(path, build, max_retries)
     os.remove(sp)
     return manifest
 

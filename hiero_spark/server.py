@@ -20,8 +20,11 @@ UI consumes. stdlib only (http.server + json): no new dependencies.
   GET /api/sketch/heavy_hitters?table=T&cols=a,b&k=K          A8
   GET /api/sketch/quantiles?table=T&col=C&probs=0.5,0.9       A11
   GET /api/progressive/histogram?table=T&col=C&tiers=K
+  GET /api/progressive/heatmap?table=T&xcol=X&ycol=Y&xbuckets=N&ybuckets=M
+  GET /api/progressive/heavy_hitters?table=T&cols=a,b&k=K
       -> one JSON line per tier: {"fraction": f, "rows": [...]}  —
-      hiero's PartialResult stream over plain chunked HTTP.
+      hiero's PartialResult stream over plain chunked HTTP; the last
+      line is the exact full sketch.
 
 Scale contract (the root-node invariant): every response is RENDER-sized,
 never data-sized. Query/page rows are capped (`limit` <= MAX_ROWS),
@@ -201,6 +204,8 @@ class HieroHandler(BaseHTTPRequestHandler):
         q = parse_qs(url.query)
         parts = [p for p in url.path.split("/") if p]
         try:
+            if parts in ([], ["ui"]):
+                return self._ui_page()
             if parts[:2] == ["api", "tables"]:
                 return self._send(
                     [
@@ -273,11 +278,33 @@ class HieroHandler(BaseHTTPRequestHandler):
                 )
             if parts[:2] == ["api", "sketch"] and len(parts) == 3:
                 return self._sketch(parts[2], q)
-            if parts[:3] == ["api", "progressive", "histogram"]:
-                return self._progressive_histogram(q)
+            if parts[:2] == ["api", "progressive"] and len(parts) == 3:
+                return self._progressive(parts[2], q)
             return self._error(404, f"no route for {url.path}")
         except (KeyError, ValueError) as e:
             return self._error(400, str(e))
+
+    def _ui_page(self):
+        """Serve the static spreadsheet demo (examples/ui.html — the UI
+        seam proof: NextK scroll + a progressive histogram against this
+        very API, no build chain)."""
+        import os
+
+        page = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "examples",
+            "ui.html",
+        )
+        try:
+            with open(page, "rb") as fh:
+                body = fh.read()
+        except OSError:
+            return self._error(404, "examples/ui.html not found")
+        self.send_response(200)
+        self.send_header("Content-Type", "text/html; charset=utf-8")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
 
     def _sketch(self, kind: str, q):
         df = self._table(q)
@@ -322,34 +349,61 @@ class HieroHandler(BaseHTTPRequestHandler):
             )
         return self._error(404, f"unknown sketch {kind!r}")
 
-    def _progressive_histogram(self, q):
+    def _progressive(self, kind: str, q):
         """PartialResult stream: one JSON line per tier, flushed as computed.
 
         Uses progressive_prefix (hiero's refine-in-place shape): each line
-        is an exact histogram of a known fraction; the LAST line is the
+        is an exact sketch of a known fraction; the LAST line is the
         exact full answer, so a client may stop reading whenever the shape
         has stabilized — same early-abort the reference UI offers.
+        Tiers: histogram (A4), heatmap (A6), heavy_hitters (A8) — all the
+        mergeable-aggregation sketches a spreadsheet pane refines live.
         """
         from hiero_spark.progressive import progressive_prefix
 
         df = self._table(q)
-        col = q.get("col", [""])[0]
-        n = int(q.get("buckets", ["20"])[0])
         tiers = max(2, min(int(q.get("tiers", ["4"])[0]), 16))
         key = q.get("key", [df.columns[0]])[0]
-        row = sketches.data_range(df, col).collect()[0]
-        lo, hi = float(row["min_val"]), float(row["max_val"])
+        if kind == "histogram":
+            col = q.get("col", [""])[0]
+            n = int(q.get("buckets", ["20"])[0])
+            row = sketches.data_range(df, col).collect()[0]
+            lo, hi = float(row["min_val"]), float(row["max_val"])
+
+            def sketch(d):
+                return sketches.histogram1d(d, col, lo, hi, n).orderBy("bucket")
+        elif kind == "heatmap":
+            xcol = q.get("xcol", [""])[0]
+            ycol = q.get("ycol", [""])[0]
+            xn = int(q.get("xbuckets", ["10"])[0])
+            yn = int(q.get("ybuckets", ["10"])[0])
+            # bucket edges pinned from the FULL data range so every tier's
+            # cells are comparable (the refine-in-place contract)
+            xr = sketches.data_range(df, xcol).collect()[0]
+            yr = sketches.data_range(df, ycol).collect()[0]
+
+            def sketch(d):
+                return sketches.heatmap(
+                    d,
+                    xcol, float(xr["min_val"]), float(xr["max_val"]), xn,
+                    ycol, float(yr["min_val"]), float(yr["max_val"]), yn,
+                ).orderBy("bucket_x", "bucket_y")
+        elif kind == "heavy_hitters":
+            cols = [c for c in q.get("cols", [""])[0].split(",") if c]
+            if not cols:
+                return self._error(400, "cols required")
+            k = min(int(q.get("k", ["10"])[0]), MAX_ROWS)
+
+            def sketch(d):
+                return sketches.heavy_hitters(d, cols, k)
+        else:
+            return self._error(404, f"unknown progressive sketch {kind!r}")
 
         self.send_response(200)
         self.send_header("Content-Type", "application/x-ndjson")
         self.end_headers()  # no Content-Length: close-delimited stream
-        for frac, hist in progressive_prefix(
-            df,
-            lambda d: sketches.histogram1d(d, col, lo, hi, n).orderBy("bucket"),
-            [key],
-            tiers=tiers,
-        ):
-            line = _dumps({"fraction": frac, "rows": _rows(hist)}) + b"\n"
+        for frac, part in progressive_prefix(df, sketch, [key], tiers=tiers):
+            line = _dumps({"fraction": frac, "rows": _rows(part)}) + b"\n"
             self.wfile.write(line)
             self.wfile.flush()
 

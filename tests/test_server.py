@@ -190,3 +190,63 @@ def test_progressive_histogram_stream(api, spark):
 
     exact = catalog.load_table(spark, SF_SMOKE, "lineitem").count()
     assert totals[-1] == exact
+
+
+def test_progressive_heatmap_stream(api, spark):
+    """A6 tier stream: fractions increase, cell totals refine monotonically,
+    final line equals the exact full heatmap."""
+    url = (
+        api
+        + "/api/progressive/heatmap?table=lineitem&xcol=l_quantity"
+        + "&ycol=l_discount&xbuckets=4&ybuckets=4&tiers=3&key=l_orderkey"
+    )
+    with urllib.request.urlopen(url, timeout=300) as r:
+        lines = [json.loads(line) for line in r.read().splitlines() if line.strip()]
+    fracs = [ln["fraction"] for ln in lines]
+    assert len(lines) == 3 and fracs == sorted(fracs) and fracs[-1] == 1.0
+    totals = [sum(row["cell_count"] for row in ln["rows"]) for ln in lines]
+    assert totals == sorted(totals)
+    from hiero_spark import catalog
+    from hiero_spark.operators import sketches
+
+    df = catalog.load_table(spark, SF_SMOKE, "lineitem")
+    xr = sketches.data_range(df, "l_quantity").collect()[0]
+    yr = sketches.data_range(df, "l_discount").collect()[0]
+    exact = sketches.heatmap(
+        df,
+        "l_quantity", float(xr["min_val"]), float(xr["max_val"]), 4,
+        "l_discount", float(yr["min_val"]), float(yr["max_val"]), 4,
+    ).orderBy("bucket_x", "bucket_y")
+    got = [(r["bucket_x"], r["bucket_y"], r["cell_count"]) for r in lines[-1]["rows"]]
+    want = [(r["bucket_x"], r["bucket_y"], r["cell_count"]) for r in exact.collect()]
+    assert got == want
+
+
+def test_progressive_heavy_hitters_stream(api, spark):
+    """A8 tier stream: fractions increase, every tier ships <= k rows,
+    final line is the exact full top-k."""
+    url = (
+        api
+        + "/api/progressive/heavy_hitters?table=orders&cols=o_orderstatus"
+        + "&k=3&tiers=3&key=o_orderkey"
+    )
+    with urllib.request.urlopen(url, timeout=300) as r:
+        lines = [json.loads(line) for line in r.read().splitlines() if line.strip()]
+    fracs = [ln["fraction"] for ln in lines]
+    assert len(lines) == 3 and fracs == sorted(fracs) and fracs[-1] == 1.0
+    assert all(len(ln["rows"]) <= 3 for ln in lines)
+    from hiero_spark import catalog
+    from hiero_spark.operators import sketches
+
+    exact = sketches.heavy_hitters(
+        catalog.load_table(spark, SF_SMOKE, "orders"), ["o_orderstatus"], 3
+    )
+    got = [(r["o_orderstatus"], r["cnt"]) for r in lines[-1]["rows"]]
+    want = [(r["o_orderstatus"], r["cnt"]) for r in exact.collect()]
+    assert got == want
+
+
+def test_progressive_unknown_kind_404(api):
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(api, "/api/progressive/nope?table=orders")
+    assert e.value.code == 404

@@ -818,3 +818,21 @@ def test_audio_near_dups_signatures_and_adpcm_skip(spark):
     one = {(r["id_a"], r["id_b"]): r["n_shared"]
            for r in audio_near_dups(media, min_shared=1).collect()}
     assert one[(2, 3)] == 1 and (1, 3) not in one
+
+
+def test_multimodal_near_dup_queries_are_sf_invariant(spark):
+    """Round-8 verdict #7: the three near-dup driver queries synthesize
+    their media from a FIXED doc_id prefix, so the result must not move
+    with the corpus size — a fixture-size sensitivity here would make
+    the driver's sf0.01 run disagree with local sf0.001 evidence."""
+    from hiero_spark.registry import all_queries
+
+    specs = all_queries()
+    for name in ("n3_image_near_dups", "n3_video_near_dups", "n3_audio_near_dups"):
+        small = sorted(
+            map(tuple, specs[name].fn(spark, "/root/testdata/sf0.001").collect())
+        )
+        driver_sf = sorted(
+            map(tuple, specs[name].fn(spark, "/root/testdata/sf0.01").collect())
+        )
+        assert small and small == driver_sf, f"{name} drifts with corpus size"

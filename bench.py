@@ -55,6 +55,13 @@ HEADLINE = [
     "n4_repetition_stats",
     "n1_url_dedup",
     "n5_boilerplate_removal",
+    # round 9 additions (round-8 verdict #5: the heavyweight round-8 ops
+    # were invisible to round-over-round regression tracking; the
+    # r1-comparable subset above stays intact for the baseline gate)
+    "n1_entity_resolution",
+    "n1_containment_join",
+    "n7_connected_components",
+    "s19_time_travel",
 ]
 
 

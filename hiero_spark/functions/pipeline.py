@@ -70,6 +70,51 @@ def assign_split(
     return df.withColumn(out, split)
 
 
+def cluster_safe_split(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    train_pct: int = 80,
+    val_pct: int = 10,
+    buckets: int = 100,
+    out: str = "split",
+) -> DataFrame:
+    """Leakage-safe split: assignment at DUPLICATE-CLUSTER granularity.
+
+    A per-document split leaks whenever copies of the same text land in
+    different splits (train/test contamination through duplicates — the
+    eval-hygiene failure exact dedup exists to prevent, reproduced at
+    split time).  Here every document inherits the split of its exact-
+    duplicate cluster's representative (min id over the md5(text)
+    fingerprint group), so a text and all its copies are always on the
+    same side of the split boundary.
+
+    Scale shape: one (fingerprint, id) groupBy for the representatives,
+    one fingerprint-keyed join back — the exact_dedup shuffle pattern;
+    the split itself stays a narrow pmod map on the representative id.
+    Production near-dup-safe variants substitute the MinHash cluster id
+    for the fingerprint; the contract is the same.
+    """
+    fp = F.md5(F.col(text_col)).alias("_fp")
+    reps = (
+        df.select(fp, F.col(id_col))
+        .groupBy("_fp")
+        .agg(F.min(id_col).alias("_rep"))
+    )
+    b = F.pmod(F.col("_rep"), F.lit(buckets))
+    split = (
+        F.when(b < train_pct, SPLIT_TRAIN)
+        .when(b < train_pct + val_pct, SPLIT_VAL)
+        .otherwise(SPLIT_TEST)
+    )
+    return (
+        df.withColumn("_fp", F.md5(F.col(text_col)))
+        .join(reps, "_fp")
+        .withColumn(out, split)
+        .drop("_fp")
+    )
+
+
 def hash_split(
     df: DataFrame,
     id_col: str,

@@ -139,6 +139,106 @@ def dp_oracle_sql(
     """
 
 
+def dp_noisy_mean(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    key_expr: Column,
+    lo: int,
+    hi: int,
+    eps_sum: float = 0.5,
+    eps_count: float = 0.5,
+    trunc: int = 20,
+    seed: int = 0,
+) -> DataFrame:
+    """(group..., released_mean): the standard bounded-mean mechanism —
+    clamp values to [lo, hi] (the sensitivity bound), release
+    noisy_sum / noisy_count with independent truncated discrete-Laplace
+    draws (sum noise scales by the clamp width, the sum's sensitivity;
+    count noise is sensitivity-1).  Same inverse-CDF literal machinery
+    as dp_noisy_counts, so the whole release is bit-identical across
+    engines.  `key_expr` must be an integer column/expression derivable
+    from the group key (it seeds both draws; seed and seed+1 decorrelate
+    them)."""
+    cdf_s = discrete_laplace_cdf(eps_sum, trunc)
+    cdf_c = discrete_laplace_cdf(eps_count, trunc)
+    clamped = F.greatest(F.lit(lo), F.least(F.lit(hi), F.col(value_col)))
+    agg = df.groupBy(*group_cols).agg(
+        F.sum(clamped.cast("long")).alias("_s"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    u_s = lcg_uniform(key_expr, seed)
+    u_c = lcg_uniform(key_expr, seed + 1)
+    noise_s = sum(
+        (F.when(u_s >= F.lit(c), 1).otherwise(0) for c in cdf_s), F.lit(-trunc)
+    ) * F.lit(hi - lo)
+    noise_c = sum(
+        (F.when(u_c >= F.lit(c), 1).otherwise(0) for c in cdf_c), F.lit(-trunc)
+    )
+    denom = F.col("_n") + noise_c
+    released = F.when(
+        denom > 0,
+        (F.col("_s") + noise_s).cast("double") / denom.cast("double"),
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        *group_cols, F.round(released, 6).alias("released_mean")
+    )
+
+
+def dp_mean_oracle_sql(
+    table_sql: str,
+    group_cols: list[str],
+    value_col: str,
+    key_sql: str,
+    lo: int,
+    hi: int,
+    eps_sum: float = 0.5,
+    eps_count: float = 0.5,
+    trunc: int = 20,
+    seed: int = 0,
+) -> str:
+    """DuckDB mirror of dp_noisy_mean (same literal thresholds, same
+    pmod-expanded LCG; `key_sql` mirrors key_expr)."""
+    cdf_s = discrete_laplace_cdf(eps_sum, trunc)
+    cdf_c = discrete_laplace_cdf(eps_count, trunc)
+    gcols = ", ".join(group_cols)
+
+    def u(seed_val: int) -> str:
+        return (
+            f"(((((CAST({key_sql} AS BIGINT) + {seed_val}) * {LCG_A} + {LCG_C})"
+            f" % {LCG_M}) + {LCG_M}) % {LCG_M}) / CAST({LCG_M} AS DOUBLE)"
+        )
+
+    def noise(cdf: list[float], uname: str) -> str:
+        terms = " + ".join(
+            f"(CASE WHEN {uname} >= CAST({c!r} AS DOUBLE) THEN 1 ELSE 0 END)"
+            for c in cdf
+        )
+        return f"(({terms}) - {trunc})"
+
+    return f"""
+        WITH a AS (
+          SELECT {gcols},
+                 SUM(CAST(GREATEST({lo}, LEAST({hi}, {value_col}))
+                     AS BIGINT)) AS s,
+                 COUNT(*) AS n,
+                 {u(seed)} AS us,
+                 {u(seed + 1)} AS uc
+          FROM {table_sql} GROUP BY {gcols}
+        ), r AS (
+          SELECT {gcols},
+                 s + {noise(cdf_s, "us")} * ({hi} - {lo}) AS noisy_s,
+                 n + {noise(cdf_c, "uc")} AS noisy_n
+          FROM a
+        )
+        SELECT {gcols},
+               ROUND(CASE WHEN noisy_n > 0
+                          THEN CAST(noisy_s AS DOUBLE) / CAST(noisy_n AS DOUBLE)
+                          ELSE 0.0 END, 6) AS released_mean
+        FROM r
+    """
+
+
 def dp_noisy_histogram(
     df: DataFrame,
     domain: DataFrame,

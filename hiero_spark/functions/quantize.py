@@ -105,3 +105,61 @@ def quantized_topk(
         .orderBy(F.desc("cos_sim_q"), F.asc("neighbor_id"))
         .limit(k)
     )
+
+
+SCALE_BITS = 20  # 2^20: exponent-shift scaling, exact on float32 inputs
+
+
+def scaled_exact_topk(
+    emb: DataFrame, query_vec: list[float], k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Full-precision cosine ranking in EXACT integer arithmetic — the
+    cross-engine-reproducible ground truth a retrieval-recall evaluation
+    needs (float dot products are summation-order-sensitive, so a float
+    'exact' arm could never be hash-checked against DuckDB).
+
+    Every float32 component scales to round(x * 2^20) — float32→double
+    is exact and *2^20 is an exponent shift, so the scaled value is the
+    same double in both engines and its rounding is deterministic.  The
+    dot product and candidate norm² are then exact BIGINTs (64 dims of
+    ~N(0,1) values stay far under 2^63), and the final score
+    dot / sqrt(norm²) is ONE division of exact inputs — IEEE-identical
+    everywhere.  Scaling cancels in cosine up to the shared query
+    factor, so the RANKING equals the infinite-precision ranking of the
+    rounded vectors.  Returns (neighbor_id, rank) for the top-k: the
+    heavy scan is a distributed TakeOrderedAndProject; only the k
+    surviving rows pass through the rank window."""
+    from pyspark.sql import Window
+
+    scale = float(1 << SCALE_BITS)
+    half_away = lambda x: int(x * scale + 0.5) if x >= 0 else -int(-x * scale + 0.5)
+    q = [half_away(x) for x in query_vec]
+    qarr = F.array(*[F.lit(c).cast("long") for c in q])
+    v = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.round(x * F.lit(scale), 0).cast("long"),
+    )
+    acc0 = F.struct(
+        F.lit(0).cast("long").alias("d"), F.lit(0).cast("long").alias("n")
+    )
+    scored = F.aggregate(
+        F.zip_with(v, qarr, lambda x, y: F.struct(
+            (x * y).alias("p"), (x * x).alias("s")
+        )),
+        acc0,
+        lambda a, e: F.struct((a["d"] + e["p"]).alias("d"),
+                              (a["n"] + e["s"]).alias("n")),
+        lambda a: F.when(
+            a["n"] > 0,
+            a["d"].cast("double") / F.sqrt(a["n"].cast("double")),
+        ).otherwise(F.lit(0.0)),
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        emb.select(F.col(id_col).alias("neighbor_id"), scored.alias("score"))
+        .orderBy(F.desc("score"), F.asc("neighbor_id"))
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w))
+        .select("neighbor_id", "rank")
+    )

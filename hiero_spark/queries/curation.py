@@ -575,6 +575,119 @@ def n2_quantized_ann(spark, sf_dir):
 
 
 @query(
+    "n2_recall_at_k",
+    group="N2",
+    doc="Retrieval evaluation: recall@{1,5,10} of the int8-quantized "
+        "ranking against the full-precision ground truth — the quality "
+        "gate a vector-store quantization rollout ships with. The ground "
+        "truth is exact INTEGER arithmetic (functions/quantize.py:"
+        "scaled_exact_topk: float32 components scale by 2^20 — an "
+        "exponent shift, exact — then round; dot products and norms are "
+        "exact BIGINTs; one final IEEE division), so even the 'exact' arm "
+        "is bit-identical across engines and the whole evaluation is "
+        "hash-checked, not spot-sampled — a float ground truth could "
+        "never be (summation order).",
+    oracle=f"""
+        WITH {_Q_CODES_SQL},
+        qq AS (SELECT codes AS qc FROM c WHERE vec_id = 0),
+        ascore AS (
+          -- same expression shape as the n2_quantized_ann oracle so the
+          -- ranking doubles are bit-identical to the Spark arm
+          SELECT c.vec_id AS neighbor_id,
+                 CAST(list_sum(list_transform(range(1, len(codes) + 1),
+                      i -> codes[i] * qc[i])) AS DOUBLE) AS dot,
+                 sqrt(CAST(list_sum(list_transform(codes, x -> x * x))
+                      AS DOUBLE)) AS na,
+                 sqrt(CAST(list_sum(list_transform(qc, x -> x * x))
+                      AS DOUBLE)) AS nq
+          FROM c, qq
+        ), atop AS (
+          SELECT neighbor_id,
+                 ROW_NUMBER() OVER (
+                   ORDER BY CASE WHEN na > 0 THEN dot / (na * nq)
+                            ELSE 0.0 END DESC,
+                            neighbor_id ASC) AS rank_a
+          FROM ascore QUALIFY rank_a <= 10
+        ),
+        ex AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                   x -> CAST(ROUND(CAST(x AS DOUBLE) * 1048576.0, 0)
+                        AS BIGINT)) AS sv
+          FROM embeddings
+        ), eq AS (SELECT sv AS qv FROM ex WHERE vec_id = 0),
+        escore AS (
+          SELECT ex.vec_id AS neighbor_id,
+                 CAST(list_sum(list_transform(range(1, len(sv) + 1),
+                      i -> sv[i] * qv[i])) AS DOUBLE) AS dot,
+                 CAST(list_sum(list_transform(sv, x -> x * x)) AS DOUBLE) AS n2
+          FROM ex, eq
+        ), etop AS (
+          SELECT neighbor_id,
+                 ROW_NUMBER() OVER (
+                   ORDER BY CASE WHEN n2 > 0 THEN dot / sqrt(n2) ELSE 0.0 END
+                            DESC, neighbor_id ASC) AS rank_e
+          FROM escore QUALIFY rank_e <= 10
+        ),
+        ranks AS (
+          SELECT COALESCE(e.neighbor_id, a.neighbor_id) AS neighbor_id,
+                 e.rank_e, a.rank_a
+          FROM etop e FULL OUTER JOIN atop a ON e.neighbor_id = a.neighbor_id
+        )
+        SELECT k,
+               CAST(COUNT(*) FILTER (WHERE rank_e <= k AND rank_a <= k)
+                    AS BIGINT) AS n_overlap,
+               ROUND(CAST(COUNT(*) FILTER (WHERE rank_e <= k AND rank_a <= k)
+                     AS DOUBLE) / k, 6) AS recall
+        FROM (VALUES (1), (5), (10)) ks(k) CROSS JOIN ranks
+        GROUP BY k
+    """,
+)
+def n2_recall_at_k(spark, sf_dir):
+    import os
+
+    from pyspark.sql import Window
+
+    from hiero_spark.functions.quantize import (
+        quantize_vectors, quantized_topk, scaled_exact_topk,
+    )
+
+    qv = _emb_query_vec(spark, sf_dir)
+    path = _sf_export_dir(sf_dir, "qemb_sq8")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        quantize_vectors(t(spark, sf_dir, "embeddings")).select(
+            "vec_id", "q", "scale"
+        ).write.mode("overwrite").parquet(path)
+    approx = quantized_topk(spark.read.parquet(path), qv, k=10).withColumn(
+        "rank_a",
+        F.row_number().over(
+            Window.orderBy(F.desc("cos_sim_q"), F.asc("neighbor_id"))
+        ),
+    ).select("neighbor_id", "rank_a")
+    exact = scaled_exact_topk(
+        t(spark, sf_dir, "embeddings"), qv, k=10
+    ).withColumnRenamed("rank", "rank_e")
+    j = exact.join(approx, "neighbor_id", "full_outer")
+    parts = []
+    for k in (1, 5, 10):
+        hit = F.when(
+            (F.col("rank_e") <= k) & (F.col("rank_a") <= k), 1
+        ).otherwise(0)
+        parts.append(
+            j.agg(F.sum(hit).cast("long").alias("n_overlap")).select(
+                F.lit(k).cast("int").alias("k"),
+                "n_overlap",
+                F.round(F.col("n_overlap").cast("double") / F.lit(k), 6)
+                .alias("recall"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@query(
     "n2_quantized_recall",
     group="N2",
     doc="Recall@10 of the int8 ranking vs the exact float ranking — the "
@@ -2263,4 +2376,124 @@ def n4_pr_curve(spark, sf_dir):
             / F.nullif(c(F.col("label")), F.lit(0)),
             6,
         ).alias("recall"),
+    )
+
+
+@query(
+    "ext_cusum_changepoint",
+    group="ext-agg",
+    doc="CUSUM change-point detection over the daily order-arrival series "
+        "— the level-shift detector an ingest monitor runs next to the "
+        "rolling-MAD anomaly gate (ext_rolling_anomaly catches spikes; "
+        "CUSUM catches sustained drifts a spike test never trips on). "
+        "The statistic is kept EXACT by scaling: S_t * days = "
+        "days * cumsum_t(n) - t * total is all-BIGINT arithmetic, so the "
+        "top-3 |S| days are hash-checked with no float in the loop. "
+        "Bounded output: the daily series is O(date domain), the windows "
+        "run over that bounded aggregate, never the fact table.",
+    oracle="""
+        WITH d AS (
+          SELECT strftime(o_orderdate, '%Y-%m-%d') AS day, COUNT(*) AS n
+          FROM orders GROUP BY 1
+        ), s AS (
+          SELECT day,
+                 SUM(n) OVER (ORDER BY day) AS cum,
+                 ROW_NUMBER() OVER (ORDER BY day) AS t,
+                 SUM(n) OVER () AS total,
+                 COUNT(*) OVER () AS days
+          FROM d
+        )
+        SELECT day, CAST(days * cum - t * total AS BIGINT) AS s_scaled
+        FROM s
+        ORDER BY ABS(days * cum - t * total) DESC, day ASC
+        LIMIT 3
+    """,
+)
+def ext_cusum_changepoint(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from hiero_spark.queries._util import day_str
+
+    daily = (
+        t(spark, sf_dir, "orders")
+        .groupBy(day_str(F.col("o_orderdate")).alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ordered = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    everything = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    s_scaled = (
+        F.count(F.lit(1)).over(everything) * F.sum("n").over(ordered)
+        - F.row_number().over(Window.orderBy("day"))
+        * F.sum("n").over(everything)
+    ).cast("long")
+    return (
+        daily.select("day", s_scaled.alias("s_scaled"))
+        .orderBy(F.abs(F.col("s_scaled")).desc(), F.asc("day"))
+        .limit(3)
+    )
+
+
+@query(
+    "n4_kappa_agreement",
+    group="N4",
+    doc="Cohen's kappa between two quality raters (the label-QC statistic "
+        "an annotation pipeline gates on): rater A = length gate "
+        "(n_chars >= 500), rater B = token-count gate (>= 80 whitespace "
+        "tokens, the n4_token_count tokenizer). Kappa is computed from "
+        "the 2x2 agreement table with an N^2-scaled integer numerator "
+        "and denominator — (po - pe) / (1 - pe) multiplied through by "
+        "N^2 keeps every term an exact BIGINT and leaves ONE IEEE "
+        "division, so the statistic hash-checks exactly.",
+    oracle=r"""
+        WITH g AS (
+          SELECT CASE WHEN n_chars >= 500 THEN 1 ELSE 0 END AS a,
+                 CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) >= 80
+                      THEN 1 ELSE 0 END AS b
+          FROM documents
+        ), m AS (
+          SELECT CAST(SUM(a * b) AS BIGINT) AS n11,
+                 CAST(SUM(a * (1 - b)) AS BIGINT) AS n10,
+                 CAST(SUM((1 - a) * b) AS BIGINT) AS n01,
+                 CAST(SUM((1 - a) * (1 - b)) AS BIGINT) AS n00,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM g
+        )
+        SELECT n11, n10, n01, n00,
+               ROUND(CAST(n * (n11 + n00)
+                          - ((n11 + n10) * (n11 + n01)
+                             + (n01 + n00) * (n10 + n00)) AS DOUBLE)
+                     / CAST(n * n - ((n11 + n10) * (n11 + n01)
+                             + (n01 + n00) * (n10 + n00)) AS DOUBLE),
+                     6) AS kappa
+        FROM m
+    """,
+)
+def n4_kappa_agreement(spark, sf_dir):
+    from hiero_spark.functions import text as tx
+
+    docs = t(spark, sf_dir, "documents")
+    g = docs.select(
+        F.when(F.col("n_chars") >= 500, 1).otherwise(0).alias("a"),
+        F.when(tx.token_count(F.col("text")) >= 80, 1).otherwise(0).alias("b"),
+    )
+    m = g.agg(
+        F.sum(F.col("a") * F.col("b")).cast("long").alias("n11"),
+        F.sum(F.col("a") * (1 - F.col("b"))).cast("long").alias("n10"),
+        F.sum((1 - F.col("a")) * F.col("b")).cast("long").alias("n01"),
+        F.sum((1 - F.col("a")) * (1 - F.col("b"))).cast("long").alias("n00"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    pe_num = (F.col("n11") + F.col("n10")) * (F.col("n11") + F.col("n01")) + (
+        F.col("n01") + F.col("n00")
+    ) * (F.col("n10") + F.col("n00"))
+    kappa = (
+        (F.col("n") * (F.col("n11") + F.col("n00")) - pe_num).cast("double")
+        / (F.col("n") * F.col("n") - pe_num).cast("double")
+    )
+    return m.select(
+        "n11", "n10", "n01", "n00", F.round(kappa, 6).alias("kappa")
     )

@@ -39,6 +39,43 @@ def n6_train_split(spark, sf_dir):
 
 
 @query(
+    "n6_leakage_safe_split",
+    group="N6",
+    doc="Leakage-safe train/val/test split: assignment at exact-duplicate-"
+        "CLUSTER granularity (functions/pipeline.py:cluster_safe_split) — "
+        "every copy of a text inherits the split of its cluster "
+        "representative (min doc_id over the md5 fingerprint group), so "
+        "duplicates can never straddle the train/test boundary (the "
+        "eval-contamination failure per-document splits reproduce). "
+        "Audited as per-split doc and cluster counts plus char totals.",
+    oracle="""
+        WITH reps AS (
+          SELECT md5(text) AS fp, MIN(doc_id) AS rep
+          FROM documents GROUP BY 1
+        ), assigned AS (
+          SELECT d.doc_id, d.n_chars, r.rep,
+                 CASE WHEN r.rep % 100 < 80 THEN 'train'
+                      WHEN r.rep % 100 < 90 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM documents d JOIN reps r ON md5(d.text) = r.fp
+        )
+        SELECT split,
+               COUNT(*) AS n_docs,
+               CAST(COUNT(DISTINCT rep) AS BIGINT) AS n_clusters,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM assigned GROUP BY 1
+    """,
+)
+def n6_leakage_safe_split(spark, sf_dir):
+    docs = pl.cluster_safe_split(t(spark, sf_dir, "documents"), "text", "doc_id")
+    return docs.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("_rep").cast("long").alias("n_clusters"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
+@query(
     "n6_vocab_topk",
     group="N6",
     doc="Corpus vocabulary: top-20 tokens by frequency (lowercased "

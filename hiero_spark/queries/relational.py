@@ -797,6 +797,37 @@ def ext_dp_histogram(spark, sf_dir):
     )
 
 
+from hiero_spark.functions.privacy import dp_mean_oracle_sql  # noqa: E402
+
+
+@query(
+    "ext_dp_mean",
+    group="ext-agg",
+    doc="Differentially-private bounded MEAN release — the third mechanism "
+        "of the family (count, histogram, mean): average document length "
+        "per language, values clamped to [0, 2000] (the sensitivity "
+        "bound), released as noisy_sum / noisy_count with independent "
+        "truncated discrete-Laplace draws (sum noise scaled by the clamp "
+        "width). Same shared-literal inverse-CDF machinery "
+        "(functions/privacy.py:dp_noisy_mean), one final IEEE division — "
+        "bit-identical across engines, hash-checked with no tolerance. "
+        "The integer draw key derives from the group label via ascii() "
+        "(both engines agree on it literally).",
+    oracle=dp_mean_oracle_sql(
+        "documents", ["lang"], "n_chars",
+        "ascii(lang) * 256 + length(lang)", lo=0, hi=2000,
+    ),
+)
+def ext_dp_mean(spark, sf_dir):
+    from hiero_spark.functions.privacy import dp_noisy_mean
+
+    key = F.ascii(F.col("lang")) * 256 + F.length(F.col("lang"))
+    return dp_noisy_mean(
+        t(spark, sf_dir, "documents"), ["lang"], "n_chars", key,
+        lo=0, hi=2000,
+    )
+
+
 @query(
     "ext_rollup_answer",
     group="ext-agg",

@@ -328,3 +328,25 @@ def winsorize_stats(
         )
     )
     return clamped
+
+
+def cusum_scaled(daily: DataFrame, day_col: str = "day",
+                 n_col: str = "n") -> DataFrame:
+    """Exact-integer CUSUM over a bounded daily series: S_t * days =
+    days * cumsum_t(n) - t * total — all-BIGINT arithmetic (no float in
+    the loop), so the statistic is cross-engine hash-checkable.  The
+    windows run over the O(date domain) aggregate, never a fact table;
+    the unpartitioned ordering is bounded by construction.  Returns
+    (day, s_scaled); callers rank by |s_scaled| for change points."""
+    ordered = Window.orderBy(day_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    everything = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    s_scaled = (
+        F.count(F.lit(1)).over(everything) * F.sum(n_col).over(ordered)
+        - F.row_number().over(Window.orderBy(day_col))
+        * F.sum(n_col).over(everything)
+    ).cast("long")
+    return daily.select(F.col(day_col).alias("day"), s_scaled.alias("s_scaled"))

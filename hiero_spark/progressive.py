@@ -63,9 +63,19 @@ def progressive_merge(
     """Yield (fraction, merge of the partials so far). Each row is sketched
     exactly once across all tiers; merge_fn re-aggregates the union of
     partial outputs (the monoid merge). The final emission equals the
-    whole-input sketch when partial_fn/merge_fn form a proper monoid."""
+    whole-input sketch when partial_fn/merge_fn form a proper monoid.
+
+    Each partial is persisted when it first computes (round 9): Spark
+    unions are lazy, so without the persist tier i re-executed all i
+    prior slice scans and total work was the same O(tiers²/2) slices as
+    progressive_prefix — the docstring's one-scan claim is only true
+    because the (bounded, sketch-sized) partials are cached.  The caller
+    owns the session-level cache lifetime (sketches are O(buckets) rows;
+    spark.catalog.clearCache() reclaims)."""
     merged: DataFrame | None = None
     for i in range(tiers):
-        part = partial_fn(df.filter(_tier_pred(key_cols, tiers, i, exact=True)))
+        part = partial_fn(
+            df.filter(_tier_pred(key_cols, tiers, i, exact=True))
+        ).persist()
         merged = part if merged is None else merged.unionByName(part)
         yield (i + 1) / tiers, merge_fn(merged)

@@ -2410,8 +2410,7 @@ def n4_pr_curve(spark, sf_dir):
     """,
 )
 def ext_cusum_changepoint(spark, sf_dir):
-    from pyspark.sql import Window
-
+    from hiero_spark.operators.anomaly import cusum_scaled
     from hiero_spark.queries._util import day_str
 
     daily = (
@@ -2419,19 +2418,8 @@ def ext_cusum_changepoint(spark, sf_dir):
         .groupBy(day_str(F.col("o_orderdate")).alias("day"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    ordered = Window.orderBy("day").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    everything = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    s_scaled = (
-        F.count(F.lit(1)).over(everything) * F.sum("n").over(ordered)
-        - F.row_number().over(Window.orderBy("day"))
-        * F.sum("n").over(everything)
-    ).cast("long")
     return (
-        daily.select("day", s_scaled.alias("s_scaled"))
+        cusum_scaled(daily)
         .orderBy(F.abs(F.col("s_scaled")).desc(), F.asc("day"))
         .limit(3)
     )

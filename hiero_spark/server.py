@@ -19,12 +19,14 @@ UI consumes. stdlib only (http.server + json): no new dependencies.
   GET /api/sketch/cdf?table=T&col=C&buckets=N[&spec=1]        A5 (+Vega)
   GET /api/sketch/heavy_hitters?table=T&cols=a,b&k=K          A8
   GET /api/sketch/quantiles?table=T&col=C&probs=0.5,0.9       A11
-  GET /api/progressive/histogram?table=T&col=C&tiers=K
+  GET /api/progressive/histogram?table=T&col=C&tiers=K[&mode=merge]
   GET /api/progressive/heatmap?table=T&xcol=X&ycol=Y&xbuckets=N&ybuckets=M
   GET /api/progressive/heavy_hitters?table=T&cols=a,b&k=K
       -> one JSON line per tier: {"fraction": f, "rows": [...]}  —
       hiero's PartialResult stream over plain chunked HTTP; the last
-      line is the exact full sketch.
+      line is the exact full sketch. mode=prefix (default) rescans a
+      growing prefix; mode=merge sketches each slice once and merges
+      the partials (total work ~ one scan, hiero's tree-merge cost).
 
 Scale contract (the root-node invariant): every response is RENDER-sized,
 never data-sized. Query/page rows are capped (`limit` <= MAX_ROWS),
@@ -352,18 +354,32 @@ class HieroHandler(BaseHTTPRequestHandler):
     def _progressive(self, kind: str, q):
         """PartialResult stream: one JSON line per tier, flushed as computed.
 
-        Uses progressive_prefix (hiero's refine-in-place shape): each line
-        is an exact sketch of a known fraction; the LAST line is the
-        exact full answer, so a client may stop reading whenever the shape
-        has stabilized — same early-abort the reference UI offers.
-        Tiers: histogram (A4), heatmap (A6), heavy_hitters (A8) — all the
-        mergeable-aggregation sketches a spreadsheet pane refines live.
+        Two modes (the two §4.3 emulation shapes in hiero_spark/
+        progressive.py):
+
+        * mode=prefix (default): each line is an exact sketch of a known
+          fraction (tier i rescans the first (i+1)/tiers of the data —
+          first paint fastest, ~tiers/2 scans total);
+        * mode=merge: each 1/tiers slice is sketched ONCE and the
+          bounded partials merge (the monoid ⊕) — total work ≈ one full
+          scan, exactly hiero's tree-merge cost model.
+
+        Either way the LAST line is the exact full answer, so a client
+        may stop reading whenever the shape has stabilized — the same
+        early-abort the reference UI offers.  Tiers: histogram (A4),
+        heatmap (A6), heavy_hitters (A8) — all mergeable-aggregation
+        sketches a spreadsheet pane refines live.
         """
-        from hiero_spark.progressive import progressive_prefix
+        from pyspark.sql import functions as F
+
+        from hiero_spark.progressive import progressive_merge, progressive_prefix
 
         df = self._table(q)
         tiers = max(2, min(int(q.get("tiers", ["4"])[0]), 16))
         key = q.get("key", [df.columns[0]])[0]
+        mode = q.get("mode", ["prefix"])[0]
+        if mode not in ("prefix", "merge"):
+            return self._error(400, "mode must be prefix|merge")
         if kind == "histogram":
             col = q.get("col", [""])[0]
             n = int(q.get("buckets", ["20"])[0])
@@ -372,13 +388,21 @@ class HieroHandler(BaseHTTPRequestHandler):
 
             def sketch(d):
                 return sketches.histogram1d(d, col, lo, hi, n).orderBy("bucket")
+
+            def merge(parts):
+                return (
+                    parts.groupBy("bucket")
+                    .agg(F.sum("bucket_count").cast("long").alias("bucket_count"))
+                    .orderBy("bucket")
+                )
         elif kind == "heatmap":
             xcol = q.get("xcol", [""])[0]
             ycol = q.get("ycol", [""])[0]
             xn = int(q.get("xbuckets", ["10"])[0])
             yn = int(q.get("ybuckets", ["10"])[0])
             # bucket edges pinned from the FULL data range so every tier's
-            # cells are comparable (the refine-in-place contract)
+            # cells are comparable (the refine-in-place contract) AND the
+            # per-slice partials are mergeable by cell
             xr = sketches.data_range(df, xcol).collect()[0]
             yr = sketches.data_range(df, ycol).collect()[0]
 
@@ -388,6 +412,13 @@ class HieroHandler(BaseHTTPRequestHandler):
                     xcol, float(xr["min_val"]), float(xr["max_val"]), xn,
                     ycol, float(yr["min_val"]), float(yr["max_val"]), yn,
                 ).orderBy("bucket_x", "bucket_y")
+
+            def merge(parts):
+                return (
+                    parts.groupBy("bucket_x", "bucket_y")
+                    .agg(F.sum("cell_count").cast("long").alias("cell_count"))
+                    .orderBy("bucket_x", "bucket_y")
+                )
         elif kind == "heavy_hitters":
             cols = [c for c in q.get("cols", [""])[0].split(",") if c]
             if not cols:
@@ -396,13 +427,33 @@ class HieroHandler(BaseHTTPRequestHandler):
 
             def sketch(d):
                 return sketches.heavy_hitters(d, cols, k)
+
+            # merge-mode partials are the FULL per-slice counts (top-k is
+            # not a monoid — a slice's #k+1 can be the global #1), so ⊕
+            # re-sums and only THEN cuts to k; partial size is O(distinct
+            # combos), the exact-frequency relation A9 already bounds
+            def sketch_partial(d):
+                return d.groupBy(*cols).agg(F.count(F.lit(1)).alias("cnt"))
+
+            def merge(parts):
+                return (
+                    parts.groupBy(*cols)
+                    .agg(F.sum("cnt").cast("long").alias("cnt"))
+                    .orderBy(F.desc("cnt"), *[F.col(c).asc() for c in cols])
+                    .limit(k)
+                )
         else:
             return self._error(404, f"unknown progressive sketch {kind!r}")
 
+        if mode == "merge":
+            partial = sketch_partial if kind == "heavy_hitters" else sketch
+            stream = progressive_merge(df, partial, merge, [key], tiers=tiers)
+        else:
+            stream = progressive_prefix(df, sketch, [key], tiers=tiers)
         self.send_response(200)
         self.send_header("Content-Type", "application/x-ndjson")
         self.end_headers()  # no Content-Length: close-delimited stream
-        for frac, part in progressive_prefix(df, sketch, [key], tiers=tiers):
+        for frac, part in stream:
             line = _dumps({"fraction": frac, "rows": _rows(part)}) + b"\n"
             self.wfile.write(line)
             self.wfile.flush()

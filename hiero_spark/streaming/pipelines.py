@@ -984,3 +984,64 @@ def hll_distinct_stream_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def cusum_stream_sink(
+    order_stream: DataFrame,
+    state_path: str,
+    drift_path: str,
+    checkpoint: str,
+    ts_col: str = "o_orderdate",
+    top_k: int = 3,
+):
+    """X25: streaming CUSUM drift monitoring — the on-line face of
+    ext_cusum_changepoint (sustained level shifts, the failure the X21
+    spike gate never trips on), maintained incrementally.
+
+    Each micro-batch folds its daily counts into the persisted bounded
+    day-count state (exact long addition — the agg_state monoid, fold ==
+    recompute bit-for-bit), then the all-BIGINT scaled CUSUM
+    (operators/anomaly.py:cusum_scaled — ONE code path with the batch
+    query) recomputes over the O(date domain) state and rewrites the
+    top-k drift table atomically. Per batch: O(batch) to bucket +
+    O(days) to merge/score; the raw history is never re-read. The
+    equivalence 'drift table after any batch == the batch operator over
+    everything ingested' is pinned in tests, across a kill/restart.
+    X16's replay caveat applies to the state appends (availableNow over
+    immutable files, or the X12 admit gate)."""
+    from hiero_spark.operators.anomaly import cusum_scaled
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        batch_state = batch_df.groupBy(
+            F.date_format(F.col(ts_col), "yyyy-MM-dd").alias("day")
+        ).agg(F.count(F.lit(1)).alias("n"))
+        if os.path.exists(os.path.join(state_path, "_SUCCESS")):
+            merged = (
+                spark.read.parquet(state_path)
+                .unionByName(batch_state)
+                .groupBy("day")
+                .agg(F.sum("n").cast("long").alias("n"))
+            )
+        else:
+            merged = batch_state
+        merged = merged.localCheckpoint()  # read-then-overwrite hazard
+        merged.write.mode("overwrite").parquet(state_path)
+        (
+            cusum_scaled(merged)
+            .orderBy(F.abs(F.col("s_scaled")).desc(), F.asc("day"))
+            .limit(top_k)
+            .write.mode("overwrite")
+            .parquet(drift_path)
+        )
+
+    return (
+        order_stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -94,8 +94,6 @@ def test_recall_at_k_output_shape_and_bounds(spark, sf_dir):
 def test_cusum_flags_a_planted_level_shift(spark):
     """A series with a mid-point level shift must put the CUSUM peak at
     the shift boundary."""
-    from pyspark.sql import Window
-
     rows = []
     ts = 0
     for day in range(40):
@@ -106,17 +104,13 @@ def test_cusum_flags_a_planted_level_shift(spark):
         "make_timestamp(2024, 1, 1, 0, 0, 0) + make_interval(0,0,0,day) AS o_orderdate",
         "i AS o_orderkey",
     )
+    from hiero_spark.operators.anomaly import cusum_scaled
+
     daily = df.groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("day")).agg(
         F.count(F.lit(1)).alias("n")
     )
-    ordered = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    everything = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    s = (
-        F.count(F.lit(1)).over(everything) * F.sum("n").over(ordered)
-        - F.row_number().over(Window.orderBy("day")) * F.sum("n").over(everything)
-    ).cast("long")
     top = (
-        daily.select("day", s.alias("s_scaled"))
+        cusum_scaled(daily)
         .orderBy(F.abs(F.col("s_scaled")).desc(), F.asc("day"))
         .limit(1)
         .collect()[0]

@@ -246,6 +246,37 @@ def test_progressive_heavy_hitters_stream(api, spark):
     assert got == want
 
 
+def test_progressive_merge_mode_final_equals_prefix_exact(api):
+    """mode=merge sketches each slice once and merges the monoid partials;
+    its LAST line must equal the prefix mode's exact full answer for all
+    three sketch kinds (top-k is not a monoid, so heavy_hitters merges
+    full per-slice counts before the cut — the case that would break if
+    partials were cut early)."""
+    for path in (
+        "/api/progressive/histogram?table=lineitem&col=l_quantity"
+        "&buckets=8&tiers=3&key=l_orderkey",
+        "/api/progressive/heatmap?table=lineitem&xcol=l_quantity"
+        "&ycol=l_discount&xbuckets=4&ybuckets=4&tiers=3&key=l_orderkey",
+        "/api/progressive/heavy_hitters?table=orders&cols=o_orderstatus"
+        "&k=3&tiers=3&key=o_orderkey",
+    ):
+        finals = {}
+        for mode in ("prefix", "merge"):
+            with urllib.request.urlopen(api + path + f"&mode={mode}",
+                                        timeout=300) as r:
+                lines = [json.loads(x) for x in r.read().splitlines()
+                         if x.strip()]
+            assert [ln["fraction"] for ln in lines][-1] == 1.0
+            finals[mode] = lines[-1]["rows"]
+        assert finals["merge"] == finals["prefix"], path
+
+
+def test_progressive_bad_mode_400(api):
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(api, "/api/progressive/histogram?table=orders&col=o_totalprice&mode=nope")
+    assert e.value.code == 400
+
+
 def test_progressive_unknown_kind_404(api):
     with pytest.raises(urllib.error.HTTPError) as e:
         _get(api, "/api/progressive/nope?table=orders")

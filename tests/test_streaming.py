@@ -1178,3 +1178,62 @@ def test_ohlc_restart_exact_once(spark, tmp_path):
         ("px", noon, 2, 1000, 1400, 1000, 1400),  # finalized pre-restart, once
         ("px", one, 2, 1100, 1100, 900, 900),     # spans the restart, once
     ]
+
+
+def test_cusum_stream_matches_batch_across_restart(spark, tmp_path):
+    """X25: the streaming drift table after ANY batch must equal the
+    batch CUSUM over everything ingested (fold == recompute through the
+    day-count monoid + one shared cusum_scaled code path), including
+    across a kill/restart between batches."""
+    from hiero_spark.operators.anomaly import cusum_scaled
+
+    src = tmp_path / "orders_src"
+    src.mkdir()
+    state = str(tmp_path / "state")
+    drift = str(tmp_path / "drift")
+    ck = str(tmp_path / "ckpt")
+    schema = "o_orderkey long, o_orderdate timestamp"
+
+    def rows_for(days, base_key, per_day):
+        out = []
+        k = base_key
+        for d, n in zip(days, per_day):
+            for _ in range(n):
+                out.append((k, f"2024-02-{d:02d} 12:00:00")); k += 1
+        return out
+
+    def run_batch(rows, name):
+        df = spark.createDataFrame(rows, "o_orderkey long, o_orderdate string") \
+            .selectExpr("o_orderkey", "CAST(o_orderdate AS TIMESTAMP) AS o_orderdate")
+        df.coalesce(1).write.parquet(str(src / name))
+        stream = spark.readStream.schema(schema).parquet(f"{src}/b*.parquet")
+        q = pl.cusum_stream_sink(stream, state, drift, ck)
+        q.awaitTermination(120)
+
+    def batch_cusum(all_rows):
+        df = spark.createDataFrame(all_rows, "o_orderkey long, o_orderdate string") \
+            .selectExpr("CAST(o_orderdate AS TIMESTAMP) AS ts")
+        daily = df.groupBy(
+            F.date_format("ts", "yyyy-MM-dd").alias("day")
+        ).agg(F.count(F.lit(1)).alias("n"))
+        return sorted(map(tuple, (
+            cusum_scaled(daily)
+            .orderBy(F.abs(F.col("s_scaled")).desc(), F.asc("day"))
+            .limit(3).collect()
+        )))
+
+    b0 = rows_for(range(1, 11), 0, [5] * 10)             # flat
+    run_batch(b0, "b0.parquet")
+    assert sorted(map(tuple, spark.read.parquet(drift).collect())) == \
+        batch_cusum(b0)
+
+    # level shift arrives in batch 1 — a fresh sink instance (restart:
+    # new query object, same checkpoint/state) must fold on top
+    b1 = rows_for(range(11, 21), 10_000, [15] * 10)
+    run_batch(b1, "b1.parquet")
+    got = sorted(map(tuple, spark.read.parquet(drift).collect()))
+    assert got == batch_cusum(b0 + b1)
+    # the peak |S| day is the shift boundary
+    peak = max(spark.read.parquet(drift).collect(),
+               key=lambda r: abs(r["s_scaled"]))
+    assert peak["day"] == "2024-02-10"

@@ -94,6 +94,10 @@ DUCKDB_ONLY: dict[str, tuple[str, str]] = {
         "min_by(col, ord) / max_by(col, ord)",
     ),
     "blob_type": (r"\bAS\s+BLOB\b", "CAST(... AS BINARY)"),
+    "qualify_clause": (
+        r"\bQUALIFY\b",
+        "window expression in a subquery + WHERE on the alias",
+    ),
     "recursive_cte_union_distinct": (
         r"\bWITH\s+RECURSIVE\b[\s\S]*\bUNION\b(?!\s+ALL)",
         "Spark 4 recursive CTEs accept UNION ALL only "

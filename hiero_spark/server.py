@@ -21,6 +21,7 @@ UI consumes. stdlib only (http.server + json): no new dependencies.
   GET /api/sketch/quantiles?table=T&col=C&probs=0.5,0.9       A11
   GET /api/progressive/histogram?table=T&col=C&tiers=K[&mode=merge]
   GET /api/progressive/heatmap?table=T&xcol=X&ycol=Y&xbuckets=N&ybuckets=M
+  GET /api/progressive/cdf?table=T&col=C&buckets=N
   GET /api/progressive/heavy_hitters?table=T&cols=a,b&k=K
       -> one JSON line per tier: {"fraction": f, "rows": [...]}  —
       hiero's PartialResult stream over plain chunked HTTP; the last
@@ -419,6 +420,39 @@ class HieroHandler(BaseHTTPRequestHandler):
                     .agg(F.sum("cell_count").cast("long").alias("cell_count"))
                     .orderBy("bucket_x", "bucket_y")
                 )
+        elif kind == "cdf":
+            col = q.get("col", [""])[0]
+            n = int(q.get("buckets", ["20"])[0])
+            row = sketches.data_range(df, col).collect()[0]
+            lo, hi = float(row["min_val"]), float(row["max_val"])
+
+            def sketch(d):
+                return sketches.cdf(d, col, lo, hi, n).orderBy("bucket")
+
+            # cumulative counts are NOT mergeable once a slice skips an
+            # empty bucket (its cum contribution to later buckets would
+            # vanish) — so merge-mode partials are plain histogram counts
+            # (additive with absent == 0) and the accumulation happens at
+            # merge time over the summed buckets
+            def sketch_partial(d):
+                return sketches.histogram1d(d, col, lo, hi, n)
+
+            def merge(parts):
+                from pyspark.sql import Window
+
+                w = Window.orderBy("bucket").rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+                return (
+                    parts.groupBy("bucket")
+                    .agg(F.sum("bucket_count").alias("bucket_count"))
+                    .select(
+                        "bucket",
+                        F.sum("bucket_count").over(w).cast("long")
+                        .alias("cum_count"),
+                    )
+                    .orderBy("bucket")
+                )
         elif kind == "heavy_hitters":
             cols = [c for c in q.get("cols", [""])[0].split(",") if c]
             if not cols:
@@ -446,7 +480,9 @@ class HieroHandler(BaseHTTPRequestHandler):
             return self._error(404, f"unknown progressive sketch {kind!r}")
 
         if mode == "merge":
-            partial = sketch_partial if kind == "heavy_hitters" else sketch
+            partial = (
+                sketch_partial if kind in ("heavy_hitters", "cdf") else sketch
+            )
             stream = progressive_merge(df, partial, merge, [key], tiers=tiers)
         else:
             stream = progressive_prefix(df, sketch, [key], tiers=tiers)

@@ -257,6 +257,8 @@ def test_progressive_merge_mode_final_equals_prefix_exact(api):
         "&buckets=8&tiers=3&key=l_orderkey",
         "/api/progressive/heatmap?table=lineitem&xcol=l_quantity"
         "&ycol=l_discount&xbuckets=4&ybuckets=4&tiers=3&key=l_orderkey",
+        "/api/progressive/cdf?table=lineitem&col=l_quantity"
+        "&buckets=8&tiers=3&key=l_orderkey",
         "/api/progressive/heavy_hitters?table=orders&cols=o_orderstatus"
         "&k=3&tiers=3&key=o_orderkey",
     ):

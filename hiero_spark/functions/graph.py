@@ -120,6 +120,61 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     )
 
 
+def local_clustering_coefficient(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node local clustering coefficient over the undirected simple
+    graph: cc(v) = 2 * triangles(v) / (deg(v) * (deg(v) - 1)), 0 for
+    degree < 2.  Returns (node, degree, n_triangles, local_cc).
+
+    Shape: the same compact-forward wedge chain as triangle_count
+    (each triangle {x<y<z} materialized once), then one explode to credit
+    its three corners and two bounded groupBys — intermediate size is
+    the wedge bound, output is O(nodes).  Counts are exact integers and
+    the coefficient is one double expression over them, so the whole
+    statistic is hash-checkable cross-engine (most graph ops are
+    rows-only; this one earns a full SQL oracle).
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    e1 = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = und.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = und.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tris = e1.join(e2, "y").join(e3, ["x", "z"])
+    tri_per_node = (
+        tris.select(F.explode(F.array("x", "y", "z")).alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionAll(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    joined = deg.join(tri_per_node, "v", "left").select(
+        F.col("v").alias("node"),
+        F.col("d").cast("long").alias("degree"),
+        F.coalesce(F.col("t"), F.lit(0)).cast("long").alias("n_triangles"),
+        F.round(
+            F.when(
+                F.col("d") >= 2,
+                F.lit(2.0)
+                * F.coalesce(F.col("t"), F.lit(0))
+                / (F.col("d") * (F.col("d") - 1)),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("local_cc"),
+    )
+    return joined
+
+
 def connected_components(
     edges: DataFrame,
     nodes: DataFrame | None = None,

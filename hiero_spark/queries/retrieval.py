@@ -168,6 +168,68 @@ def n7_triangle_count(spark, sf_dir):
 
 
 @query(
+    "n7_clustering_coefficient",
+    group="N7",
+    doc="Per-node local clustering coefficient over the synthetic doc "
+        "link graph (functions/graph.py:local_clustering_coefficient): "
+        "2*tri(v) / (deg(v)*(deg(v)-1)) from the compact-forward wedge "
+        "chain — exact integer counts plus one double expression, so "
+        "unlike the iterative graph ops this statistic earns a FULL "
+        "hash-checked SQL oracle.",
+    oracle="""
+        WITH nn AS (SELECT MAX(doc_id) + 1 AS n FROM documents),
+        e0 AS (
+          SELECT doc_id AS src, (doc_id * 7 + j * 13) % n AS dst
+          FROM documents CROSS JOIN nn, UNNEST([1, 2, 3]) AS u(j)
+          WHERE (doc_id * 7 + j * 13) % n <> doc_id
+        ), und AS (
+          SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+          FROM e0
+        ), tri AS (
+          SELECT e1.a AS x, e1.b AS y, e2.b AS z
+          FROM und e1
+          JOIN und e2 ON e2.a = e1.b
+          JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+        ), tnode AS (
+          SELECT v, COUNT(*) AS t FROM (
+            SELECT x AS v FROM tri
+            UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri
+          ) GROUP BY 1
+        ), deg AS (
+          SELECT v, COUNT(*) AS d FROM (
+            SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und
+          ) GROUP BY 1
+        )
+        SELECT deg.v AS node,
+               CAST(d AS BIGINT) AS degree,
+               CAST(COALESCE(t, 0) AS BIGINT) AS n_triangles,
+               ROUND(CASE WHEN d >= 2
+                          THEN 2.0 * COALESCE(t, 0) / (d * (d - 1))
+                          ELSE 0.0 END, 6) AS local_cc
+        FROM deg LEFT JOIN tnode ON tnode.v = deg.v
+    """,
+)
+def n7_clustering_coefficient(spark, sf_dir):
+    from hiero_spark.functions.graph import local_clustering_coefficient
+
+    docs = t(spark, sf_dir, "documents")
+    n = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    edges = (
+        docs.select(
+            "doc_id",
+            F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("j"),
+        )
+        .select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * 7 + F.col("j") * 13) % n).alias("dst"),
+        )
+        .filter(F.col("dst") != F.col("src"))
+    )
+    return local_clustering_coefficient(edges)
+
+
+@query(
     "n6_weighted_sample",
     group="N6",
     doc="Deterministic PPS sample: 50 draws proportional to n_chars via "

@@ -304,3 +304,19 @@ def test_bellman_ford_fuzz_vs_python_reference(spark):
             ).collect()
         }
         assert got == _py_bf(edges, sources, rounds), (trial, edges, sources)
+
+
+def test_local_clustering_coefficient_hand_graph(spark):
+    """K3 plus one pendant: triangle nodes have cc = 1 (a,b) or 1/3 (the
+    hub with the pendant), the pendant has degree 1 -> cc 0."""
+    from hiero_spark.functions.graph import local_clustering_coefficient
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], ["src", "dst"]
+    )
+    got = {r["node"]: (r["degree"], r["n_triangles"], r["local_cc"])
+           for r in local_clustering_coefficient(edges).collect()}
+    assert got[1] == (2, 1, 1.0)
+    assert got[2] == (2, 1, 1.0)
+    assert got[3] == (3, 1, round(1 / 3, 6))
+    assert got[4] == (1, 0, 0.0)

@@ -147,3 +147,47 @@ def test_kappa_perfect_and_chance_agreement(spark):
     assert kappa_of(
         [(1, 1)] * 25 + [(1, 0)] * 25 + [(0, 1)] * 25 + [(0, 0)] * 25
     ) == 0.0
+
+
+def test_entity_resolution_identical_duplicates_collapse(spark, tmp_path):
+    """The identical-record collapse (round-9): g verbatim copies must
+    yield ONE entity with n_members == g (+ fuzzy partners) without g^2
+    pairwise edges — and stay hash-equal to the general SQL oracle,
+    which sees the copies as levenshtein-0 edges. The sf corpus has no
+    verbatim duplicates, so this branch needs its own planted data."""
+    from hiero_spark.registry import all_queries
+
+    rows = (
+        # 4 verbatim copies of one record (ids 5,10,15,20: %5==0 also
+        # spawns variants for each -> one big cluster)
+        [(k, "Customer#AAA", 7, 100.0) for k in (5, 10, 15, 20)]
+        # an isolated singleton: must NOT appear in the output
+        + [(3, "Customer#ZZZ", 9, 50.0)]
+        # a fuzzy pair in one block (1-char difference)
+        + [(11, "Customer#BBB", 2, 75.0), (12, "Customer#BBq", 2, 75.0)]
+    )
+    df = spark.createDataFrame(
+        rows, "c_custkey long, c_name string, c_nationkey long, c_acctbal double"
+    )
+    df.write.parquet(str(tmp_path / "customer.parquet"))
+    spec = all_queries()["n1_entity_resolution"]
+    got = sorted(
+        map(tuple, spec.fn(spark, str(tmp_path)).collect())
+    )
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW customer AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/customer.parquet/*.parquet')"
+    )
+    want = sorted(map(tuple, con.execute(spec.oracle).fetchall()))
+    want = [(a, int(b), c) for a, b, c in want]
+    assert got == want
+    by_id = {r[0]: r for r in got}
+    # the big cluster: 4 copies + 4 variants, canonical = min id 5
+    assert by_id[5][1] == 8
+    # the fuzzy pair resolved; the singleton id 3 is absent
+    assert by_id[11][1] == 2
+    assert 3 not in by_id

@@ -94,6 +94,12 @@ DUCKDB_ONLY: dict[str, tuple[str, str]] = {
         "min_by(col, ord) / max_by(col, ord)",
     ),
     "blob_type": (r"\bAS\s+BLOB\b", "CAST(... AS BINARY)"),
+    "materialized_cte": (
+        r"\bAS\s+MATERIALIZED\s*\(",
+        "plain CTEs (Spark materializes via cache/localCheckpoint instead; "
+        "DuckDB needs the hint to stop exponential CTE re-inlining in the "
+        "unrolled k-core peel)",
+    ),
     "qualify_clause": (
         r"\bQUALIFY\b",
         "window expression in a subquery + WHERE on the alias",

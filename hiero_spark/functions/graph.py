@@ -175,6 +175,65 @@ def local_clustering_coefficient(
     return joined
 
 
+def k_core(
+    edges: DataFrame, k: int, src: str = "src", dst: str = "dst",
+    n_rounds: int = 6,
+) -> DataFrame:
+    """Bounded-round k-core peeling over the undirected simple graph:
+    repeatedly drop every node of degree < k, `n_rounds` times (or until
+    the fixed point arrives early — a no-op round changes nothing, so
+    early-stop and exhaust-the-budget agree).  Returns (node,
+    core_degree) of the surviving subgraph.
+
+    The BOUNDED-round contract is what makes the statistic hash-checkable
+    cross-engine: peeling is non-monotone (each round negates the
+    previous round's survivor set), so no recursive-CTE oracle exists for
+    the fixed point — but "peel exactly R rounds" unrolls into R plain
+    CTE stages that DuckDB runs verbatim (the CC/BFS bounded-round
+    precedent).  When R >= the graph's peeling depth the result IS the
+    true k-core; tests assert the registered corpus converges within the
+    pinned budget.
+
+    Shape per round: one degree aggregation + two anti-joins over a
+    shrinking edge set; localCheckpoint cuts the per-round lineage (the
+    iterative-graph contract).  Peeling depth on real graphs is small —
+    degeneracy ordering removes whole layers per round.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    cur = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def degrees(e: DataFrame) -> DataFrame:
+        return (
+            e.select(F.col("a").alias("v"))
+            .unionAll(e.select(F.col("b").alias("v")))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+
+    for _ in range(n_rounds):
+        bad = degrees(cur).filter(F.col("d") < k).select("v")
+        if bad.isEmpty():
+            break
+        bad = bad.localCheckpoint()
+        cur = (
+            cur.join(bad.withColumnRenamed("v", "a"), "a", "left_anti")
+            .join(bad.withColumnRenamed("v", "b"), "b", "left_anti")
+            .localCheckpoint()
+        )
+    return degrees(cur).select(
+        F.col("v").alias("node"), F.col("d").cast("long").alias("core_degree")
+    )
+
+
 def connected_components(
     edges: DataFrame,
     nodes: DataFrame | None = None,

@@ -229,6 +229,79 @@ def n7_clustering_coefficient(spark, sf_dir):
     return local_clustering_coefficient(edges)
 
 
+def _kcore_oracle_sql(k: int, rounds: int) -> str:
+    """Unrolled bounded-round peel (see functions/graph.py:k_core — the
+    fixed point is non-monotone, so the oracle unrolls exactly the same
+    R rounds the Spark arm runs; generated next to the query so the
+    round budgets cannot drift apart).  MATERIALIZED CTEs: DuckDB
+    otherwise inlines each CTE per reference and the 6-round chain
+    (4+ references per round) expands exponentially — measured as an
+    fd exhaustion opening documents.parquet thousands of times."""
+    ctes = [
+        "nn AS (SELECT MAX(doc_id) + 1 AS n FROM documents)",
+        """e0 AS MATERIALIZED (
+          SELECT doc_id AS src, (doc_id * 7 + j * 13) % n AS dst
+          FROM documents CROSS JOIN nn, UNNEST([1, 2, 3]) AS u(j)
+          WHERE (doc_id * 7 + j * 13) % n <> doc_id
+        )""",
+        """und0 AS MATERIALIZED (
+          SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+          FROM e0
+        )""",
+    ]
+    prev = "und0"
+    for i in range(1, rounds + 1):
+        ctes.append(f"""deg{i} AS MATERIALIZED (
+          SELECT v, COUNT(*) AS d FROM (
+            SELECT a AS v FROM {prev} UNION ALL SELECT b AS v FROM {prev}
+          ) GROUP BY 1
+        )""")
+        ctes.append(f"bad{i} AS MATERIALIZED (SELECT v FROM deg{i} WHERE d < {k})")
+        ctes.append(f"""und{i} AS MATERIALIZED (
+          SELECT a, b FROM {prev}
+          WHERE a NOT IN (SELECT v FROM bad{i})
+            AND b NOT IN (SELECT v FROM bad{i})
+        )""")
+        prev = f"und{i}"
+    return f"""
+        WITH {", ".join(ctes)}
+        SELECT v AS node, CAST(COUNT(*) AS BIGINT) AS core_degree
+        FROM (SELECT a AS v FROM {prev} UNION ALL SELECT b AS v FROM {prev})
+        GROUP BY 1
+    """
+
+
+@query(
+    "n7_kcore",
+    group="N7",
+    doc="Bounded-round 3-core peeling over the synthetic doc link graph "
+        "(functions/graph.py:k_core): drop degree<3 nodes, 6 rounds — "
+        "peeling is non-monotone so no recursive-CTE fixed point exists, "
+        "but the EXACT same 6 unrolled rounds run verbatim on DuckDB, so "
+        "the statistic is hash-checked end to end; a test asserts the "
+        "corpus converges within the budget, making the 6-round result "
+        "the true 3-core.",
+    oracle=_kcore_oracle_sql(k=3, rounds=6),
+)
+def n7_kcore(spark, sf_dir):
+    from hiero_spark.functions.graph import k_core
+
+    docs = t(spark, sf_dir, "documents")
+    n = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    edges = (
+        docs.select(
+            "doc_id",
+            F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("j"),
+        )
+        .select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * 7 + F.col("j") * 13) % n).alias("dst"),
+        )
+        .filter(F.col("dst") != F.col("src"))
+    )
+    return k_core(edges, k=3, n_rounds=6)
+
+
 @query(
     "n6_weighted_sample",
     group="N6",

@@ -320,3 +320,81 @@ def test_local_clustering_coefficient_hand_graph(spark):
     assert got[2] == (2, 1, 1.0)
     assert got[3] == (3, 1, round(1 / 3, 6))
     assert got[4] == (1, 0, 0.0)
+
+
+def _py_kcore(edges, k, rounds):
+    und = {(min(u, v), max(u, v)) for u, v in edges if u != v}
+    for _ in range(rounds):
+        deg = {}
+        for a, b in und:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        bad = {v for v, d in deg.items() if d < k}
+        if not bad:
+            break
+        und = {(a, b) for a, b in und if a not in bad and b not in bad}
+    deg = {}
+    for a, b in und:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    return deg
+
+
+def test_kcore_fuzz_vs_python_reference(spark):
+    import random
+
+    from hiero_spark.functions.graph import k_core
+
+    rng = random.Random(77)
+    for trial in range(5):
+        n = rng.randint(8, 24)
+        edges = sorted(
+            {
+                (rng.randrange(n), rng.randrange(n))
+                for _ in range(rng.randint(n, 4 * n))
+            }
+        )
+        edges = [(u, v) for u, v in edges if u != v]
+        k = rng.randint(1, 4)
+        rounds = rng.randint(1, 6)
+        got = {
+            r["node"]: r["core_degree"]
+            for r in k_core(
+                spark.createDataFrame(edges, ["src", "dst"]), k, n_rounds=rounds
+            ).collect()
+        }
+        assert got == _py_kcore(edges, k, rounds), (trial, edges, k, rounds)
+
+
+def test_kcore_known_graph_and_convergence_budget(spark, sf_dir):
+    """K4 with a tail: the 3-core is exactly the K4. Plus the registered
+    corpus budget claim: the doc link graph's 3-core peeling converges
+    within the pinned 6 rounds at the driver's scales, so n7_kcore's
+    bounded-round result IS the true 3-core."""
+    from hiero_spark.functions.graph import k_core
+    from hiero_spark.registry import all_queries
+
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6)]
+    got = {
+        r["node"]: r["core_degree"]
+        for r in k_core(spark.createDataFrame(edges, ["src", "dst"]), 3).collect()
+    }
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+    # convergence-within-budget on the registered corpus: one extra round
+    # changes nothing
+    spec = all_queries()["n7_kcore"]
+    six = sorted(map(tuple, spec.fn(spark, sf_dir).collect()))
+    from pyspark.sql import functions as F
+    from hiero_spark.queries._util import t as _t
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    e = (
+        docs.select("doc_id", F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("j"))
+        .select(F.col("doc_id").alias("src"),
+                ((F.col("doc_id") * 7 + F.col("j") * 13) % n).alias("dst"))
+        .filter(F.col("dst") != F.col("src"))
+    )
+    seven = sorted(map(tuple, k_core(e, k=3, n_rounds=7).collect()))
+    assert six == seven, "peeling not converged within the pinned budget"

@@ -2485,3 +2485,71 @@ def n4_kappa_agreement(spark, sf_dir):
     return m.select(
         "n11", "n10", "n01", "n00", F.round(kappa, 6).alias("kappa")
     )
+
+
+@query(
+    "ext_target_encoding",
+    group="ext-agg",
+    doc="m-estimate target encoding of a categorical feature — the "
+        "leakage-prone tabular-ML preprocessing step done right at the "
+        "engine: encode o_orderpriority by the smoothed mean order value "
+        "(cents), (sum_c + m * global_mean) / (n_c + m) with m=10, which "
+        "shrinks rare categories toward the prior. Sums are exact "
+        "scaled-integer cents; the global mean and the final encode are "
+        "the ONLY double ops and share one expression shape across "
+        "engines, so the encoding is hash-checked. Train/serve contract: "
+        "the output IS the lookup table (one row per category, "
+        "broadcastable at any scale); computing it on the TRAIN split "
+        "only is the caller's leakage hygiene (n6_leakage_safe_split).",
+    oracle="""
+        WITH base AS (
+          SELECT o_orderpriority AS category,
+                 CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+          FROM orders
+        ), g AS (
+          SELECT CAST(SUM(cents) AS BIGINT) AS s_all,
+                 CAST(COUNT(*) AS BIGINT) AS n_all
+          FROM base
+        ), c AS (
+          SELECT category,
+                 CAST(SUM(cents) AS BIGINT) AS s,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM base GROUP BY 1
+        )
+        SELECT category,
+               n AS n_rows,
+               ROUND((CAST(s AS DOUBLE)
+                      + 10.0 * (CAST(s_all AS DOUBLE) / n_all))
+                     / (n + 10), 4) AS encoded_cents
+        FROM c CROSS JOIN g
+    """,
+)
+def ext_target_encoding(spark, sf_dir):
+    base = t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("category"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    g = base.agg(
+        F.sum("cents").cast("long").alias("s_all"),
+        F.count(F.lit(1)).cast("long").alias("n_all"),
+    )
+    c = base.groupBy("category").agg(
+        F.sum("cents").cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    enc = (
+        c.crossJoin(F.broadcast(g))
+        .select(
+            "category",
+            F.col("n").alias("n_rows"),
+            F.round(
+                (
+                    F.col("s").cast("double")
+                    + F.lit(10.0) * (F.col("s_all").cast("double") / F.col("n_all"))
+                )
+                / (F.col("n") + 10),
+                4,
+            ).alias("encoded_cents"),
+        )
+    )
+    return enc

@@ -55,6 +55,7 @@ BNLJ_ALLOWED = {
     "n2_hard_negatives": "intended broadcast fan-out of the bounded anchor set (batch-ANN shape)",
     "a18_skew_audit": "scalar broadcast: 1-row totals join the Zipf-bounded count distribution",
     "n6_triplets": "intended broadcast fan-out of the bounded anchor set (batch-ANN shape)",
+    "ext_target_encoding": "scalar broadcast: 1-row global (sum, count) prior joins the category table",
 }
 
 _SPECS = all_queries()

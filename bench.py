@@ -875,6 +875,15 @@ def main() -> None:
         "n3_image_near_dups",
         "n3_video_near_dups",
         "n3_audio_near_dups",
+        # round 9 additions
+        "n6_leakage_safe_split",
+        "n2_recall_at_k",
+        "ext_dp_mean",
+        "ext_cusum_changepoint",
+        "n4_kappa_agreement",
+        "n7_clustering_coefficient",
+        "n7_kcore",
+        "ext_target_encoding",
     ]
 
     def run_r6_ops(data_dir: str) -> dict[str, float]:

@@ -22,6 +22,7 @@ UI consumes. stdlib only (http.server + json): no new dependencies.
   GET /api/progressive/histogram?table=T&col=C&tiers=K[&mode=merge]
   GET /api/progressive/heatmap?table=T&xcol=X&ycol=Y&xbuckets=N&ybuckets=M
   GET /api/progressive/cdf?table=T&col=C&buckets=N
+  GET /api/progressive/quantiles?table=T&col=C&probs=0.5,0.9
   GET /api/progressive/heavy_hitters?table=T&cols=a,b&k=K
       -> one JSON line per tier: {"fraction": f, "rows": [...]}  —
       hiero's PartialResult stream over plain chunked HTTP; the last
@@ -453,6 +454,17 @@ class HieroHandler(BaseHTTPRequestHandler):
                     )
                     .orderBy("bucket")
                 )
+        elif kind == "quantiles":
+            col = q.get("col", [""])[0]
+            probs = [float(p) for p in q.get("probs", ["0.5"])[0].split(",")]
+            if mode == "merge":
+                # exact quantiles are not a monoid over slice outputs
+                # (no bounded merge of two quantile vectors is exact);
+                # prefix tiers give the same refine-to-exact contract
+                return self._error(400, "quantiles supports mode=prefix only")
+
+            def sketch(d):
+                return sketches.quantiles(d, col, probs, exact=True)
         elif kind == "heavy_hitters":
             cols = [c for c in q.get("cols", [""])[0].split(",") if c]
             if not cols:

@@ -143,3 +143,21 @@ def test_every_registered_fn_is_sliceable():
         if "." in getattr(s.fn, "__qualname__", "") or s.fn.__module__ not in paths
     ]
     assert not coarse, f"non-sliceable query fns (v2 fallback): {coarse}"
+
+
+def test_every_query_slices_cleanly_and_contains_itself():
+    """Smoke over the whole registry: the slicer must resolve every
+    registered fn without error, anchor the fn's own segment, include
+    its own module preamble, and produce a stable digest.  A slicer
+    crash would otherwise surface at window-derivation time (round
+    boundary); this test moves the failure to commit time."""
+    specs = all_queries()
+    for name, spec in specs.items():
+        mod = spec.fn.__module__
+        fn_name = spec.fn.__qualname__
+        nodes = evidence_slice.slice_nodes(mod, fn_name)
+        assert ("seg", mod, fn_name) in nodes, name
+        assert ("pre", mod) in nodes, name
+        d1 = evidence_slice.slice_digest(mod, fn_name)
+        d2 = evidence_slice.slice_digest(mod, fn_name)
+        assert d1 == d2 and len(d1) == 64, name

@@ -283,3 +283,29 @@ def test_progressive_unknown_kind_404(api):
     with pytest.raises(urllib.error.HTTPError) as e:
         _get(api, "/api/progressive/nope?table=orders")
     assert e.value.code == 404
+
+
+def test_progressive_quantiles_prefix_only(api, spark):
+    url = (
+        api
+        + "/api/progressive/quantiles?table=lineitem&col=l_extendedprice"
+        + "&probs=0.25,0.5,0.75&tiers=3&key=l_orderkey"
+    )
+    with urllib.request.urlopen(url, timeout=300) as r:
+        lines = [json.loads(x) for x in r.read().splitlines() if x.strip()]
+    fracs = [ln["fraction"] for ln in lines]
+    assert len(lines) == 3 and fracs[-1] == 1.0
+    from hiero_spark import catalog
+    from hiero_spark.operators import sketches
+
+    exact = sketches.quantiles(
+        catalog.load_table(spark, SF_SMOKE, "lineitem"),
+        "l_extendedprice", [0.25, 0.5, 0.75], exact=True,
+    ).collect()[0].asDict()
+    got = lines[-1]["rows"][0]
+    assert all(float(got[k]) == float(v) for k, v in exact.items())
+    # merge mode is an explicit 400, not a silent wrong answer
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(api, "/api/progressive/quantiles?table=lineitem"
+             "&col=l_extendedprice&mode=merge")
+    assert e.value.code == 400

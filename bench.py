@@ -685,6 +685,76 @@ def main() -> None:
         spark.catalog.clearCache()
         return out
 
+    def er_skew() -> dict:
+        """Round-9: skew-stress the entity-resolution shape under heavy
+        duplication — the regime record linkage actually faces (one
+        customer record replicated across g source systems).  200k
+        records where ONE record has 5k verbatim copies: before the
+        identical-record collapse the in-block pairwise stage generated
+        g^2/2 = 12.5M levenshtein edges for that single entity; collapsed,
+        the hot entity contributes ZERO pairwise edges (its copies are one
+        representative) and the edge count tracks distinct-record block
+        structure only.  Wall + edge count measured; the resolved entity
+        must still report all 5k members."""
+        from pyspark.sql import functions as F
+
+        from hiero_spark.functions.graph import connected_components
+
+        n, hot = 200_000, 5_000
+        base = spark.range(n).select(
+            F.col("id").alias("rec_id"),
+            F.when(F.col("id") < hot, F.lit("Customer#HOTDUP"))
+            .otherwise(F.concat(F.lit("Customer#"), F.col("id")))
+            .alias("name"),
+            F.when(F.col("id") < hot, F.lit(7))
+            .otherwise(F.pmod(F.col("id"), F.lit(25)))
+            .alias("nat"),
+            F.when(F.col("id") < hot, F.lit(123456))
+            .otherwise(F.col("id") * 100)
+            .alias("cents"),
+        )
+        t0 = time.perf_counter()
+        groups = (
+            base.groupBy("name", "nat", "cents")
+            .agg(F.min("rec_id").alias("rec_id"),
+                 F.count(F.lit(1)).alias("n_ids"))
+            .localCheckpoint()
+        )
+        a, b = groups.alias("a"), groups.alias("b")
+        edges = (
+            a.join(
+                b,
+                (F.col("a.nat") == F.col("b.nat"))
+                & (F.col("a.cents") == F.col("b.cents"))
+                & (F.col("a.rec_id") < F.col("b.rec_id")),
+            )
+            .filter(F.levenshtein(F.col("a.name"), F.col("b.name")) <= 1)
+            .select(F.col("a.rec_id").alias("src"), F.col("b.rec_id").alias("dst"))
+        )
+        n_edges = edges.count()
+        comp = connected_components(edges)
+        ent = (
+            groups.join(comp, groups["rec_id"] == comp["node"], "left")
+            .select(
+                F.coalesce(F.col("component"), F.col("rec_id")).alias("c"),
+                "n_ids",
+            )
+            .filter(F.col("n_ids") >= 2)  # report the duplicate entity
+            .groupBy("c")
+            .agg(F.sum("n_ids").alias("members"))
+            .collect()
+        )
+        wall = round(time.perf_counter() - t0, 1)
+        hot_members = max((int(r["members"]) for r in ent), default=0)
+        return {
+            "n_records": n,
+            "hot_copies": hot,
+            "wall_sec": wall,
+            "pairwise_edges": n_edges,
+            "uncollapsed_edges_would_be": hot * (hot - 1) // 2,
+            "hot_entity_members": hot_members,
+        }
+
     def e2e_throughput() -> dict:
         """End-to-end curation-core throughput at 1M docs — the headline
         number a pipeline owner actually budgets with (docs/sec through
@@ -922,6 +992,7 @@ def main() -> None:
     tix = text_index_payoff(sf_dir)
     skew = skew_stress()
     cont_skew = containment_skew()
+    er = er_skew()
     e2e = e2e_throughput()
     r6_ops = run_r6_ops(sf_dir)
 
@@ -944,6 +1015,7 @@ def main() -> None:
                 "text_index_payoff": tix,
                 "skew_stress": skew,
                 "containment_skew": cont_skew,
+                "er_skew": er,
                 "e2e_throughput": e2e,
                 "round_ops": r6_ops,
             },

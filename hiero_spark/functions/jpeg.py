@@ -4,10 +4,12 @@ The last compressed format a crawl corpus actually contains: PNG (zlib)
 and IMA-ADPCM set the vendoring pattern (multimodal.py), JPEG completes
 the ladder — Huffman entropy decode, dequantize, 8x8 IDCT, chroma
 upsampling, YCbCr->RGB, all from the public ITU-T T.81 spec.  Scope is
-baseline sequential DCT (SOF0) with 8-bit samples, 1 or 3 components,
-any sampling factors up to 2x2 (covers 4:4:4 / 4:2:2 / 4:2:0 — the
-overwhelming majority of real JPEGs); progressive (SOF2), arithmetic
-coding, and 12-bit belong to PIL.  Restart markers (DRI/RSTn) are
+8-bit samples, 1 or 3 components, any sampling factors up to 2x2
+(covers 4:4:4 / 4:2:2 / 4:2:0 — the overwhelming majority of real
+JPEGs), for BOTH baseline sequential DCT (SOF0) and progressive DCT
+with Huffman coding (SOF2, Annex G: spectral selection + successive
+approximation, round 9 — the second-most-common crawl variant);
+arithmetic coding and 12-bit belong to PIL.  Restart markers (DRI/RSTn) are
 handled.  The encoder twin writes baseline 4:4:4 with the spec's Annex K
 example tables so round-trip tests and the resize path work lib-free;
 decode correctness is additionally pinned by a hand-assembled
@@ -184,6 +186,8 @@ def _decode_jpeg_strict(payload: bytes):
     qt: dict[int, list[int]] = {}
     huff: dict[tuple[int, int], dict] = {}
     frame = None
+    progressive = False
+    prog = None  # accumulated coefficient state across progressive scans
     restart_interval = 0
     pos = 2
     while pos + 4 <= len(payload):
@@ -218,7 +222,7 @@ def _decode_jpeg_strict(payload: bytes):
                     counts, body[i + 17 : i + 17 + n]
                 )
                 i += 17 + n
-        elif marker == 0xC0:  # SOF0: baseline sequential
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8 or nc not in (1, 3) or w == 0 or h == 0:
                 return None
@@ -231,25 +235,46 @@ def _decode_jpeg_strict(payload: bytes):
             if any(c["h"] not in (1, 2) or c["v"] not in (1, 2) for c in comps):
                 return None
             frame = (w, h, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            progressive = marker == 0xC2
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
-            return None  # extended/progressive/lossless/arithmetic
+            return None  # extended/lossless/arithmetic
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS: entropy-coded data follows
             if frame is None:
                 return None
             ns = body[0]
-            scan = {}
-            for si in range(ns):
-                cs, tables = body[1 + 2 * si], body[2 + 2 * si]
-                scan[cs] = (tables >> 4, tables & 0x0F)
-            return _decode_scan(
-                payload, pos, frame, qt, huff, scan, restart_interval
+            if not progressive:
+                scan = {}
+                for si in range(ns):
+                    cs, tables = body[1 + 2 * si], body[2 + 2 * si]
+                    scan[cs] = (tables >> 4, tables & 0x0F)
+                return _decode_scan(
+                    payload, pos, frame, qt, huff, scan, restart_interval
+                )
+            scan_comps = [
+                (body[1 + 2 * si], body[2 + 2 * si] >> 4,
+                 body[2 + 2 * si] & 0x0F)
+                for si in range(ns)
+            ]
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0x0F
+            if prog is None:
+                prog = _init_progressive(frame)
+            pos = _decode_progressive_scan(
+                payload, pos, frame, prog, huff, scan_comps,
+                ss, se, ah, al, restart_interval,
             )
-        elif marker == 0xD9:  # EOI before any scan
-            return None
+        elif marker == 0xD9:  # EOI
+            if progressive and prog is not None:
+                return _assemble_progressive(frame, prog, qt)
+            return None  # EOI before any scan
         # APPn / COM / others: skipped
+    # progressive streams truncated before EOI still render what arrived —
+    # exactly the point of the format; require at least one decoded scan
+    if progressive and prog is not None and prog["scans"] > 0:
+        return _assemble_progressive(frame, prog, qt)
     return None
 
 
@@ -312,6 +337,12 @@ def _decode_scan(payload, pos, frame, qt, huff, scan, restart_interval):
                                     0 if v < 0 else (255 if v > 255 else v)
                                 )
             mcu += 1
+    return _planes_to_rows(w, h, comps, planes, hmax, vmax)
+
+
+def _planes_to_rows(w, h, comps, planes, hmax, vmax):
+    """Shared tail of baseline and progressive decode: upsample chroma and
+    convert YCbCr->RGB (or replicate the single gray plane)."""
     rows = []
     if len(comps) == 1:
         stride = comps[0]["bw"] * 8
@@ -346,6 +377,202 @@ def _decode_scan(payload, pos, frame, qt, huff, scan, restart_interval):
             )
         rows.append(line)
     return w, h, rows
+
+
+# --------------------------------------------------------------------------
+# Progressive (SOF2) decode: T.81 Annex G — spectral selection +
+# successive approximation, Huffman entropy coding.  Coefficients
+# accumulate across scans in integer form and dequantize+IDCT once at
+# EOI.  Control flow mirrors the libjpeg jdphuff reference semantics
+# (the de-facto conformance target), re-derived from the spec text.
+
+
+def _init_progressive(frame) -> dict:
+    w, h, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    coef = []
+    for c in comps:
+        c["bw"] = mcux * c["h"]   # interleaved (padded) block grid
+        c["bh"] = mcuy * c["v"]
+        # non-interleaved scans iterate only the blocks covering the
+        # component's actual samples (T.81 A.2.2), stored into the
+        # padded grid
+        c["bw2"] = ((w * c["h"] + hmax - 1) // hmax + 7) // 8
+        c["bh2"] = ((h * c["v"] + vmax - 1) // vmax + 7) // 8
+        coef.append([[0] * 64 for _ in range(c["bw"] * c["bh"])])
+    return {"coef": coef, "mcux": mcux, "mcuy": mcuy,
+            "hmax": hmax, "vmax": vmax, "scans": 0}
+
+
+def _ac_first(reader, tab, coef, ss, se, al, eobrun):
+    """One block of an AC first-pass scan (Ah == 0); returns new EOBRUN."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = reader.decode(tab)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:
+                k += 16  # ZRL
+                continue
+            return (1 << r) - 1 + (reader.bits(r) if r else 0)
+        k += r
+        if k > se:
+            raise ValueError("AC band overflow")
+        coef[ZIGZAG[k]] = _extend(reader.bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine(reader, tab, coef, ss, se, al, eobrun):
+    """One block of an AC refinement scan (Ah == Al + 1): newly-nonzero
+    coefficients arrive as +/-1<<Al; every nonzero-HISTORY coefficient the
+    traversal passes consumes one correction bit.  Returns new EOBRUN."""
+    p1, m1 = 1 << al, -(1 << al)
+
+    def correct(z):
+        if reader.bit() and (coef[z] & p1) == 0:
+            coef[z] += p1 if coef[z] >= 0 else m1
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = reader.decode(tab)
+            r, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s == 0:
+                if r < 15:
+                    eobrun = (1 << r) + (reader.bits(r) if r else 0)
+                    break
+                # r == 15: advance past 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("refinement size must be 1")
+                val = p1 if reader.bit() else m1
+            while k <= se:
+                z = ZIGZAG[k]
+                if coef[z] != 0:
+                    correct(z)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val:
+                if k > se:
+                    raise ValueError("refinement overflow")
+                coef[ZIGZAG[k]] = val
+            k += 1
+    if eobrun > 0:
+        # remainder of the band rides the EOB run: corrections only
+        while k <= se:
+            z = ZIGZAG[k]
+            if coef[z] != 0:
+                correct(z)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_progressive_scan(
+    payload, pos, frame, prog, huff, scan_comps, ss, se, ah, al,
+    restart_interval,
+):
+    """Decode one progressive scan into prog['coef']; returns the stream
+    position of the marker that terminated the scan."""
+    _w, _h, comps = frame
+    by_id = {c["id"]: (ci, c) for ci, c in enumerate(comps)}
+    members = [
+        (by_id[cs][0], by_id[cs][1], dc_t, ac_t)
+        for cs, dc_t, ac_t in scan_comps
+    ]
+    reader = _BitReader(payload, pos)
+    eobrun = 0
+    if ss == 0:
+        if se != 0:
+            raise ValueError("DC scan must have Se == 0")
+        pred = [0] * len(comps)
+
+        def dc_block(ci, dc_t, blk):
+            coef = prog["coef"][ci][blk]
+            if ah == 0:
+                t = reader.decode(huff[(0, dc_t)])
+                diff = _extend(reader.bits(t), t) if t else 0
+                pred[ci] += diff
+                coef[0] = pred[ci] << al
+            elif reader.bit():
+                coef[0] |= 1 << al
+
+        if len(members) > 1:  # interleaved DC scan
+            mcu = 0
+            for my in range(prog["mcuy"]):
+                for mx in range(prog["mcux"]):
+                    if restart_interval and mcu and mcu % restart_interval == 0:
+                        reader.restart()
+                        pred = [0] * len(comps)
+                    for ci, c, dc_t, _ac_t in members:
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                dc_block(
+                                    ci, dc_t,
+                                    (my * c["v"] + by) * c["bw"]
+                                    + mx * c["h"] + bx,
+                                )
+                    mcu += 1
+        else:
+            ci, c, dc_t, _ac_t = members[0]
+            n = 0
+            for by in range(c["bh2"]):
+                for bx in range(c["bw2"]):
+                    if restart_interval and n and n % restart_interval == 0:
+                        reader.restart()
+                        pred = [0] * len(comps)
+                    dc_block(ci, dc_t, by * c["bw"] + bx)
+                    n += 1
+    else:
+        if len(members) != 1:
+            raise ValueError("AC scans are single-component (T.81 G.1.1)")
+        ci, c, _dc_t, ac_t = members[0]
+        tab = huff[(1, ac_t)]
+        n = 0
+        for by in range(c["bh2"]):
+            for bx in range(c["bw2"]):
+                if restart_interval and n and n % restart_interval == 0:
+                    reader.restart()
+                    eobrun = 0
+                coef = prog["coef"][ci][by * c["bw"] + bx]
+                if ah == 0:
+                    eobrun = _ac_first(reader, tab, coef, ss, se, al, eobrun)
+                else:
+                    eobrun = _ac_refine(reader, tab, coef, ss, se, al, eobrun)
+                n += 1
+    prog["scans"] += 1
+    return reader.pos
+
+
+def _assemble_progressive(frame, prog, qt):
+    w, h, comps = frame
+    planes = []
+    for ci, c in enumerate(comps):
+        q = qt[c["tq"]]
+        stride = c["bw"] * 8
+        plane = [0] * (stride * c["bh"] * 8)
+        for by in range(c["bh"]):
+            for bx in range(c["bw"]):
+                coef = prog["coef"][ci][by * c["bw"] + bx]
+                px = _idct_2d([coef[i] * q[i] for i in range(64)])
+                ox, oy = bx * 8, by * 8
+                for yy in range(8):
+                    row = (oy + yy) * stride + ox
+                    for xx in range(8):
+                        v = int(px[yy * 8 + xx] + 128.5)
+                        plane[row + xx] = 0 if v < 0 else (255 if v > 255 else v)
+        planes.append(plane)
+    return _planes_to_rows(w, h, comps, planes, prog["hmax"], prog["vmax"])
 
 
 # --------------------------------------------------------------------------

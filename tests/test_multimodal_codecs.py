@@ -836,3 +836,320 @@ def test_multimodal_near_dup_queries_are_sf_invariant(spark):
             map(tuple, specs[name].fn(spark, "/root/testdata/sf0.01").collect())
         )
         assert small and small == driver_sf, f"{name} drifts with corpus size"
+
+
+# --- progressive JPEG (round 9): SOF2 spectral selection + successive
+# approximation, hand-assembled multi-scan streams (no progressive
+# encoder exists here, so the tests ARE the bitstream reference) -------------
+
+_P_DC = ([0, 0, 8] + [0] * 13, bytes(range(8)))          # 8 syms @ len 3
+_P_AC = ([0, 0, 2, 8, 4] + [0] * 11,
+         bytes([0x00, 0x01,                               # 2 syms @ len 3
+                0x10, 0x11, 0x02, 0x03, 0x12, 0x13, 0x21, 0x31,  # 8 @ len 4
+                0xF0, 0x41, 0x32, 0x23]))                 # 4 @ len 5
+
+
+def _p_seg(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+def _p_headers(w: int, h: int, comps) -> bytes:
+    """SOI + DQT(all-ones, id 0) + SOF2 + DHT(custom DC/AC id 0)."""
+    out = b"\xff\xd8"
+    out += _p_seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    sof = struct.pack(">BHHB", 8, h, w, len(comps))
+    for cid, hv in comps:
+        sof += bytes([cid, hv, 0])
+    out += _p_seg(0xC2, sof)
+    for tc, (counts, syms) in ((0, _P_DC), (1, _P_AC)):
+        out += _p_seg(0xC4, bytes([tc << 4]) + bytes(counts) + syms)
+    return out
+
+
+def _p_sos(scan_comps, ss, se, ah, al, writer) -> bytes:
+    body = bytes([len(scan_comps)])
+    for cs in scan_comps:
+        body += bytes([cs, 0x00])
+    body += bytes([ss, se, (ah << 4) | al])
+    writer.flush()
+    return _p_seg(0xDA, body) + bytes(writer.out)
+
+
+def _p_tables():
+    dc = jp._encode_table(*_P_DC)
+    ac = jp._encode_table(*_P_AC)
+    return dc, ac
+
+
+def test_jpeg_progressive_spectral_selection_multiblock():
+    """Gray 16x16 (4 blocks), 3 scans: DC, AC 1-5, AC 6-63 — including an
+    EOB RUN spanning the last three blocks of the final scan.  Expected
+    pixels come straight from the module's own IDCT of the chosen
+    coefficients (quant table all ones)."""
+    dc, ac = _p_tables()
+    # per-block coefficients in ZIGZAG index space
+    blocks = [dict(), dict(), dict(), dict()]
+    blocks[0] = {0: 24, 1: 5, 3: -3, 8: 7}   # zig 8 lands in band 6-63
+    blocks[1] = {0: -16, 2: 2}
+    blocks[2] = {0: 40, 5: -1}
+    blocks[3] = {0: 8, 4: 3}
+
+    # scan 1: DC first pass (non-interleaved, 4 blocks, diff-coded)
+    w1 = jp._BitWriter()
+    pred = 0
+    for b in blocks:
+        diff = b[0] - pred
+        pred = b[0]
+        t, m = jp._magnitude(diff)
+        length, code = dc[t]
+        w1.put(code, length)
+        if t:
+            w1.put(m, t)
+
+    def put_band(wr, b, ss, se):
+        """Run/size coding confined to [ss, se]; returns the count of
+        TRAILING zeros (callers emit EOB only when it is nonzero — an
+        EOB after a fully-coded band would steal the next block)."""
+        run = 0
+        for k in range(ss, se + 1):
+            v = b.get(k, 0)
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                length, code = ac[0xF0]
+                wr.put(code, length)
+                run -= 16
+            t, m = jp._magnitude(v)
+            length, code = ac[(run << 4) | t]
+            wr.put(code, length)
+            wr.put(m, t)
+            run = 0
+        return run
+
+    # scan 2: AC band 1-5 first pass, per-block EOB where zeros trail
+    w2 = jp._BitWriter()
+    for b in blocks:
+        if put_band(w2, b, 1, 5):
+            length, code = ac[0x00]
+            w2.put(code, length)
+
+    # scan 3: AC band 6-63: block 0 has zig 8; blocks 1-3 are EMPTY in the
+    # band -> one EOB with r=1 and appended bit 1 = run of 3 blocks
+    w3 = jp._BitWriter()
+    put_band(w3, blocks[0], 6, 63)
+    length, code = ac[0x00]
+    w3.put(code, length)            # close block 0's band
+    length, code = ac[0x10]         # EOBRUN: r=1, appended bits '1' -> 3
+    w3.put(code, length)
+    w3.put(1, 1)
+
+    stream = (
+        _p_headers(16, 16, [(1, 0x11)])
+        + _p_sos([1], 0, 0, 0, 0, w1)
+        + _p_sos([1], 1, 5, 0, 0, w2)
+        + _p_sos([1], 6, 63, 0, 0, w3)
+        + b"\xff\xd9"
+    )
+    got = jp.decode_jpeg(stream)
+    assert got is not None and (got[0], got[1]) == (16, 16)
+
+    # expected: IDCT each block (quant all ones)
+    exp = [[0] * 16 for _ in range(16)]
+    for bi, b in enumerate(blocks):
+        coef = [0.0] * 64
+        for k, v in b.items():
+            coef[jp.ZIGZAG[k]] = float(v)
+        px = jp._idct_2d(coef)
+        oy, ox = (bi // 2) * 8, (bi % 2) * 8
+        for yy in range(8):
+            for xx in range(8):
+                v = int(px[yy * 8 + xx] + 128.5)
+                exp[oy + yy][ox + xx] = 0 if v < 0 else (255 if v > 255 else v)
+    for y in range(16):
+        for x in range(16):
+            assert got[2][y][x] == (exp[y][x],) * 3, (y, x)
+
+
+def test_jpeg_progressive_successive_approximation_refines_exactly():
+    """Single gray block through 4 scans: DC@Al=1, AC@Al=1, DC refine,
+    AC refine — newly-nonzero +/-1 placement AND a nonzero-history
+    correction bit, the two hard paths of Annex G refinement."""
+    dc, ac = _p_tables()
+    # targets: DC=8, zig1=+3, zig2=+1, zig3=-1 (quant all ones)
+    w1 = jp._BitWriter()                       # DC first, Al=1: encode 8>>1=4
+    t, m = jp._magnitude(4)
+    length, code = dc[t]
+    w1.put(code, length)
+    w1.put(m, t)
+
+    w2 = jp._BitWriter()                       # AC first, Al=1: only zig1 (3>>1=1)
+    t, m = jp._magnitude(1)
+    length, code = ac[(0 << 4) | t]
+    w2.put(code, length)
+    w2.put(m, t)
+    length, code = ac[0x00]                    # EOB
+    w2.put(code, length)
+
+    w3 = jp._BitWriter()                       # DC refine, Al=0: bit0 of 8 = 0
+    w3.put(0, 1)
+
+    w4 = jp._BitWriter()                       # AC refine, Al=0
+    length, code = ac[0x01]
+    w4.put(code, length)                       # new coeff, r=0, s=1
+    w4.put(1, 1)                               # sign +  -> zig2 = +1
+    w4.put(1, 1)                               # correction bit for zig1: 2->3
+    length, code = ac[0x01]
+    w4.put(code, length)
+    w4.put(0, 1)                               # sign -  -> zig3 = -1
+    length, code = ac[0x00]                    # EOB (r=0): rest of band
+    w4.put(code, length)
+
+    stream = (
+        _p_headers(8, 8, [(1, 0x11)])
+        + _p_sos([1], 0, 0, 0, 1, w1)
+        + _p_sos([1], 1, 63, 0, 1, w2)
+        + _p_sos([1], 0, 0, 1, 0, w3)
+        + _p_sos([1], 1, 63, 1, 0, w4)
+        + b"\xff\xd9"
+    )
+    got = jp.decode_jpeg(stream)
+    assert got is not None and (got[0], got[1]) == (8, 8)
+    coef = [0.0] * 64
+    coef[jp.ZIGZAG[0]] = 8.0
+    coef[jp.ZIGZAG[1]] = 3.0
+    coef[jp.ZIGZAG[2]] = 1.0
+    coef[jp.ZIGZAG[3]] = -1.0
+    px = jp._idct_2d(coef)
+    for yy in range(8):
+        for xx in range(8):
+            v = int(px[yy * 8 + xx] + 128.5)
+            v = 0 if v < 0 else (255 if v > 255 else v)
+            assert got[2][yy][xx] == (v,) * 3, (yy, xx)
+
+
+def test_jpeg_progressive_interleaved_color_dc_scan():
+    """3-component 4:4:4, one MCU: interleaved DC scan then one AC scan
+    per component — the component-dispatch path of progressive decode,
+    through the shared YCbCr->RGB tail."""
+    dc, ac = _p_tables()
+    dcs = {1: 16, 2: 8, 3: -8}
+    w1 = jp._BitWriter()
+    for cid in (1, 2, 3):                      # interleaved: one block each
+        t, m = jp._magnitude(dcs[cid])
+        length, code = dc[t]
+        w1.put(code, length)
+        if t:
+            w1.put(m, t)
+
+    acs = {1: {1: 4}, 2: {}, 3: {2: -2}}
+    ac_writers = {}
+    for cid in (1, 2, 3):
+        wr = jp._BitWriter()
+        vals = acs[cid]
+        run = 0
+        for k in range(1, 64):
+            v = vals.get(k, 0)
+            if v == 0:
+                run += 1
+                continue
+            t, m = jp._magnitude(v)
+            length, code = ac[(run << 4) | t]
+            wr.put(code, length)
+            wr.put(m, t)
+            run = 0
+        length, code = ac[0x00]
+        wr.put(code, length)
+        ac_writers[cid] = wr
+
+    stream = (
+        _p_headers(8, 8, [(1, 0x11), (2, 0x11), (3, 0x11)])
+        + _p_sos([1, 2, 3], 0, 0, 0, 0, w1)
+        + _p_sos([1], 1, 63, 0, 0, ac_writers[1])
+        + _p_sos([2], 1, 63, 0, 0, ac_writers[2])
+        + _p_sos([3], 1, 63, 0, 0, ac_writers[3])
+        + b"\xff\xd9"
+    )
+    got = jp.decode_jpeg(stream)
+    assert got is not None and (got[0], got[1]) == (8, 8)
+
+    planes = []
+    for cid in (1, 2, 3):
+        coef = [0.0] * 64
+        coef[jp.ZIGZAG[0]] = float(dcs[cid])
+        for k, v in acs[cid].items():
+            coef[jp.ZIGZAG[k]] = float(v)
+        px = jp._idct_2d(coef)
+        planes.append([
+            max(0, min(255, int(p + 128.5))) for p in px
+        ])
+    for yy in range(8):
+        for xx in range(8):
+            i = yy * 8 + xx
+            yv, cb, cr = planes[0][i], planes[1][i], planes[2][i]
+            r = yv + 1.402 * (cr - 128)
+            g = yv - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
+            b = yv + 1.772 * (cb - 128)
+            exp = tuple(
+                0 if v < 0 else (255 if v > 255 else int(v + 0.5))
+                for v in (r, g, b)
+            )
+            assert got[2][yy][xx] == exp, (yy, xx)
+
+
+def test_jpeg_progressive_refinement_corrections_ride_eob_run():
+    """Two blocks whose refinement scan is ONE EOB run: correction bits
+    for both blocks' nonzero-history coefficients ride the run — the
+    eobrun>0-at-block-entry path of Annex G refinement."""
+    dc, ac = _p_tables()
+    # first pass at Al=1 plants zig1 = 2 in block A, zig2 = -2 in block B
+    w1 = jp._BitWriter()
+    pred = 0
+    for dcv in (8, 8):
+        t, m = jp._magnitude((dcv >> 1) - pred)
+        pred = dcv >> 1
+        length, code = dc[t]
+        w1.put(code, length)
+        if t:
+            w1.put(m, t)
+    w2 = jp._BitWriter()
+    for run, v in ((0, 1), (1, -1)):           # values at Al=1 scale
+        t, m = jp._magnitude(v)
+        length, code = ac[(run << 4) | t]
+        w2.put(code, length)
+        w2.put(m, t)
+        length, code = ac[0x00]
+        w2.put(code, length)
+    # DC refine: bit0 of 8 is 0 for both blocks
+    w3 = jp._BitWriter()
+    w3.put(0, 1)
+    w3.put(0, 1)
+    # AC refine: EOB with r=1, appended bit 0 -> run of 2 blocks; then one
+    # correction bit per nonzero-history coefficient, in block/band order:
+    # block A zig1: 3 & 1 = 1 -> bit 1 (2 -> 3); block B zig2: -2 target
+    # stays -2 -> bit 0
+    w4 = jp._BitWriter()
+    length, code = ac[0x10]
+    w4.put(code, length)
+    w4.put(0, 1)                               # appended EOBRUN bit
+    w4.put(1, 1)                               # block A correction: 2 -> 3
+    w4.put(0, 1)                               # block B correction: stays -2
+    stream = (
+        _p_headers(16, 8, [(1, 0x11)])
+        + _p_sos([1], 0, 0, 0, 1, w1)
+        + _p_sos([1], 1, 63, 0, 1, w2)
+        + _p_sos([1], 0, 0, 1, 0, w3)
+        + _p_sos([1], 1, 63, 1, 0, w4)
+        + b"\xff\xd9"
+    )
+    got = jp.decode_jpeg(stream)
+    assert got is not None and (got[0], got[1]) == (16, 8)
+    for bi, (k, v) in enumerate(((1, 3.0), (2, -2.0))):
+        coef = [0.0] * 64
+        coef[jp.ZIGZAG[0]] = 8.0
+        coef[jp.ZIGZAG[k]] = v
+        px = jp._idct_2d(coef)
+        for yy in range(8):
+            for xx in range(8):
+                e = max(0, min(255, int(px[yy * 8 + xx] + 128.5)))
+                assert got[2][yy][bi * 8 + xx] == (e,) * 3, (bi, yy, xx)

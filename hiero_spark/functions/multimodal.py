@@ -136,17 +136,67 @@ def _decode_bmp(payload: bytes):
     return w, h_abs, rows
 
 
+# Adam7 pass grid: (x0, y0, dx, dy) per pass (PNG spec §8.2)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_unfilter(raw: bytes, pos: int, width: int, height: int,
+                  channels: int):
+    """Undo the five scanline filters over one (sub-)image; returns
+    (list of unfiltered scanline bytearrays, new position).  Filter
+    state (the prev row) is scoped to the sub-image — exactly why Adam7
+    passes must each start fresh."""
+    stride = width * channels
+    out = []
+    prev = bytearray(stride)
+    for _ in range(height):
+        if pos + 1 + stride > len(raw):
+            raise ValueError("truncated scanline data")
+        ftype = raw[pos]
+        line = bytearray(raw[pos + 1:pos + 1 + stride])
+        pos += 1 + stride
+        if ftype == 1:  # Sub
+            for i in range(channels, stride):
+                line[i] = (line[i] + line[i - channels]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                b = prev[i]
+                c = prev[i - channels] if i >= channels else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown filter type {ftype}")
+        prev = line
+        out.append(line)
+    return out, pos
+
+
 def _decode_png(payload: bytes):
-    """Pure-stdlib decode of non-interlaced 8-bit PNG (gray / RGB / RGBA
-    — the overwhelming majority of real PNGs). zlib-inflates the IDAT
-    stream and applies the five scanline filters (None/Sub/Up/Average/
-    Paeth) per the spec. Returns (width, height, rows of (r, g, b)) —
-    the same shape as `_decode_bmp`, so the feature/resize paths are
-    codec-agnostic — or None if the bytes aren't such a PNG. This is the
-    first COMPRESSED vendored codec: the decode exercises real
-    entropy-coded data in lib-free containers (round-6 verdict item 8).
-    Alpha is dropped, not composited; palette/16-bit/interlaced inputs
-    belong to PIL."""
+    """Pure-stdlib decode of 8-bit PNG (gray / RGB / RGBA — the
+    overwhelming majority of real PNGs), non-interlaced OR Adam7
+    interlaced (round 9). zlib-inflates the IDAT stream and applies the
+    five scanline filters (None/Sub/Up/Average/Paeth) per the spec —
+    per PASS for Adam7, whose seven sub-images each carry their own
+    filter state and scatter into the pixel grid. Returns (width,
+    height, rows of (r, g, b)) — the same shape as `_decode_bmp`, so
+    the feature/resize paths are codec-agnostic — or None if the bytes
+    aren't such a PNG. This is the first COMPRESSED vendored codec: the
+    decode exercises real entropy-coded data in lib-free containers
+    (round-6 verdict item 8). Alpha is dropped, not composited;
+    palette/16-bit inputs belong to PIL."""
     import struct
     import zlib
 
@@ -171,51 +221,39 @@ def _decode_png(payload: bytes):
     channels = {0: 1, 2: 3, 6: 4}.get(color)
     if (
         channels is None or depth != 8 or comp != 0 or filt != 0
-        or interlace != 0 or w == 0 or h == 0
+        or interlace not in (0, 1) or w == 0 or h == 0
     ):
         return None
     try:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error:
         return None
-    stride = w * channels
-    if len(raw) < h * (stride + 1):
-        return None
-    rows, prev = [], bytearray(stride)
-    pos = 0
-    for _ in range(h):
-        ftype = raw[pos]
-        line = bytearray(raw[pos + 1:pos + 1 + stride])
-        pos += 1 + stride
-        if ftype == 1:  # Sub
-            for i in range(channels, stride):
-                line[i] = (line[i] + line[i - channels]) & 0xFF
-        elif ftype == 2:  # Up
-            for i in range(stride):
-                line[i] = (line[i] + prev[i]) & 0xFF
-        elif ftype == 3:  # Average
-            for i in range(stride):
-                a = line[i - channels] if i >= channels else 0
-                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth
-            for i in range(stride):
-                a = line[i - channels] if i >= channels else 0
-                b = prev[i]
-                c = prev[i - channels] if i >= channels else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                line[i] = (line[i] + pred) & 0xFF
-        elif ftype != 0:
-            return None
-        prev = line
+
+    def px(line: bytearray, i: int):
         if channels == 1:
-            rows.append([(v, v, v) for v in line])
-        else:
-            rows.append(
-                [tuple(line[i:i + 3]) for i in range(0, stride, channels)]
-            )
-    return w, h, rows
+            v = line[i]
+            return (v, v, v)
+        return tuple(line[i * channels:i * channels + 3])
+
+    try:
+        if interlace == 0:
+            lines, _ = _png_unfilter(raw, 0, w, h, channels)
+            return w, h, [[px(ln, i) for i in range(w)] for ln in lines]
+        grid = [[(0, 0, 0)] * w for _ in range(h)]
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            wp = (w - x0 + dx - 1) // dx
+            hp = (h - y0 + dy - 1) // dy
+            if wp <= 0 or hp <= 0:
+                continue  # pass empty at this image size
+            lines, pos = _png_unfilter(raw, pos, wp, hp, channels)
+            for j, ln in enumerate(lines):
+                y = y0 + j * dy
+                for i in range(wp):
+                    grid[y][x0 + i * dx] = px(ln, i)
+        return w, h, grid
+    except ValueError:
+        return None
 
 
 def _encode_png(rows) -> bytes:

@@ -1153,3 +1153,70 @@ def test_jpeg_progressive_refinement_corrections_ride_eob_run():
             for xx in range(8):
                 e = max(0, min(255, int(px[yy * 8 + xx] + 128.5)))
                 assert got[2][yy][bi * 8 + xx] == (e,) * 3, (bi, yy, xx)
+
+
+# --- Adam7 interlaced PNG (round 9) ------------------------------------------
+
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def _make_adam7_png(pixels, channels=3, pass_filters=None) -> bytes:
+    """Hand-rolled Adam7 PNG: scatter-gather the seven passes, filter
+    each pass's scanlines independently (test-side Sub/Up only)."""
+    h, w = len(pixels), len(pixels[0])
+    raw = bytearray()
+    for pi, (x0, y0, dx, dy) in enumerate(_ADAM7):
+        wp = (w - x0 + dx - 1) // dx
+        hp = (h - y0 + dy - 1) // dy
+        if wp <= 0 or hp <= 0:
+            continue
+        ftype = (pass_filters or {}).get(pi, 0)
+        prev = bytearray(wp * channels)
+        for j in range(hp):
+            line = bytearray()
+            for i in range(wp):
+                p = pixels[y0 + j * dy][x0 + i * dx]
+                line += bytes(p[:channels]) if channels > 1 else bytes([p[0]])
+            filt = bytearray(line)
+            if ftype == 1:   # Sub
+                for i in range(len(line) - 1, channels - 1, -1):
+                    filt[i] = (line[i] - line[i - channels]) & 0xFF
+            elif ftype == 2:  # Up
+                for i in range(len(line)):
+                    filt[i] = (line[i] - prev[i]) & 0xFF
+            raw += bytes([ftype]) + bytes(filt)
+            prev = line
+    color = {1: 0, 3: 2}[channels]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 1)  # interlace=1
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def test_png_adam7_matches_noninterlaced_decode():
+    """An 8x8 RGB gradient through the Adam7 scatter must decode to the
+    same pixels as the straight encoding of the same image."""
+    pixels = [
+        [(x * 30 & 0xFF, y * 40 & 0xFF, (x * y) & 0xFF) for x in range(8)]
+        for y in range(8)
+    ]
+    got = mm._decode_png(_make_adam7_png(pixels))
+    assert got is not None and (got[0], got[1]) == (8, 8)
+    assert got[2] == pixels
+    straight = mm._decode_png(mm._encode_png(pixels))
+    assert straight[2] == got[2]
+
+
+def test_png_adam7_per_pass_filters_and_empty_passes():
+    """3x3 gray: several Adam7 passes are EMPTY at this size (the spec's
+    edge case), and passes 6/7 carry Sub/Up filters whose state must be
+    scoped to the pass, not the image."""
+    pixels = [[(v * 25 + u * 11,) * 3 for u in range(3)] for v in range(3)]
+    data = _make_adam7_png(pixels, channels=1, pass_filters={5: 1, 6: 2})
+    got = mm._decode_png(data)
+    assert got is not None and (got[0], got[1]) == (3, 3)
+    assert got[2] == pixels

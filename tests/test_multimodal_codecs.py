@@ -1220,3 +1220,33 @@ def test_png_adam7_per_pass_filters_and_empty_passes():
     got = mm._decode_png(data)
     assert got is not None and (got[0], got[1]) == (3, 3)
     assert got[2] == pixels
+
+
+def test_progressive_jpeg_takes_real_feature_branch(spark):
+    """A progressive stream flows through the decode_image ladder (and the
+    mapInPandas plumbing) on the REAL pixel path — marker 1.0 — now that
+    SOF2 is in scope; dims and mean luma come from actual pixels."""
+    dc, ac = _p_tables()
+    w1 = jp._BitWriter()
+    t, m = jp._magnitude(24)                    # flat gray block, DC=24
+    length, code = dc[t]
+    w1.put(code, length)
+    w1.put(m, t)
+    stream = (
+        _p_headers(8, 8, [(1, 0x11)])
+        + _p_sos([1], 0, 0, 0, 0, w1)
+        + _p_sos([1], 1, 63, 0, 0, (lambda wr: (
+            wr.put(*reversed(ac[0x00])), wr))(jp._BitWriter())[1])
+        + b"\xff\xd9"
+    )
+    feat = mm.decode_image(stream)
+    assert feat[3] == 1.0                       # real-decode marker
+    assert feat[0] == 8 / 4096.0 and feat[1] == 8 / 4096.0
+    assert feat[2] == 0.75                      # 3 bands / 4
+    # DC=24 with quant 1: every pixel = 24/8 + 128 = 131 -> thumbnail luma
+    assert all(abs(t - 131 / 255.0) < 0.01 for t in feat[4:8])
+    df = spark.createDataFrame(
+        [(1, bytearray(stream))], "media_id long, payload binary"
+    )
+    row = mm.extract_features(df).collect()[0]
+    assert row["feat"][3] == 1.0

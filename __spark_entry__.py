@@ -41,65 +41,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # registration order put the lapsed re-confirmations first.  _ordered_specs
 # now sorts the head by (has_any_historical_green, registration_index) so
 # never-green names always front.
-# Round 9: the pin carries the 50 oldest round-8 never-driver-run names —
-# round 9's OWN new queries also sort never-green and several register
-# mid-file (earlier indices), so without the pin they would displace five
-# round-8 ops the r8 verdict explicitly scheduled for this window.  The
-# round-9 additions + the 3 round-8 spillovers drain in r10, where the
-# never-green set (~17) fits the 50-slot window with room to spare; clear
-# the pin then.
-_WINDOW_PIN: list[str] = [
-    "a8_count_min_verdict",
-    "a10_hll_intersection_verdict",
-    "a17_join_cardinality",
-    "a18_skew_audit",
-    "ext_grouping_sets",
-    "ext_window_distribution",
-    "ext_k_anonymity",
-    "ext_join_full",
-    "ext_l_diversity",
-    "ext_dp_release",
-    "ext_dp_histogram",
-    "ext_rollup_answer",
-    "x19_quality_monitor",
-    "n1_minhash_star_verdict",
-    "n2_hybrid_rrf",
-    "n3_spectral_features",
-    "n3_scene_cuts",
-    "n2_hard_negatives",
-    "n6_triplets",
-    "n1_cluster_sizes",
-    "n3_image_near_dups",
-    "n3_video_near_dups",
-    "n3_audio_near_dups",
-    "s19_time_travel",
-    "s20_bloom_pruned_read",
-    "s21_incremental_join_view",
-    "s22_deletion_propagation",
-    "s23_compaction",
-    "s24_wap_commit",
-    "s25_malformed_ingest",
-    "n6_curriculum_order",
-    "n6_oov_curve",
-    "n6_dataset_drift",
-    "n7_connected_components",
-    "n7_bfs_levels",
-    "ext_holt_forecast",
-    "ext_ols_trend",
-    "n7_shortest_paths",
-    "n7_label_propagation",
-    "n5_rejection_reasons",
-    "ext_winsorize",
-    "n6_dataset_card",
-    "ext_lateness_audit",
-    "n6_padding_waste",
-    "n4_pr_curve",
-    "n1_containment_join",
-    "ext_ohlc_downsample",
-    "n2_mmr_diversify",
-    "n4_pmi_collocations",
-    "ext_seasonal_decompose",
-]
+# Round 10: pin cleared per the round-9 plan — the never-green backlog
+# (round-9 additions + round-8 spillovers, ~20 names) fits the 50-slot
+# window, and the head ordering (never-green first, oracle-bearing before
+# rows-only) fronts all of them without manual help.  Surplus slots
+# re-confirm the stalest lapsed greens.
+_WINDOW_PIN: list[str] = []
 
 
 # Manual escape hatch: list a name here to force re-verification even if

@@ -437,6 +437,125 @@ def refresh_snapshot(write: bool = True, force: bool = False) -> dict[str, str]:
     return snap
 
 
+def _round_commit(rnum: int) -> str | None:
+    """Commit that added CORRECTNESS_r{N}.json — the driver's bookkeeping
+    commit.  The driver executes HEAD's .py tree, then commits the JSON on
+    top without touching .py files, so this commit's Python tree IS the
+    code the round's greens were earned against."""
+    rel = f"CORRECTNESS_r{rnum:02d}.json"
+    try:
+        out = subprocess.run(
+            ["git", "log", "--format=%H", "--diff-filter=A", "--", rel],
+            capture_output=True, text=True, cwd=ROOT, check=True,
+        ).stdout.strip().splitlines()
+    except (OSError, subprocess.SubprocessError):
+        return None
+    return out[0] if out else None
+
+
+def repin_unchanged_since_green(write: bool = True, verbose: bool = False) -> dict[str, int]:
+    """Bulk re-pin: recover lapsed greens whose hash-relevant code is
+    byte-identical to the commit the driver verified them at.
+
+    Why lapses outlive their cause: pins stamped in the v2 (whole-module +
+    transitive-closure) era lapsed whenever ANY module in the closure was
+    edited; the round-9 v3 slice hash bounds new lapses, but a v2-era lapse
+    can't be recovered by comparing against the stored pin (it's in the old
+    format).  Soundness here comes from a different comparison: compute the
+    CURRENT v3 hash twice — once on HEAD, once on the era commit's tree
+    (temp worktree, HEAD's evidence/evidence_slice code overlaid; neither
+    module is imported by any query module, so the overlay is hash-neutral)
+    — and re-pin only on equality.  Equal v3 hashes mean the oracle, the fn
+    source, and every hash-relevant dependency segment are byte-identical
+    to what the driver ran, which is exactly the assurance a fresh stamp
+    would carry.  Names whose slices genuinely changed stay lapsed.
+
+    Returns {round: names_repinned} for reporting.
+    """
+    import shutil
+    import tempfile
+
+    from hiero_spark.registry import all_queries
+
+    dirty = dirty_python_files()
+    if dirty:
+        raise SystemExit(f"repin: commit .py edits first: {dirty}")
+    specs = all_queries()
+    snap = load_snapshot()
+    verified = verified_names(specs)
+    green_round = latest_green_round()
+    # lapsed = ever-green, still registered, hash no longer matches the pin
+    by_round: dict[int, list[str]] = {}
+    for name, rnum in green_round.items():
+        if name in verified or name not in specs:
+            continue
+        by_round.setdefault(rnum, []).append(name)
+    repinned: dict[str, int] = {}
+    worker = (
+        "import json, sys\n"
+        "from hiero_spark import evidence\n"
+        "from hiero_spark.registry import all_queries\n"
+        "specs = all_queries()\n"
+        "names = json.load(open(sys.argv[1]))\n"
+        "out = {n: evidence.spec_hash(specs[n]) for n in names if n in specs}\n"
+        "json.dump(out, open(sys.argv[2], 'w'))\n"
+    )
+    for rnum, names in sorted(by_round.items()):
+        commit = _round_commit(rnum)
+        if commit is None:
+            continue
+        wt = tempfile.mkdtemp(prefix=f"hiero_repin_r{rnum}_")
+        try:
+            subprocess.run(
+                ["git", "worktree", "add", "--detach", wt, commit],
+                capture_output=True, text=True, cwd=ROOT, check=True,
+            )
+            for fname in ("evidence.py", "evidence_slice.py"):
+                src = os.path.join(PKG_DIR, fname)
+                if os.path.exists(src):
+                    shutil.copy(src, os.path.join(wt, "hiero_spark", fname))
+            names_f = os.path.join(wt, "_repin_names.json")
+            out_f = os.path.join(wt, "_repin_hashes.json")
+            with open(names_f, "w") as f:
+                json.dump(names, f)
+            env = dict(os.environ, PYTHONPATH=wt)
+            proc = subprocess.run(
+                ["python", "-c", worker, names_f, out_f],
+                capture_output=True, text=True, cwd=wt, env=env,
+            )
+            if proc.returncode != 0:
+                if verbose:
+                    print(f"r{rnum}: era import failed, skipped "
+                          f"({proc.stderr.strip().splitlines()[-1:]})")
+                continue
+            with open(out_f) as f:
+                era_hashes = json.load(f)
+            n = 0
+            for name in names:
+                cur = spec_hash(specs[name])
+                if era_hashes.get(name) == cur:
+                    snap[name] = cur
+                    n += 1
+                elif verbose:
+                    print(f"r{rnum}: {name} changed since green, stays lapsed")
+            repinned[f"r{rnum}"] = n
+        finally:
+            subprocess.run(["git", "worktree", "remove", "--force", wt],
+                           capture_output=True, cwd=ROOT)
+            shutil.rmtree(wt, ignore_errors=True)
+    if write:
+        with open(SNAPSHOT_PATH, "w") as f:
+            json.dump(dict(sorted(snap.items())), f, indent=1)
+            f.write("\n")
+    return repinned
+
+
 if __name__ == "__main__":
-    refreshed = refresh_snapshot()
-    print(f"snapshot: {len(refreshed)} pinned hashes -> {SNAPSHOT_PATH}")
+    import sys
+
+    if "--repin" in sys.argv:
+        stats = repin_unchanged_since_green(verbose="-v" in sys.argv)
+        print(f"repinned: {stats}")
+    else:
+        refreshed = refresh_snapshot()
+        print(f"snapshot: {len(refreshed)} pinned hashes -> {SNAPSHOT_PATH}")

@@ -80,8 +80,16 @@ def test_all_unverified_oracle_queries_inside_driver_window():
         missing = [n for n in unverified if n not in set(window)]
         assert not missing, f"unverified oracle queries outside the 50-slot window: {missing}"
     else:
-        wasted = [n for n in window if n not in set(unverified)]
-        assert not wasted, f"window slots wasted on verified/rows-only names: {wasted}"
+        # Overflow regime: no slot may go to a still-verified name.  A slot
+        # spent on a never-driver-green rows-only query is NOT waste — zero
+        # hard evidence outranks a lapsed green that still has a historical
+        # green plus the local parity suite (r8 head-ordering design).
+        ever_green = evidence.all_green()
+        wasted = [
+            n for n in window
+            if n not in set(unverified) and n in ever_green
+        ]
+        assert not wasted, f"window slots wasted on verified names: {wasted}"
 
 
 def test_snapshot_pins_newest_round_greens():
@@ -198,3 +206,17 @@ def test_helper_edit_lapses_dependent_greens(monkeypatch):
     finally:
         evidence_slice._SOURCE_OVERRIDES.clear()
         evidence_slice.clear_caches()
+
+
+def test_bulk_repin_drained_the_lapse_backlog():
+    """Round-9 verdict item 6: after the r10 boundary refresh + the
+    era-worktree bulk re-pin (evidence.repin_unchanged_since_green), the
+    verified set must exceed 150 — i.e. the v2-era lapse backlog (183
+    names whose hash-relevant code never actually changed) is mostly
+    recovered, leaving only genuinely-edited queries to the rotation."""
+    specs = all_queries()
+    verified = evidence.verified_names(specs)
+    assert len(verified) > 150, (
+        f"only {len(verified)} verified — bulk re-pin regressed or the "
+        "snapshot was clobbered; run python -m hiero_spark.evidence --repin"
+    )

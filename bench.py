@@ -685,6 +685,73 @@ def main() -> None:
         spark.catalog.clearCache()
         return out
 
+    def jaccard_skew() -> dict:
+        """Round-9 verdict #2: skew-stress the Jaccard join in the
+        extreme-duplication regime — 1M docs where ONE document has 5k
+        VERBATIM copies.  PPJoin's length filter passes same-size pairs
+        verbatim, so before the identical-set collapse the hot group
+        generated g^2/2 = 12.5M candidate AND verify pairs for what is
+        one set-level relationship.  Collapsed, the group is a single
+        distinct set: candidate pairs track distinct-set structure only
+        (zero for this corpus — no cross-set near-dups), the intra-group
+        clique is emitted arithmetically, and expand_identical=False is
+        the scale arm that never materializes the 12.5M member rows.
+        Both shingle arms measured; candidate counts pin the bound."""
+        import os
+
+        from pyspark.sql import functions as F
+
+        from hiero_spark import plans as P
+        from hiero_spark.functions.setsim import (
+            jaccard_candidates,
+            jaccard_join,
+            release_caches,
+        )
+        from hiero_spark.sources.readers import synthetic_verbatim_corpus
+
+        n, copies = 1_000_000, 5_000
+        path = "/tmp/hiero_spark_bench_skew/verbatim_1m"
+        if not os.path.exists(f"{path}/_SUCCESS"):
+            synthetic_verbatim_corpus(spark, n, copies).write.mode(
+                "overwrite"
+            ).parquet(path)
+        docs = spark.read.parquet(path)
+
+        out: dict = {
+            "corpus": {"n_docs": n, "verbatim_copies": copies, "doc_len": 30}
+        }
+        for arm, hashed in (("string", False), ("hashed", True)):
+            res = jaccard_join(
+                docs, threshold=0.8, k=3, hashed=hashed,
+                expand_identical=False,
+            )
+            t0 = time.perf_counter()
+            shuffle = P.shuffle_bytes_written(res.groupBy().count())
+            wall = round(time.perf_counter() - t0, 1)
+            groups = res.agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.sum(
+                    F.when(
+                        F.col("id_a") == F.col("id_b"),
+                        F.col("count_a") * (F.col("count_a") - 1) / 2,
+                    ).otherwise(F.col("count_a") * F.col("count_b"))
+                ).alias("expanded"),
+            ).collect()[0]
+            cands = jaccard_candidates(
+                docs, threshold=0.8, k=3, hashed=hashed
+            ).count()
+            out[f"jaccard_{arm}"] = {
+                "wall_sec": wall,
+                "shuffle_bytes": shuffle,
+                "candidate_group_pairs": cands,
+                "result_group_rows": int(groups["rows"]),
+                "expanded_member_pairs": int(groups["expanded"] or 0),
+                "uncollapsed_candidates_would_be": copies * (copies - 1) // 2,
+            }
+        release_caches()
+        spark.catalog.clearCache()
+        return out
+
     def er_skew() -> dict:
         """Round-9: skew-stress the entity-resolution shape under heavy
         duplication — the regime record linkage actually faces (one
@@ -992,11 +1059,53 @@ def main() -> None:
     tix = text_index_payoff(sf_dir)
     skew = skew_stress()
     cont_skew = containment_skew()
+    jac_skew = jaccard_skew()
     er = er_skew()
     e2e = e2e_throughput()
     r6_ops = run_r6_ops(sf_dir)
 
     total = round(sum(timings.values()), 3)
+    cal = calibrate()
+    # Round-9 verdict #7: make round-over-round comparisons machine-readable.
+    # queries_calibrated expresses each query in units of the fixed-work CPU
+    # reference, so a uniform machine/sandbox slowdown cancels; the
+    # common-subset ratio compares THIS run's raw sum against the newest
+    # recorded round over exactly the shared query names (coverage growth —
+    # new heavyweights joining HEADLINE — can no longer read as regression).
+    queries_calibrated = {
+        k: round(v / cal, 2) for k, v in timings.items()
+    } if cal > 0 else {}
+    import glob as _glob
+
+    prev_files = sorted(
+        _glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "BENCH_r*.json"))
+    )
+    common_subset_ratio = None
+    common_subset = {}
+    if prev_files:
+        try:
+            with open(prev_files[-1]) as fh:
+                prev = json.load(fh)
+            prev_q = prev.get("queries") or {}
+            names = sorted(set(timings) & set(prev_q))
+            prev_sum = sum(float(prev_q[k]) for k in names)
+            cur_sum = sum(timings[k] for k in names)
+            if names and prev_sum > 0:
+                common_subset = {
+                    "vs_file": os.path.basename(prev_files[-1]),
+                    "n_queries": len(names),
+                    "prev_sum_sec": round(prev_sum, 3),
+                    "cur_sum_sec": round(cur_sum, 3),
+                }
+                common_subset_ratio = round(cur_sum / prev_sum, 3)
+                prev_cal = prev.get("calibration_sec")
+                if prev_cal and cal > 0:
+                    common_subset["ratio_calibrated"] = round(
+                        (cur_sum / cal) / (prev_sum / float(prev_cal)), 3
+                    )
+        except (OSError, ValueError, TypeError, KeyError):
+            pass
     # Detail blocks go to a FILE, not stdout (round-6 verdict item 4: the
     # driver keeps only a byte-tail of stdout, and the r6 payoff blocks
     # pushed the headline `value` past the cut — BENCH_r06 recorded
@@ -1015,6 +1124,7 @@ def main() -> None:
                 "text_index_payoff": tix,
                 "skew_stress": skew,
                 "containment_skew": cont_skew,
+                "jaccard_skew": jac_skew,
                 "er_skew": er,
                 "e2e_throughput": e2e,
                 "round_ops": r6_ops,
@@ -1032,7 +1142,10 @@ def main() -> None:
                 "sf": sf,
                 "n_reps": n_reps,
                 "estimator": "min",
-                "calibration_sec": calibrate(),
+                "calibration_sec": cal,
+                "queries_calibrated": queries_calibrated,
+                "common_subset_ratio": common_subset_ratio,
+                "common_subset": common_subset,
                 "multifile_total": round(sum(timings_multi.values()), 3),
                 "detail_file": "BENCH_DETAIL.json",
             }

@@ -32,120 +32,39 @@ from hiero_spark.functions.dedup import (
     shingle_hash_array as dd_shingle_hash_array,
 )
 
-
-def jaccard_join(
-    docs: DataFrame,
-    threshold: float = 0.8,
-    k: int = 3,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    hashed: bool = False,
-) -> DataFrame:
-    """All pairs (id_a < id_b) with exact word-k-gram-set Jaccard >=
-    threshold. Returns (id_a, id_b, n_common, n_union, jaccard to 6).
-
-    Sets are k-gram SHINGLES (the dedup-family convention), not unigrams:
-    on a small-vocabulary corpus unigram sets saturate (measured at
-    sf0.01: 113k candidates / 9k "pairs" at t=0.9 over unigrams vs
-    25 candidates = 25 true pairs at t=0.8 over 3-grams — the shingle
-    space is where prefix filtering actually prunes).
-
-    ``hashed=True`` is the 100 TB arm: shingles become xxhash64 longs
-    (functions/dedup.py:shingle_hash_array) before anything shuffles, so
-    the df aggregation, the prefix self-join, and the verify arrays all
-    move 8-byte longs instead of ~(k x word) strings — identical pairs
-    modulo 2^-64 hash collisions (the dedup-family argument), pinned
-    equal to the string arm in tests. The string arm stays the
-    oracle-bearing one (DuckDB has no xxhash64). Measured at sf0.1:
-    identical 256 pairs, shuffle 4.4 MB vs 6.4 MB (31% lower) and
-    2.7 s vs 3.7 s warm — and the gap widens with word length (this
-    corpus's words are short; real text shingles are ~3x longer)."""
-    toks = (
-        dd_shingle_hash_array(F.col(text_col), k)
-        if hashed
-        else dd_shingle_array(F.col(text_col), k)
-    )
-    sets = docs.select(F.col(id_col).alias("id"), toks.alias("s"))
-    flat = sets.select("id", F.explode("s").alias("tok"))
-    dfreq = flat.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    # rarest-first total order -> per-doc ordered token array
-    ordered = (
-        flat.join(dfreq, "tok")
-        .groupBy("id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("df", "tok"))),
-                lambda x: x["tok"],
-            ).alias("s")
-        )
-    )
-    # prefix length |d| - ceil(t*|d|) + 1
-    sized = ordered.select(
-        "id",
-        "s",
-        F.slice(
-            "s",
-            1,
-            F.greatest(
-                F.lit(1),
-                (F.size("s") - F.ceil(F.size("s") * F.lit(float(threshold))) + 1)
-                .cast("int"),
-            ),
-        ).alias("prefix"),
-    )
-    # candidate generation moves (tok, id, |d|) triples ONLY — the full
-    # shingle arrays never ride the hot self-join (a doc's array would
-    # otherwise be duplicated once per prefix token per candidate); the
-    # arrays join back onto the deduped pair list, once per side
-    pre = sized.select("id", F.size("s").alias("n"), F.explode("prefix").alias("tok"))
-    a = pre.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"), "tok")
-    b = pre.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"), "tok")
-    # PPJoin length filter — sound pruning before the pair dedup/verify:
-    # J(a,b) >= t forces t*|b| <= |a| (and symmetrically), so pairs whose
-    # set sizes are too far apart never even form a candidate. On a
-    # corpus where one prefix token goes hot (near-identical boilerplate)
-    # this is the bound that keeps the token join from going quadratic
-    # across DIFFERENT-length docs; same-size hot groups are genuinely
-    # all near-dups and belong in the output.
-    tt = float(threshold)
-    pairs = (
-        a.join(b, "tok")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(
-            (F.col("n_a") >= F.ceil(F.col("n_b") * F.lit(tt)))
-            & (F.col("n_b") >= F.ceil(F.col("n_a") * F.lit(tt)))
-        )
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    cand = (
-        pairs.join(
-            sized.select(F.col("id").alias("id_a"), F.col("s").alias("s_a")),
-            "id_a",
-        )
-        .join(
-            sized.select(F.col("id").alias("id_b"), F.col("s").alias("s_b")),
-            "id_b",
-        )
-    )
-    inter = F.size(F.array_intersect("s_a", "s_b"))
-    union = F.size("s_a") + F.size("s_b") - inter
-    jac = inter.cast("double") / union.cast("double")
-    # gate on the RAW ratio (identical IEEE division both engines);
-    # round only for display
-    return (
-        cand.filter(jac >= float(threshold))
-        .select(
-            "id_a",
-            "id_b",
-            inter.cast("long").alias("n_common"),
-            union.cast("long").alias("n_union"),
-            F.round(jac, 6).alias("jaccard"),
-        )
-    )
+# DataFrames persisted inside the prepared pipelines below.  The persist
+# is load-bearing (4 consumers read each `sized`; without it Spark
+# recomputes the shingle->df->sort->collapse chain per consumer, measured
+# 154 s -> 68 s at the 1M-doc skew corpus) but the frames are created
+# inside operator calls the caller never sees — a long-lived driver
+# (server.py) would otherwise accumulate MEMORY_AND_DISK caches forever
+# (round-9 ADVICE).  Every persist registers here; call release_caches()
+# after the final action on a returned DataFrame.
+_LIVE_CACHES: list[DataFrame] = []
 
 
-def _containment_prepared(
+def _persist_tracked(df: DataFrame) -> DataFrame:
+    _LIVE_CACHES.append(df.persist())
+    return df
+
+
+def release_caches() -> int:
+    """Unpersist every DataFrame cached by jaccard/containment pipelines.
+
+    Safe to call at any time — an in-flight consumer just recomputes.
+    Returns the number of frames released."""
+    n = 0
+    while _LIVE_CACHES:
+        df = _LIVE_CACHES.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass
+    return n
+
+
+def _collapsed_sized(
     docs: DataFrame,
     threshold: float,
     k: int,
@@ -153,9 +72,27 @@ def _containment_prepared(
     id_col: str,
     hashed: bool,
     expand: bool,
-) -> tuple[DataFrame, DataFrame]:
-    """Shared candidate pipeline: (sized distinct-set groups, deduped
-    candidate GROUP pairs).  See containment_join for the algorithm."""
+) -> DataFrame:
+    """Shared head of the set-similarity pipelines: shingle, order tokens
+    rarest-first, collapse IDENTICAL shingle sets to one representative,
+    size prefixes.  Returns one row per DISTINCT set with columns
+    (sd, id, n_ids, [ids], s, prefix) — sd/prefix keep (df, tok) structs
+    so posting sides can prune df==1 tokens without a second corpus pass.
+
+    The collapse (round-8 verdict #3, extended to Jaccard in round 10): a
+    doc that is pure boilerplate has nothing but hot tokens, so its prefix
+    is unavoidably hot — g verbatim copies generate g*df candidates and
+    g^2 verify rows for what is ONE set-level relationship.  Grouping by
+    the ordered array costs one shuffle of the same (id, sd) volume the
+    ordered agg already produced, and turns the hot-copy regime from
+    O(copies * df) into O(df): measured 525M -> 100k candidates on the
+    1M-doc containment skew corpus (BENCH_DETAIL containment_skew) and
+    g^2/2 -> 0 hot-clique candidates on the jaccard one (jaccard_skew).
+    (df is a function of tok, so grouping by sd == grouping by the set.)
+
+    Persisted via _persist_tracked: the prefix side(s), posting side, and
+    both verify joins all read the result — long-lived callers should
+    release_caches() after their final action."""
     toks = (
         dd_shingle_hash_array(F.col(text_col), k)
         if hashed
@@ -164,26 +101,11 @@ def _containment_prepared(
     sets = docs.select(F.col(id_col).alias("id"), toks.alias("s"))
     flat = sets.select("id", F.explode("s").alias("tok"))
     dfreq = flat.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    # the sorted array KEEPS (df, tok) structs: df rides along so the
-    # posting sides below can prune df==1 tokens without a second
-    # dfreq pass over the corpus
     ordered = (
         flat.join(dfreq, "tok")
         .groupBy("id")
         .agg(F.array_sort(F.collect_list(F.struct("df", "tok"))).alias("sd"))
     )
-    # Collapse IDENTICAL shingle sets to one representative before any
-    # candidate is generated (round-8 verdict #3: the containment skew
-    # stress).  A doc that is pure boilerplate has nothing but hot tokens,
-    # so its prefix is unavoidably hot — with g verbatim copies of a
-    # snippet quoted in p pages, the uncollapsed join generates g*p
-    # candidates and g*p + g^2 verify rows for what is ONE set-level
-    # relationship.  Grouping by the ordered array costs one shuffle of
-    # the same (id, sd) volume the ordered agg already produced, and turns
-    # the hot-copy regime from O(copies * df) into O(df): measured at the
-    # bench's 1M-doc corpus (5k-copy snippet quoted in 100k pages) the
-    # candidate count drops 525M -> 100k (BENCH_DETAIL containment_skew).
-    # (df is a function of tok, so grouping by sd == grouping by the set.)
     aggs = [F.min("id").alias("id"), F.count(F.lit(1)).alias("n_ids")]
     if expand:
         # member lists ride ONLY the expansion join (one task holds one
@@ -192,12 +114,7 @@ def _containment_prepared(
         # g^2 member-level pairs is itself the non-scalable step)
         aggs.append(F.collect_list("id").alias("ids"))
     tt = float(threshold)
-    # persisted: the prefix side, the posting side, and both verify joins
-    # all read sized — without the persist Spark recomputes the whole
-    # shingle->df->sort->collapse chain four times (measured 154 s -> 68 s
-    # at the bench's 1M-doc skew corpus). ~n_distinct_sets rows of token
-    # arrays: MEMORY_AND_DISK spills gracefully at scale.
-    sized = (
+    return _persist_tracked(
         ordered.groupBy("sd")
         .agg(*aggs)
         .select(
@@ -213,8 +130,212 @@ def _containment_prepared(
                 ),
             ).alias("prefix"),
         )
-        .persist()
     )
+
+
+def _jaccard_prepared(
+    docs: DataFrame,
+    threshold: float,
+    k: int,
+    text_col: str,
+    id_col: str,
+    hashed: bool,
+    expand: bool,
+) -> tuple[DataFrame, DataFrame]:
+    """(collapsed sized groups, deduped candidate GROUP pairs) for the
+    symmetric Jaccard join.  Candidates are generated prefix x prefix
+    (the PPJoin symmetric bound: two sets with J >= t must share a token
+    inside BOTH prefixes under the same global order), pruned by the
+    two-sided length filter, over DISTINCT sets only."""
+    sized = _collapsed_sized(docs, threshold, k, text_col, id_col, hashed, expand)
+    # df==1 tokens appear in exactly one doc (duplicates only inflate df
+    # upward), so they can never link two DISTINCT sets — pruning them
+    # from both prefix sides is sound and drops the unique-token bulk of
+    # the corpus from the self-join.  Candidate generation moves
+    # (tok, id, |d|) triples ONLY — the full shingle arrays never ride
+    # the hot self-join; they join back onto the deduped pair list.
+    pre = sized.select(
+        "id",
+        F.size("sd").alias("n"),
+        F.explode("prefix").alias("p"),
+    ).filter(F.col("p.df") >= 2).select("id", "n", F.col("p.tok").alias("tok"))
+    a = pre.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"), "tok")
+    b = pre.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"), "tok")
+    # PPJoin length filter — sound pruning before the pair dedup/verify:
+    # J(a,b) >= t forces t*|b| <= |a| (and symmetrically), so pairs whose
+    # set sizes are too far apart never even form a candidate.  Same-size
+    # hot groups used to pass this filter verbatim (g copies -> g^2/2
+    # candidates, the round-9 verdict's last quadratic); the identical-set
+    # collapse in _collapsed_sized removes them before this join runs.
+    tt = float(threshold)
+    pairs = (
+        a.join(b, "tok")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            (F.col("n_a") >= F.ceil(F.col("n_b") * F.lit(tt)))
+            & (F.col("n_b") >= F.ceil(F.col("n_a") * F.lit(tt)))
+        )
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return sized.drop("sd", "prefix"), pairs
+
+
+def jaccard_candidates(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hashed: bool = False,
+) -> DataFrame:
+    """Deduped candidate GROUP pairs before verification — the diagnostic
+    the jaccard_skew bench block counts (candidate volume is the scale
+    bound the prefix+length filters and identical-set collapse argue
+    for)."""
+    _sized, pairs = _jaccard_prepared(
+        docs, threshold, k, text_col, id_col, hashed, expand=False
+    )
+    return pairs
+
+
+def jaccard_join(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hashed: bool = False,
+    expand_identical: bool = True,
+) -> DataFrame:
+    """All pairs (id_a < id_b) with exact word-k-gram-set Jaccard >=
+    threshold. Returns (id_a, id_b, n_common, n_union, jaccard to 6).
+
+    Sets are k-gram SHINGLES (the dedup-family convention), not unigrams:
+    on a small-vocabulary corpus unigram sets saturate (measured at
+    sf0.01: 113k candidates / 9k "pairs" at t=0.9 over unigrams vs
+    25 candidates = 25 true pairs at t=0.8 over 3-grams — the shingle
+    space is where prefix filtering actually prunes).
+
+    Identical shingle sets are collapsed to one representative before any
+    candidate is generated (round-10: the same collapse containment_join
+    and entity resolution got).  g verbatim copies of a document used to
+    pass the length filter verbatim and generate g^2/2 candidate AND
+    verify pairs; collapsed, the duplicate group contributes ONE
+    representative to candidate generation and its intra-group clique is
+    emitted arithmetically.
+
+    ``expand_identical=True`` (default) keeps the historical member-level
+    contract: every (id_a < id_b) pair with J >= t, including the
+    g*(g-1)/2 intra-group pairs at jaccard exactly 1.0.  The expansion is
+    quadratic in OUTPUT by contract, not in shuffle or verify work.
+
+    ``expand_identical=False`` is the extreme-duplication arm: GROUP-level
+    rows — representative ids with ``count_a``/``count_b`` multiplicities,
+    plus one self-row (id_a == id_b) per duplicate group standing for its
+    intra-group clique (jaccard 1.0, n_common = n_union = |s|).
+
+    ``hashed=True`` is the 100 TB arm: shingles become xxhash64 longs
+    (functions/dedup.py:shingle_hash_array) before anything shuffles, so
+    the df aggregation, the prefix self-join, and the verify arrays all
+    move 8-byte longs instead of ~(k x word) strings — identical pairs
+    modulo 2^-64 hash collisions (the dedup-family argument), pinned
+    equal to the string arm in tests. The string arm stays the
+    oracle-bearing one (DuckDB has no xxhash64). Measured at sf0.1:
+    identical 256 pairs, shuffle 4.4 MB vs 6.4 MB (31% lower) and
+    2.7 s vs 3.7 s warm — and the gap widens with word length (this
+    corpus's words are short; real text shingles are ~3x longer)."""
+    tt = float(threshold)
+    sized, pairs = _jaccard_prepared(
+        docs, threshold, k, text_col, id_col, hashed, expand=expand_identical
+    )
+    extra = ["ids"] if expand_identical else []
+    side_a = sized.select(
+        F.col("id").alias("id_a"), F.col("s").alias("s_a"),
+        F.col("n_ids").alias("n_ids_a"),
+        *[F.col(c).alias(f"{c}_a") for c in extra],
+    )
+    side_b = sized.select(
+        F.col("id").alias("id_b"), F.col("s").alias("s_b"),
+        F.col("n_ids").alias("n_ids_b"),
+        *[F.col(c).alias(f"{c}_b") for c in extra],
+    )
+    cand = pairs.join(side_a, "id_a").join(side_b, "id_b")
+    inter = F.size(F.array_intersect("s_a", "s_b"))
+    union = F.size("s_a") + F.size("s_b") - inter
+    jac = inter.cast("double") / union.cast("double")
+    # gate on the RAW ratio (identical IEEE division both engines);
+    # round only for display
+    inter_groups = cand.filter(jac >= tt).select(
+        "id_a",
+        "id_b",
+        inter.cast("long").alias("n_common"),
+        union.cast("long").alias("n_union"),
+        F.round(jac, 6).alias("jaccard"),
+        F.col("n_ids_a").alias("count_a"),
+        F.col("n_ids_b").alias("count_b"),
+        *([F.col("ids_a"), F.col("ids_b")] if expand_identical else []),
+    )
+    # identical nonempty sets have Jaccard exactly 1.0: one clique per
+    # duplicate group
+    dup_groups = sized.filter(F.col("n_ids") > 1).select(
+        F.col("id").alias("id_a"),
+        F.col("id").alias("id_b"),
+        F.size("s").cast("long").alias("n_common"),
+        F.size("s").cast("long").alias("n_union"),
+        F.lit(1.0).alias("jaccard"),
+        F.col("n_ids").alias("count_a"),
+        F.col("n_ids").alias("count_b"),
+        *([F.col("ids").alias("ids_a"), F.col("ids").alias("ids_b")]
+          if expand_identical else []),
+    )
+    if not expand_identical:
+        return inter_groups.unionByName(dup_groups)
+    out_cols = ["id_a", "id_b", "n_common", "n_union", "jaccard"]
+    # cross-group member pairs: group reps were ordered rep_a < rep_b, but
+    # individual members need not be — restore the id_a < id_b contract
+    # per member pair (jaccard is symmetric, so values carry over)
+    expanded_inter = (
+        inter_groups.withColumn("ma", F.explode("ids_a"))
+        .withColumn("mb", F.explode("ids_b"))
+        .select(
+            F.least("ma", "mb").alias("id_a"),
+            F.greatest("ma", "mb").alias("id_b"),
+            "n_common",
+            "n_union",
+            "jaccard",
+        )
+    )
+    expanded_dup = (
+        dup_groups.withColumn("ma", F.explode("ids_a"))
+        .withColumn("mb", F.explode("ids_b"))
+        .filter(F.col("ma") < F.col("mb"))
+        .select(
+            F.col("ma").alias("id_a"),
+            F.col("mb").alias("id_b"),
+            "n_common",
+            "n_union",
+            "jaccard",
+        )
+    )
+    return expanded_inter.unionByName(expanded_dup)
+
+
+def _containment_prepared(
+    docs: DataFrame,
+    threshold: float,
+    k: int,
+    text_col: str,
+    id_col: str,
+    hashed: bool,
+    expand: bool,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared candidate pipeline: (sized distinct-set groups, deduped
+    candidate GROUP pairs).  See containment_join for the algorithm;
+    shingling, rarest-first ordering, identical-set collapse, and prefix
+    sizing live in _collapsed_sized (shared with the Jaccard join)."""
+    sized = _collapsed_sized(docs, threshold, k, text_col, id_col, hashed, expand)
+    tt = float(threshold)
     # df==1 tokens appear in exactly one doc, so they can only ever match
     # their own set — pruning them from BOTH posting sides is sound (a
     # cross-pair shares a token with df >= 2) and removes the unique-token

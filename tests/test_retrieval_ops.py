@@ -626,3 +626,76 @@ def test_containment_join_hashed_equals_string_arm(spark):
     )
     assert [x[2:] for x in s] == [x[2:] for x in h]  # same scores...
     assert s == h                                    # ...and same pairs
+
+
+def test_jaccard_join_group_arm_matches_expanded(spark):
+    """expand_identical=False (the extreme-duplication scale arm) must be
+    the exact group-level compression of the member-level contract: a
+    duplicate group's self-row stands for its intra-group clique, and
+    count_a * count_b reproduces every cross-group pair multiplicity
+    (the containment_join precedent, round-9 verdict #2)."""
+    from hiero_spark.functions.setsim import jaccard_join
+    from hiero_spark.sources.readers import synthetic_verbatim_corpus
+
+    # ids [0, 6) verbatim copies of one doc; rest hash-unique.  Drop in
+    # one near-dup of the hot doc so a CROSS-group pair exercises the
+    # count_a * count_b expansion too.
+    docs = synthetic_verbatim_corpus(spark, n=40, copies=6, doc_len=12)
+    near = docs.filter("doc_id = 0").selectExpr(
+        "CAST(100 AS BIGINT) AS doc_id",
+        "concat(text, ' extraword') AS text",
+    )
+    docs = docs.unionByName(near)
+    expanded = sorted(
+        tuple(r) for r in jaccard_join(docs, threshold=0.7, k=3).collect()
+    )
+    groups = jaccard_join(
+        docs, threshold=0.7, k=3, expand_identical=False
+    ).collect()
+    members = {0: list(range(6))}
+    rebuilt = []
+    for r in groups:
+        if r["id_a"] == r["id_b"]:
+            ms = members.get(r["id_a"], [r["id_a"]])
+            assert r["count_a"] == len(ms) and r["count_b"] == len(ms)
+            for a in ms:
+                for b in ms:
+                    if a < b:
+                        rebuilt.append(
+                            (a, b, r["n_common"], r["n_union"], r["jaccard"])
+                        )
+        else:
+            ms_a = members.get(r["id_a"], [r["id_a"]])
+            ms_b = members.get(r["id_b"], [r["id_b"]])
+            assert r["count_a"] == len(ms_a) and r["count_b"] == len(ms_b)
+            for a in ms_a:
+                for b in ms_b:
+                    rebuilt.append(
+                        (min(a, b), max(a, b),
+                         r["n_common"], r["n_union"], r["jaccard"])
+                    )
+    assert sorted(rebuilt) == expanded
+    self_rows = [r for r in groups if r["id_a"] == r["id_b"]]
+    assert len(self_rows) == 1 and self_rows[0]["count_a"] == 6
+    assert self_rows[0]["jaccard"] == 1.0
+    cross = [r for r in groups if r["id_a"] != r["id_b"]]
+    assert len(cross) == 1 and cross[0]["count_a"] * cross[0]["count_b"] == 6
+
+
+def test_jaccard_candidates_bounded_under_duplication(spark):
+    """The round-9 verdict's last quadratic: g verbatim copies used to
+    pass the PPJoin length filter verbatim and generate g^2/2 candidate
+    pairs.  Collapsed, the hot group is ONE distinct set — candidates
+    are per distinct-set pair, zero for a corpus whose only structural
+    relationship is the intra-group clique."""
+    from hiero_spark.functions.setsim import jaccard_candidates, jaccard_join
+    from hiero_spark.sources.readers import synthetic_verbatim_corpus
+
+    docs = synthetic_verbatim_corpus(spark, n=300, copies=100, doc_len=12)
+    # uncollapsed: 100*99/2 = 4950 candidates from the hot group alone
+    cands = jaccard_candidates(docs, threshold=0.8, k=3).count()
+    assert cands <= 5
+    # ...while the member-level OUTPUT contract still delivers the clique
+    out = jaccard_join(docs, threshold=0.8, k=3)
+    clique = out.filter("jaccard = 1.0").count()
+    assert clique == 100 * 99 // 2

@@ -822,6 +822,118 @@ def main() -> None:
             "hot_entity_members": hot_members,
         }
 
+    def codec_throughput() -> dict:
+        """Round-9 verdict #3: quantify the vendored pure-Python codec
+        path vs PIL, so the 'a real cluster installs PIL and the C codec
+        slots in behind the same mapInPandas signature' claim
+        (functions/jpeg.py scope note) carries a measured number.
+
+        512 payloads (16 distinct baseline-JPEG + 16 distinct RGB-PNG
+        96x96 images, hash-deterministic pixels, replicated x16) decoded
+        to the 8-dim feature vector through the same mapInPandas shape
+        extract_features uses.  The vendored arm forces the pure-Python
+        ladder (_decode_png / decode_jpeg); the pil arm runs
+        decode_image's PIL-first branch and is reported only when PIL
+        imports (this container ships without it — the block then records
+        pil_available=false and the vendored numbers stand alone).
+        Payload generation is untimed (encoder cost is ingest-side)."""
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        from hiero_spark.functions import multimodal as mm
+        from hiero_spark.functions.jpeg import encode_jpeg
+
+        side = 96
+        n_distinct, reps = 16, 16
+
+        def pixels(seed: int):
+            # hash-deterministic RGB rows: smooth gradients + per-image
+            # phase so JPEG has realistic low-frequency energy
+            return [
+                [
+                    (
+                        (x * 2 + seed * 7) % 256,
+                        (y * 2 + seed * 13) % 256,
+                        (x + y + seed * 29) % 256,
+                    )
+                    for x in range(side)
+                ]
+                for y in range(side)
+            ]
+
+        payloads = []
+        for i in range(n_distinct):
+            payloads.append(("jpeg", encode_jpeg(pixels(i), quality=75)))
+            payloads.append(("png", mm._encode_png(pixels(i + 100))))
+        rows = [
+            (i * len(payloads) + j, kind, payload)
+            for i in range(reps)
+            for j, (kind, payload) in enumerate(payloads)
+        ]
+        media = spark.createDataFrame(
+            rows, "id long, kind string, payload binary"
+        ).repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32"))).persist()
+        n_payloads = media.count()
+        total_mb = (
+            media.agg(F.sum(F.octet_length("payload")).alias("b"))
+            .collect()[0]["b"] / 1e6
+        )
+
+        def run_arm(decode_fn) -> float:
+            out_schema = "id long, f0 double"
+
+            def batches(it):
+                for pdf in it:
+                    feats = [decode_fn(p)[0] for p in pdf["payload"]]
+                    yield pd.DataFrame({"id": pdf["id"], "f0": feats})
+
+            def once() -> float:
+                t0 = time.perf_counter()
+                media.mapInPandas(batches, out_schema).groupBy().count().collect()
+                return time.perf_counter() - t0
+
+            once()  # warm (python worker fork, codegen)
+            return min(once(), once())
+
+        def vendored(payload):
+            from hiero_spark.functions.jpeg import decode_jpeg
+
+            decoded = (
+                mm._decode_bmp(payload)
+                or mm._decode_png(payload)
+                or decode_jpeg(payload)
+            )
+            return mm._bmp_features(decoded)
+
+        out: dict = {
+            "n_payloads": n_payloads,
+            "image_side_px": side,
+            "total_mb": round(total_mb, 2),
+        }
+        vend_sec = run_arm(vendored)
+        out["vendored"] = {
+            "wall_sec": round(vend_sec, 2),
+            "payloads_per_sec": round(n_payloads / vend_sec, 1),
+            "mb_per_sec": round(total_mb / vend_sec, 2),
+        }
+        try:
+            import PIL  # noqa: F401
+
+            pil_ok = True
+        except ImportError:
+            pil_ok = False
+        out["pil_available"] = pil_ok
+        if pil_ok:
+            pil_sec = run_arm(mm.decode_image)  # PIL-first branch
+            out["pil"] = {
+                "wall_sec": round(pil_sec, 2),
+                "payloads_per_sec": round(n_payloads / pil_sec, 1),
+                "mb_per_sec": round(total_mb / pil_sec, 2),
+            }
+            out["vendored_over_pil_slowdown"] = round(vend_sec / pil_sec, 1)
+        media.unpersist()
+        return out
+
     def e2e_throughput() -> dict:
         """End-to-end curation-core throughput at 1M docs — the headline
         number a pipeline owner actually budgets with (docs/sec through
@@ -1061,6 +1173,7 @@ def main() -> None:
     cont_skew = containment_skew()
     jac_skew = jaccard_skew()
     er = er_skew()
+    codec = codec_throughput()
     e2e = e2e_throughput()
     r6_ops = run_r6_ops(sf_dir)
 
@@ -1126,6 +1239,7 @@ def main() -> None:
                 "containment_skew": cont_skew,
                 "jaccard_skew": jac_skew,
                 "er_skew": er,
+                "codec_throughput": codec,
                 "e2e_throughput": e2e,
                 "round_ops": r6_ops,
             },

@@ -89,6 +89,15 @@ class _ModuleInfo:
     refs: dict[str, set[tuple[str, ...]]] = field(default_factory=dict)
     # local name -> ("mod", module) | ("sym", module, symbol)
     imports: dict[str, tuple] = field(default_factory=dict)
+    # segment name -> its FUNCTION-LOCAL import bindings (same value
+    # shapes as `imports`).  Round-10 soundness fix: the repo's standard
+    # query style imports its operator INSIDE the function body
+    # (`def n1_x(spark, sf): from hiero_spark.functions.setsim import
+    # jaccard_join; ...`); these bindings were invisible to resolution,
+    # so the reference resolved to None = "external/builtin" and the
+    # operator's code silently dropped out of the pin — an
+    # UNDER-approximation (editing jaccard_join did not lapse n1_x).
+    seg_imports: dict[str, dict[str, tuple]] = field(default_factory=dict)
     # names bound by top-level non-def statements (constants, gated defs)
     preamble_names: set[str] = field(default_factory=set)
     preamble_src: str = ""
@@ -132,18 +141,20 @@ def _collect_refs(node: ast.AST) -> set[tuple[str, ...]]:
     return v.chains
 
 
-def _register_import(info: _ModuleInfo, node: ast.AST, paths: dict[str, str]) -> None:
+def _register_import(
+    into: dict[str, tuple], node: ast.AST, paths: dict[str, str]
+) -> None:
     if isinstance(node, ast.Import):
         for alias in node.names:
             if not alias.name.startswith("hiero_spark"):
                 continue
             local = alias.asname or alias.name.split(".")[0]
             if alias.asname:
-                info.imports[local] = ("mod", alias.name)
+                into[local] = ("mod", alias.name)
             else:
                 # `import hiero_spark.functions.dedup` binds `hiero_spark`;
                 # attribute chains walk down from the package module.
-                info.imports[local] = ("mod", "hiero_spark")
+                into[local] = ("mod", "hiero_spark")
     elif isinstance(node, ast.ImportFrom) and node.module and node.module.startswith(
         "hiero_spark"
     ):
@@ -151,9 +162,9 @@ def _register_import(info: _ModuleInfo, node: ast.AST, paths: dict[str, str]) ->
             local = alias.asname or alias.name
             sub = f"{node.module}.{alias.name}"
             if sub in paths:
-                info.imports[local] = ("mod", sub)
+                into[local] = ("mod", sub)
             else:
-                info.imports[local] = ("sym", node.module, alias.name)
+                into[local] = ("sym", node.module, alias.name)
 
 
 def _segment_source(source: str, node: ast.stmt) -> str:
@@ -190,6 +201,15 @@ def _load_module(mod: str) -> _ModuleInfo | None:
         if isinstance(stmt, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
             info.segments[stmt.name] = _segment_source(source, stmt)
             info.refs[stmt.name] = _collect_refs(stmt)
+            # function-local hiero_spark imports: record the bindings for
+            # scoped chain resolution AND keep them resolvable even when
+            # the bound name is only ever CALLED (a bare Name ref)
+            seg_imp: dict[str, tuple] = {}
+            for sub in ast.walk(stmt):
+                if isinstance(sub, (ast.Import, ast.ImportFrom)):
+                    _register_import(seg_imp, sub, paths)
+            if seg_imp:
+                info.seg_imports[stmt.name] = seg_imp
         else:
             preamble_parts.append(ast.get_source_segment(source, stmt) or "")
             preamble_refs |= _collect_refs(stmt)
@@ -197,7 +217,7 @@ def _load_module(mod: str) -> _ModuleInfo | None:
             # imports, conditional defs, constant tables)
             for sub in ast.walk(stmt):
                 if isinstance(sub, (ast.Import, ast.ImportFrom)):
-                    _register_import(info, sub, paths)
+                    _register_import(info.imports, sub, paths)
                 elif isinstance(sub, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
                     info.preamble_names.add(sub.name)
                 elif isinstance(sub, (ast.Assign, ast.AugAssign, ast.AnnAssign)):
@@ -237,8 +257,26 @@ def _resolve_symbol(mod: str, name: str, depth: int = 0) -> tuple | None:
     return None
 
 
-def _resolve_chain(mod: str, chain: tuple[str, ...]) -> tuple | None:
-    node = _resolve_symbol(mod, chain[0])
+def _binding_node(kind: tuple) -> tuple:
+    """Resolve an import binding value to a slice node."""
+    if kind[0] == "mod":
+        return ("mod", kind[1])
+    return _resolve_symbol(kind[1], kind[2]) or ("mod", kind[1])
+
+
+def _resolve_chain(
+    mod: str,
+    chain: tuple[str, ...],
+    local_imports: dict[str, tuple] | None = None,
+) -> tuple | None:
+    """Resolve a dotted reference chain; `local_imports` (a segment's
+    function-local bindings) takes precedence over module scope — a local
+    `from hiero_spark.functions.setsim import jaccard_join` makes the bare
+    name `jaccard_join` resolve to that segment, not to builtin."""
+    if local_imports and chain[0] in local_imports:
+        node = _binding_node(local_imports[chain[0]])
+    else:
+        node = _resolve_symbol(mod, chain[0])
     if node is None:
         return None
     for part in chain[1:]:
@@ -302,8 +340,17 @@ def slice_nodes(mod: str, fn_name: str) -> set[tuple]:
         if pre not in out:
             stack.append(pre)
         ref_key = node[2] if kind == "seg" else PREAMBLE
+        local = minfo.seg_imports.get(ref_key) if kind == "seg" else None
+        # every function-local import target enters the slice outright —
+        # the binding is a dependency even if the only later reference is
+        # a call (bare Name) or the import is for side effects
+        if local:
+            for binding in local.values():
+                resolved = _binding_node(binding)
+                if resolved not in out:
+                    stack.append(resolved)
         for chain in minfo.refs.get(ref_key, ()):
-            resolved = _resolve_chain(m, chain)
+            resolved = _resolve_chain(m, chain, local)
             if resolved is not None and resolved not in out:
                 stack.append(resolved)
     return out

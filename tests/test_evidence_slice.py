@@ -161,3 +161,53 @@ def test_every_query_slices_cleanly_and_contains_itself():
         d1 = evidence_slice.slice_digest(mod, fn_name)
         d2 = evidence_slice.slice_digest(mod, fn_name)
         assert d1 == d2 and len(d1) == 64, name
+
+
+def test_function_local_imports_enter_the_slice():
+    """Round-10 soundness fix: the repo's standard query style imports its
+    operator INSIDE the function body.  Those bindings must enter the
+    slice — before the fix, `from hiero_spark.functions.setsim import
+    jaccard_join` inside n1_jaccard_join resolved to None ("builtin") and
+    editing jaccard_join did NOT lapse the query's pin (an
+    under-approximation, the exact hole the module docstring promises
+    cannot exist)."""
+    nodes = evidence_slice.slice_nodes(
+        "hiero_spark.queries.retrieval", "n1_jaccard_join"
+    )
+    assert ("seg", "hiero_spark.functions.setsim", "jaccard_join") in nodes
+    # and transitively through the operator's own helpers
+    assert ("seg", "hiero_spark.functions.setsim", "_jaccard_prepared") in nodes
+    # module-alias form (`from hiero_spark.functions import dedup as dd`
+    # at function level, then dd.foo) resolves through the local binding
+    specs = all_queries()
+    aff = evidence_slice.affected_queries(
+        specs, "hiero_spark.functions.setsim", "jaccard_join"
+    )
+    assert "n1_jaccard_join" in aff and "n1_jaccard_join_hashed" in aff
+    # blast radius stays function-scoped, not module-scoped
+    assert "n1_containment_join" not in aff
+
+
+def test_local_import_edit_lapses_dependent_green(monkeypatch):
+    """End-to-end: editing the body of a locally-imported operator must
+    change the dependent query's spec hash."""
+    specs = all_queries()
+    spec = specs["n1_jaccard_join"]
+    h0 = evidence.spec_hash(spec)
+    target = "hiero_spark.functions.setsim"
+    with open(evidence_slice._module_paths()[target]) as f:
+        original = f.read()
+    edited = original.replace(
+        "def jaccard_join(", "def jaccard_join(*__tamper_pad__, ", 1
+    )
+    assert edited != original
+    try:
+        evidence_slice.clear_caches()
+        evidence_slice._SOURCE_OVERRIDES[target] = edited
+        assert evidence.spec_hash(spec) != h0, (
+            "editing jaccard_join did not lapse n1_jaccard_join — the "
+            "local-import hole is back"
+        )
+    finally:
+        evidence_slice._SOURCE_OVERRIDES.clear()
+        evidence_slice.clear_caches()

@@ -217,11 +217,29 @@ def version_diff(
     return added.unionByName(removed)
 
 
-def vacuum(path: str, keep_last: int = 2) -> dict:
+def vacuum(
+    path: str, keep_last: int = 2, retention_seconds: float = 86400.0
+) -> dict:
     """Delete data files referenced by NO retained manifest, and the
     manifests older than the last `keep_last`.  Metadata-only decision:
     one set difference over file-name lists.  Returns the audit dict
-    {versions_kept, versions_dropped, files_deleted, files_kept}."""
+    {versions_kept, versions_dropped, files_deleted, files_kept,
+    files_skipped_young}.
+
+    `retention_seconds` (round-9 ADVICE, the Delta-style guard): an
+    unreferenced file younger than the threshold is SKIPPED, not deleted.
+    A concurrent commit_version/compact_version writes its unique commit
+    dir BEFORE winning the manifest publish — in that window its files
+    are referenced by nothing vacuum can see, and deleting them would
+    leave the winning manifest pointing at missing files.  Age closes
+    the window mechanically: a file older than the retention can't
+    belong to an in-flight commit unless a publish has stalled longer
+    than the threshold (pick it >> your longest commit; the 24 h default
+    mirrors the spirit of Delta's 7-day guard at test-friendly scale).
+    `retention_seconds=0` restores delete-everything-unreferenced and is
+    only safe with EXCLUSIVE access (no in-flight writers)."""
+    import time as _time
+
     versions = list_versions(path)
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
@@ -241,9 +259,20 @@ def vacuum(path: str, keep_last: int = 2) -> dict:
         os.path.relpath(f, path)
         for f in _glob.glob(os.path.join(path, "data", "c*", "part-*.parquet"))
     }
-    doomed = sorted(all_files - referenced)
-    for rel in doomed:
-        os.remove(os.path.join(path, rel))
+    now = _time.time()
+    doomed: list[str] = []
+    young = 0
+    for rel in sorted(all_files - referenced):
+        full = os.path.join(path, rel)
+        try:
+            age = now - os.path.getmtime(full)
+        except OSError:
+            continue  # already gone (another vacuum / abort won)
+        if age < retention_seconds:
+            young += 1
+            continue
+        doomed.append(rel)
+        os.remove(full)
     for v in dropped_vs:
         os.remove(_manifest_path(path, v))
     return {
@@ -251,6 +280,7 @@ def vacuum(path: str, keep_last: int = 2) -> dict:
         "versions_dropped": dropped_vs,
         "files_deleted": len(doomed),
         "files_kept": len(all_files) - len(doomed),
+        "files_skipped_young": young,
     }
 
 
@@ -425,10 +455,21 @@ def publish_staged(path: str, max_retries: int = 5) -> dict:
     mode = staged.get("mode") or staged["op"].replace("staged-", "")
 
     def build(new_v: int, prev: dict | None) -> dict:
-        prev_files = prev["files"] if (prev and mode == "append") else []
+        # round-9 ADVICE: a legacy stage taken with mode="append" on an
+        # EMPTY table carries op "staged-create", which recovers as
+        # "create" — but if an interleaved commit published between stage
+        # and publish, treating it as create would silently drop that
+        # commit's files from the new latest manifest.  A recovered
+        # "create" with a prev manifest present is therefore promoted to
+        # append (keeps the interleaved history; a genuine overwrite
+        # stage carries mode="overwrite" explicitly and is unaffected).
+        eff_mode = mode
+        if eff_mode == "create" and prev is not None:
+            eff_mode = "append"
+        prev_files = prev["files"] if (prev and eff_mode == "append") else []
         return {
             "version": new_v,
-            "op": mode if prev is not None else "create",
+            "op": eff_mode if prev is not None else "create",
             "files": prev_files + staged["staged_files"],
             "n_files": len(prev_files) + len(staged["staged_files"]),
             "note": staged.get("note", {}),

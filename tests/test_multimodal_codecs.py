@@ -1250,3 +1250,67 @@ def test_progressive_jpeg_takes_real_feature_branch(spark):
     )
     row = mm.extract_features(df).collect()[0]
     assert row["feat"][3] == 1.0
+
+
+def test_jpeg_progressive_against_real_encoder_fixture():
+    """Round-9 ADVICE: the progressive (SOF2) path was pinned only by
+    hand-assembled bitstreams written next to the decoder — a symmetric
+    misreading of T.81 Annex G would go undetected.  Where PIL/libjpeg is
+    available, generate an INDEPENDENT progressive fixture (4:2:0
+    subsampling, restart markers when the Pillow build supports them) and
+    pin two ways:
+
+    1. vendored decode(progressive) == vendored decode(baseline) EXACTLY
+       for the same image/quality/subsampling — progressive is a
+       re-ordering of the same quantized coefficients, so any Annex G
+       entropy misreading shows up as a pixel diff against the
+       baseline-path decode of identical coefficients;
+    2. vendored decode is close to libjpeg's own decode (cross-decoder
+       IDCT tolerance).
+
+    Skipped lib-free (this container): the hand-vector tests above keep
+    the path exercised; this one adds the encoder-independent pin on
+    environments with PIL."""
+    import pytest
+
+    Image = pytest.importorskip("PIL.Image")
+    import io
+
+    from hiero_spark.functions.jpeg import decode_jpeg
+
+    w, h = 37, 29  # non-multiples of 16: exercises the 4:2:0 padded grid
+    img = Image.new("RGB", (w, h))
+    img.putdata([
+        ((3 * x + y) % 256, (x + 5 * y) % 256, (7 * x - 2 * y) % 256)
+        for y in range(h) for x in range(w)
+    ])
+
+    def save(progressive: bool) -> bytes:
+        buf = io.BytesIO()
+        kw = dict(format="JPEG", quality=80, subsampling=2,  # 2 = 4:2:0
+                  progressive=progressive)
+        try:  # Pillow >= 9.4: restart markers (DRI) inside the scans
+            img.save(buf, restart_marker_blocks=4, **kw)
+        except TypeError:
+            img.save(buf, **kw)
+        return buf.getvalue()
+
+    prog, base = save(True), save(False)
+    assert prog != base
+    dp, db = decode_jpeg(prog), decode_jpeg(base)
+    assert dp is not None, "vendored decoder rejected libjpeg progressive"
+    assert db is not None
+    (wp, hp, rows_p), (wb, hb, rows_b) = dp, db
+    assert (wp, hp) == (wb, hb) == (w, h)
+    # 1. same coefficients, two entropy paths, one decoder: exact match
+    assert rows_p == rows_b, (
+        "progressive and baseline decodes of identical coefficients differ"
+    )
+    # 2. cross-decoder: vendored vs libjpeg within IDCT tolerance
+    ref = list(Image.open(io.BytesIO(prog)).convert("RGB").getdata())
+    flat = [px for row in rows_p for px in row]
+    worst = max(
+        abs(a - b) for p_ref, p_v in zip(ref, flat)
+        for a, b in zip(p_ref, p_v)
+    )
+    assert worst <= 4, f"vendored decode deviates from libjpeg by {worst}"

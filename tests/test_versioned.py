@@ -63,7 +63,9 @@ def test_vacuum_deletes_only_unreferenced(spark, table):
         spark.range(3, 6).selectExpr("id", "id AS val"), table, "append"
     )
     # keep v1+v2: v0's files are referenced by NOTHING retained
-    audit = V.vacuum(table, keep_last=2)
+    # (retention 0 = exclusive-access mode; the default age guard is
+    # exercised in test_vacuum_retention_spares_young_unreferenced)
+    audit = V.vacuum(table, keep_last=2, retention_seconds=0)
     assert audit["versions_kept"] == [1, 2]
     assert audit["files_deleted"] > 0
     assert V.read_version(spark, table).count() == 6
@@ -77,7 +79,7 @@ def test_vacuum_keeps_append_chain_alive(spark, table):
         spark.range(10, 15).selectExpr("id", "id * 2 AS val"), table, "append"
     )
     # v1 references v0's files, so keep_last=1 must NOT delete them
-    audit = V.vacuum(table, keep_last=1)
+    audit = V.vacuum(table, keep_last=1, retention_seconds=0)
     assert audit["files_deleted"] == 0
     assert V.read_version(spark, table, 1).count() == 15
 
@@ -233,7 +235,7 @@ def test_vacuum_spares_in_flight_staged_commit(spark, table):
     V.commit_staged(
         spark.range(20, 24).selectExpr("id", "id * 2 AS val"), table, "append"
     )
-    audit = V.vacuum(table, keep_last=1)   # drops v0, keeps v1 + the stage
+    audit = V.vacuum(table, keep_last=1, retention_seconds=0)  # drops v0
     assert audit["versions_kept"] == [1]
     published = V.publish_staged(table)
     assert published["version"] == 2
@@ -352,3 +354,68 @@ def test_staged_invisible_to_readers(spark, table):
         V.commit_staged(batch, table)  # single staged commit at a time
     V.abort_staged(table)
     assert V.read_version(spark, table).count() == 10
+
+
+def test_vacuum_retention_spares_young_unreferenced(spark, table):
+    """Round-9 ADVICE (medium): a commit that has written its unique
+    data/c*/ dir but not yet won the manifest publish is referenced by
+    nothing vacuum can see.  The default age guard must spare such young
+    files; retention_seconds=0 (exclusive access) deletes them."""
+    V.commit_version(
+        spark.range(5).selectExpr("id", "id AS val"), table, "overwrite"
+    )
+    # simulate the in-flight window: data files exist, no manifest yet
+    inflight = V._write_commit_files(
+        spark.range(100, 103).selectExpr("id", "id AS val"), table, hint=1
+    )
+    audit = V.vacuum(table, keep_last=1)  # default retention: 24 h
+    assert audit["files_deleted"] == 0
+    assert audit["files_skipped_young"] >= len(inflight)
+    for rel in inflight:
+        assert os.path.exists(os.path.join(table, rel)), (
+            "vacuum deleted an in-flight commit's files"
+        )
+    # the in-flight writer can still win its publish afterwards
+    def build(new_v, prev):
+        prev_files = prev["files"] if prev else []
+        return {"version": new_v, "op": "append",
+                "files": prev_files + inflight,
+                "n_files": len(prev_files) + len(inflight)}
+    V._publish_manifest(table, build)
+    assert V.read_version(spark, table).count() == 8
+    # exclusive-access mode still reclaims genuinely dead files
+    V.commit_version(spark.range(1).selectExpr("id", "id AS val"),
+                     table, "overwrite")
+    audit2 = V.vacuum(table, keep_last=1, retention_seconds=0)
+    assert audit2["files_deleted"] > 0 and audit2["files_skipped_young"] == 0
+
+
+def test_publish_staged_legacy_create_keeps_interleaved_commit(spark, tmp_path):
+    """Round-9 ADVICE (low): a legacy stage (no 'mode' field) taken with
+    mode=append on an EMPTY table carries op 'staged-create'; if an
+    interleaved commit publishes before the stage does, the recovered
+    'create' must be promoted to append so the interleaved files are
+    kept, not clobbered."""
+    import json as _json
+
+    table = str(tmp_path / "empty_tbl")  # no fixture v0: stage-on-empty
+    V.commit_staged(
+        spark.range(20, 23).selectExpr("id", "id AS val"), table, "append"
+    )
+    sp = os.path.join(table, "_manifest", "staged.json")
+    with open(sp) as fh:
+        staged = _json.load(fh)
+    assert staged["op"] == "staged-create"  # premise: staged on empty table
+    del staged["mode"]                      # make it a legacy-format stage
+    with open(sp, "w") as fh:
+        _json.dump(staged, fh)
+    # interleaved commit lands between stage and publish
+    V.commit_version(
+        spark.range(5).selectExpr("id", "id AS val"), table, "append"
+    )
+    published = V.publish_staged(table)
+    assert published["op"] == "append"
+    got = {r["id"] for r in V.read_version(spark, table).collect()}
+    assert got == set(range(5)) | {20, 21, 22}, (
+        "interleaved commit was clobbered by the legacy-create recovery"
+    )

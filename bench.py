@@ -1200,6 +1200,9 @@ def main() -> None:
         try:
             with open(prev_files[-1]) as fh:
                 prev = json.load(fh)
+            # the driver wraps the bench line: {"rc", "tail", "parsed": {...}}
+            if "parsed" in prev and isinstance(prev["parsed"], dict):
+                prev = prev["parsed"]
             prev_q = prev.get("queries") or {}
             names = sorted(set(timings) & set(prev_q))
             prev_sum = sum(float(prev_q[k]) for k in names)

@@ -60,6 +60,12 @@ from hiero_spark.views import RecordOrder
 
 MAX_ROWS = 1000
 
+# Progressive-stream observability: stream_id -> {"kind", "tiers",
+# "tiers_done", "cancelled", "done"}.  Written by
+# _stream_with_cancellation; read by tests and operators debugging a
+# long-lived server.  Bounded: entries are per-request and tiny.
+_STREAMS: dict[str, dict] = {}
+
 # /api/sql guard (round-8 ADVICE, medium): the old prefix check let
 # 'WITH t AS (...) INSERT OVERWRITE ...' through (Spark accepts
 # CTE-prefixed DML) and a plain SELECT could read arbitrary local files
@@ -83,6 +89,45 @@ _DENY_NODES = frozenset({
     "AppendData",
 })
 _DENY_FUNCTIONS = frozenset({"reflect", "java_method"})
+# Table-valued functions a read-only spreadsheet query legitimately uses.
+# Everything else (including future data-source TVFs) is rejected — the
+# round-9 ADVICE hole: UnresolvedTableValuedFunction nodes were not
+# checked at all.
+_ALLOW_TVFS = frozenset({
+    "range", "explode", "explode_outer", "posexplode", "posexplode_outer",
+    "inline", "inline_outer", "stack",
+})
+
+_BUILTIN_FUNCTIONS: set[str] = set()
+
+
+def _builtin_functions(spark: SparkSession) -> set[str]:
+    """Names in Spark's built-in function registry (cached once).  The
+    allow-list base: a function that is NOT a builtin (a UDF someone
+    registered on the shared session, a future alias) is rejected, and
+    builtins still pass through the explicit deny set."""
+    if not _BUILTIN_FUNCTIONS:
+        _BUILTIN_FUNCTIONS.update(
+            f.name.lower() for f in spark.catalog.listFunctions()
+        )
+    return _BUILTIN_FUNCTIONS
+
+
+def _name_parts(node: dict, key: str) -> list[str] | None:
+    """Defensively normalize a parsed-plan identifier field.  Spark's
+    toJSON renders Seq[String] via truncatedString today ("[a, b]") but
+    that is not a stable contract (round-9 ADVICE) — handle list, string
+    and missing shapes; None means 'could not parse' and callers must
+    fail CLOSED (reject), never crash with AttributeError."""
+    v = node.get(key)
+    if isinstance(v, list):
+        parts = [str(x) for x in v]
+    elif isinstance(v, str):
+        parts = [p.strip() for p in v.strip("[]").split(",")]
+    else:
+        return None
+    parts = [p for p in parts if p]
+    return parts if parts else None
 
 
 def _reject_unsafe_sql(spark: SparkSession, sql: str, allowed: set[str]) -> None:
@@ -120,7 +165,8 @@ def _reject_unsafe_sql(spark: SparkSession, sql: str, allowed: set[str]) -> None
         for rel in n.get("cteRelations", [])
         if isinstance(rel, dict) and isinstance(rel.get("_1"), str)
     }
-    ok_rels = {f"[{name}]" for name in allowed | cte_names}
+    ok_rels = {name.lower() for name in allowed | cte_names}
+    builtins = _builtin_functions(spark)
     for n in nodes:
         cls = n["class"]
         short = cls.rsplit(".", 1)[-1]
@@ -131,16 +177,40 @@ def _reject_unsafe_sql(spark: SparkSession, sql: str, allowed: set[str]) -> None
         ):
             raise ValueError(f"read-only endpoint: {short} not allowed")
         if short == "UnresolvedRelation":
-            ident = n.get("multipartIdentifier", "")
-            if ident not in ok_rels:
+            parts = _name_parts(n, "multipartIdentifier")
+            if (
+                parts is None
+                or len(parts) != 1
+                or parts[0].lower() not in ok_rels
+            ):
                 raise ValueError(
-                    f"unknown or path-based table {ident}: only registered "
+                    f"unknown or path-based table {parts}: only registered "
                     "views and statement CTEs are readable"
                 )
         if short == "UnresolvedFunction":
-            parts = (n.get("nameParts") or "").strip("[]").lower()
-            if parts in _DENY_FUNCTIONS:
-                raise ValueError(f"function {parts!r} not allowed")
+            parts = _name_parts(n, "nameParts")
+            # allow-list (round-9 ADVICE): single-part builtin names only;
+            # session UDFs, catalog-qualified names, unparseable shapes
+            # and the reflection builtins all fail closed
+            if parts is None or len(parts) != 1:
+                raise ValueError(f"function {parts} not allowed")
+            fname = parts[0].lower()
+            if fname in _DENY_FUNCTIONS or fname not in builtins:
+                raise ValueError(f"function {fname!r} not allowed")
+        if short == "UnresolvedTableValuedFunction":
+            parts = (
+                _name_parts(n, "name")
+                or _name_parts(n, "functionName")
+                or _name_parts(n, "nameParts")
+            )
+            if (
+                parts is None
+                or len(parts) != 1
+                or parts[0].lower() not in _ALLOW_TVFS
+            ):
+                raise ValueError(
+                    f"table-valued function {parts} not allowed"
+                )
 
 
 def _json_default(v):
@@ -200,7 +270,31 @@ class HieroHandler(BaseHTTPRequestHandler):
 
     def _table(self, q) -> DataFrame:
         name = q.get("table", [""])[0]
-        return catalog.load_table(self.spark, self.sf_dir, name)
+        df = catalog.load_table(self.spark, self.sf_dir, name)
+        return self._apply_range_filter(df, q)
+
+    @staticmethod
+    def _apply_range_filter(df: DataFrame, q) -> DataFrame:
+        """Optional P2 range filter (`fcol`/`flo`/`fhi` query params) — the
+        server half of the UI's brush-to-filter loop (round-9 verdict #5):
+        brushing a histogram range spawns a child view whose scroll and
+        sketches all carry the same filter.  Numeric-typed and validated
+        (never raw SQL), a narrow predicate Catalyst pushes to the scan;
+        half-open [lo, hi) so adjacent brushes tile without overlap."""
+        from pyspark.sql import functions as F
+
+        fcol = q.get("fcol", [None])[0]
+        if not fcol:
+            return df
+        if fcol not in df.columns:
+            raise ValueError(f"unknown filter column {fcol!r}")
+        flo, fhi = q.get("flo", [None])[0], q.get("fhi", [None])[0]
+        c = F.col(fcol).cast("double")
+        if flo is not None:
+            df = df.filter(c >= float(flo))
+        if fhi is not None:
+            df = df.filter(c < float(fhi))
+        return df
 
     # -- routes -----------------------------------------------------------
     def do_GET(self):  # noqa: N802 (http.server API)
@@ -261,7 +355,9 @@ class HieroHandler(BaseHTTPRequestHandler):
                     }
                 )
             if parts[:2] == ["api", "page"] and len(parts) == 3:
-                df = catalog.load_table(self.spark, self.sf_dir, parts[2])
+                df = self._apply_range_filter(
+                    catalog.load_table(self.spark, self.sf_dir, parts[2]), q
+                )
                 order = _parse_order(q.get("order", [""])[0])
                 k = min(int(q.get("k", ["20"])[0]), MAX_ROWS)
                 after = (
@@ -498,13 +594,105 @@ class HieroHandler(BaseHTTPRequestHandler):
             stream = progressive_merge(df, partial, merge, [key], tiers=tiers)
         else:
             stream = progressive_prefix(df, sketch, [key], tiers=tiers)
+        # bucket edges ride every histogram/cdf tier line so a client can
+        # map a brushed bucket range back to VALUES for the child view's
+        # fcol/flo/fhi filter (value_lo = lo + i*(hi-lo)/buckets)
+        meta = (
+            {"lo": lo, "hi": hi, "buckets": n}
+            if kind in ("histogram", "cdf")
+            else None
+        )
+        self._stream_with_cancellation(stream, kind, tiers, meta)
+
+    def _stream_with_cancellation(
+        self, stream, kind: str, tiers: int, meta: dict | None = None
+    ):
+        """Write the tier stream; on client disconnect, CANCEL the Spark
+        job group so an in-flight slice stops (round-9 verdict #4 — the
+        unsubscribe half of hiero's PartialResult contract, SURVEY §3.1
+        step 5: RxJava unsubscription propagates down the operator tree).
+
+        Tiers compute in a worker thread that owns the job group
+        (setJobGroup is thread-local) and stays ONE tier ahead through a
+        bounded queue — so when the handler thread detects a broken pipe,
+        the worker usually has a Spark job mid-flight, and
+        cancelJobGroup(interruptOnCancel=True) kills it instead of letting
+        it run to a result nobody will read.  _STREAMS[stream_id] records
+        tiers_done / cancelled / done for observability and tests."""
+        import queue as _queue
+        import threading
+        import uuid
+
+        sc = self.spark.sparkContext
+        stream_id = f"hiero-progressive-{uuid.uuid4().hex[:12]}"
+        state = {
+            "kind": kind, "tiers": tiers, "tiers_done": 0,
+            "cancelled": False, "done": False,
+        }
+        while len(_STREAMS) > 256:  # bound driver memory on long uptimes
+            _STREAMS.pop(next(iter(_STREAMS)))
+        _STREAMS[stream_id] = state
+        out_q: _queue.Queue = _queue.Queue(maxsize=1)
+        stop = threading.Event()
+
+        def produce():
+            sc.setJobGroup(stream_id, f"progressive {kind}",
+                           interruptOnCancel=True)
+            try:
+                for frac, part in stream:
+                    if stop.is_set():
+                        break
+                    tier = {"fraction": frac, "rows": _rows(part)}
+                    if meta:
+                        tier.update(meta)
+                    state["tiers_done"] += 1
+                    out_q.put(_dumps(tier) + b"\n")
+            except Exception as e:  # cancelled job raises through collect()
+                if not stop.is_set():
+                    out_q.put(e)  # genuine failure: surface to the handler
+            finally:
+                # PySpark has no clearJobGroup; reset the thread-locals so
+                # a pooled thread can't leak the group onto later jobs
+                try:
+                    sc.setLocalProperty("spark.jobGroup.id", None)
+                    sc.setLocalProperty("spark.job.description", None)
+                except Exception:
+                    pass
+                state["done"] = True
+                out_q.put(None)  # ALWAYS last: the handler's exit sentinel
+
+        worker = threading.Thread(
+            target=produce, name=stream_id, daemon=True
+        )
+        worker.start()
         self.send_response(200)
         self.send_header("Content-Type", "application/x-ndjson")
+        self.send_header("X-Stream-Id", stream_id)
         self.end_headers()  # no Content-Length: close-delimited stream
-        for frac, part in stream:
-            line = _dumps({"fraction": frac, "rows": _rows(part)}) + b"\n"
-            self.wfile.write(line)
-            self.wfile.flush()
+        try:
+            while True:
+                item = out_q.get()
+                if item is None:
+                    return
+                if isinstance(item, Exception):
+                    raise item
+                self.wfile.write(item)
+                self.wfile.flush()
+        except (BrokenPipeError, ConnectionResetError, OSError):
+            state["cancelled"] = True
+            stop.set()
+            sc.cancelJobGroup(stream_id)
+        finally:
+            if stop.is_set():
+                # release a worker blocked on the bounded put, then wait
+                # for its finally-block so the group is fully drained
+                while True:
+                    try:
+                        if out_q.get(timeout=30) is None:
+                            break
+                    except _queue.Empty:
+                        break
+                worker.join(timeout=30)
 
 
 def serve(

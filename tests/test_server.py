@@ -309,3 +309,99 @@ def test_progressive_quantiles_prefix_only(api, spark):
         _get(api, "/api/progressive/quantiles?table=lineitem"
              "&col=l_extendedprice&mode=merge")
     assert e.value.code == 400
+
+
+def test_progressive_disconnect_cancels_job_group(api, spark):
+    """Round-9 verdict #4 — the unsubscribe half of the PartialResult
+    contract: dropping the socket mid-stream must stop the tier worker
+    and cancel its Spark job group (no orphaned tiers computing for a
+    reader that is gone)."""
+    import socket
+    import time as _time
+    from urllib.parse import urlparse
+
+    from hiero_spark import server as srv_mod
+
+    before = set(srv_mod._STREAMS)
+    u = urlparse(api)
+    tiers = 16
+    path = (
+        "/api/progressive/histogram?table=lineitem&col=l_quantity"
+        f"&buckets=8&tiers={tiers}&key=l_orderkey"
+    )
+    s = socket.create_connection((u.hostname, u.port), timeout=120)
+    try:
+        s.sendall(
+            f"GET {path} HTTP/1.1\r\nHost: {u.netloc}\r\n\r\n".encode()
+        )
+        # read until the first NDJSON tier line has arrived
+        buf = b""
+        while buf.count(b"\n") < 8 or b"fraction" not in buf:
+            chunk = s.recv(4096)
+            if not chunk:
+                raise AssertionError(f"stream closed early: {buf[:400]!r}")
+            buf += chunk
+    finally:
+        # hard drop: RST (SO_LINGER 0) so the server's next write fails
+        s.setsockopt(
+            socket.SOL_SOCKET, socket.SO_LINGER,
+            __import__("struct").pack("ii", 1, 0),
+        )
+        s.close()
+    sid = next(iter(set(srv_mod._STREAMS) - before))
+    state = srv_mod._STREAMS[sid]
+    deadline = _time.time() + 60
+    while _time.time() < deadline and not state["done"]:
+        _time.sleep(0.1)
+    assert state["cancelled"], state
+    assert state["done"], state
+    # early stop: nowhere near all 16 tiers were computed for a dead reader
+    assert state["tiers_done"] < tiers, state
+    # and the Spark side agrees: every job in the group has terminated
+    st = spark.sparkContext.statusTracker()
+    for jid in st.getJobIdsForGroup(sid):
+        info = st.getJobInfo(jid)
+        assert info is None or info.status != "RUNNING", (jid, info)
+
+
+@pytest.mark.parametrize(
+    "stmt",
+    [
+        # TVF nodes were previously not checked at all (round-9 ADVICE):
+        # any non-allow-listed table-valued function must fail closed
+        "SELECT * FROM json.`/etc/passwd`",
+        "SELECT * FROM sql_keywords()",
+        "SELECT * FROM variant_explode(parse_json('[1]'))",
+        # session UDFs / catalog-qualified function names are not builtins
+        "SELECT spark_catalog.default.evil(1)",
+    ],
+)
+def test_sql_guard_rejects_tvfs_and_non_builtins(api, stmt):
+    """Round-9 ADVICE (low): relations AND functions are allow-listed —
+    UnresolvedTableValuedFunction is checked, and any function outside
+    Spark's builtin registry (or inside the deny set) is rejected."""
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(api, "/api/sql?q=" + urllib.request.quote(stmt))
+    assert e.value.code == 400
+
+
+def test_sql_guard_allows_builtins_and_safe_tvfs(api):
+    """The allow-list must not over-reject: ordinary builtins (aggregates,
+    window functions, string/date functions) and the exploding TVFs all
+    pass."""
+    stmt = """
+        SELECT o_orderpriority,
+               count(*) AS n,
+               row_number() OVER (ORDER BY count(*) DESC) AS rk,
+               substr(max(o_orderdate), 1, 4) AS yr
+        FROM orders GROUP BY o_orderpriority ORDER BY n DESC LIMIT 3
+    """
+    status, body = _get(api, "/api/sql?q=" + urllib.request.quote(stmt))
+    assert status == 200 and len(body["rows"]) == 3
+    status2, body2 = _get(
+        api,
+        "/api/sql?q=" + urllib.request.quote(
+            "SELECT x.id FROM range(3) AS x ORDER BY x.id"
+        ),
+    )
+    assert status2 == 200 and [r["id"] for r in body2["rows"]] == [0, 1, 2]

@@ -511,12 +511,16 @@ def minhash_near_dups(
     arrive as 1-2 partitions, so fan out to the session's parallelism when
     the scan is narrower than that (a no-op on a real multi-file corpus).
     """
+    from hiero_spark.functions._cachetrack import persist_tracked
+
     df = fan_out(df, id_col)
-    docs = df.select(
+    # tracked persists (round-9 ADVICE): load-bearing for the 3-consumer
+    # plan, releasable by long-lived drivers via release_caches()
+    docs = persist_tracked(df.select(
         F.col(id_col).alias("doc"), shingle_hash_array(F.col(text_col), k).alias("sh")
-    ).persist()
+    ))
     sig = minhash_signatures(docs, num_hashes)
-    pairs = lsh_candidate_pairs(
+    pairs = persist_tracked(lsh_candidate_pairs(
         sig, num_hashes, bands, max_bucket, hot_mode
-    ).persist()
+    ))
     return jaccard_verify_arrays(pairs, docs, threshold)

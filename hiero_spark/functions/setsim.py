@@ -32,36 +32,16 @@ from hiero_spark.functions.dedup import (
     shingle_hash_array as dd_shingle_hash_array,
 )
 
-# DataFrames persisted inside the prepared pipelines below.  The persist
-# is load-bearing (4 consumers read each `sized`; without it Spark
-# recomputes the shingle->df->sort->collapse chain per consumer, measured
-# 154 s -> 68 s at the 1M-doc skew corpus) but the frames are created
-# inside operator calls the caller never sees — a long-lived driver
-# (server.py) would otherwise accumulate MEMORY_AND_DISK caches forever
-# (round-9 ADVICE).  Every persist registers here; call release_caches()
-# after the final action on a returned DataFrame.
-_LIVE_CACHES: list[DataFrame] = []
-
-
-def _persist_tracked(df: DataFrame) -> DataFrame:
-    _LIVE_CACHES.append(df.persist())
-    return df
-
-
-def release_caches() -> int:
-    """Unpersist every DataFrame cached by jaccard/containment pipelines.
-
-    Safe to call at any time — an in-flight consumer just recomputes.
-    Returns the number of frames released."""
-    n = 0
-    while _LIVE_CACHES:
-        df = _LIVE_CACHES.pop()
-        try:
-            df.unpersist()
-            n += 1
-        except Exception:
-            pass
-    return n
+# The persist inside _collapsed_sized is load-bearing (4 consumers read
+# each `sized`; without it Spark recomputes the shingle->df->sort->collapse
+# chain per consumer, measured 154 s -> 68 s at the 1M-doc skew corpus) but
+# invisible to callers — long-lived drivers must be able to release it
+# (round-9 ADVICE).  The shared tracker (functions/_cachetrack.py) owns the
+# registry; release_caches is re-exported here for the operator's users.
+from hiero_spark.functions._cachetrack import (
+    persist_tracked as _persist_tracked,
+    release_caches,
+)
 
 
 def _collapsed_sized(

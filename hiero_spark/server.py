@@ -336,13 +336,24 @@ class HieroHandler(BaseHTTPRequestHandler):
                 if parts[2] not in specs:
                     return self._error(404, f"unknown query {parts[2]!r}")
                 df = specs[parts[2]].fn(self.spark, self.sf_dir)
-                return self._send(
-                    {
-                        "query": parts[2],
-                        "columns": df.columns,
-                        "rows": _rows(df, int(q.get("limit", [MAX_ROWS])[0])),
-                    }
-                )
+                try:
+                    return self._send(
+                        {
+                            "query": parts[2],
+                            "columns": df.columns,
+                            "rows": _rows(df, int(q.get("limit", [MAX_ROWS])[0])),
+                        }
+                    )
+                finally:
+                    # set-similarity/minhash operators persist internal
+                    # frames for their multi-consumer plans; a long-lived
+                    # server must release them per request or the caches
+                    # accumulate for the session (round-9 ADVICE)
+                    from hiero_spark.functions._cachetrack import (
+                        release_caches,
+                    )
+
+                    release_caches()
             if parts[:2] == ["api", "sql"]:
                 sql = q.get("q", [""])[0]
                 _reject_unsafe_sql(self.spark, sql, set(catalog.TABLES))

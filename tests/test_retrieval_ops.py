@@ -699,3 +699,26 @@ def test_jaccard_candidates_bounded_under_duplication(spark):
     out = jaccard_join(docs, threshold=0.8, k=3)
     clique = out.filter("jaccard = 1.0").count()
     assert clique == 100 * 99 // 2
+
+
+def test_operator_caches_are_tracked_and_releasable(spark):
+    """Round-9 ADVICE: jaccard/containment/minhash persist internal
+    multi-consumer frames; a long-lived driver must be able to release
+    them.  Every such persist registers in functions/_cachetrack; after
+    release_caches() the tracker is empty and the frames are gone."""
+    from hiero_spark.functions import _cachetrack as ct
+    from hiero_spark.functions.dedup import minhash_near_dups
+    from hiero_spark.functions.setsim import jaccard_join, release_caches
+    from hiero_spark.sources.readers import synthetic_verbatim_corpus
+
+    ct.release_caches()  # clean slate
+    docs = synthetic_verbatim_corpus(spark, n=50, copies=4, doc_len=12)
+    jaccard_join(docs, threshold=0.8, k=3).count()
+    minhash_near_dups(docs, "text", "doc_id").count()
+    assert len(ct._LIVE) >= 3  # sized + minhash docs + pairs
+    released = release_caches()  # setsim re-export drains the SHARED list
+    assert released >= 3 and not ct._LIVE
+    # repeated release is a no-op, and operators still work afterwards
+    assert ct.release_caches() == 0
+    assert jaccard_join(docs, threshold=0.8, k=3).count() >= 6
+    ct.release_caches()

@@ -403,6 +403,75 @@ def n1_jaccard_join(spark, sf_dir):
 
 
 @query(
+    "n1_jaccard_groups",
+    group="N1",
+    doc="Group arm of the exact Jaccard join (round-10: the "
+        "identical-set collapse, functions/setsim.py): identical "
+        "shingle sets collapse to one representative BEFORE candidate "
+        "generation, so g verbatim copies contribute one distinct set "
+        "instead of g^2/2 candidate+verify pairs (jaccard_skew: 0 vs "
+        "12.5M at 1M docs / 5k copies).  expand_identical=False returns "
+        "GROUP rows — representative ids with count multiplicities, "
+        "plus one self-row per duplicate group standing for its "
+        "intra-group clique — the shape a 100 TB dedup keeps when "
+        "materializing member-level pairs is itself the quadratic step. "
+        "The oracle collapses by the sorted distinct-shingle list and "
+        "scores all distinct-set pairs (exact at oracle scale); a unit "
+        "test pins group-arm == expanded member-level arm.",
+    oracle=r"""
+        WITH w AS (
+          SELECT doc_id,
+                 regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+          FROM documents
+        ), sh AS (
+          SELECT doc_id,
+                 list_sort(list_distinct(list_transform(range(1, len(ws) - 1),
+                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS sl
+          FROM w WHERE len(ws) >= 3
+        ), gs AS (
+          SELECT sl, MIN(doc_id) AS id, COUNT(*) AS n_ids
+          FROM sh GROUP BY sl
+        ), cross_rows AS (
+          SELECT a.id AS id_a, b.id AS id_b,
+                 len(list_intersect(a.sl, b.sl)) AS n_common,
+                 len(a.sl) + len(b.sl)
+                   - len(list_intersect(a.sl, b.sl)) AS n_union,
+                 a.n_ids AS count_a, b.n_ids AS count_b
+          FROM gs a JOIN gs b ON a.id < b.id
+        ), self_rows AS (
+          SELECT id AS id_a, id AS id_b,
+                 len(sl) AS n_common, len(sl) AS n_union,
+                 n_ids AS count_a, n_ids AS count_b
+          FROM gs WHERE n_ids > 1
+        )
+        SELECT id_a, id_b,
+               CAST(n_common AS BIGINT) AS n_common,
+               CAST(n_union AS BIGINT) AS n_union,
+               ROUND(CAST(n_common AS DOUBLE) / n_union, 6) AS jaccard,
+               CAST(count_a AS BIGINT) AS count_a,
+               CAST(count_b AS BIGINT) AS count_b
+        FROM cross_rows
+        WHERE CAST(n_common AS DOUBLE) / n_union >= 0.8
+        UNION ALL
+        SELECT id_a, id_b,
+               CAST(n_common AS BIGINT) AS n_common,
+               CAST(n_union AS BIGINT) AS n_union,
+               1.0 AS jaccard,
+               CAST(count_a AS BIGINT) AS count_a,
+               CAST(count_b AS BIGINT) AS count_b
+        FROM self_rows
+    """,
+)
+def n1_jaccard_groups(spark, sf_dir):
+    from hiero_spark.functions.setsim import jaccard_join
+
+    docs = t(spark, sf_dir, "documents").filter(
+        F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+")) >= 3
+    )
+    return jaccard_join(docs, threshold=0.8, k=3, expand_identical=False)
+
+
+@query(
     "n1_containment_join",
     group="N1",
     doc="Directional set-CONTAINMENT join, |A n B|/|A| >= 0.8 over word "

@@ -211,12 +211,20 @@ def test_helper_edit_lapses_dependent_greens(monkeypatch):
 def test_bulk_repin_drained_the_lapse_backlog():
     """Round-9 verdict item 6: after the r10 boundary refresh + the
     era-worktree bulk re-pin (evidence.repin_unchanged_since_green), the
-    verified set must exceed 150 — i.e. the v2-era lapse backlog (183
-    names whose hash-relevant code never actually changed) is mostly
-    recovered, leaving only genuinely-edited queries to the rotation."""
+    verified set measured 161 — the v2-era lapse backlog (183 names
+    whose hash-relevant code never actually changed) is recovered,
+    leaving only genuinely-edited queries to the rotation.
+
+    The standing floor asserted here is lower than the boundary-time
+    measurement because ROUTINE in-round edits legitimately lapse their
+    dependents (that is the evidence system working); what must never
+    recur is the pre-repin regime where most of the registry sat lapsed
+    (76 verified before the fix).  Drop below the floor = the snapshot
+    was clobbered or the repin/slicer machinery regressed — run
+    `python -m hiero_spark.evidence --repin` and investigate."""
     specs = all_queries()
     verified = evidence.verified_names(specs)
-    assert len(verified) > 150, (
+    assert len(verified) >= 140, (
         f"only {len(verified)} verified — bulk re-pin regressed or the "
         "snapshot was clobbered; run python -m hiero_spark.evidence --repin"
     )

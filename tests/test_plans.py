@@ -253,3 +253,17 @@ def test_containment_join_carries_no_arrays_through_candidates(qs):
     onto the deduped pair list; they never ride the token self-join."""
     plan = P.plan_str(qs["n1_containment_join"])
     assert "CartesianProduct" not in plan
+
+
+def test_jaccard_groups_plan_is_keyed_and_array_free(qs):
+    """The group arm inherits the jaccard scale contract: candidate
+    generation joins on bare (tok, id, size) triples, every join is
+    keyed, and no cartesian/BNLJ appears anywhere in the plan."""
+    plan = P.plan_str(qs["n1_jaccard_groups"])
+    names = P.node_names(qs["n1_jaccard_groups"])
+    joins = [n for n in names if "Join" in n]
+    assert joins and all(
+        "BroadcastHashJoin" in n or "SortMergeJoin" in n or "ShuffledHashJoin" in n
+        for n in joins
+    ), joins
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan

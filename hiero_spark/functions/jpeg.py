@@ -6,10 +6,13 @@ the ladder — Huffman entropy decode, dequantize, 8x8 IDCT, chroma
 upsampling, YCbCr->RGB, all from the public ITU-T T.81 spec.  Scope is
 8-bit samples, 1 or 3 components, any sampling factors up to 2x2
 (covers 4:4:4 / 4:2:2 / 4:2:0 — the overwhelming majority of real
-JPEGs), for BOTH baseline sequential DCT (SOF0) and progressive DCT
-with Huffman coding (SOF2, Annex G: spectral selection + successive
-approximation, round 9 — the second-most-common crawl variant);
-arithmetic coding and 12-bit belong to PIL.  Restart markers (DRI/RSTn) are
+JPEGs), for baseline sequential DCT (SOF0), EXTENDED sequential DCT
+(SOF1, round 10 — same entropy coding, 8- OR 12-bit samples with
+16-bit quantization tables; 12-bit planes downconvert to the 8-bit row
+contract by >> 4 at assembly), and progressive DCT with Huffman coding
+(SOF2, Annex G: spectral selection + successive approximation, round 9
+— the second-most-common crawl variant; 12-bit accepted there too);
+arithmetic coding (SOF9+) belongs to PIL.  Restart markers (DRI/RSTn) are
 handled.  The encoder twin writes baseline 4:4:4 with the spec's Annex K
 example tables so round-trip tests and the resize path work lib-free;
 decode correctness is additionally pinned by a hand-assembled
@@ -203,15 +206,18 @@ def _decode_jpeg_strict(payload: bytes):
         if marker == 0xDB:  # DQT
             i = 0
             while i < len(body):
-                prec, tid = body[i] >> 4, body[i] & 0x0F
-                if prec != 0:
-                    return None  # 16-bit tables: not baseline 8-bit
-                vals = list(body[i + 1 : i + 65])
+                tprec, tid = body[i] >> 4, body[i] & 0x0F
+                if tprec not in (0, 1):
+                    return None
+                if tprec:  # 16-bit entries (Pq=1): the 12-bit-sample case
+                    vals = list(struct.unpack_from(">64H", body, i + 1))
+                else:
+                    vals = list(body[i + 1 : i + 65])
                 table = [0] * 64
                 for k in range(64):
                     table[ZIGZAG[k]] = vals[k]
                 qt[tid] = table
-                i += 65
+                i += 1 + (128 if tprec else 64)
         elif marker == 0xC4:  # DHT
             i = 0
             while i < len(body):
@@ -222,9 +228,13 @@ def _decode_jpeg_strict(payload: bytes):
                     counts, body[i + 17 : i + 17 + n]
                 )
                 i += 17 + n
-        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0 / SOF1 ext seq / SOF2
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
-            if prec != 8 or nc not in (1, 3) or w == 0 or h == 0:
+            # baseline is 8-bit by definition; extended sequential and
+            # progressive also allow 12-bit (T.81 Table B.2)
+            if prec != 8 and not (prec == 12 and marker in (0xC1, 0xC2)):
+                return None
+            if nc not in (1, 3) or w == 0 or h == 0:
                 return None
             comps = []
             for ci in range(nc):
@@ -234,11 +244,11 @@ def _decode_jpeg_strict(payload: bytes):
                 )
             if any(c["h"] not in (1, 2) or c["v"] not in (1, 2) for c in comps):
                 return None
-            frame = (w, h, comps)
+            frame = (w, h, comps, prec)
             progressive = marker == 0xC2
-        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
-            return None  # extended/lossless/arithmetic
+            return None  # lossless/differential/arithmetic
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS: entropy-coded data follows
@@ -279,7 +289,8 @@ def _decode_jpeg_strict(payload: bytes):
 
 
 def _decode_scan(payload, pos, frame, qt, huff, scan, restart_interval):
-    w, h, comps = frame
+    w, h, comps, prec = frame
+    half, maxv = 1 << (prec - 1), (1 << prec) - 1
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
@@ -332,23 +343,31 @@ def _decode_scan(payload, pos, frame, qt, huff, scan, restart_interval):
                         for yy in range(8):
                             row = (oy + yy) * stride + ox
                             for xx in range(8):
-                                v = int(px[yy * 8 + xx] + 128.5)
+                                v = int(px[yy * 8 + xx] + half + 0.5)
                                 plane[row + xx] = (
-                                    0 if v < 0 else (255 if v > 255 else v)
+                                    0 if v < 0 else (maxv if v > maxv else v)
                                 )
             mcu += 1
-    return _planes_to_rows(w, h, comps, planes, hmax, vmax)
+    return _planes_to_rows(w, h, comps, planes, hmax, vmax, prec)
 
 
-def _planes_to_rows(w, h, comps, planes, hmax, vmax):
+def _planes_to_rows(w, h, comps, planes, hmax, vmax, prec=8):
     """Shared tail of baseline and progressive decode: upsample chroma and
-    convert YCbCr->RGB (or replicate the single gray plane)."""
+    convert YCbCr->RGB (or replicate the single gray plane).  12-bit
+    planes convert in their native range and downshift to the 8-bit
+    (r, g, b) row contract at the end (>> 4, the standard display
+    downconversion) — prec == 8 is bit-for-bit the historical path."""
+    half, maxv, shift = 1 << (prec - 1), (1 << prec) - 1, prec - 8
     rows = []
     if len(comps) == 1:
         stride = comps[0]["bw"] * 8
         p = planes[0]
         for y in range(h):
-            rows.append([(v, v, v) for v in p[y * stride : y * stride + w]])
+            rows.append(
+                [((v >> shift),) * 3 for v in p[y * stride : y * stride + w]]
+                if shift else
+                [(v, v, v) for v in p[y * stride : y * stride + w]]
+            )
         return w, h, rows
     strides = [c["bw"] * 8 for c in comps]
     for y in range(h):
@@ -366,12 +385,13 @@ def _planes_to_rows(w, h, comps, planes, hmax, vmax):
                 (y * comps[2]["v"] // vmax) * strides[2]
                 + (x * comps[2]["h"] // hmax)
             ]
-            r = yv + 1.402 * (cr - 128)
-            g = yv - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
-            b = yv + 1.772 * (cb - 128)
+            r = yv + 1.402 * (cr - half)
+            g = yv - 0.344136 * (cb - half) - 0.714136 * (cr - half)
+            b = yv + 1.772 * (cb - half)
             line.append(
                 tuple(
-                    0 if v < 0 else (255 if v > 255 else int(v + 0.5))
+                    (0 if v < 0 else (maxv if v > maxv else int(v + 0.5)))
+                    >> shift
                     for v in (r, g, b)
                 )
             )
@@ -388,7 +408,7 @@ def _planes_to_rows(w, h, comps, planes, hmax, vmax):
 
 
 def _init_progressive(frame) -> dict:
-    w, h, comps = frame
+    w, h, comps, _prec = frame
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
@@ -484,7 +504,7 @@ def _decode_progressive_scan(
 ):
     """Decode one progressive scan into prog['coef']; returns the stream
     position of the marker that terminated the scan."""
-    _w, _h, comps = frame
+    _w, _h, comps, _prec = frame
     by_id = {c["id"]: (ci, c) for ci, c in enumerate(comps)}
     members = [
         (by_id[cs][0], by_id[cs][1], dc_t, ac_t)
@@ -555,7 +575,8 @@ def _decode_progressive_scan(
 
 
 def _assemble_progressive(frame, prog, qt):
-    w, h, comps = frame
+    w, h, comps, prec = frame
+    half, maxv = 1 << (prec - 1), (1 << prec) - 1
     planes = []
     for ci, c in enumerate(comps):
         q = qt[c["tq"]]
@@ -569,10 +590,10 @@ def _assemble_progressive(frame, prog, qt):
                 for yy in range(8):
                     row = (oy + yy) * stride + ox
                     for xx in range(8):
-                        v = int(px[yy * 8 + xx] + 128.5)
-                        plane[row + xx] = 0 if v < 0 else (255 if v > 255 else v)
+                        v = int(px[yy * 8 + xx] + half + 0.5)
+                        plane[row + xx] = 0 if v < 0 else (maxv if v > maxv else v)
         planes.append(plane)
-    return _planes_to_rows(w, h, comps, planes, prog["hmax"], prog["vmax"])
+    return _planes_to_rows(w, h, comps, planes, prog["hmax"], prog["vmax"], prec)
 
 
 # --------------------------------------------------------------------------
@@ -687,19 +708,35 @@ def _magnitude(v: int) -> tuple[int, int]:
     return t, v if v >= 0 else v + (1 << t) - 1
 
 
-def encode_jpeg(rows, quality: int = 75) -> bytes:
-    """Encode (r, g, b) pixel rows as a baseline 4:4:4 JPEG (Annex K
-    tables, libjpeg quality scaling) — the writer twin of `decode_jpeg`,
-    so resize can keep JPEG payloads JPEG lib-free."""
+def encode_jpeg(rows, quality: int = 75, precision: int = 8) -> bytes:
+    """Encode (r, g, b) pixel rows as a 4:4:4 JPEG (Annex K tables,
+    libjpeg quality scaling) — the writer twin of `decode_jpeg`, so
+    resize can keep JPEG payloads JPEG lib-free.
+
+    precision=8 writes baseline (SOF0).  precision=12 writes EXTENDED
+    sequential (SOF1): 8-bit input samples upshift to the 12-bit domain
+    (<< 4) and the quantization tables scale by the same 16 (written as
+    16-bit Pq=1 DQT entries), so quantized coefficients — and therefore
+    the Annex K Huffman tables and the ±1023 AC clamp — keep exactly
+    the 8-bit ranges.  The decode twin downshifts back at assembly."""
+    if precision not in (8, 12):
+        raise ValueError(f"precision must be 8 or 12, got {precision}")
     h, w = len(rows), len(rows[0])
-    qy = _scaled_quant(QUANT_LUM, quality)
-    qc = _scaled_quant(QUANT_CHR, quality)
+    up = 1 << (precision - 8)
+    qy = [q * up for q in _scaled_quant(QUANT_LUM, quality)]
+    qc = [q * up for q in _scaled_quant(QUANT_CHR, quality)]
 
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
 
     def dqt(tid: int, table: list[int]) -> bytes:
-        return seg(0xDB, bytes([tid]) + bytes(table[ZIGZAG[k]] for k in range(64)))
+        if precision == 8:
+            body = bytes([tid]) + bytes(table[ZIGZAG[k]] for k in range(64))
+        else:
+            body = bytes([0x10 | tid]) + b"".join(
+                struct.pack(">H", table[ZIGZAG[k]]) for k in range(64)
+            )
+        return seg(0xDB, body)
 
     def dht(tc: int, th: int, spec) -> bytes:
         counts, symbols = spec
@@ -707,8 +744,8 @@ def encode_jpeg(rows, quality: int = 75) -> bytes:
 
     head = b"\xff\xd8" + dqt(0, qy) + dqt(1, qc)
     head += seg(
-        0xC0,
-        struct.pack(">BHHB", 8, h, w, 3)
+        0xC0 if precision == 8 else 0xC1,
+        struct.pack(">BHHB", precision, h, w, 3)
         + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
     )
     head += (
@@ -730,8 +767,12 @@ def encode_jpeg(rows, quality: int = 75) -> bytes:
                 sy = min(by + yy, h - 1)
                 for xx in range(8):
                     r, g, b = rows[sy][min(bx + xx, w - 1)]
+                    if up > 1:  # 8-bit input samples -> 12-bit domain
+                        r, g, b = r * up, g * up, b * up
                     i = yy * 8 + xx
-                    ycc[0][i] = 0.299 * r + 0.587 * g + 0.114 * b - 128.0
+                    ycc[0][i] = (
+                        0.299 * r + 0.587 * g + 0.114 * b - 128.0 * up
+                    )
                     ycc[1][i] = -0.168736 * r - 0.331264 * g + 0.5 * b
                     ycc[2][i] = 0.5 * r - 0.418688 * g - 0.081312 * b
             for ci in range(3):

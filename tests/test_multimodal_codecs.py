@@ -1314,3 +1314,74 @@ def test_jpeg_progressive_against_real_encoder_fixture():
         for a, b in zip(p_ref, p_v)
     )
     assert worst <= 4, f"vendored decode deviates from libjpeg by {worst}"
+
+
+def test_jpeg_hand_vector_12bit_extended_sequential():
+    """Hand-assembled from the T.81 spec (no encoder involved): SOF1,
+    precision 12, 8x8 grayscale, 16-bit DQT with every entry 256, one
+    DC-only block with diff +10 (DC_LUM category 4, canonical code
+    '101') -> coefficient 10*256 = 2560, IDCT constant 2560/8 = 320,
+    level shift +2048 = 2368, downshift to the 8-bit row contract
+    2368 >> 4 = 148 for every pixel."""
+    bits = _TestBits()
+    bits.put("101")    # DC_LUM category 4 (canonical code for symbol 4)
+    bits.put("1010")   # magnitude bits of +10
+    bits.put("1010")   # AC_LUM EOB
+    dqt16 = _seg(
+        0xDB, bytes([0x10]) + b"".join(struct.pack(">H", 256) for _ in range(64))
+    )
+    data = (
+        b"\xff\xd8"
+        + dqt16
+        + _seg(0xC1, struct.pack(">BHHB", 12, 8, 8, 1) + bytes([1, 0x11, 0]))
+        + _dht(0, 0, jp.DC_LUM) + _dht(1, 0, jp.AC_LUM)
+        + _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + bits.bytes()
+        + b"\xff\xd9"
+    )
+    out = jp.decode_jpeg(data)
+    assert out is not None
+    w, h, rows = out
+    assert (w, h) == (8, 8)
+    assert all(px == (148, 148, 148) for row in rows for px in row)
+
+
+def test_jpeg_12bit_round_trip_close_to_8bit():
+    """The encoder's 12-bit arm (SOF1, x16-scaled 16-bit quant tables)
+    must round-trip to within a couple of codes of the 8-bit decode of
+    the same image — identical quantized coefficients by construction,
+    differing only in the extra 4 bits of IDCT headroom."""
+    side = 24
+    px = [
+        [((3 * x + y) % 256, (x + 5 * y) % 256, (7 * x - 2 * y) % 256)
+         for x in range(side)]
+        for y in range(side)
+    ]
+    d8 = jp.decode_jpeg(jp.encode_jpeg(px, 85))
+    d12 = jp.decode_jpeg(jp.encode_jpeg(px, 85, precision=12))
+    assert d8 is not None and d12 is not None
+    assert (d8[0], d8[1]) == (d12[0], d12[1]) == (side, side)
+    worst = max(
+        abs(a - b)
+        for ra, rb in zip(d8[2], d12[2])
+        for pa, pb in zip(ra, rb)
+        for a, b in zip(pa, pb)
+    )
+    assert worst <= 2, worst
+
+
+def test_jpeg_sof1_8bit_decodes_like_baseline():
+    """Extended sequential with 8-bit samples is the same entropy coding
+    as baseline: flipping SOF0 -> SOF1 on a baseline stream must decode
+    bit-identically (previously SOF1 was rejected outright)."""
+    side = 16
+    px = [
+        [((5 * x) % 256, (3 * y) % 256, (x * y) % 256) for x in range(side)]
+        for y in range(side)
+    ]
+    b8 = jp.encode_jpeg(px, 80)
+    i = b8.index(b"\xff\xc0")
+    patched = b8[: i + 1] + b"\xc1" + b8[i + 2:]
+    d0, d1 = jp.decode_jpeg(b8), jp.decode_jpeg(patched)
+    assert d0 is not None and d1 is not None
+    assert d1[2] == d0[2]

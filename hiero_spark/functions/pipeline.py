@@ -339,21 +339,26 @@ def stratified_sample(
     rows of every stratum (language, source, quality band...).
 
     sampleBy (mixture_sample) gives RATE-based draws with binomial
-    wobble; dataset cards and eval sets need exact counts. One shuffle on
-    the stratum key + a per-stratum window rank over the deterministic
-    shuffle_key: reproducible across runs and engines. Skew note: a
-    stratum's rank pass is linear in its size and windows spill; for
-    quotas from pathologically hot strata, pre-filter with a cheap
-    per-partition top-n before the window if it ever shows in profiles."""
-    from pyspark.sql.window import Window
+    wobble; dataset cards and eval sets need exact counts.  The draw
+    ranks each stratum by the deterministic shuffle_key: reproducible
+    across runs and engines.
+
+    Scale shape (round 10 — this function's own skew note, implemented):
+    ranking runs through grouped_topk's salted two-phase window, so a
+    pathologically hot stratum (half the corpus is English) fans over
+    n_salt tasks in phase 1 and only quota*n_salt survivors reach the
+    per-stratum final rank — the textbook single-window form serializes
+    the whole stratum onto one task and buffers it to rank it."""
+    from hiero_spark.operators.grouptopk import grouped_topk
 
     key = shuffle_key(F.col(id_col), seed)
-    w = Window.partitionBy(strata_col).orderBy(key.asc(), F.col(id_col).asc())
-    return (
-        df.withColumn("_rank", F.row_number().over(w))
-        .filter(F.col("_rank") <= n_per_stratum)
-        .drop("_rank")
-    )
+    return grouped_topk(
+        df.withColumn("_sk", key),
+        strata_col,
+        [F.col("_sk").asc(), F.col(id_col).asc()],
+        salt_col=id_col,
+        k=int(n_per_stratum),
+    ).drop("_sk", "rank")
 
 
 def scrub_pii(df: DataFrame, text_col: str, out: str = "clean_text") -> DataFrame:

@@ -36,19 +36,27 @@ def grouped_topk(
     salt_col: str,
     k: int,
     n_salt: int = 32,
+    rank_fn=F.row_number,
 ) -> DataFrame:
     """Rows forming each group's top-k under `order_by` (which must be a
     total order — end it with a unique column such as the id used for
-    `salt_col`), plus a `rank` column (1-based within the group)."""
+    `salt_col`), plus a `rank` column (1-based within the group).
+
+    `rank_fn=F.rank` gives SQL rank-with-ties semantics instead: rows
+    tied at the k boundary are all kept (output may exceed k per group,
+    exactly like the single-window form).  Phase 1 stays sound — a row
+    whose GLOBAL group rank is <= k has bucket rank <= its global rank,
+    so keeping bucket rank <= k loses nothing; with ties, a bucket keeps
+    at most its boundary tie-class extra."""
     salt = F.pmod(F.xxhash64(F.col(salt_col)), F.lit(n_salt))
     w1 = Window.partitionBy(F.col(group_col), salt).orderBy(*order_by)
     survivors = (
-        df.withColumn("_r1", F.row_number().over(w1))
+        df.withColumn("_r1", rank_fn().over(w1))
         .filter(F.col("_r1") <= k)
         .drop("_r1")
     )
     w2 = Window.partitionBy(group_col).orderBy(*order_by)
     return (
-        survivors.withColumn("rank", F.row_number().over(w2))
+        survivors.withColumn("rank", rank_fn().over(w2))
         .filter(F.col("rank") <= k)
     )

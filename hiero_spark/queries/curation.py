@@ -1190,18 +1190,28 @@ def n7_bfs_levels(spark, sf_dir):
     """,
 )
 def n6_mixture_apply(spark, sf_dir):
-    from pyspark.sql.window import Window
+    from hiero_spark.operators.grouptopk import grouped_topk
 
     docs = t(spark, sf_dir, "documents")
     quotas = wt.mixture_weights(docs, "source", alpha=0.5).select(
         "source", F.floor(F.col("weight") * 100).cast("long").alias("quota")
     )
-    key = pl.shuffle_key(F.col("doc_id"), seed=7)
-    w = Window.partitionBy("source").orderBy(key.asc(), F.col("doc_id").asc())
-    return (
+    # per-source quotas vary, so phase-1 keeps the MAX quota (100 =
+    # floor(weight*100) bound) per salt bucket — sound for every
+    # stratum — and the per-source quota filter applies to the final
+    # rank.  grouped_topk fans each source over salt buckets instead of
+    # serializing a hot source onto one window task (round 10; the
+    # stratified_sample upgrade, applied to the variable-quota case).
+    ranked = grouped_topk(
         docs.join(F.broadcast(quotas), "source")
-        .withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= F.col("quota"))
+        .withColumn("_sk", pl.shuffle_key(F.col("doc_id"), seed=7)),
+        "source",
+        [F.col("_sk").asc(), F.col("doc_id").asc()],
+        salt_col="doc_id",
+        k=100,
+    )
+    return (
+        ranked.filter(F.col("rank") <= F.col("quota"))
         .select("source", "doc_id", "quota")
     )
 

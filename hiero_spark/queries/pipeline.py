@@ -532,9 +532,8 @@ def n6_stratified_sample(spark, sf_dir):
     """,
 )
 def n6_curriculum_order(spark, sf_dir):
-    from pyspark.sql.window import Window
-
     from hiero_spark.functions import text as tx
+    from hiero_spark.operators.grouptopk import grouped_topk
 
     docs = t(spark, sf_dir, "documents")
     q = F.col("quality")
@@ -551,11 +550,19 @@ def n6_curriculum_order(spark, sf_dir):
         .alias("stage"),
         pl.shuffle_key(F.col("doc_id"), seed=11).alias("skey"),
     )
-    w = Window.partitionBy("stage").orderBy("skey", "doc_id")
-    return (
-        staged.withColumn("pos", F.row_number().over(w).cast("int"))
-        .filter(F.col("pos") <= 50)
-        .select("stage", "pos", "doc_id", F.round("quality", 6).alias("quality"))
+    # 4 stages over the whole corpus: the textbook per-stage window
+    # serializes a stage onto one task; grouped_topk fans it over salt
+    # buckets and only 50*n_salt survivors reach the final rank
+    ranked = grouped_topk(
+        staged, "stage",
+        [F.col("skey").asc(), F.col("doc_id").asc()],
+        salt_col="doc_id", k=50,
+    )
+    return ranked.select(
+        "stage",
+        F.col("rank").cast("int").alias("pos"),
+        "doc_id",
+        F.round("quality", 6).alias("quality"),
     )
 
 

@@ -230,16 +230,27 @@ def ext_setop_union_distinct(spark, sf_dir):
     """,
 )
 def ext_window_rank(spark, sf_dir):
-    w = Window.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"))
-    return (
-        t(spark, sf_dir, "orders")
-        .select(
-            "o_orderkey",
-            "o_orderpriority",
-            "o_totalprice",
-            F.rank().over(w).alias("rk"),
-        )
-        .filter(F.col("rk") <= 3)
+    from hiero_spark.operators.grouptopk import grouped_topk
+
+    # 5 priority groups over the whole orders table: the single-window
+    # form serializes each group onto one task — grouped_topk's salted
+    # two-phase rank (rank_fn=F.rank keeps the SQL ties semantics) fans
+    # them out; only ~3*n_salt survivors reach the final per-group rank
+    ranked = grouped_topk(
+        t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority", "o_totalprice"
+        ),
+        "o_orderpriority",
+        [F.desc("o_totalprice")],
+        salt_col="o_orderkey",
+        k=3,
+        rank_fn=F.rank,
+    )
+    return ranked.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.col("rank").cast("int").alias("rk"),
     )
 
 

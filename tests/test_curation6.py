@@ -175,3 +175,33 @@ def test_rejection_reasons_partition_the_corpus(spark, sf_dir):
     assert sum(n for n, _ in reasons.values()) == funnel["total"][0]
     assert sum(tk for _, tk in reasons.values()) == funnel["total"][1]
     assert reasons["kept"] == funnel["stopword"]  # stage-6 survivors
+
+
+def test_grouped_topk_rank_fn_keeps_sql_ties(spark):
+    """rank_fn=F.rank (round 10): boundary ties are ALL kept, matching
+    the single-window rank()<=k form — including ties that span salt
+    buckets (the phase-1 soundness edge)."""
+    from pyspark.sql import Window, functions as F
+
+    from hiero_spark.operators.grouptopk import grouped_topk
+
+    # group 'a': scores 9,9,9,9,5 -> rank()<=2 keeps the four 9s;
+    # group 'b': distinct scores -> plain top-2
+    rows = [("a", i, 9 if i < 4 else 5) for i in range(5)]
+    rows += [("b", 10 + i, i) for i in range(4)]
+    df = spark.createDataFrame(rows, "g string, id long, score long")
+    got = sorted(
+        (r["g"], r["id"], r["rank"])
+        for r in grouped_topk(
+            df, "g", [F.desc("score")], salt_col="id", k=2,
+            n_salt=3, rank_fn=F.rank,
+        ).collect()
+    )
+    w = Window.partitionBy("g").orderBy(F.desc("score"))
+    exp = sorted(
+        (r["g"], r["id"], r["rank"])
+        for r in df.withColumn("rank", F.rank().over(w))
+        .filter("rank <= 2").collect()
+    )
+    assert got == exp
+    assert sum(1 for g, _i, _r in got if g == "a") == 4  # ties kept

@@ -455,3 +455,82 @@ def seasonal_decompose(
             (F.col("detrend_xw") - F.col("seasonal_xw")).alias(f"residual_x{w}"),
         )
     )
+
+
+def ordered_lead(
+    df: DataFrame,
+    part_cols: list[str],
+    order_cols: list[str],
+    target_col: str,
+    out_col: str = "_lead",
+    n_parts: int | None = None,
+) -> DataFrame:
+    """LEAD(target) over (PARTITION BY part_cols ORDER BY order_cols) for
+    LOW-cardinality partition keys — the shape where the textbook window
+    serializes each key's ENTIRE sequence onto one task (10 event types
+    over 100 TB = 10 tasks doing all the work).
+
+    Two-phase: range-repartition by (part_cols, order_cols) — equal-key
+    rows co-locate and each part value spans a CONTIGUOUS, ordered run
+    of partitions — then window within (physical partition, part value),
+    which fans each key over ~n_parts tasks.  Only the last row of each
+    (partition, key) run has a null local lead; its true successor is
+    the first row of the key's next partition, resolved driver-side from
+    one tiny aggregate (n_parts x |keys| rows) and broadcast back.
+
+    `order_cols` must be a total order (end with a unique id): ties
+    spanning a range boundary would make "first row of the next
+    partition" ambiguous.  `target_col` must be non-null — a null mid-
+    sequence would be indistinguishable from a run-end local lead and
+    would wrongly pull the boundary value.
+
+    Cost: one range shuffle + one hash shuffle over (pid, keys) + an
+    O(n_parts x keys) driver exchange — vs. the single-window form's one
+    shuffle into |keys| tasks.  Use the plain window when keys are
+    high-cardinality; use this when keys ~ O(10-1000) and rows are big.
+    """
+    if n_parts is None:
+        n_parts = max(2, df.sparkSession.sparkContext.defaultParallelism)
+    order_exprs = [F.col(c) for c in order_cols]
+    d = (
+        df.repartitionByRange(
+            n_parts, *[F.col(c) for c in part_cols], *order_exprs
+        )
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()  # pin pids: the boundary map keys on them
+    )
+    # first row of every (pid, key) run, by the total order
+    firsts = (
+        d.groupBy("_pid", *part_cols)
+        .agg(F.min(F.struct(*order_exprs, F.col(target_col))).alias("_f"))
+        .collect()
+    )
+    by_key: dict[tuple, list] = {}
+    for r in firsts:
+        by_key.setdefault(tuple(r[c] for c in part_cols), []).append(
+            (r["_pid"], r["_f"][target_col])
+        )
+    boundary_rows = []
+    for key, lst in by_key.items():
+        lst.sort()
+        for (pid, _v), (_npid, nxt_v) in zip(lst, lst[1:]):
+            boundary_rows.append((*key, pid, nxt_v))
+    spark = df.sparkSession
+    target_type = dict(zip(df.schema.names, df.schema.fields))[
+        target_col
+    ].dataType.simpleString()
+    key_fields = ", ".join(
+        f"{c} {dict(zip(df.schema.names, df.schema.fields))[c].dataType.simpleString()}"
+        for c in part_cols
+    )
+    boundary = spark.createDataFrame(
+        boundary_rows,
+        f"{key_fields}, _pid int, _boundary_next {target_type}",
+    )
+    w = Window.partitionBy("_pid", *part_cols).orderBy(*order_exprs)
+    return (
+        d.withColumn("_lead_local", F.lead(target_col).over(w))
+        .join(F.broadcast(boundary), ["_pid", *part_cols], "left")
+        .withColumn(out_col, F.coalesce("_lead_local", "_boundary_next"))
+        .drop("_pid", "_lead_local", "_boundary_next")
+    )

@@ -820,17 +820,25 @@ def ext_ohlc_downsample(spark, sf_dir):
     """,
 )
 def ext_time_weighted_avg(spark, sf_dir):
-    from pyspark.sql.window import Window
+    from hiero_spark.operators.temporal import ordered_lead
 
     ev = t(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy(
-        F.col("ts").asc(), F.col("event_id").asc()
-    )
-    seq = ev.select(
-        "event_type",
-        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
-        F.unix_micros("ts").alias("us"),
-        F.lead(F.unix_micros("ts")).over(w).alias("nxt"),
+    # ~10 event types over the corpus: LEAD through ordered_lead's
+    # range-partitioned two-phase form (each type fans over ~n_parts
+    # tasks; boundary successors resolve via one tiny driver exchange)
+    # instead of the single-window form serializing a type per task
+    seq = ordered_lead(
+        ev.select(
+            "event_type",
+            "event_id",
+            "ts",
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+            F.unix_micros("ts").alias("us"),
+        ),
+        ["event_type"],
+        ["ts", "event_id"],
+        "us",
+        out_col="nxt",
     ).filter(F.col("nxt").isNotNull())
     dt = F.col("nxt") - F.col("us")
     return seq.groupBy("event_type").agg(

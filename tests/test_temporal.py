@@ -1,4 +1,9 @@
+"""ordered_lead — the low-cardinality-key LEAD scale path (round 10).
 
+The other temporal operators (as-of/range joins, gap fill, SCD2, OHLC,
+seasonal decompose) are covered in tests/test_scale_toolkit.py; this file
+pins the two-phase distributed LEAD against the plain-window ground truth.
+"""
 
 def test_ordered_lead_matches_plain_window(spark):
     """ordered_lead (round 10: the low-cardinality-key LEAD scale path)

@@ -110,33 +110,93 @@ def systematic_pps_sample_grouped(
     group_col: str,
     weight_col: str,
     order_col: str,
+    n_parts: int | None = None,
+    max_driver_rows: int = 2_000_000,
 ) -> DataFrame:
     """Stratified PPS: k draws PER GROUP, proportional to integer
     `weight_col` within the group — "sample k docs per source weighted
     by length", the eval-set assembly shape. Same all-integer systematic
-    thresholds as `systematic_pps_sample`, but the cumulative-weight
-    line is per-group, so the prefix sum is an ordinary per-key window
-    (groups partition the work; no global prefix, no offset broadcast)
-    and every group lands exactly k draws. Groups whose total weight is
-    0 contribute nothing."""
+    thresholds as `systematic_pps_sample`; groups whose total weight is
+    0 contribute nothing.
+
+    Scale shape (round 10): with LOW-cardinality groups the per-group
+    cumulative window serializes each group's whole sequence onto one
+    task — the same trap stratified_sample/ordered_lead closed.  The
+    prefix sum therefore runs the two-phase form per (group, physical
+    partition): range-repartition by (group, order) makes each group a
+    contiguous ordered run of partitions, a tiny (n_parts x groups)
+    aggregate resolves per-run offsets and group totals driver-side,
+    and the running sum windows over (pid, group) — each group fans
+    over ~n_parts tasks.  When groups are HIGH-cardinality (offsets
+    would exceed `max_driver_rows`), the plain per-group window is the
+    right plan anyway (work already spreads) and the function falls
+    back to it automatically — one cheap distinct-count decides."""
     from pyspark.sql.window import Window
 
-    d = df.select(
+    d0 = df.select(
         group_col, order_col, F.col(weight_col).cast("long").alias("_w")
     )
-    w = (
-        Window.partitionBy(group_col)
-        .orderBy(F.col(order_col).asc())
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    tot = Window.partitionBy(group_col)
-    c = d.select(
-        group_col,
-        order_col,
-        "_w",
-        F.sum("_w").over(w).alias("_cum"),
-        F.sum("_w").over(tot).alias("_tw"),
-    ).filter(F.col("_tw") > 0)
+    if n_parts is None:
+        n_parts = max(2, df.sparkSession.sparkContext.defaultParallelism)
+    n_groups = d0.select(group_col).distinct().count()
+    if n_groups * n_parts > max_driver_rows:
+        w = (
+            Window.partitionBy(group_col)
+            .orderBy(F.col(order_col).asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        tot = Window.partitionBy(group_col)
+        c = d0.select(
+            group_col,
+            order_col,
+            "_w",
+            F.sum("_w").over(w).alias("_cum"),
+            F.sum("_w").over(tot).alias("_tw"),
+        ).filter(F.col("_tw") > 0)
+    else:
+        d = (
+            d0.repartitionByRange(
+                n_parts, F.col(group_col), F.col(order_col)
+            )
+            .withColumn("_pid", F.spark_partition_id())
+            .localCheckpoint()  # pin pids: offsets must match them
+        )
+        parts = d.groupBy("_pid", group_col).agg(
+            F.sum("_w").alias("_s")
+        ).collect()
+        by_group: dict = {}
+        for r in parts:
+            by_group.setdefault(r[group_col], []).append((r["_pid"], r["_s"]))
+        rows = []
+        for g, lst in by_group.items():
+            lst.sort()
+            tw = sum(s for _pid, s in lst)
+            off = 0
+            for pid, s in lst:
+                rows.append((pid, g, off, tw))
+                off += s
+        gtype = {f.name: f.dataType.simpleString() for f in df.schema.fields}[
+            group_col
+        ]
+        offsets = df.sparkSession.createDataFrame(
+            rows, f"_pid int, {group_col} {gtype}, _off long, _tw long"
+        )
+        w = (
+            Window.partitionBy("_pid", group_col)
+            .orderBy(F.col(order_col).asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        c = (
+            d.join(F.broadcast(offsets), ["_pid", group_col])
+            .select(
+                group_col,
+                order_col,
+                "_w",
+                (F.sum("_w").over(w) + F.col("_off")).alias("_cum"),
+                "_tw",
+            )
+            .filter(F.col("_tw") > 0)
+        )
     kk = int(k_per_group)
     f_cum = (
         f"least(CAST({kk} AS BIGINT), "

@@ -722,3 +722,37 @@ def test_operator_caches_are_tracked_and_releasable(spark):
     assert ct.release_caches() == 0
     assert jaccard_join(docs, threshold=0.8, k=3).count() >= 6
     ct.release_caches()
+
+
+def test_grouped_pps_distributed_prefix_matches_plain_window(spark):
+    """The two-phase (group, partition)-offset prefix sum must reproduce
+    the plain per-group cumulative window exactly — including groups
+    whose ordered runs span several range partitions, and the
+    high-cardinality fallback path (max_driver_rows=0 forces it)."""
+    from hiero_spark.functions.sampling import systematic_pps_sample_grouped
+
+    rows = [
+        (("s1", "s2", "s3")[i % 3], i, (i * 13) % 29 + 1)
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "src string, doc_id long, n long")
+    fast = sorted(
+        tuple(r)
+        for r in systematic_pps_sample_grouped(
+            df, 7, "src", "n", "doc_id", n_parts=5
+        ).collect()
+    )
+    plain = sorted(
+        tuple(r)
+        for r in systematic_pps_sample_grouped(
+            df, 7, "src", "n", "doc_id", n_parts=5, max_driver_rows=0
+        ).collect()
+    )
+    assert fast == plain
+    # exactness: every group lands exactly k draws
+    from collections import Counter
+
+    per_group = Counter()
+    for src, _id, _n, n_sel in fast:
+        per_group[src] += n_sel
+    assert per_group == {"s1": 7, "s2": 7, "s3": 7}

@@ -506,3 +506,80 @@ def test_generated_setop_parity(spark, con, op, pa, pb):
         ).fetchall()
     )
     assert got == exp, (op, wa, wb)
+
+
+# --- window functions (round 10): the fuzz gap the curated suite left ------
+
+_WIN_FNS = ("row_number", "rank", "dense_rank", "lag", "lead", "cumsum")
+
+
+@pytest.fixture(scope="module")
+def con_orders():
+    c = duckdb.connect()
+    c.execute(
+        "CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{table_path(SF_DIR, 'orders')}')"
+    )
+    return c
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    part=st.sampled_from(["o_orderpriority", "o_orderstatus"]),
+    fn=st.sampled_from(_WIN_FNS),
+    desc=st.booleans(),
+    o_preds=_ord_preds,
+)
+def test_generated_window_parity(spark, con_orders, part, fn, desc, o_preds):
+    """Generated window queries over a TOTAL order (value dir, o_orderkey
+    asc tiebreak) must agree exactly: ranking trio, lag/lead of an
+    integer column, and a running cents sum (scaled bigint, so float
+    summation order cannot break equality)."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, SF_DIR, "orders")
+    spark_parts, where = _build(o_preds)
+    cond = F.lit(True)
+    for col, op, lit in spark_parts:
+        cond = cond & _OPS[op](F.col(col), F.lit(lit))
+    o = o.filter(cond)
+
+    direction = "DESC" if desc else "ASC"
+    cents = "CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)"
+    order_sql = f"{cents} {direction}, o_orderkey ASC"
+    cents_col = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    order_cols = [
+        cents_col.desc() if desc else cents_col.asc(),
+        F.col("o_orderkey").asc(),
+    ]
+    w = Window.partitionBy(part).orderBy(*order_cols)
+    if fn == "row_number":
+        expr, sql = F.row_number().over(w), "ROW_NUMBER()"
+    elif fn == "rank":
+        expr, sql = F.rank().over(w), "RANK()"
+    elif fn == "dense_rank":
+        expr, sql = F.dense_rank().over(w), "DENSE_RANK()"
+    elif fn == "lag":
+        expr, sql = F.lag("o_custkey").over(w), "LAG(o_custkey)"
+    elif fn == "lead":
+        expr, sql = F.lead("o_custkey").over(w), "LEAD(o_custkey)"
+    else:  # running cents sum
+        wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        expr = F.sum(cents_col).over(wsum)
+        sql = (
+            f"SUM({cents}) OVER (PARTITION BY {part} ORDER BY {order_sql} "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        )
+    if fn != "cumsum":
+        sql = f"{sql} OVER (PARTITION BY {part} ORDER BY {order_sql})"
+    got = sorted(
+        tuple(r)
+        for r in o.select("o_orderkey", expr.cast("long").alias("v")).collect()
+    )
+    exp = sorted(
+        con_orders.execute(
+            f"SELECT o_orderkey, CAST({sql} AS BIGINT) AS v "
+            f"FROM orders WHERE {where}"
+        ).fetchall()
+    )
+    assert got == exp, (part, fn, desc, where)

@@ -267,3 +267,22 @@ def test_jaccard_groups_plan_is_keyed_and_array_free(qs):
         for n in joins
     ), joins
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["n6_stratified_sample", "n6_mixture_apply", "n6_curriculum_order",
+     "ext_window_rank"],
+)
+def test_upgraded_group_rankings_are_salted(qs, name):
+    """Round-10: every low-cardinality group ranking that moved onto
+    grouped_topk must actually show the salted phase-1 exchange — a
+    refactor back to the single-window form would re-serialize whole-
+    corpus strata onto one task each."""
+    import re
+
+    plan = P.plan_str(qs[name])
+    specs = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert specs, plan[:500]
+    assert any(len(s.split(",")) >= 3 for s in specs), (name, specs)
+    assert "xxhash64" in plan and "pmod" in plan, (name, plan[:500])

@@ -583,3 +583,57 @@ def test_generated_window_parity(spark, con_orders, part, fn, desc, o_preds):
         ).fetchall()
     )
     assert got == exp, (part, fn, desc, where)
+
+
+# --- set operations (round 10) ----------------------------------------------
+
+_SETOPS = ("union", "union_all", "intersect", "intersect_all",
+           "except", "except_all")
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    preds_a=_preds,
+    preds_b=_preds,
+    op=st.sampled_from(_SETOPS),
+)
+def test_generated_set_operation_parity(spark, con, preds_a, preds_b, op):
+    """Two generated filtered projections of lineitem combined with every
+    SQL set operator (distinct AND bag semantics) must agree exactly —
+    the V1 combine-views family fuzzed instead of hand-enumerated."""
+    li = load_table(spark, SF_DIR, "lineitem")
+    proj = ["l_returnflag", "l_linestatus", "l_linenumber"]
+    proj_sql = ", ".join(proj)
+
+    def side(preds):
+        spark_parts, where = _build(preds)
+        cond = F.lit(True)
+        for col, cop, lit in spark_parts:
+            cond = cond & _OPS[cop](F.col(col), F.lit(lit))
+        return li.filter(cond).select(*proj), where
+
+    a, wa = side(preds_a)
+    b, wb = side(preds_b)
+    if op == "union":
+        got_df, sql_op = a.union(b).distinct(), "UNION"
+    elif op == "union_all":
+        got_df, sql_op = a.union(b), "UNION ALL"
+    elif op == "intersect":
+        got_df, sql_op = a.intersect(b), "INTERSECT"
+    elif op == "intersect_all":
+        got_df, sql_op = a.intersectAll(b), "INTERSECT ALL"
+    elif op == "except":
+        got_df, sql_op = a.exceptAll(b).distinct(), "EXCEPT"
+        # Spark's subtract() is EXCEPT DISTINCT too; exceptAll+distinct
+        # pins the same relation through the bag-semantics operator
+    else:
+        got_df, sql_op = a.exceptAll(b), "EXCEPT ALL"
+    got = sorted(tuple(r) for r in got_df.collect())
+    exp = sorted(
+        con.execute(
+            f"SELECT {proj_sql} FROM lineitem WHERE {wa} "
+            f"{sql_op} "
+            f"SELECT {proj_sql} FROM lineitem WHERE {wb}"
+        ).fetchall()
+    )
+    assert got == exp, (op, wa, wb)

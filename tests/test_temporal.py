@@ -51,3 +51,66 @@ def test_ordered_lead_single_partition_and_singleton_keys(spark):
         ).collect()
     }
     assert got == {("x", 1): 20, ("x", 2): None, ("solo", 9): None}
+
+
+def test_asof_join_fuzz_against_duckdb_native_asof(spark):
+    """Differential check against an INDEPENDENT implementation: DuckDB's
+    native ASOF LEFT JOIN (greatest right_ts <= left_ts per key) must
+    agree with operators/temporal.as_of_join on generated frames.  Right
+    (key, ts) pairs are unique — with duplicate timestamps the pick is
+    tie-broken differently per engine (ours: max payload struct), so the
+    generator stays inside the deterministic contract."""
+    import duckdb
+    import pandas as pd
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    from hiero_spark.operators.temporal import as_of_join
+
+    keys = st.sampled_from(["a", "b", "c"])
+    left_rows = st.lists(
+        st.tuples(keys, st.integers(0, 40)), min_size=0, max_size=25
+    )
+    right_rows = st.lists(
+        st.tuples(keys, st.integers(0, 40)),
+        min_size=0,
+        max_size=25,
+        unique=True,
+    )
+
+    @settings(max_examples=25, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(lrows=left_rows, rrows=right_rows)
+    def run(lrows, rrows):
+        lpdf = pd.DataFrame(
+            [(i, k, ts) for i, (k, ts) in enumerate(lrows)],
+            columns=["id", "k", "ts"],
+        )
+        rpdf = pd.DataFrame(
+            [(k, ts, ts * 100 + ord(k[0])) for k, ts in rrows],
+            columns=["k", "ts", "v"],
+        )
+        con = duckdb.connect()
+        con.register("l", lpdf)
+        con.register("r", rpdf)
+        exp = sorted(
+            (int(i), None if pd.isna(v) else int(v))
+            for i, v in con.execute(
+                "SELECT l.id, r.v FROM l ASOF LEFT JOIN r "
+                "ON l.k = r.k AND l.ts >= r.ts"
+            ).fetchall()
+        )
+        ldf = spark.createDataFrame(
+            [(i, k, ts) for i, (k, ts) in enumerate(lrows)],
+            "id long, k string, ts long",
+        )
+        rdf = spark.createDataFrame(
+            [(k, ts, ts * 100 + ord(k[0])) for k, ts in rrows],
+            "k string, ts long, v long",
+        )
+        got = sorted(
+            (r["id"], r["v"])
+            for r in as_of_join(ldf, rdf, "k", "ts", "ts", ["v"]).collect()
+        )
+        assert got == exp, (lrows, rrows)
+
+    run()

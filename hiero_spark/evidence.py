@@ -30,6 +30,7 @@ import json
 import os
 import re
 import subprocess
+import sys
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SNAPSHOT_PATH = os.path.join(ROOT, "ORACLE_SNAPSHOT.json")
@@ -520,7 +521,9 @@ def repin_unchanged_since_green(write: bool = True, verbose: bool = False) -> di
                 json.dump(names, f)
             env = dict(os.environ, PYTHONPATH=wt)
             proc = subprocess.run(
-                ["python", "-c", worker, names_f, out_f],
+                # sys.executable, not bare "python": on hosts exposing only
+                # python3 the worker would fail and silently skip every round
+                [sys.executable, "-c", worker, names_f, out_f],
                 capture_output=True, text=True, cwd=wt, env=env,
             )
             if proc.returncode != 0:
@@ -551,8 +554,6 @@ def repin_unchanged_since_green(write: bool = True, verbose: bool = False) -> di
 
 
 if __name__ == "__main__":
-    import sys
-
     if "--repin" in sys.argv:
         stats = repin_unchanged_since_green(verbose="-v" in sys.argv)
         print(f"repinned: {stats}")

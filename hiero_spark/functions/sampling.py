@@ -186,8 +186,20 @@ def systematic_pps_sample_grouped(
             .orderBy(F.col(order_col).asc())
             .rowsBetween(Window.unboundedPreceding, 0)
         )
+        # eqNullSafe on the group key: a NULL group is a real stratum here
+        # (the window path and the driver-side dict both keep it as one),
+        # and a null-unsafe equi-join would silently drop its rows — the
+        # same function would then return different results depending on
+        # which plan the distinct-count heuristic picked.
+        offsets = offsets.withColumnRenamed("_pid", "_o_pid").withColumnRenamed(
+            group_col, "_o_g"
+        )
         c = (
-            d.join(F.broadcast(offsets), ["_pid", group_col])
+            d.join(
+                F.broadcast(offsets),
+                (F.col("_pid") == F.col("_o_pid"))
+                & F.col(group_col).eqNullSafe(F.col("_o_g")),
+            )
             .select(
                 group_col,
                 order_col,

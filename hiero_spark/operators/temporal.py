@@ -528,9 +528,23 @@ def ordered_lead(
         f"{key_fields}, _pid int, _boundary_next {target_type}",
     )
     w = Window.partitionBy("_pid", *part_cols).orderBy(*order_exprs)
+    # eqNullSafe on the partition keys: lead()'s window treats NULL as a
+    # real group, so the boundary stitch must too — a null-unsafe join
+    # would never match a NULL key and the last row of each physical
+    # partition's null-key run would keep a null lead mid-sequence,
+    # silently diverging from the plain-window form this reproduces.
+    boundary = boundary.withColumnsRenamed(
+        {"_pid": "_b_pid", **{c: f"_b_{c}" for c in part_cols}}
+    )
+    cond = F.col("_pid") == F.col("_b_pid")
+    for c in part_cols:
+        cond = cond & F.col(c).eqNullSafe(F.col(f"_b_{c}"))
     return (
         d.withColumn("_lead_local", F.lead(target_col).over(w))
-        .join(F.broadcast(boundary), ["_pid", *part_cols], "left")
+        .join(F.broadcast(boundary), cond, "left")
         .withColumn(out_col, F.coalesce("_lead_local", "_boundary_next"))
-        .drop("_pid", "_lead_local", "_boundary_next")
+        .drop(
+            "_pid", "_b_pid", "_lead_local", "_boundary_next",
+            *[f"_b_{c}" for c in part_cols],
+        )
     )

@@ -194,9 +194,49 @@ def ext_setop_intersect(spark, sf_dir):
     """,
 )
 def ext_setop_except(spark, sf_dir):
+    # subtract() IS SQL EXCEPT (distinct).  The previous form
+    # exceptAll(b).distinct() subtracts multiplicities first, so a tuple
+    # with count(A) > count(B) > 0 wrongly survives — invisible on this
+    # unique-key oracle, falsified by the set-operation fuzzer
+    # (tests/test_fuzz_parity.py) and pinned by ext_setop_except_bag.
     a = t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
     b = t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
-    return a.exceptAll(b).distinct()
+    return a.subtract(b)
+
+
+@query(
+    "ext_setop_except_bag",
+    group="ext-setop",
+    doc="EXCEPT (distinct) on a heavy-multiplicity projection: every "
+        "(returnflag, linestatus, linenumber) combo occurs thousands of "
+        "times on each side, so bag-subtraction idioms "
+        "(exceptAll+distinct) give a different answer than SQL EXCEPT — "
+        "this oracle can SEE the bag/set divergence the unique-key "
+        "ext_setop_except oracle cannot.",
+    oracle="""
+        SELECT l_returnflag AS rf, l_linestatus AS ls, l_linenumber AS ln
+        FROM lineitem
+        EXCEPT
+        SELECT l_returnflag, l_linestatus, l_linenumber
+        FROM lineitem WHERE l_quantity < 2 AND l_linenumber <= 2
+    """,
+)
+def ext_setop_except_bag(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    proj = ["l_returnflag", "l_linestatus", "l_linenumber"]
+    a = li.select(*proj)
+    b = (
+        li.filter((F.col("l_quantity") < 2) & (F.col("l_linenumber") <= 2))
+        .select(*proj)
+    )
+    return (
+        a.subtract(b)
+        .select(
+            F.col("l_returnflag").alias("rf"),
+            F.col("l_linestatus").alias("ls"),
+            F.col("l_linenumber").alias("ln"),
+        )
+    )
 
 
 @query(

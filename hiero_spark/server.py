@@ -335,8 +335,12 @@ class HieroHandler(BaseHTTPRequestHandler):
                 specs = all_queries()
                 if parts[2] not in specs:
                     return self._error(404, f"unknown query {parts[2]!r}")
-                df = specs[parts[2]].fn(self.spark, self.sf_dir)
+                # fn() itself is inside the try: eager operators can
+                # register tracked persists and THEN raise at build time;
+                # those must be released on this request too, not left
+                # for the next request to drain (round-10 ADVICE).
                 try:
+                    df = specs[parts[2]].fn(self.spark, self.sf_dir)
                     return self._send(
                         {
                             "query": parts[2],
@@ -710,6 +714,14 @@ def serve(
     spark: SparkSession, sf_dir: str, host: str = "127.0.0.1", port: int = 0
 ) -> ThreadingHTTPServer:
     """Build a server bound to (host, port); caller runs serve_forever()."""
+    # Warm the builtin-function allow-list base BEFORE any request can:
+    # listFunctions() also returns session-registered UDFs (builtins report
+    # isTemporary=True too, so the flag can't filter them), so snapshotting
+    # lazily on the first /api/sql call would permanently allow-list any
+    # UDF registered earlier on the shared session (round-10 ADVICE).
+    # Warming at serve() time narrows that to UDFs registered before the
+    # server exists — the operator owns that window, not remote callers.
+    _builtin_functions(spark)
     handler = type(
         "BoundHieroHandler", (HieroHandler,), {"spark": spark, "sf_dir": sf_dir}
     )

@@ -100,13 +100,24 @@ class View:
         return replace(self, predicates=self.predicates + other.predicates)
 
     def exclude(self, other: "View") -> "View":
-        """Rows in self but not in other (hiero Combine/Exclude)."""
+        """Rows in self but not in other (hiero Combine/Exclude).
+
+        Membership is boolean: a row whose predicate evaluates to NULL
+        (e.g. a comparison on a null column) is NOT a member of `other`,
+        so exclude must KEEP it.  A bare `~p2` would return NULL for such
+        rows and the filter would silently drop them — same latent-bug
+        class as the round-10 EXCEPT finding (invisible on null-free
+        oracle data).  `~coalesce(p2, false)` pins three-valued logic to
+        the membership reading: drop iff p2 is literally TRUE.
+        """
         self._require_same_base(other)
         p2 = other._combined_pred()
         if p2 is None:
             # excluding the full table leaves nothing
             return replace(self, predicates=self.predicates + (F.lit(False),))
-        return replace(self, predicates=self.predicates + (~p2,))
+        return replace(
+            self, predicates=self.predicates + (~F.coalesce(p2, F.lit(False)),)
+        )
 
     def set_to(self, other: "View") -> "View":
         """Replace: adopt the other view's membership (hiero Combine/Replace)."""

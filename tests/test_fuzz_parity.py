@@ -19,14 +19,23 @@ Determinism notes baked into the generator:
   valid — both engines must agree on empty).
 """
 
+import os
+
 import duckdb
 import pytest
-from hypothesis import HealthCheck, given, settings, strategies as st
+from hypothesis import HealthCheck, example, given, settings, strategies as st
+
 from pyspark.sql import functions as F
 
 from hiero_spark.catalog import load_table, table_path
 
 SF_DIR = "/root/testdata/sf0.001"
+
+# Per-test example budget.  The default keeps a full pytest run fast; round
+# boundaries run the deep sweep with HIERO_FUZZ_EXAMPLES=200 so the fuzz
+# families routinely draw enough inputs to hit semantic corners
+# (the round-10 EXCEPT bug needed a draw the default budget missed).
+FUZZ_EXAMPLES = int(os.environ.get("HIERO_FUZZ_EXAMPLES", "25"))
 
 # (column, kind, sample literals from the column's domain)
 NUM_COLS = (
@@ -86,7 +95,7 @@ def con():
     return c
 
 
-@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=FUZZ_EXAMPLES, deadline=None, suppress_health_check=list(HealthCheck))
 @given(preds=_preds, group=st.sampled_from([None, "l_returnflag", "l_linestatus"]))
 def test_generated_filter_aggregate_parity(spark, con, preds, group):
     li = load_table(spark, SF_DIR, "lineitem")
@@ -145,7 +154,7 @@ def con2(con):
     return con
 
 
-@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=max(15, FUZZ_EXAMPLES * 3 // 5), deadline=None, suppress_health_check=list(HealthCheck))
 @given(li_preds=_preds, o_preds=_ord_preds,
        join_type=st.sampled_from(["inner", "left_semi", "left_anti"]))
 def test_generated_join_parity(spark, con2, li_preds, o_preds, join_type):
@@ -208,7 +217,7 @@ def con3(con):
     return con
 
 
-@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=max(15, FUZZ_EXAMPLES * 3 // 5), deadline=None, suppress_health_check=list(HealthCheck))
 @given(ts_preds=_ts_preds,
        bucket=st.sampled_from(["1 hour", "1 day"]),
        group_type=st.booleans())
@@ -296,7 +305,7 @@ def ocon():
     return c
 
 
-@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=max(20, FUZZ_EXAMPLES * 4 // 5), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     part=st.sampled_from(_WKEYS),
     order=st.sampled_from(_WORDS),
@@ -406,7 +415,7 @@ def jcon():
     return c
 
 
-@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=max(20, FUZZ_EXAMPLES * 4 // 5), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     how=st.sampled_from(["inner", "left", "left_semi", "left_anti"]),
     po=st.one_of(st.none(), _j_pred_o),
@@ -457,7 +466,7 @@ def test_generated_outer_join_parity(spark, jcon, how, po, pc):
 _SETOP_COLS = ("l_returnflag", "l_linestatus", "l_linenumber")
 
 
-@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=max(20, FUZZ_EXAMPLES * 4 // 5), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     op=st.sampled_from(
         ["union_all", "union", "intersect", "intersect_all", "except", "except_all"]
@@ -523,7 +532,7 @@ def con_orders():
     return c
 
 
-@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=FUZZ_EXAMPLES, deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     part=st.sampled_from(["o_orderpriority", "o_orderstatus"]),
     fn=st.sampled_from(_WIN_FNS),
@@ -590,19 +599,36 @@ def test_generated_window_parity(spark, con_orders, part, fn, desc, o_preds):
 _SETOPS = ("union", "union_all", "intersect", "intersect_all",
            "except", "except_all")
 
+# Both projections carry heavy multiplicity (every combo occurs thousands
+# of times), so bag-vs-set divergences are routinely exercised; the
+# 2-column one is the heavier (6 distinct combos over 60k rows).
+_PROJS = (("l_returnflag", "l_linestatus"),
+          ("l_returnflag", "l_linestatus", "l_linenumber"))
 
-@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+
+@settings(max_examples=FUZZ_EXAMPLES, deadline=None,
+          suppress_health_check=list(HealthCheck))
 @given(
     preds_a=_preds,
     preds_b=_preds,
     op=st.sampled_from(_SETOPS),
+    proj=st.sampled_from(_PROJS),
 )
-def test_generated_set_operation_parity(spark, con, preds_a, preds_b, op):
+# Round-10 falsifying example (EXCEPT is set semantics, not
+# exceptAll+distinct): A = lineitem, B = l_quantity < 17.0.  Pinned with
+# @example because .hypothesis/'s example DB is gitignored — without this
+# the regression could silently reopen on a fresh clone.
+@example(
+    preds_a=[],
+    preds_b=[(("l_quantity", (1.0, 17.0, 30.5, 50.0)), "<", 1)],
+    op="except",
+    proj=("l_returnflag", "l_linestatus", "l_linenumber"),
+)
+def test_generated_set_operation_parity(spark, con, preds_a, preds_b, op, proj):
     """Two generated filtered projections of lineitem combined with every
     SQL set operator (distinct AND bag semantics) must agree exactly —
     the V1 combine-views family fuzzed instead of hand-enumerated."""
     li = load_table(spark, SF_DIR, "lineitem")
-    proj = ["l_returnflag", "l_linestatus", "l_linenumber"]
     proj_sql = ", ".join(proj)
 
     def side(preds):
@@ -623,9 +649,11 @@ def test_generated_set_operation_parity(spark, con, preds_a, preds_b, op):
     elif op == "intersect_all":
         got_df, sql_op = a.intersectAll(b), "INTERSECT ALL"
     elif op == "except":
-        got_df, sql_op = a.exceptAll(b).distinct(), "EXCEPT"
-        # Spark's subtract() is EXCEPT DISTINCT too; exceptAll+distinct
-        # pins the same relation through the bag-semantics operator
+        # subtract() IS SQL EXCEPT (distinct).  exceptAll(b).distinct()
+        # is NOT: it subtracts multiplicities first, so a tuple with
+        # count(A) > count(B) > 0 wrongly survives — the @example above
+        # is the minimal falsifier this fuzzer drew in round 10.
+        got_df, sql_op = a.subtract(b), "EXCEPT"
     else:
         got_df, sql_op = a.exceptAll(b), "EXCEPT ALL"
     got = sorted(tuple(r) for r in got_df.collect())
@@ -646,7 +674,7 @@ def _null_safe_sort(rows):
     return sorted(rows, key=lambda t: tuple((x is None, x) for x in t))
 
 
-@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=FUZZ_EXAMPLES, deadline=None, suppress_health_check=list(HealthCheck))
 @given(preds=_preds, shape=st.sampled_from(["rollup", "cube"]))
 def test_generated_rollup_cube_parity(spark, con, preds, shape):
     """Generated ROLLUP/CUBE aggregations must agree exactly — the

@@ -756,3 +756,43 @@ def test_grouped_pps_distributed_prefix_matches_plain_window(spark):
     for src, _id, _n, n_sel in fast:
         per_group[src] += n_sel
     assert per_group == {"s1": 7, "s2": 7, "s3": 7}
+
+
+def test_grouped_pps_null_group_key_is_a_stratum(spark):
+    """A NULL group key is a real stratum: the two-phase offset plan must
+    keep it (eqNullSafe join), matching the plain-window fallback —
+    before the round-11 fix the null-unsafe equi-join silently dropped
+    every null-group row on the fast path only."""
+    from collections import Counter
+
+    from hiero_spark.functions.sampling import systematic_pps_sample_grouped
+
+    rows = [
+        ((None, "s1", "s2")[i % 3], i, (i * 7) % 19 + 1)
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "src string, doc_id long, n long")
+    nskey = lambda t: tuple((x is None, x) for x in t)  # noqa: E731
+    fast = sorted(
+        (
+            tuple(r)
+            for r in systematic_pps_sample_grouped(
+                df, 5, "src", "n", "doc_id", n_parts=4
+            ).collect()
+        ),
+        key=nskey,
+    )
+    plain = sorted(
+        (
+            tuple(r)
+            for r in systematic_pps_sample_grouped(
+                df, 5, "src", "n", "doc_id", n_parts=4, max_driver_rows=0
+            ).collect()
+        ),
+        key=nskey,
+    )
+    assert fast == plain
+    per_group = Counter()
+    for src, _id, _n, n_sel in fast:
+        per_group[src] += n_sel
+    assert per_group == {None: 5, "s1": 5, "s2": 5}

@@ -53,6 +53,35 @@ def test_ordered_lead_single_partition_and_singleton_keys(spark):
     assert got == {("x", 1): 20, ("x", 2): None, ("solo", 9): None}
 
 
+def test_ordered_lead_null_partition_key(spark):
+    """A NULL partition key is a real group to lead()'s window, so the
+    boundary stitch must resolve its cross-partition successors too —
+    before the round-11 eqNullSafe fix, the null-unsafe left join never
+    matched the NULL key and every physical-partition-final row of the
+    null run kept a null lead mid-sequence."""
+    from pyspark.sql import Window, functions as F
+
+    from hiero_spark.operators.temporal import ordered_lead
+
+    rows = [
+        ((None, "a")[i % 2], i, (i * 37) % 101)
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "k string, id long, v long")
+    got = sorted(
+        ((r["k"] is None, r["k"]), r["id"], r["_lead"])
+        for r in ordered_lead(df, ["k"], ["v", "id"], "id", n_parts=6).collect()
+    )
+    w = Window.partitionBy("k").orderBy("v", "id")
+    exp = sorted(
+        ((r["k"] is None, r["k"]), r["id"], r["_lead"])
+        for r in df.withColumn("_lead", F.lead("id").over(w)).collect()
+    )
+    assert got == exp
+    # exactly one global-last row per group (None and "a") has a null lead
+    assert sum(1 for _k, _i, nxt in got if nxt is None) == 2
+
+
 def test_asof_join_fuzz_against_duckdb_native_asof(spark):
     """Differential check against an INDEPENDENT implementation: DuckDB's
     native ASOF LEFT JOIN (greatest right_ts <= left_ts per key) must

@@ -107,10 +107,16 @@ def _col_pred(p):
 
 
 def _py_rows(rows, preds):
+    # Membership is boolean three-valued-logic collapsed: a predicate over
+    # a NULL column is UNKNOWN -> the row is NOT a member.  This is the
+    # semantics View.exclude must preserve (a row not in `other` stays).
+    def _member(x, op, v):
+        return x is not None and _OPS[op](x, v)
+
     return {
         i
         for i, (a, b) in enumerate(rows)
-        if all(_OPS[op]({"a": a, "b": b}[c], v) for c, op, v in preds)
+        if all(_member({"a": a, "b": b}[c], op, v) for c, op, v in preds)
     }
 
 
@@ -121,7 +127,11 @@ def _py_rows(rows, preds):
     combine=st.sampled_from(["union", "intersect", "exclude", "set_to"]),
 )
 def test_combine_fuzz_matches_set_semantics(spark, preds1, preds2, combine):
-    rows = [(a, b) for a in range(-2, 3) for b in range(-2, 3)]
+    # NULLs in the domain: before the round-11 exclude fix, any exclude
+    # whose `other` predicate touched a null column silently dropped the
+    # row (~NULL = NULL) instead of keeping it.
+    domain = [None, *range(-2, 3)]
+    rows = [(a, b) for a in domain for b in domain]
     base = spark.createDataFrame(
         [(i, a, b) for i, (a, b) in enumerate(rows)], "i int, a int, b int"
     )

@@ -880,15 +880,21 @@ def main() -> None:
         slots in behind the same mapInPandas signature' claim
         (functions/jpeg.py scope note) carries a measured number.
 
-        512 payloads (16 distinct baseline-JPEG + 16 distinct RGB-PNG
-        96x96 images, hash-deterministic pixels, replicated x16) decoded
-        to the 8-dim feature vector through the same mapInPandas shape
-        extract_features uses.  The vendored arm forces the pure-Python
-        ladder (_decode_png / decode_jpeg); the pil arm runs
-        decode_image's PIL-first branch and is reported only when PIL
-        imports (this container ships without it — the block then records
-        pil_available=false and the vendored numbers stand alone).
-        Payload generation is untimed (encoder cost is ingest-side)."""
+        1536 payloads (16 distinct baseline-JPEG + 16 distinct RGB-PNG
+        96x96 images, hash-deterministic pixels, replicated x48 — x16
+        through round 10; raised so the ~0.3 s fixed Spark job overhead
+        stops dominating the fast arm, which compressed the r11
+        vectorized speedup to 2.6x at 512 payloads; rates stay
+        round-comparable) decoded to the 8-dim feature vector through
+        the same mapInPandas shape extract_features uses.  The vendored
+        arm forces the pure-Python ladder (_decode_png / decode_jpeg);
+        the vectorized arm is codec_np's numpy block path (round-10
+        verdict #4 — bit-identical output, tests/test_codec_np.py); the
+        pil arm runs decode_image's PIL-first branch and is reported
+        only when PIL imports (this container ships without it — the
+        block then records pil_available=false and the vendored numbers
+        stand alone).  Payload generation is untimed (encoder cost is
+        ingest-side)."""
         import pandas as pd
         from pyspark.sql import functions as F
 
@@ -896,7 +902,7 @@ def main() -> None:
         from hiero_spark.functions.jpeg import encode_jpeg
 
         side = 96
-        n_distinct, reps = 16, 16
+        n_distinct, reps = 16, 48
 
         def pixels(seed: int):
             # hash-deterministic RGB rows: smooth gradients + per-image
@@ -957,6 +963,15 @@ def main() -> None:
             )
             return mm._bmp_features(decoded)
 
+        def vectorized(payload):
+            # round-10 verdict #4: the numpy block arm (codec_np.py) —
+            # same entropy decode, batched IDCT + whole-plane assembly;
+            # bit-identical output (tests/test_codec_np.py), and the arm
+            # decode_image actually serves in production
+            from hiero_spark.functions import codec_np
+
+            return codec_np.features_np(codec_np.decode_pixels_np(payload))
+
         out: dict = {
             "n_payloads": n_payloads,
             "image_side_px": side,
@@ -968,6 +983,13 @@ def main() -> None:
             "payloads_per_sec": round(n_payloads / vend_sec, 1),
             "mb_per_sec": round(total_mb / vend_sec, 2),
         }
+        vec_sec = run_arm(vectorized)
+        out["vendored_vectorized"] = {
+            "wall_sec": round(vec_sec, 2),
+            "payloads_per_sec": round(n_payloads / vec_sec, 1),
+            "mb_per_sec": round(total_mb / vec_sec, 2),
+        }
+        out["vectorized_over_scalar_speedup"] = round(vend_sec / vec_sec, 1)
         try:
             import PIL  # noqa: F401
 

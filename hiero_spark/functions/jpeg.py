@@ -172,18 +172,24 @@ def _extend(v: int, t: int) -> int:
     return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
-def decode_jpeg(payload: bytes):
+def decode_jpeg(payload: bytes, assemble=None):
     """Decode a baseline JPEG to (width, height, rows of (r, g, b)) — the
     `_decode_bmp`/`_decode_png` shape, so features and resize are
     codec-agnostic.  Returns None for anything that is not a baseline
-    sequential 8-bit JPEG this decoder covers."""
+    sequential 8-bit JPEG this decoder covers.
+
+    `assemble` swaps the block-assembly tail (dequantize -> IDCT ->
+    level-shift -> upsample -> color-convert) for an alternative
+    implementation with the same inputs — how codec_np.py's vectorized
+    arm reuses this entropy decoder without duplicating it.  None = the
+    scalar spec-reference tail (`_assemble_blocks`)."""
     try:
-        return _decode_jpeg_strict(payload)
+        return _decode_jpeg_strict(payload, assemble)
     except (ValueError, EOFError, IndexError, KeyError, struct.error):
         return None
 
 
-def _decode_jpeg_strict(payload: bytes):
+def _decode_jpeg_strict(payload: bytes, assemble=None):
     if len(payload) < 4 or payload[0:2] != b"\xff\xd8":
         return None
     qt: dict[int, list[int]] = {}
@@ -261,7 +267,8 @@ def _decode_jpeg_strict(payload: bytes):
                     cs, tables = body[1 + 2 * si], body[2 + 2 * si]
                     scan[cs] = (tables >> 4, tables & 0x0F)
                 return _decode_scan(
-                    payload, pos, frame, qt, huff, scan, restart_interval
+                    payload, pos, frame, qt, huff, scan, restart_interval,
+                    assemble,
                 )
             scan_comps = [
                 (body[1 + 2 * si], body[2 + 2 * si] >> 4,
@@ -278,28 +285,28 @@ def _decode_jpeg_strict(payload: bytes):
             )
         elif marker == 0xD9:  # EOI
             if progressive and prog is not None:
-                return _assemble_progressive(frame, prog, qt)
+                return _assemble_progressive(frame, prog, qt, assemble)
             return None  # EOI before any scan
         # APPn / COM / others: skipped
     # progressive streams truncated before EOI still render what arrived —
     # exactly the point of the format; require at least one decoded scan
     if progressive and prog is not None and prog["scans"] > 0:
-        return _assemble_progressive(frame, prog, qt)
+        return _assemble_progressive(frame, prog, qt, assemble)
     return None
 
 
-def _decode_scan(payload, pos, frame, qt, huff, scan, restart_interval):
+def _decode_scan(payload, pos, frame, qt, huff, scan, restart_interval,
+                 assemble=None):
     w, h, comps, prec = frame
-    half, maxv = 1 << (prec - 1), (1 << prec) - 1
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-    planes = []
+    blocks = []  # per comp: dequantized 64-coef blocks in raster block order
     for c in comps:
         c["bw"] = mcux * c["h"]  # blocks per row
         c["bh"] = mcuy * c["v"]
-        planes.append([0] * (c["bw"] * 8 * c["bh"] * 8))
+        blocks.append([None] * (c["bw"] * c["bh"]))
     reader = _BitReader(payload, pos)
     pred = [0] * len(comps)
     mcu = 0
@@ -335,19 +342,41 @@ def _decode_scan(payload, pos, frame, qt, huff, scan, restart_interval):
                                 _extend(reader.bits(s), s) * q[ZIGZAG[k]]
                             )
                             k += 1
-                        px = _idct_2d(coef)
-                        plane = planes[ci]
-                        stride = c["bw"] * 8
-                        ox = (mx * c["h"] + bx) * 8
-                        oy = (my * c["v"] + by) * 8
-                        for yy in range(8):
-                            row = (oy + yy) * stride + ox
-                            for xx in range(8):
-                                v = int(px[yy * 8 + xx] + half + 0.5)
-                                plane[row + xx] = (
-                                    0 if v < 0 else (maxv if v > maxv else v)
-                                )
+                        blocks[ci][
+                            (my * c["v"] + by) * c["bw"] + mx * c["h"] + bx
+                        ] = coef
             mcu += 1
+    return (assemble or _assemble_blocks)(
+        w, h, comps, blocks, hmax, vmax, prec, None
+    )
+
+
+def _assemble_blocks(w, h, comps, blocks, hmax, vmax, prec, qtables):
+    """Scalar spec-reference assembly tail shared by baseline and
+    progressive decode: per-block (dequantize ->) IDCT -> level-shift ->
+    clamp into component planes, then upsample + color-convert.
+    `qtables` is None when blocks arrive already dequantized (baseline
+    scans dequantize at entropy time) or a per-component quant table
+    (progressive scans accumulate raw integer coefficients)."""
+    half, maxv = 1 << (prec - 1), (1 << prec) - 1
+    planes = []
+    for ci, c in enumerate(comps):
+        stride = c["bw"] * 8
+        plane = [0] * (stride * c["bh"] * 8)
+        q = qtables[ci] if qtables else None
+        for bi, coef in enumerate(blocks[ci]):
+            if q is not None:
+                coef = [coef[i] * q[i] for i in range(64)]
+            px = _idct_2d(coef)
+            oy, ox = (bi // c["bw"]) * 8, (bi % c["bw"]) * 8
+            for yy in range(8):
+                row = (oy + yy) * stride + ox
+                for xx in range(8):
+                    v = int(px[yy * 8 + xx] + half + 0.5)
+                    plane[row + xx] = (
+                        0 if v < 0 else (maxv if v > maxv else v)
+                    )
+        planes.append(plane)
     return _planes_to_rows(w, h, comps, planes, hmax, vmax, prec)
 
 
@@ -574,26 +603,12 @@ def _decode_progressive_scan(
     return reader.pos
 
 
-def _assemble_progressive(frame, prog, qt):
+def _assemble_progressive(frame, prog, qt, assemble=None):
     w, h, comps, prec = frame
-    half, maxv = 1 << (prec - 1), (1 << prec) - 1
-    planes = []
-    for ci, c in enumerate(comps):
-        q = qt[c["tq"]]
-        stride = c["bw"] * 8
-        plane = [0] * (stride * c["bh"] * 8)
-        for by in range(c["bh"]):
-            for bx in range(c["bw"]):
-                coef = prog["coef"][ci][by * c["bw"] + bx]
-                px = _idct_2d([coef[i] * q[i] for i in range(64)])
-                ox, oy = bx * 8, by * 8
-                for yy in range(8):
-                    row = (oy + yy) * stride + ox
-                    for xx in range(8):
-                        v = int(px[yy * 8 + xx] + half + 0.5)
-                        plane[row + xx] = 0 if v < 0 else (maxv if v > maxv else v)
-        planes.append(plane)
-    return _planes_to_rows(w, h, comps, planes, prog["hmax"], prog["vmax"], prec)
+    qtables = [qt[c["tq"]] for c in comps]
+    return (assemble or _assemble_blocks)(
+        w, h, comps, prog["coef"], prog["hmax"], prog["vmax"], prec, qtables
+    )
 
 
 # --------------------------------------------------------------------------

@@ -143,6 +143,36 @@ _ADAM7 = (
 )
 
 
+def _png_unfilter_row(ftype: int, line: bytearray, prev, channels: int):
+    """Undo one scanline's filter in place (PNG spec §9: None/Sub/Up/
+    Average/Paeth).  `prev` is the already-reconstructed previous row
+    (any byte-indexable).  Shared by the scalar decode and, for the two
+    serial filters (Average/Paeth, whose left-dependency defeats
+    vectorization), by codec_np's numpy arm."""
+    stride = len(line)
+    if ftype == 1:  # Sub
+        for i in range(channels, stride):
+            line[i] = (line[i] + line[i - channels]) & 0xFF
+    elif ftype == 2:  # Up
+        for i in range(stride):
+            line[i] = (line[i] + prev[i]) & 0xFF
+    elif ftype == 3:  # Average
+        for i in range(stride):
+            a = line[i - channels] if i >= channels else 0
+            line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+    elif ftype == 4:  # Paeth
+        for i in range(stride):
+            a = line[i - channels] if i >= channels else 0
+            b = prev[i]
+            c = prev[i - channels] if i >= channels else 0
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            line[i] = (line[i] + pred) & 0xFF
+    elif ftype != 0:
+        raise ValueError(f"unknown filter type {ftype}")
+
+
 def _png_unfilter(raw: bytes, pos: int, width: int, height: int,
                   channels: int):
     """Undo the five scanline filters over one (sub-)image; returns
@@ -158,45 +188,19 @@ def _png_unfilter(raw: bytes, pos: int, width: int, height: int,
         ftype = raw[pos]
         line = bytearray(raw[pos + 1:pos + 1 + stride])
         pos += 1 + stride
-        if ftype == 1:  # Sub
-            for i in range(channels, stride):
-                line[i] = (line[i] + line[i - channels]) & 0xFF
-        elif ftype == 2:  # Up
-            for i in range(stride):
-                line[i] = (line[i] + prev[i]) & 0xFF
-        elif ftype == 3:  # Average
-            for i in range(stride):
-                a = line[i - channels] if i >= channels else 0
-                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth
-            for i in range(stride):
-                a = line[i - channels] if i >= channels else 0
-                b = prev[i]
-                c = prev[i - channels] if i >= channels else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                line[i] = (line[i] + pred) & 0xFF
-        elif ftype != 0:
-            raise ValueError(f"unknown filter type {ftype}")
+        _png_unfilter_row(ftype, line, prev, channels)
         prev = line
         out.append(line)
     return out, pos
 
 
-def _decode_png(payload: bytes):
-    """Pure-stdlib decode of 8-bit PNG (gray / RGB / RGBA — the
-    overwhelming majority of real PNGs), non-interlaced OR Adam7
-    interlaced (round 9). zlib-inflates the IDAT stream and applies the
-    five scanline filters (None/Sub/Up/Average/Paeth) per the spec —
-    per PASS for Adam7, whose seven sub-images each carry their own
-    filter state and scatter into the pixel grid. Returns (width,
-    height, rows of (r, g, b)) — the same shape as `_decode_bmp`, so
-    the feature/resize paths are codec-agnostic — or None if the bytes
-    aren't such a PNG. This is the first COMPRESSED vendored codec: the
-    decode exercises real entropy-coded data in lib-free containers
-    (round-6 verdict item 8). Alpha is dropped, not composited;
-    palette/16-bit inputs belong to PIL."""
+def _parse_png(payload: bytes):
+    """Shared PNG container parse: chunk walk, IHDR validation, IDAT
+    inflate.  Returns (width, height, channels, interlace, raw filtered
+    scanline bytes) or None if the payload isn't an 8-bit gray/RGB/RGBA
+    PNG this vendored path covers.  Both the scalar reference decode
+    (`_decode_png`) and the numpy block decode (codec_np.decode_png_np)
+    consume this, so the two arms cannot diverge on container handling."""
     import struct
     import zlib
 
@@ -228,6 +232,26 @@ def _decode_png(payload: bytes):
         raw = zlib.decompress(b"".join(idat))
     except zlib.error:
         return None
+    return w, h, channels, interlace, raw
+
+
+def _decode_png(payload: bytes):
+    """Pure-stdlib decode of 8-bit PNG (gray / RGB / RGBA — the
+    overwhelming majority of real PNGs), non-interlaced OR Adam7
+    interlaced (round 9). zlib-inflates the IDAT stream and applies the
+    five scanline filters (None/Sub/Up/Average/Paeth) per the spec —
+    per PASS for Adam7, whose seven sub-images each carry their own
+    filter state and scatter into the pixel grid. Returns (width,
+    height, rows of (r, g, b)) — the same shape as `_decode_bmp`, so
+    the feature/resize paths are codec-agnostic — or None if the bytes
+    aren't such a PNG. This is the first COMPRESSED vendored codec: the
+    decode exercises real entropy-coded data in lib-free containers
+    (round-6 verdict item 8). Alpha is dropped, not composited;
+    palette/16-bit inputs belong to PIL."""
+    parsed = _parse_png(payload)
+    if parsed is None:
+        return None
+    w, h, channels, interlace, raw = parsed
 
     def px(line: bytearray, i: int):
         if channels == 1:
@@ -334,6 +358,17 @@ def decode_image(payload: bytes) -> list[float]:
             ] + [p / 255.0 for p in thumb]
         except Exception:
             pass  # not an image (or truncated): try BMP/PNG/JPEG, then stub
+    try:
+        # numpy block arm: same parsers/entropy decode, vectorized block
+        # assembly + feature math — bit-identical output, ~an order of
+        # magnitude faster (codec_np.py; measured in bench codec_throughput)
+        from hiero_spark.functions import codec_np
+
+        decoded_np = codec_np.decode_pixels_np(payload)
+        if decoded_np is not None:
+            return codec_np.features_np(decoded_np)
+    except ImportError:
+        pass  # numpy-free container: scalar reference arm below
     from hiero_spark.functions.jpeg import decode_jpeg
 
     decoded = _decode_bmp(payload) or _decode_png(payload) or decode_jpeg(payload)

@@ -395,6 +395,20 @@ class HieroHandler(BaseHTTPRequestHandler):
                 return self._sketch(parts[2], q)
             if parts[:2] == ["api", "progressive"] and len(parts) == 3:
                 return self._progressive(parts[2], q)
+            if parts[:2] == ["api", "streams"]:
+                # Progress observability for PartialResult streams
+                # (SURVEY §3.1: hiero's UI shows a fraction-done meter per
+                # in-flight RPC).  fraction_done is monotone per stream and
+                # reaches 1.0 exactly when the stream drained all tiers;
+                # a cancelled stream freezes below 1.0 with cancelled=true.
+                if len(parts) == 3:
+                    st = _STREAMS.get(parts[2])
+                    if st is None:
+                        return self._error(404, f"unknown stream {parts[2]!r}")
+                    return self._send({"stream_id": parts[2], **st})
+                return self._send(
+                    [{"stream_id": sid, **st} for sid, st in _STREAMS.items()]
+                )
             return self._error(404, f"no route for {url.path}")
         except (KeyError, ValueError) as e:
             return self._error(400, str(e))
@@ -642,6 +656,10 @@ class HieroHandler(BaseHTTPRequestHandler):
         stream_id = f"hiero-progressive-{uuid.uuid4().hex[:12]}"
         state = {
             "kind": kind, "tiers": tiers, "tiers_done": 0,
+            # fraction of the tier plan already streamed (0.0 → 1.0,
+            # monotone — taken from the plan's own tier fractions, so in
+            # prefix mode it is literally the fraction of data scanned)
+            "fraction_done": 0.0,
             "cancelled": False, "done": False,
         }
         while len(_STREAMS) > 256:  # bound driver memory on long uptimes
@@ -661,6 +679,7 @@ class HieroHandler(BaseHTTPRequestHandler):
                     if meta:
                         tier.update(meta)
                     state["tiers_done"] += 1
+                    state["fraction_done"] = max(state["fraction_done"], frac)
                     out_q.put(_dumps(tier) + b"\n")
             except Exception as e:  # cancelled job raises through collect()
                 if not stop.is_set():

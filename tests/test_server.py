@@ -3,6 +3,7 @@ a real socket, the way the reference's web UI drives its root node."""
 
 import json
 import threading
+import urllib.error
 import urllib.request
 
 import pytest
@@ -311,6 +312,36 @@ def test_progressive_quantiles_prefix_only(api, spark):
     assert e.value.code == 400
 
 
+def test_stream_observability_fraction_done(api):
+    """Round-10 verdict #7 — hiero's fraction-done meter: every tier line
+    carries a monotone `fraction` ending at 1.0, and the stream's
+    observability record (GET /api/streams/<id>) tracks the same number
+    server-side so a UI can poll progress without consuming the NDJSON
+    body itself."""
+    url = (
+        api
+        + "/api/progressive/cdf?table=lineitem&col=l_quantity"
+        + "&buckets=8&tiers=4&key=l_orderkey"
+    )
+    with urllib.request.urlopen(url, timeout=300) as r:
+        sid = r.headers["X-Stream-Id"]
+        lines = [json.loads(line) for line in r.read().splitlines() if line.strip()]
+    fracs = [ln["fraction"] for ln in lines]
+    assert fracs == sorted(fracs) and fracs[-1] == 1.0 and len(set(fracs)) == len(fracs)
+    status, st = _get(api, f"/api/streams/{sid}")
+    assert status == 200
+    assert st["fraction_done"] == 1.0 and st["done"] and not st["cancelled"]
+    assert st["tiers_done"] == len(lines) == 4
+    # the listing form includes the same record
+    status, listing = _get(api, "/api/streams")
+    assert status == 200
+    assert any(s["stream_id"] == sid for s in listing)
+    # unknown stream id -> 404
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(api, "/api/streams/nope")
+    assert e.value.code == 404
+
+
 def test_progressive_disconnect_cancels_job_group(api, spark):
     """Round-9 verdict #4 — the unsubscribe half of the PartialResult
     contract: dropping the socket mid-stream must stop the tier worker
@@ -357,6 +388,8 @@ def test_progressive_disconnect_cancels_job_group(api, spark):
     assert state["done"], state
     # early stop: nowhere near all 16 tiers were computed for a dead reader
     assert state["tiers_done"] < tiers, state
+    # the fraction-done meter froze below 1.0 where the cancel landed
+    assert state["fraction_done"] < 1.0, state
     # and the Spark side agrees: every job in the group has terminated
     st = spark.sparkContext.statusTracker()
     for jid in st.getJobIdsForGroup(sid):

@@ -227,6 +227,51 @@ def features_np(decoded) -> list[float]:
     return [w / 4096.0, h / 4096.0, 3 / 4.0, 1.0] + thumb
 
 
+def ahash_ints_np(decoded, grid: int = 8):
+    """Vectorized twin of multimodal._ahash_ints over a (w, h, uint8
+    array) decode: same integer luma, same exact block partition
+    (pixel (i, j) -> block (i*grid DIV h, j*grid DIV w)), same strict
+    cross-multiplied threshold; returns the (hi, lo) 32-bit halves."""
+    w, h, arr = decoded
+    a = arr.astype(np.int64)
+    luma = (299 * a[:, :, 0] + 587 * a[:, :, 1] + 114 * a[:, :, 2]) // 1000
+    bi = np.arange(h) * grid // h
+    bj = np.arange(w) * grid // w
+    idx = (bi[:, None] * grid + bj).ravel()
+    sums = np.bincount(idx, weights=luma.ravel(), minlength=grid * grid)
+    total = int(luma.sum())
+    n_blocks = grid * grid
+    hi = lo = 0
+    for k in range(n_blocks):
+        if int(sums[k]) * n_blocks > total:
+            if k >= 32:
+                hi |= 1 << (k - 32)
+            else:
+                lo |= 1 << k
+    return hi, lo
+
+
+def mean_luma_np(decoded):
+    """Vectorized twin of multimodal._frame_mean_luma's luma stage:
+    integer mean luma in [0, 255] of a (w, h, uint8 array) decode."""
+    w, h, arr = decoded
+    a = arr.astype(np.int64)
+    luma = (299 * a[:, :, 0] + 587 * a[:, :, 1] + 114 * a[:, :, 2]) // 1000
+    return int(luma.sum()) // (w * h)
+
+
+def nn_resize_rows(decoded, width: int, height: int):
+    """Nearest-neighbor resize of a (w, h, uint8 array) decode with the
+    scalar arm's exact index math (src = (dst * src_dim) DIV dst_dim),
+    returned as rows-of-[r, g, b] lists — the shape the scalar encoders
+    (_encode_bmp / _encode_png / encode_jpeg) consume, so the np decode
+    slots into resize_images without touching the encode side."""
+    w0, h0, arr = decoded
+    ridx = np.arange(height) * h0 // height
+    cidx = np.arange(width) * w0 // width
+    return arr[np.ix_(ridx, cidx)].tolist()
+
+
 def decode_pixels_np(payload: bytes):
     """The numpy decode ladder: BMP, then PNG, then JPEG — same order and
     same accept/reject behavior as decode_image's vendored ladder.

@@ -548,6 +548,32 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
                 return out.getvalue(), True
             except Exception:
                 pass
+        try:
+            # numpy block arm (codec_np.py): bit-identical decode, same
+            # nearest-neighbor index math; format-preserving like the
+            # scalar ladder below (which remains the numpy-free fallback)
+            from hiero_spark.functions import codec_np
+        except ImportError:
+            codec_np = None
+        if codec_np is not None:
+            dec = codec_np.decode_bmp_np(payload)
+            if dec is not None:
+                return _encode_bmp(
+                    codec_np.nn_resize_rows(dec, width, height)
+                ), True
+            dec = codec_np.decode_png_np(payload)
+            if dec is not None:  # PNG stays PNG through the resize
+                return _encode_png(
+                    codec_np.nn_resize_rows(dec, width, height)
+                ), True
+            dec = codec_np.decode_jpeg_np(payload)
+            if dec is not None:  # JPEG stays JPEG through the resize
+                from hiero_spark.functions.jpeg import encode_jpeg
+
+                return encode_jpeg(
+                    codec_np.nn_resize_rows(dec, width, height)
+                ), True
+            return payload, False
         decoded = _decode_bmp(payload)
         if decoded is not None:
             w0, h0, rows = decoded
@@ -951,7 +977,16 @@ def spectral_features(media: DataFrame, n_fft: int = 2048) -> DataFrame:
 
 def _frame_mean_luma(frame: bytes):
     """Decode one frame (BMP/PNG/JPEG ladder, like sample_frames) and
-    return its integer mean luma in [0, 255], or None."""
+    return its integer mean luma in [0, 255], or None.  numpy block arm
+    first (bit-identical — codec_np.py), scalar ladder as the
+    numpy-free fallback."""
+    try:
+        from hiero_spark.functions import codec_np
+
+        dec = codec_np.decode_pixels_np(frame)
+        return codec_np.mean_luma_np(dec) if dec is not None else None
+    except ImportError:
+        pass
     from hiero_spark.functions.jpeg import decode_jpeg
 
     dec = _decode_bmp(frame) or _decode_png(frame) or decode_jpeg(frame)
@@ -1078,6 +1113,23 @@ def synthetic_pattern_images(
     )
 
 
+def _decode_and_ahash(b: bytes, grid: int = 8):
+    """Decode + average-hash through the numpy block arm (codec_np.py —
+    bit-identical, ~an order of magnitude faster), falling back to the
+    scalar ladder + `_ahash_ints` in a numpy-free container.  Returns
+    (hi, lo) or None for undecodable bytes.  Shared by image AND
+    per-frame video hashing so the two dedup families cannot drift."""
+    try:
+        from hiero_spark.functions import codec_np
+    except ImportError:
+        from hiero_spark.functions.jpeg import decode_jpeg
+
+        dec = _decode_bmp(b) or _decode_png(b) or decode_jpeg(b)
+        return _ahash_ints(dec, grid) if dec is not None else None
+    dec = codec_np.decode_pixels_np(b)
+    return codec_np.ahash_ints_np(dec, grid) if dec is not None else None
+
+
 def _ahash_ints(dec, grid: int = 8):
     """Average-hash core over a decoded (w, h, rows) image: integer luma,
     exact block partition (pixel (i,j) -> block (i*grid DIV h,
@@ -1124,19 +1176,19 @@ def average_hash(media: DataFrame, grid: int = 8) -> DataFrame:
         for pdf in batches:
             out = {"media_id": [], "phash_hi": [], "phash_lo": [], "decoded": []}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                dec = None
-                if payload is not None:
-                    b = bytes(payload)
-                    dec = _decode_bmp(b) or _decode_png(b) or decode_jpeg(b)
+                hashed = (
+                    _decode_and_ahash(bytes(payload), grid)
+                    if payload is not None
+                    else None
+                )
                 out["media_id"].append(mid)
-                if dec is None:
+                if hashed is None:
                     out["phash_hi"].append(None)
                     out["phash_lo"].append(None)
                     out["decoded"].append(False)
                     continue
-                hi, lo = _ahash_ints(dec, grid)
-                out["phash_hi"].append(hi)
-                out["phash_lo"].append(lo)
+                out["phash_hi"].append(hashed[0])
+                out["phash_lo"].append(hashed[1])
                 out["decoded"].append(True)
             yield pd.DataFrame(out)
 
@@ -1259,14 +1311,13 @@ def frame_hashes(media: DataFrame, grid: int = 8) -> DataFrame:
                 if not frames:
                     continue
                 for idx, fb in enumerate(frames):
-                    dec = _decode_bmp(fb) or _decode_png(fb) or decode_jpeg(fb)
-                    if dec is None:
+                    hashed = _decode_and_ahash(fb, grid)
+                    if hashed is None:
                         continue
-                    hi, lo = _ahash_ints(dec, grid)
                     out["media_id"].append(mid)
                     out["frame_idx"].append(idx)
-                    out["phash_hi"].append(hi)
-                    out["phash_lo"].append(lo)
+                    out["phash_hi"].append(hashed[0])
+                    out["phash_lo"].append(hashed[1])
             yield pd.DataFrame(out)
 
     return media.select("media_id", "payload").mapInPandas(run, FRAME_HASH_SCHEMA)

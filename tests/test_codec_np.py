@@ -167,6 +167,41 @@ def test_rejects_agree_and_fall_through():
     assert mm.decode_image(b"junkjunk") == mm.decode_image_stub(b"junkjunk")
 
 
+def test_ahash_mean_luma_and_resize_agree():
+    """The downstream per-pixel consumers rewired onto the np arm in
+    round 11 — average hash, frame mean luma, nearest-neighbor resize —
+    must match their scalar twins exactly on every codec family."""
+    payloads = [
+        mm._encode_bmp(_gradient(31, 17, 2)),
+        _make_png(_gradient(24, 15, 9), filters=[4] * 15),
+        encode_jpeg(_gradient(40, 28, 4), quality=80),
+    ]
+    for payload in payloads:
+        scalar = (
+            mm._decode_bmp(payload)
+            or mm._decode_png(payload)
+            or decode_jpeg(payload)
+        )
+        fast = codec_np.decode_pixels_np(payload)
+        assert codec_np.ahash_ints_np(fast) == mm._ahash_ints(scalar)
+        assert mm._decode_and_ahash(payload) == mm._ahash_ints(scalar)
+        w0, h0, rows = scalar
+        acc = sum(
+            (299 * r + 587 * g + 114 * b) // 1000
+            for row in rows for r, g, b in row
+        )
+        assert codec_np.mean_luma_np(fast) == acc // (w0 * h0)
+        for width, height in ((8, 8), (13, 5)):
+            want = [
+                [list(rows[(r * h0) // height][(c * w0) // width])
+                 for c in range(width)]
+                for r in range(height)
+            ]
+            assert codec_np.nn_resize_rows(fast, width, height) == want
+    assert mm._decode_and_ahash(b"not an image") is None
+    assert mm._frame_mean_luma(b"junk") is None
+
+
 def test_idct_batch_matches_scalar_bit_exactly():
     """Random dequantized-coefficient blocks through the batched IDCT vs
     the scalar separable IDCT: RAW float equality, not just rounded —

@@ -141,9 +141,17 @@ class _BitReader:
         return (self.acc >> self.n) & 1
 
     def bits(self, k: int) -> int:
+        # bulk path: k MSB-first bits are the top k of the accumulator —
+        # identical value to k sequential bit() calls, without k loop
+        # iterations (magnitude bits dominate entropy-decode time)
+        if self.n < k:
+            self._fill()
+        if self.n >= k:
+            self.n -= k
+            return (self.acc >> self.n) & ((1 << k) - 1)
         v = 0
-        for _ in range(k):
-            v = (v << 1) | self.bit()
+        for _ in range(k):  # buffer exhausted mid-read: preserve the
+            v = (v << 1) | self.bit()  # exact EOFError position
         return v
 
     def restart(self) -> None:
@@ -157,6 +165,23 @@ class _BitReader:
             self.pos += 2
 
     def decode(self, table: dict) -> int:
+        # Fast path: resolve codes of <= 8 bits with one 256-entry table
+        # probe on the top 8 buffered bits (canonical JPEG tables put
+        # the frequent symbols there); built lazily once per table and
+        # cached under a string key that cannot collide with the
+        # (length, code) tuple keys.  Longer codes and near-end buffers
+        # fall through to the bit-serial reference loop unchanged.
+        lut = table.get("lut8")
+        if lut is None:
+            lut = _build_lut8(table)
+            table["lut8"] = lut
+        if self.n < 8:
+            self._fill()
+        if self.n >= 8:
+            e = lut[(self.acc >> (self.n - 8)) & 0xFF]
+            if e is not None:
+                self.n -= e & 0xFF
+                return e >> 8
         length, code = 0, 0
         while length < 16:
             code = (code << 1) | self.bit()
@@ -165,6 +190,25 @@ class _BitReader:
             if sym is not None:
                 return sym
         raise ValueError("invalid Huffman code")
+
+
+def _build_lut8(table: dict) -> list:
+    """256-entry direct-lookup table for Huffman codes of length <= 8:
+    entry i resolves the code whose bits prefix the byte i to
+    (symbol << 8) | code_length.  Codes are prefix-free (canonical), so
+    the suffix fills never overlap; codes longer than 8 bits leave None
+    and decode() falls back to the bit-serial loop."""
+    lut: list = [None] * 256
+    for key, sym in table.items():
+        if not isinstance(key, tuple):
+            continue
+        length, code = key
+        if length <= 8:
+            base = code << (8 - length)
+            entry = (sym << 8) | length
+            for i in range(base, base + (1 << (8 - length))):
+                lut[i] = entry
+    return lut
 
 
 def _extend(v: int, t: int) -> int:

@@ -826,19 +826,31 @@ def main() -> None:
         """Round-10 verdict item 5: the salted two-phase group ranking
         (operators/grouptopk.py) cost ~+0.5 s per query at sf0.1 where
         the low-cardinality trap never bites — this block measures the
-        shape it was BUILT for (1M rows, 5 groups) so the trade carries
-        a number the way jaccard_skew/er_skew do.  The single-window
-        form shuffles all 1M rows into 5 tasks and buffers each group to
-        rank it; the two-phase form fans each group over n_salt buckets
-        and moves only k*n_salt survivors into phase 2.  Both forms are
-        timed on identical input and must agree on the kept row set
-        (asserted in tests/test_plans.py; here we record count parity).
-        """
+        shape it was BUILT for (4M rows, 5 groups) so the trade carries
+        numbers the way jaccard_skew/er_skew do.  Two kinds of number:
+
+        * wall seconds, min of 2 per arm (the r10/r11 single-shot
+          measurements flipped sign run-to-run on pure noise).  On a
+          memory-rich local[32] box the single-window arm often WINS
+          here — in RAM, a 5-task sort of 800k rows each is cheap and
+          the two-phase arm pays one extra exchange.  That is the
+          documented latency premium, not a refutation.
+        * max_task_rows per arm — the deterministic per-task buffering
+          bound that IS the scale argument: the single-window form
+          buffers n/n_groups rows in one task (at 100 TB shapes, an
+          executor OOM/spill serialized on 5 tasks; observed concretely
+          this round as SparkOutOfMemoryError at 16M rows x 5 groups
+          under a 1 GiB session), the two-phase form caps any task at
+          ~n/(n_groups*n_salt) in phase 1 and k*n_salt in phase 2
+          regardless of corpus size.
+
+        Both arms must agree on the kept row set (asserted in
+        tests/test_plans.py; count parity recorded here)."""
         from pyspark.sql import Window as W, functions as F
 
         from hiero_spark.operators.grouptopk import grouped_topk
 
-        n, n_groups, k = 1_000_000, 5, 100
+        n, n_groups, k = 4_000_000, 5, 100
         base = (
             spark.range(n)
             .select(
@@ -849,27 +861,43 @@ def main() -> None:
             .localCheckpoint()  # materialize once: time the ranking, not range()
         )
         order = [F.col("v").desc(), F.col("id").asc()]
-
-        t0 = time.perf_counter()
         w = W.partitionBy("g").orderBy(*order)
-        n_single = (
-            base.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .count()
-        )
-        single_sec = round(time.perf_counter() - t0, 2)
 
-        t0 = time.perf_counter()
-        n_two = grouped_topk(base, "g", order, "id", k).count()
-        two_sec = round(time.perf_counter() - t0, 2)
+        def run_single():
+            return (
+                base.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .count()
+            )
 
+        def run_two():
+            return grouped_topk(base, "g", order, "id", k).count()
+
+        def timed(fn):
+            best, rows = None, None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                rows = fn()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            return round(best, 2), rows
+
+        single_sec, n_single = timed(run_single)
+        two_sec, n_two = timed(run_two)
+
+        n_salt = 32  # grouped_topk default
         return {
             "n_rows": n,
             "n_groups": n_groups,
             "k": k,
             "single_window_sec": single_sec,
             "two_phase_sec": two_sec,
-            "speedup": round(single_sec / max(two_sec, 1e-9), 2),
+            "two_phase_premium_sec": round(two_sec - single_sec, 2),
+            # per-task buffering bounds — the scale argument (see docstring)
+            "single_max_task_rows": n // n_groups,
+            "two_phase_max_task_rows": max(
+                -(-n // (n_groups * n_salt)), k * n_salt
+            ),
             "rows_single": n_single,
             "rows_two_phase": n_two,
         }
@@ -1276,8 +1304,39 @@ def main() -> None:
             with open(prev_files[-1]) as fh:
                 prev = json.load(fh)
             # the driver wraps the bench line: {"rc", "tail", "parsed": {...}}
+            recovered = False
             if "parsed" in prev and isinstance(prev["parsed"], dict):
                 prev = prev["parsed"]
+            elif (
+                "parsed" in prev and prev["parsed"] is None
+                and isinstance(prev.get("tail"), str)
+            ):
+                # r10's stdout line overflowed the driver's 2000-byte tail
+                # window, so "parsed" is null — but the tail holds the
+                # END of the line: most per-query timings plus
+                # calibration_sec survive verbatim.  Recover them so the
+                # round-over-round ratio still computes.  A name cut in
+                # half at the tail boundary has no opening quote, so the
+                # pair regex skips it; recovered names are intersected
+                # with this run's anyway.
+                import re as _re
+
+                frag = prev["tail"]
+                m = _re.search(r'"queries": \{', frag)
+                qfrag = frag[m.end():] if m else frag
+                stop = qfrag.find("}")
+                qpart = qfrag[:stop] if stop != -1 else qfrag
+                calm = _re.search(r'"calibration_sec": ([0-9.]+)', frag)
+                prev = {
+                    "queries": {
+                        k: float(v)
+                        for k, v in _re.findall(
+                            r'"([a-z0-9_]+)": ([0-9.]+)', qpart
+                        )
+                    },
+                    "calibration_sec": float(calm.group(1)) if calm else None,
+                }
+                recovered = True
             prev_q = prev.get("queries") or {}
             names = sorted(set(timings) & set(prev_q))
             prev_sum = sum(float(prev_q[k]) for k in names)
@@ -1289,6 +1348,8 @@ def main() -> None:
                     "prev_sum_sec": round(prev_sum, 3),
                     "cur_sum_sec": round(cur_sum, 3),
                 }
+                if recovered:
+                    common_subset["recovered_from_tail"] = True
                 common_subset_ratio = round(cur_sum / prev_sum, 3)
                 prev_cal = prev.get("calibration_sec")
                 if prev_cal and cal > 0:
@@ -1297,6 +1358,7 @@ def main() -> None:
                     )
         except (OSError, ValueError, TypeError, KeyError):
             pass
+    common_subset_ratio_calibrated = common_subset.get("ratio_calibrated")
     # Detail blocks go to a FILE, not stdout (round-6 verdict item 4: the
     # driver keeps only a byte-tail of stdout, and the r6 payoff blocks
     # pushed the headline `value` past the cut — BENCH_r06 recorded
@@ -1308,6 +1370,14 @@ def main() -> None:
         json.dump(
             {
                 "sf": sf,
+                # bulky per-query maps live HERE, not on the stdout line:
+                # the driver keeps only a 2000-byte tail of stdout, and
+                # round 10's line (queries + queries_calibrated ~1.8 KB of
+                # payload) overflowed it — BENCH_r10.json recorded
+                # "parsed": null.  The stdout line carries the scalar
+                # ratios; the maps are in this file.
+                "queries_calibrated": queries_calibrated,
+                "common_subset": common_subset,
                 "queries_multifile": timings_multi,
                 "ann_payoff": ann,
                 "decontam_payoff": decontam,
@@ -1336,9 +1406,8 @@ def main() -> None:
                 "n_reps": n_reps,
                 "estimator": "min",
                 "calibration_sec": cal,
-                "queries_calibrated": queries_calibrated,
                 "common_subset_ratio": common_subset_ratio,
-                "common_subset": common_subset,
+                "common_subset_ratio_calibrated": common_subset_ratio_calibrated,
                 "multifile_total": round(sum(timings_multi.values()), 3),
                 "detail_file": "BENCH_DETAIL.json",
             }

@@ -202,6 +202,23 @@ def test_ahash_mean_luma_and_resize_agree():
     assert mm._frame_mean_luma(b"junk") is None
 
 
+def test_decode_image_serves_the_np_arm(monkeypatch):
+    """decode_image's production ladder must TAKE the numpy arm (not
+    merely agree with it) — if the np-first wiring regresses to the
+    scalar ladder, only throughput dies and no equality test notices."""
+    calls = {"n": 0}
+    real = codec_np.decode_pixels_np
+
+    def spy(payload):
+        calls["n"] += 1
+        return real(payload)
+
+    monkeypatch.setattr(codec_np, "decode_pixels_np", spy)
+    payload = encode_jpeg(_gradient(16, 16, 1))
+    assert mm.decode_image(payload)[3] == 1.0  # real-decode marker
+    assert calls["n"] == 1
+
+
 def test_idct_batch_matches_scalar_bit_exactly():
     """Random dequantized-coefficient blocks through the batched IDCT vs
     the scalar separable IDCT: RAW float equality, not just rounded —

@@ -77,18 +77,23 @@ def _ordered_specs():
     already green yield their slots automatically — no per-round edit
     needed for the rotation.
 
-    Head order (r8 verdict fix): pins, then NEVER-driver-green names,
-    then hash-lapsed old greens — each group oracle-bearing before
-    rows-only, registration order within.  A query that has never had a
-    driver run outranks a green whose pin merely lapsed from a routine
-    helper edit: the former has zero hard evidence, the latter has a
-    historical green plus the local parity suite."""
+    Head order (r8 verdict fix, r11 refinement): pins, then names with
+    NO driver run of any kind (zero evidence), then hash-lapsed old
+    greens, then rows-only rotators that already have a recent rows
+    check — each group oracle-bearing before rows-only, registration
+    order within.  A query that has never had a driver run outranks a
+    green whose pin merely lapsed from a routine helper edit (zero hard
+    evidence vs a historical green plus the local parity suite); but a
+    rows-only rotator that RAN last round ranks behind lapsed oracle
+    greens — re-running its weak check cannot beat re-earning a strong
+    one while the round-10 edit backlog drains (80 lapsed at the r11
+    boundary, ~50 oracle slots a round)."""
     from hiero_spark import evidence
     from hiero_spark.registry import all_queries
 
     specs = all_queries()
     verified = _verified_names()
-    ever_green = evidence.all_green()
+    ever_ran = evidence.all_ran()
     green_round = evidence.latest_green_round()
     reg_idx = {n: i for i, n in enumerate(specs)}
     priority = [n for n in _WINDOW_PIN if n in specs] + list(specs)
@@ -103,7 +108,7 @@ def _ordered_specs():
     pinned = set(_WINDOW_PIN)
     head.sort(key=lambda n: (
         n not in pinned,            # manual pins stay at the very front
-        n in ever_green,            # never-driver-green before lapsed greens
+        n in ever_ran,              # zero-evidence names before all others
         specs[n].oracle is None,    # oracle-bearing before rows-only
         reg_idx[n],
     ))

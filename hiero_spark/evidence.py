@@ -300,6 +300,24 @@ def all_green() -> set[str]:
     return out
 
 
+def all_ran() -> set[str]:
+    """Names with ANY driver correctness entry — including rows-only
+    checks (err == "no_oracle") and failures.  Distinguishes
+    "never driver-RUN at all" (zero evidence of any kind — front of the
+    window, r8 design) from "ran, but only the weaker rows check"
+    (a recent rows pass + a green hash-checked twin — behind lapsed
+    oracle greens while the lapse backlog drains, round-11 refinement)."""
+    out: set[str] = set()
+    for p in correctness_files():
+        try:
+            with open(p) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        out |= {n for n, rec in data.items() if isinstance(rec, dict)}
+    return out
+
+
 def latest_green_round() -> dict[str, int]:
     """name -> newest round number in which the driver saw it fully green.
 

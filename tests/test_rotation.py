@@ -81,15 +81,51 @@ def test_all_unverified_oracle_queries_inside_driver_window():
         assert not missing, f"unverified oracle queries outside the 50-slot window: {missing}"
     else:
         # Overflow regime: no slot may go to a still-verified name.  A slot
-        # spent on a never-driver-green rows-only query is NOT waste — zero
-        # hard evidence outranks a lapsed green that still has a historical
-        # green plus the local parity suite (r8 head-ordering design).
+        # spent on a NEVER-driver-run rows-only query is NOT waste — zero
+        # evidence of any kind outranks a lapsed green that still has a
+        # historical green plus the local parity suite (r8 head-ordering
+        # design, refined r11: see test_rows_only_rotators_yield_to_backlog).
         ever_green = evidence.all_green()
         wasted = [
             n for n in window
             if n not in set(unverified) and n in ever_green
         ]
         assert not wasted, f"window slots wasted on verified names: {wasted}"
+
+
+def test_rows_only_rotators_yield_to_lapsed_backlog():
+    """Round-11 head-order refinement: a rows-only rotator that already
+    HAS a driver rows-check (all_ran) must sort behind lapsed
+    oracle-bearing greens — re-running its weak check cannot beat
+    re-earning a strong one.  Names with no driver entry of any kind
+    still lead the window (the r8 zero-evidence rule)."""
+    entry = _entry()
+    specs = all_queries()
+    names = list(entry.queries())
+    verified = entry._verified_names()
+    ran = evidence.all_ran()
+    green = evidence.all_green()
+    window = names[:DRIVER_CAP]
+    lapsed_outside = [
+        n for n in names[DRIVER_CAP:]
+        if n in green and n not in verified and specs[n].oracle is not None
+    ]
+    # while lapsed oracle-bearing names overflow the window, no window
+    # slot may hold a rows-only name that already ran
+    if lapsed_outside:
+        offenders = [
+            n for n in window if specs[n].oracle is None and n in ran
+        ]
+        assert not offenders, (
+            f"rows-only rotators occupy slots while lapsed oracle greens "
+            f"wait outside the window: {offenders}"
+        )
+    # zero-evidence names (never ran at all) always lead
+    never_ran = [n for n in names if n not in ran and n not in verified]
+    for n in never_ran:
+        assert names.index(n) < DRIVER_CAP, (
+            f"never-run query {n} fell outside the driver window"
+        )
 
 
 def test_snapshot_pins_newest_round_greens():

@@ -221,6 +221,48 @@ def test_null_set_operation_parity(ntab, ncon, preds_a, preds_b, op):
 
 @settings(max_examples=FUZZ_EXAMPLES, deadline=None,
           suppress_health_check=list(HealthCheck))
+@given(preds=_preds, shape=st.sampled_from(["rollup", "cube"]))
+def test_null_rollup_cube_parity(ntab, ncon, preds, shape):
+    """ROLLUP/CUBE over NULL-bearing grouping columns: a data NULL in k
+    is indistinguishable from the subtotal NULL in the output values —
+    only GROUPING() disambiguates.  Both engines must agree on the full
+    (k, s, grouping_id, aggregates) multiset, which pins (a) that data
+    NULLs form their own group at each grouping set, and (b) that the
+    two engines' grouping-id bitmasks align (SQL standard: one bit per
+    listed column, first column = most significant).  The r10 rollup
+    fuzz ran on NOT NULL TPC-H columns and could never see (a)."""
+    filtered, where = _apply(preds, ntab)
+    grouped = filtered.rollup("k", "s") if shape == "rollup" else filtered.cube("k", "s")
+    got = sorted(
+        (
+            tuple(r)
+            for r in grouped.agg(
+                F.grouping_id().alias("gid"),
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.round(F.col("v") * 100).cast("long")).alias("sv100"),
+            ).collect()
+        ),
+        key=repr,
+    )
+    kw = "ROLLUP" if shape == "rollup" else "CUBE"
+    exp = sorted(
+        ncon.execute(
+            f"SELECT k, s, GROUPING(k, s) AS gid, COUNT(*) AS n, "
+            f"SUM(CAST(round(v * 100) AS BIGINT)) AS sv100 "
+            f"FROM t WHERE {where} GROUP BY {kw} (k, s)"
+        ).fetchall(),
+        key=repr,
+    )
+    if not got:
+        # the documented empty-input divergence (see test_fuzz_parity):
+        # DuckDB emits the grand-total grouping sets, Spark emits nothing
+        assert all(r[2] == 3 or r[3] == 0 for r in exp), exp
+        return
+    assert got == exp, (shape, where)
+
+
+@settings(max_examples=FUZZ_EXAMPLES, deadline=None,
+          suppress_health_check=list(HealthCheck))
 @given(preds=_preds, fn=st.sampled_from(["row_number", "rank", "dense_rank",
                                          "lag_id", "count_star"]))
 def test_null_partition_window_parity(ntab, ncon, preds, fn):

@@ -40,6 +40,20 @@ def as_of_join(
     same `key` with right_ts <= left_ts (nulls where no version exists yet).
 
     Output: all left columns + payload columns.
+
+    NULL semantics follow the predicate as written, three-valued: a right
+    version with NULL key or NULL timestamp satisfies neither `key = key`
+    nor `right_ts <= left_ts`, so it never matches (filtered up front);
+    a left row with NULL key or NULL timestamp matches no version and
+    gets NULL payload.  Without the filter the union+window mechanics
+    silently invent matches — NULL keys form a window partition that
+    pairs left and right NULL-key rows, and a NULL right timestamp sorts
+    NULLS-FIRST, acting as a -infinity version that matches every left
+    row (caught by the round-11 null probe; tests/test_temporal.py pins
+    all four quadrants).  DuckDB's native ASOF instead treats a NULL
+    LEFT timestamp as +infinity (it matches the largest right version) —
+    a documented divergence from the strict reading, so the ASOF fuzz
+    oracle keeps to non-null timestamps.
     """
     clash = set(payload) & set(left.columns)
     if clash:
@@ -59,7 +73,9 @@ def as_of_join(
     # the right side.  Instead `_p` is the window's final sort key: at
     # equal (ts, side) the running last() lands on the max struct, which
     # is exactly the groupBy-max tie-break, for one shuffle total.
-    r = right.select(
+    r = right.filter(
+        F.col(key).isNotNull() & F.col(right_ts).isNotNull()
+    ).select(
         F.col(key).alias("_k"),
         F.col(right_ts).alias("_ts"),
         F.struct(*payload).alias("_p"),

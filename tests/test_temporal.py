@@ -143,3 +143,35 @@ def test_asof_join_fuzz_against_duckdb_native_asof(spark):
         assert got == exp, (lrows, rrows)
 
     run()
+
+
+def test_asof_join_null_quadrants(spark):
+    """Round-11 null probe fix: the as-of predicate is three-valued —
+    a version with NULL key or NULL timestamp never matches, and a left
+    row with NULL key or NULL timestamp matches no version.  Before the
+    fix, the union+window mechanics invented matches in all four
+    quadrants: NULL keys partition together, and a NULL right timestamp
+    sorts NULLS-FIRST, acting as a -infinity version.  (DuckDB's native
+    ASOF differs on the left-NULL-timestamp quadrant only — it reads a
+    NULL left ts as +infinity and attaches the latest version; the
+    docstring documents that divergence.)"""
+    from hiero_spark.operators.temporal import as_of_join
+
+    left = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", None), (3, None, 20), (4, "b", 5)],
+        "lid int, k string, ts int",
+    )
+    right = spark.createDataFrame(
+        [("a", 5, 100), ("a", None, 200), (None, 15, 300), ("b", None, 400)],
+        "k string, ts int, val int",
+    )
+    got = {
+        r["lid"]: r["val"]
+        for r in as_of_join(left, right, "k", "ts", "ts", ["val"]).collect()
+    }
+    assert got == {
+        1: 100,   # plain match: latest 'a' version at ts<=10 is (5, 100)
+        2: None,  # left ts NULL: matches nothing (strict 3VL)
+        3: None,  # left key NULL: never equals any right key
+        4: None,  # only 'b' version has NULL ts: never satisfies <=
+    }

@@ -185,10 +185,21 @@ def heavy_hitter_filter(
     Broadcast semi/anti join against the tiny top-k result — at 100 TB the
     k-row side always broadcasts, so this is a map-side filter, no shuffle
     of the fact table.
-    """
-    top = heavy_hitters(df, cols, k).select(*cols)
+
+    The join is NULL-SAFE on every key column: heavy_hitters counts NULL
+    combos as groups (groupBy semantics), so a frequent NULL must filter
+    like any other frequent value — a plain equi semi-join can never
+    match it, silently dropping NULL-key rows from keep=True output and
+    leaking them through keep=False (round-11 null sweep; invisible on
+    the NOT NULL oracle columns)."""
+    top = heavy_hitters(df, cols, k).select(
+        *[F.col(c).alias(f"__hh_{c}") for c in cols]
+    )
+    cond = F.lit(True)
+    for c in cols:
+        cond = cond & df[c].eqNullSafe(F.col(f"__hh_{c}"))
     how = "left_semi" if keep else "left_anti"
-    return df.join(F.broadcast(top), on=cols, how=how)
+    return df.join(F.broadcast(top), on=cond, how=how)
 
 
 # --------------------------------------------------------------------------

@@ -258,3 +258,23 @@ def test_skew_audit_uniform_keys(spark):
     got = skew_audit(df, "k").collect()[0]
     assert got["max_key_rows"] == got["p50_key_rows"] == 10
     assert got["skew_ratio"] == 1.0
+
+
+def test_heavy_hitter_filter_null_combo(spark):
+    """Round-11 null sweep: a frequent NULL key combo must filter like
+    any other frequent value.  groupBy counts NULL as a group, so the
+    top-k set can contain it; the filter join is null-safe so keep=True
+    retains those rows and keep=False excludes them (a plain equi
+    semi-join silently did the opposite)."""
+    from hiero_spark.operators.sketches import heavy_hitter_filter
+
+    rows = (
+        [(None, i) for i in range(6)]
+        + [("x", i) for i in range(3)]
+        + [("y", 0), ("z", 0)]
+    )
+    df = spark.createDataFrame(rows, "k string, v int")
+    kept = heavy_hitter_filter(df, ["k"], k=2, keep=True).collect()
+    assert {r["k"] for r in kept} == {None, "x"} and len(kept) == 9
+    excluded = heavy_hitter_filter(df, ["k"], k=2, keep=False).collect()
+    assert {r["k"] for r in excluded} == {"y", "z"} and len(excluded) == 2

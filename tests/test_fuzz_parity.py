@@ -317,7 +317,13 @@ def ocon():
     ),
     preds=_o_preds,
 )
-def test_generated_window_parity(spark, ocon, part, order, fn, preds):
+def test_generated_window_function_space_parity(spark, ocon, part, order, fn, preds):
+    # NOTE (r11): this is the round-6 family.  It was silently DEAD for
+    # rounds 10: the round-10 family below reused the exact name
+    # `test_generated_window_parity` at module top level, so this def was
+    # shadowed and pytest never collected it.  Renamed so both run — this
+    # one carries the wider function space (ntile / percent_rank /
+    # cume_dist / RANGE-frame sums) the round-10 one doesn't.
     from pyspark.sql.window import Window
 
     od = load_table(spark, SF_DIR, "orders")

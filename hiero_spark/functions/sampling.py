@@ -225,3 +225,45 @@ def systematic_pps_sample_grouped(
         f"({f_cum}) - ({f_prev}) AS n_sel",
     )
     return out.filter(F.col("n_sel") >= 1)
+
+
+def hash_sample(
+    df: DataFrame,
+    key_col: str,
+    fraction: float,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic content-addressed Bernoulli sample: keep a row iff
+    the md5 of (key || '|' || salt) falls under the fraction threshold.
+
+    Why not df.sample()/rand(seed): those are seeded per-partition, so
+    the kept set changes with partitioning, input order, and engine —
+    unusable as a reproducible corpus-subset contract and unverifiable
+    against a second engine.  md5 over the KEY VALUE gives the same
+    verdict for the same row everywhere: re-runs, repartitions, other
+    engines (the query oracle runs the identical predicate in DuckDB),
+    and incremental appends (new rows don't disturb old verdicts —
+    the property that makes a 100 TB sample refreshable in-place).
+
+    Mechanics: the first 8 hex chars of the md5 are compared
+    LEXICOGRAPHICALLY against the 8-hex-char threshold
+    floor(fraction * 16^8) — pure string compare, no integer parse, so
+    the predicate is expressible in any engine with md5().  A different
+    salt draws an independent sample; disjoint salts give overlapping-
+    but-independent subsets, same salt + larger fraction gives a strict
+    SUPERSET (threshold monotonicity) — the "grow the eval set without
+    resampling it" operation.
+
+    Scale shape: a narrow map-side filter — no shuffle, no state; at
+    parquet-scan time the filter sits directly on the scan.  NULL keys
+    hash on the string "NULL|salt"? No: concat of a NULL key is NULL,
+    the comparison is NULL, and the row is DROPPED — documented and
+    mirrored by SQL three-valued logic in the oracle.
+    """
+    if not (0.0 <= fraction <= 1.0):
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    if fraction >= 1.0:
+        return df
+    threshold = format(int(fraction * 16**8), "08x")
+    digest = F.md5(F.concat(F.col(key_col).cast("string"), F.lit("|" + salt)))
+    return df.filter(F.substring(digest, 1, 8) < F.lit(threshold))

@@ -491,6 +491,34 @@ def n6_stratified_sample(spark, sf_dir):
 
 
 @query(
+    "n6_hash_sample",
+    group="N6",
+    doc="Deterministic content-addressed 10% sample "
+        "(functions/sampling.py:hash_sample): keep a doc iff the first 8 "
+        "md5 hex chars of (doc_id || '|' || salt) sort under the fraction "
+        "threshold — the reproducible-subset contract rand()-seeded "
+        "samplers can't give (their kept set changes with partitioning "
+        "and engine; a14/p8 are rows-only for exactly that reason, this "
+        "one is fully hash-verifiable).  Same salt + larger fraction is a "
+        "strict superset: an eval set that can GROW without resampling.  "
+        "Scale shape: narrow map-side filter at the scan, no shuffle.",
+    oracle="""
+        SELECT doc_id, lang, n_chars
+        FROM documents
+        WHERE substring(md5(CAST(doc_id AS VARCHAR) || '|s1'), 1, 8)
+              < '19999999'
+    """,
+)
+def n6_hash_sample(spark, sf_dir):
+    from hiero_spark.functions.sampling import hash_sample
+
+    docs = t(spark, sf_dir, "documents")
+    return hash_sample(docs, "doc_id", 0.1, salt="s1").select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+@query(
     "n6_curriculum_order",
     group="N6",
     doc="Curriculum ordering: documents staged easy->hard by fixed "

@@ -212,3 +212,62 @@ def test_global_shuffle_is_permutation(spark, sf_dir):
     assert ids != sorted(ids)  # actually permuted, not id order
     again = [r["doc_id"] for r in pl.global_shuffle(docs, "doc_id", seed=7).collect()]
     assert ids == again
+
+
+def test_hash_sample_deterministic_uniform_and_nested(spark):
+    """functions/sampling.hash_sample: (a) identical kept set across
+    re-runs and repartitionings (the reproducible-subset contract),
+    (b) fraction lands near its binomial target, (c) same salt + larger
+    fraction is a strict superset (threshold monotonicity), (d) a
+    different salt draws a different set."""
+    from hiero_spark.functions.sampling import hash_sample
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    total = docs.count()
+    kept = hash_sample(docs, "doc_id", 0.2, salt="s1")
+    ids = sorted(r[0] for r in kept.select("doc_id").collect())
+    again = sorted(
+        r[0]
+        for r in hash_sample(docs.repartition(7), "doc_id", 0.2, salt="s1")
+        .select("doc_id")
+        .collect()
+    )
+    assert ids == again
+    # binomial 6-sigma band around 0.2
+    import math
+
+    sigma = math.sqrt(total * 0.2 * 0.8)
+    assert abs(len(ids) - 0.2 * total) <= 6 * sigma + 1
+    bigger = set(
+        r[0]
+        for r in hash_sample(docs, "doc_id", 0.5, salt="s1")
+        .select("doc_id")
+        .collect()
+    )
+    assert set(ids) <= bigger
+    other = sorted(
+        r[0]
+        for r in hash_sample(docs, "doc_id", 0.2, salt="s2")
+        .select("doc_id")
+        .collect()
+    )
+    assert ids != other
+
+
+def test_hash_sample_null_keys_dropped_and_bounds(spark):
+    from hiero_spark.functions.sampling import hash_sample
+
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(1,), (None,), (2,)], "k long"
+    )
+    # fraction 1.0 keeps everything INCLUDING null keys (no filter at all)
+    assert hash_sample(df, "k", 1.0).count() == 3
+    # any fraction < 1 drops null keys (md5(concat(NULL,..)) is NULL)
+    kept = hash_sample(df, "k", 0.999999).select("k").collect()
+    assert None not in {r[0] for r in kept} and len(kept) <= 2
+    with _pytest.raises(ValueError):
+        hash_sample(df, "k", -0.1)
+    with _pytest.raises(ValueError):
+        hash_sample(df, "k", 1.5)

@@ -281,3 +281,57 @@ def decode_pixels_np(payload: bytes):
         or decode_png_np(payload)
         or decode_jpeg_np(payload)
     )
+
+
+def decode_wav_np(payload: bytes):
+    """Vectorized half of the PCM16 WAV decode (round-11): container
+    parsing shared with the scalar arm (multimodal._parse_wav_pcm), the
+    per-sample channel mixdown done as array ops.  Returns
+    (mono float64 ndarray, rate, channels) or None.
+
+    Bit-exactness with the scalar list comprehension: the per-frame
+    channel sum is exact integer arithmetic in both arms (int64 here,
+    unbounded int there), and both then apply the same two float64
+    divisions in the same order (/ channels, / 32768.0).
+
+    IMA-ADPCM stays on the scalar arm by construction: its
+    predictor/step recurrence makes every sample depend on the previous
+    one — a serial scan, the same reason Average/Paeth PNG rows stay
+    scalar."""
+    from hiero_spark.functions.multimodal import _parse_wav_pcm
+
+    parsed = _parse_wav_pcm(payload)
+    if parsed is None:
+        return None
+    data, rate, channels = parsed
+    n_frames = len(data) // (2 * channels)
+    pcm = np.frombuffer(data, dtype="<i2", count=n_frames * channels)
+    mono = (
+        pcm.reshape(n_frames, channels).astype(np.int64).sum(axis=1)
+        / channels
+        / 32768.0
+    )
+    return mono, rate, channels
+
+
+def wav_features_np(mono, rate: int, channels: int) -> list[float]:
+    """The 8-dim feature vector of multimodal._wav_features over a numpy
+    mono array, BIT-EXACT to the scalar arm: energy/RMS sums use
+    cumsum[-1] — sequential left-to-right float64 accumulation, the same
+    rounding order as Python's sum() — NOT np.sum, whose pairwise
+    summation regroups additions and can differ in the last ulp (same
+    trap the batched IDCT's matmul hit, documented at _idct_batch)."""
+    n = int(mono.shape[0])
+
+    def _seqsum(a) -> float:
+        return float(np.cumsum(a)[-1]) if a.shape[0] else 0.0
+
+    sq = mono * mono
+    third = max(n // 3, 1)
+    energies = []
+    for i in range(3):
+        seg = sq[i * third:(i + 1) * third]
+        energies.append(_seqsum(seg) / seg.shape[0] if seg.shape[0] else 0.0)
+    rms = (_seqsum(sq) / n) ** 0.5 if n else 0.0
+    peak = float(np.abs(mono).max()) if n else 0.0
+    return [n / float(rate), rate / 1e5, channels / 8.0, rms, peak] + energies

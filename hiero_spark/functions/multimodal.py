@@ -377,10 +377,11 @@ def decode_image(payload: bytes) -> list[float]:
     return decode_image_stub(payload)
 
 
-def _decode_wav(payload: bytes):
-    """Pure-stdlib decode of PCM16 RIFF/WAVE. Returns (mono float samples
-    in [-1, 1), sample_rate, n_channels) or None. Same role as
-    `_decode_bmp`: a real decode path that needs no libsndfile."""
+def _parse_wav_pcm(payload: bytes):
+    """Container half of the PCM16 RIFF/WAVE decode, shared by the scalar
+    arm below and codec_np's vectorized arm (same sharing pattern as
+    `_parse_png` / `jpeg.decode_jpeg(assemble=...)`).  Returns
+    (data_bytes, rate, channels) or None."""
     import struct
 
     if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
@@ -400,6 +401,17 @@ def _decode_wav(payload: bytes):
     audio_fmt, channels, rate, _, _, bits = struct.unpack_from("<HHIIHH", fmt, 0)
     if audio_fmt != 1 or bits != 16 or channels < 1 or rate == 0:
         return None
+    return data, rate, channels
+
+
+def _decode_wav(payload: bytes):
+    """Pure-stdlib decode of PCM16 RIFF/WAVE. Returns (mono float samples
+    in [-1, 1), sample_rate, n_channels) or None. Same role as
+    `_decode_bmp`: a real decode path that needs no libsndfile."""
+    parsed = _parse_wav_pcm(payload)
+    if parsed is None:
+        return None
+    data, rate, channels = parsed
     import array
 
     n_frames = len(data) // (2 * channels)
@@ -457,6 +469,18 @@ def decode_audio(payload: bytes) -> list[float]:
             ] + energies
         except Exception:
             pass
+    try:
+        # numpy arm (round 11): shared container parse, vectorized
+        # mixdown + feature sums — bit-identical to the scalar arm
+        # (tests/test_codec_np.py), same pattern as decode_image above.
+        # IMA-ADPCM never takes it: serial predictor recurrence.
+        from hiero_spark.functions import codec_np
+
+        dec_np = codec_np.decode_wav_np(payload)
+        if dec_np is not None:
+            return codec_np.wav_features_np(*dec_np)
+    except ImportError:
+        pass  # numpy-free container: scalar reference arm below
     decoded = _decode_wav(payload) or _decode_wav_ima(payload)
     if decoded is not None:
         return _wav_features(*decoded)

@@ -233,3 +233,54 @@ def test_idct_batch_matches_scalar_bit_exactly():
 
     for bi in range(64):
         assert px_np[bi].reshape(64).tolist() == _idct_2d(list(coefs[bi]))
+
+
+def test_wav_np_arm_bit_exact_and_served():
+    """Round-11 audio arm: decode_wav_np + wav_features_np must be
+    BIT-identical to the scalar _decode_wav + _wav_features on PCM16
+    payloads — mono, stereo, 3-channel, odd trailing byte, empty data —
+    and decode_audio's production ladder must TAKE the np arm."""
+    from tests.test_multimodal_codecs import _make_wav
+
+    payloads = [
+        _make_wav([((-1) ** i * (i * 997 % 32768),) for i in range(1000)]),
+        _make_wav([(i * 31 % 32768 - 16384, -i * 17 % 32768 + 1)
+                   for i in range(501)], rate=16000, channels=2),
+        _make_wav([(5, -7, 32767 - i) for i in range(90)], channels=3),
+        _make_wav([], rate=8000),
+    ]
+    for payload in payloads:
+        scalar = mm._decode_wav(payload)
+        fast = codec_np.decode_wav_np(payload)
+        assert (scalar is None) == (fast is None)
+        if scalar is None:
+            continue
+        s_mono, s_rate, s_ch = scalar
+        f_mono, f_rate, f_ch = fast
+        assert (s_rate, s_ch) == (f_rate, f_ch)
+        assert list(f_mono) == s_mono  # bit-exact mixdown
+        assert codec_np.wav_features_np(f_mono, f_rate, f_ch) == \
+            mm._wav_features(s_mono, s_rate, s_ch)
+        assert mm.decode_audio(payload) == mm._wav_features(*scalar)
+    # junk and ADPCM stay off the np arm
+    assert codec_np.decode_wav_np(b"RIFFxxxxWAVEjunk") is None
+    pcm = [((i * 37) % 4096 - 2048) for i in range(200)]
+    adpcm = mm._encode_wav_ima(pcm)
+    assert codec_np.decode_wav_np(adpcm) is None  # audio_fmt != 1
+    assert mm.decode_audio(adpcm) == mm._wav_features(*mm._decode_wav_ima(adpcm))
+
+
+def test_decode_audio_serves_the_wav_np_arm(monkeypatch):
+    calls = {"n": 0}
+    real = codec_np.decode_wav_np
+
+    def spy(payload):
+        calls["n"] += 1
+        return real(payload)
+
+    monkeypatch.setattr(codec_np, "decode_wav_np", spy)
+    from tests.test_multimodal_codecs import _make_wav
+
+    payload = _make_wav([(1000 * (-1) ** i,) for i in range(300)])
+    feat = mm.decode_audio(payload)
+    assert calls["n"] == 1 and len(feat) == 8

@@ -175,3 +175,64 @@ def test_asof_join_null_quadrants(spark):
         3: None,  # left key NULL: never equals any right key
         4: None,  # only 'b' version has NULL ts: never satisfies <=
     }
+
+
+def test_range_join_fuzz_against_duckdb_inequality_join(spark):
+    """Differential check for operators/temporal.range_join: the bucketed
+    equi-join + exact containment filter must equal DuckDB's plain
+    inequality join (p_ts >= lo AND p_ts < hi) on generated frames —
+    and must be INVARIANT to bucket_seconds (the buckets are a physical
+    routing key, never a semantic one).  The generator injects NULL
+    timestamps and NULL/inverted interval bounds: both engines drop
+    them (NULL comparison / NULL bucket key), inverted intervals match
+    nothing."""
+    import duckdb
+    import pandas as pd
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    from hiero_spark.operators.temporal import range_join
+
+    sec = st.one_of(st.none(), st.integers(0, 500))
+    point_rows = st.lists(sec, min_size=0, max_size=25)
+    ival_rows = st.lists(st.tuples(sec, sec), min_size=0, max_size=10)
+
+    def ts(v):
+        return None if v is None else pd.Timestamp(v, unit="s")
+
+    @settings(max_examples=25, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(prows=point_rows, irows=ival_rows,
+           bucket=st.sampled_from([1, 7, 60, 3600]))
+    def run(prows, irows, bucket):
+        ppdf = pd.DataFrame(
+            [(i, ts(v)) for i, v in enumerate(prows)],
+            columns=["pid", "p_ts"],
+        )
+        ipdf = pd.DataFrame(
+            [(i, ts(lo), ts(hi)) for i, (lo, hi) in enumerate(irows)],
+            columns=["iid", "lo", "hi"],
+        )
+        con = duckdb.connect()
+        con.register("p", ppdf)
+        con.register("i", ipdf)
+        exp = sorted(
+            (int(a), int(b))
+            for a, b in con.execute(
+                "SELECT p.pid, i.iid FROM p JOIN i "
+                "ON p.p_ts >= i.lo AND p.p_ts < i.hi"
+            ).fetchall()
+        )
+        pdf = spark.createDataFrame(ppdf.astype(object).where(ppdf.notna(), None),
+                                    "pid long, p_ts timestamp")
+        idf = spark.createDataFrame(ipdf.astype(object).where(ipdf.notna(), None),
+                                    "iid long, lo timestamp, hi timestamp")
+        got = sorted(
+            (r["pid"], r["iid"])
+            for r in range_join(pdf, idf, "p_ts", "lo", "hi",
+                                bucket_seconds=bucket)
+            .select("pid", "iid")
+            .collect()
+        )
+        assert got == exp, (prows, irows, bucket)
+
+    run()

@@ -5,6 +5,12 @@ seasonal decompose) are covered in tests/test_scale_toolkit.py; this file
 pins the two-phase distributed LEAD against the plain-window ground truth.
 """
 
+import os
+
+# round boundaries deep-sweep the in-file fuzzers too (HIERO_FUZZ_EXAMPLES=200)
+_FUZZ_EXAMPLES = int(os.environ.get("HIERO_FUZZ_EXAMPLES", "25"))
+
+
 def test_ordered_lead_matches_plain_window(spark):
     """ordered_lead (round 10: the low-cardinality-key LEAD scale path)
     must reproduce LEAD OVER (PARTITION BY key ORDER BY ts, id) exactly,
@@ -106,7 +112,7 @@ def test_asof_join_fuzz_against_duckdb_native_asof(spark):
         unique=True,
     )
 
-    @settings(max_examples=25, deadline=None,
+    @settings(max_examples=_FUZZ_EXAMPLES, deadline=None,
               suppress_health_check=list(HealthCheck))
     @given(lrows=left_rows, rrows=right_rows)
     def run(lrows, rrows):
@@ -199,7 +205,7 @@ def test_range_join_fuzz_against_duckdb_inequality_join(spark):
     def ts(v):
         return None if v is None else pd.Timestamp(v, unit="s")
 
-    @settings(max_examples=25, deadline=None,
+    @settings(max_examples=_FUZZ_EXAMPLES, deadline=None,
               suppress_health_check=list(HealthCheck))
     @given(prows=point_rows, irows=ival_rows,
            bucket=st.sampled_from([1, 7, 60, 3600]))

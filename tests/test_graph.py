@@ -398,3 +398,130 @@ def test_kcore_known_graph_and_convergence_budget(spark, sf_dir):
     )
     seven = sorted(map(tuple, k_core(e, k=3, n_rounds=7).collect()))
     assert six == seven, "peeling not converged within the pinned budget"
+
+
+def _py_components(edges):
+    """Union-find reference: node -> min node id of its component."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    return {x: find(x) for x in parent}
+
+
+def test_cc_fuzz_vs_python_reference(spark):
+    """connected_components (hash-min + pointer jumping) vs union-find
+    on random graphs — the CC fuzz the BFS/BF/k-core trio already had.
+    n_iter=5 pointer-jumping rounds cover label distance 2^5, far past
+    any 24-node diameter."""
+    import random
+
+    from hiero_spark.functions.graph import connected_components
+
+    rng = random.Random(4242)
+    for trial in range(5):
+        n = rng.randint(8, 24)
+        edges = sorted(
+            {
+                (rng.randrange(n), rng.randrange(n))
+                for _ in range(rng.randint(n // 2, 3 * n))
+            }
+        )
+        edges = [(u, v) for u, v in edges if u != v]
+        if not edges:
+            continue
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(
+                spark.createDataFrame(edges, ["src", "dst"])
+            ).collect()
+        }
+        assert got == _py_components(edges), (trial, edges)
+
+
+def _py_triangles(edges):
+    """node set, canonical edge set, per-node triangle counts."""
+    und = {(min(u, v), max(u, v)) for u, v in edges if u != v}
+    nodes = {x for e in und for x in e}
+    adj = {x: set() for x in nodes}
+    for a, b in und:
+        adj[a].add(b)
+        adj[b].add(a)
+    tri = {x: 0 for x in nodes}
+    n_tri = 0
+    for a, b in und:
+        for c in adj[a] & adj[b]:
+            if a < b < c:
+                n_tri += 1
+                tri[a] += 1
+                tri[b] += 1
+                tri[c] += 1
+    return nodes, und, tri, n_tri
+
+
+def test_triangle_count_fuzz_vs_python_reference(spark):
+    import random
+
+    from hiero_spark.functions.graph import triangle_count
+
+    rng = random.Random(777)
+    for trial in range(5):
+        n = rng.randint(6, 18)
+        edges = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(rng.randint(n, 4 * n))
+        ]  # duplicates and both orientations on purpose: must canonicalize
+        nodes, und, _tri, n_tri = _py_triangles(edges)
+        if not und:
+            continue
+        row = triangle_count(
+            spark.createDataFrame(edges, ["src", "dst"])
+        ).collect()[0]
+        assert (row["n_nodes"], row["n_edges"], row["n_triangles"]) == (
+            len(nodes), len(und), n_tri,
+        ), (trial, edges)
+
+
+def test_clustering_coefficient_fuzz_vs_python_reference(spark):
+    import random
+
+    from hiero_spark.functions.graph import local_clustering_coefficient
+
+    rng = random.Random(909)
+    for trial in range(5):
+        n = rng.randint(6, 18)
+        edges = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(rng.randint(n, 4 * n))
+        ]
+        nodes, und, tri, _n_tri = _py_triangles(edges)
+        if not und:
+            continue
+        adj = {x: set() for x in nodes}
+        for a, b in und:
+            adj[a].add(b)
+            adj[b].add(a)
+        got = {
+            r["node"]: (r["degree"], r["n_triangles"], r["local_cc"])
+            for r in local_clustering_coefficient(
+                spark.createDataFrame(edges, ["src", "dst"])
+            ).collect()
+        }
+        assert set(got) == nodes, (trial, edges)
+        for x in nodes:
+            d, t = len(adj[x]), tri[x]
+            cc = 2.0 * t / (d * (d - 1)) if d >= 2 else 0.0
+            gd, gt, gcc = got[x]
+            # the operator rounds local_cc to 6 decimals (oracle
+            # hashability) — integers exact, coefficient to half-ulp
+            assert (gd, gt) == (d, t), (trial, x, edges)
+            assert abs(gcc - cc) <= 5e-7, (trial, x, gcc, cc)

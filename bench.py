@@ -823,84 +823,180 @@ def main() -> None:
         }
 
     def grouped_topk_skew() -> dict:
-        """Round-10 verdict item 5: the salted two-phase group ranking
-        (operators/grouptopk.py) cost ~+0.5 s per query at sf0.1 where
-        the low-cardinality trap never bites — this block measures the
-        shape it was BUILT for (4M rows, 5 groups) so the trade carries
-        numbers the way jaccard_skew/er_skew do.  Two kinds of number:
+        """Round-10 verdict item 5, re-measured honestly in round 11:
+        the salted two-phase group ranking (operators/grouptopk.py) vs
+        the single whole-group window, at three shapes.
 
-        * wall seconds, min of 2 per arm (the r10/r11 single-shot
-          measurements flipped sign run-to-run on pure noise).  On a
-          memory-rich local[32] box the single-window arm often WINS
-          here — in RAM, a 5-task sort of 800k rows each is cheap and
-          the two-phase arm pays one extra exchange.  That is the
-          documented latency premium, not a refutation.
-        * max_task_rows per arm — the deterministic per-task buffering
-          bound that IS the scale argument: the single-window form
-          buffers n/n_groups rows in one task (at 100 TB shapes, an
-          executor OOM/spill serialized on 5 tasks; observed concretely
-          this round as SparkOutOfMemoryError at 16M rows x 5 groups
-          under a 1 GiB session), the two-phase form caps any task at
-          ~n/(n_groups*n_salt) in phase 1 and k*n_salt in phase 2
-          regardless of corpus size.
+        What the r11 measurements actually show on this 128 GiB
+        local[32] box: at the small shape the single window wins by the
+        recorded premium; at the wide shape (32M x 2, payload carried
+        through the sort) the two arms are within noise of each other —
+        the sign flipped across r11 runs (3.91 vs 5.39 one run, 3.16 vs
+        2.89 the committed one) because the full-data shuffle both arms
+        pay dominates the serialized sort at RAM scale.  Under an
+        artificially constrained 1 GiB session (16M x 5 + payload) the
+        single window SPILLS GRACEFULLY and finishes ~2x ahead of the
+        two-phase arm — refuting an earlier-round OOM observation this
+        block used to cite; row_number's streaming frame makes the
+        serialized sort spill-friendly.  The measured local cost of the
+        two-phase reroute is therefore bounded by the premium_shape
+        number and vanishes into noise by the wide shape.
+
+        Why the two-phase form is still the right default for the
+        engine's low-cardinality rankings: the argument is the
+        DETERMINISTIC per-task bound, not local wall time —
+        single-window concentrates n/n_groups rows in one task
+        (single_max_task_rows; at 100 TB / 5 strata that is ~10^11 rows
+        and hours of serialized sort-spill on 1 of 1000 executors,
+        a shape no local box can exhibit), the two-phase form caps any
+        task at ~n/(n_groups*n_salt) phase-1 and k*n_salt phase-2
+        regardless of corpus size.  The premium buys that bound; this
+        block prices it so the trade is a number, not a slogan.
 
         Both arms must agree on the kept row set (asserted in
-        tests/test_plans.py; count parity recorded here)."""
+        tests/test_plans.py; count parity recorded here); wall seconds
+        are min-of-2 per arm (single-shot flipped sign on noise in
+        r10).  The wide shape carries a 32-char payload through the
+        ranking (select-* consumer) so Catalyst's column pruning can't
+        slim the sorted rows — at the bare shape the window sorts
+        (g, v, id) only, which understates single-window's buffering."""
         from pyspark.sql import Window as W, functions as F
 
         from hiero_spark.operators.grouptopk import grouped_topk
 
-        n, n_groups, k = 4_000_000, 5, 100
-        base = (
-            spark.range(n)
-            .select(
+        n_salt = 32  # grouped_topk default
+
+        def shape(n, n_groups, k, payload: bool) -> dict:
+            cols = [
                 F.col("id"),
                 F.pmod(F.col("id"), F.lit(n_groups)).alias("g"),
-                F.pmod(F.xxhash64(F.col("id")), F.lit(10_000_000)).alias("v"),
-            )
-            .localCheckpoint()  # materialize once: time the ranking, not range()
-        )
-        order = [F.col("v").desc(), F.col("id").asc()]
-        w = W.partitionBy("g").orderBy(*order)
+                F.pmod(F.xxhash64(F.col("id")), F.lit(10_000_000)).alias(
+                    "v"
+                ),
+            ]
+            if payload:
+                cols.append(F.md5(F.col("id").cast("string")).alias("pl"))
+            # materialize once: time the ranking, not range()
+            base = spark.range(n).select(*cols).localCheckpoint()
+            order = [F.col("v").desc(), F.col("id").asc()]
+            w = W.partitionBy("g").orderBy(*order)
 
-        def run_single():
-            return (
-                base.withColumn("rank", F.row_number().over(w))
-                .filter(F.col("rank") <= k)
-                .count()
-            )
+            def consume(df):
+                # force the payload through the sort when present
+                if payload:
+                    return df.agg(
+                        F.count(F.lit(1)).alias("n"),
+                        F.sum(F.length("pl")).alias("b"),
+                    ).collect()[0]["n"]
+                return df.count()
 
-        def run_two():
-            return grouped_topk(base, "g", order, "id", k).count()
+            def run_single():
+                return consume(
+                    base.withColumn("rank", F.row_number().over(w)).filter(
+                        F.col("rank") <= k
+                    )
+                )
 
-        def timed(fn):
-            best, rows = None, None
-            for _ in range(2):
-                t0 = time.perf_counter()
-                rows = fn()
-                dt = time.perf_counter() - t0
-                best = dt if best is None else min(best, dt)
-            return round(best, 2), rows
+            def run_two():
+                return consume(grouped_topk(base, "g", order, "id", k))
 
-        single_sec, n_single = timed(run_single)
-        two_sec, n_two = timed(run_two)
+            def timed(fn):
+                best, rows = None, None
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    rows = fn()
+                    dt = time.perf_counter() - t0
+                    best = dt if best is None else min(best, dt)
+                return round(best, 2), rows
 
-        n_salt = 32  # grouped_topk default
-        return {
-            "n_rows": n,
-            "n_groups": n_groups,
-            "k": k,
-            "single_window_sec": single_sec,
-            "two_phase_sec": two_sec,
-            "two_phase_premium_sec": round(two_sec - single_sec, 2),
-            # per-task buffering bounds — the scale argument (see docstring)
-            "single_max_task_rows": n // n_groups,
-            "two_phase_max_task_rows": max(
-                -(-n // (n_groups * n_salt)), k * n_salt
-            ),
-            "rows_single": n_single,
-            "rows_two_phase": n_two,
+            single_sec, n_single = timed(run_single)
+            two_sec, n_two = timed(run_two)
+            base.unpersist()
+            return {
+                "n_rows": n,
+                "n_groups": n_groups,
+                "k": k,
+                "payload_col": payload,
+                "single_window_sec": single_sec,
+                "two_phase_sec": two_sec,
+                "two_phase_premium_sec": round(two_sec - single_sec, 2),
+                # per-task buffering bounds — the scale argument
+                "single_max_task_rows": n // n_groups,
+                "two_phase_max_task_rows": max(
+                    -(-n // (n_groups * n_salt)), k * n_salt
+                ),
+                "rows_single": n_single,
+                "rows_two_phase": n_two,
+            }
+
+        out = {
+            "premium_shape": shape(4_000_000, 5, 100, payload=False),
+            "wide_shape": shape(32_000_000, 2, 100, payload=True),
         }
+
+        # constrained-memory experiment: both arms at 16M x 5 + payload
+        # under a fresh 1 GiB local[8] JVM (subprocess — driver memory
+        # is fixed at JVM launch).  Records whatever happens: in r11
+        # both complete (the single window spills and still wins),
+        # falsifying the earlier OOM citation — kept as a standing
+        # measurement so the claim tracks reality round over round.
+        import json as _json
+        import subprocess as _sp
+        import sys as _sys
+
+        worker = r"""
+import json, sys, time
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import SparkSession, Window as W, functions as F
+spark = (SparkSession.builder.master("local[8]")
+         .config("spark.driver.memory", "1g")
+         .config("spark.sql.shuffle.partitions", "32")
+         .config("spark.ui.enabled", "false").getOrCreate())
+from hiero_spark.operators.grouptopk import grouped_topk
+n, n_groups, k = 16_000_000, 5, 100
+base = spark.range(n).select(
+    F.col("id"), F.pmod(F.col("id"), F.lit(n_groups)).alias("g"),
+    F.pmod(F.xxhash64(F.col("id")), F.lit(10_000_000)).alias("v"),
+    F.md5(F.col("id").cast("string")).alias("pl"))
+order = [F.col("v").desc(), F.col("id").asc()]
+out = {}
+for name, fn in [
+    ("two_phase", lambda: grouped_topk(base, "g", order, "id", k)
+        .agg(F.sum(F.length("pl"))).collect()[0][0]),
+    ("single_window", lambda: base.withColumn(
+        "rank", F.row_number().over(W.partitionBy("g").orderBy(*order)))
+        .filter(F.col("rank") <= k)
+        .agg(F.sum(F.length("pl"))).collect()[0][0]),
+]:
+    t0 = time.perf_counter()
+    try:
+        fn()
+        out[name] = {"ok": True, "sec": round(time.perf_counter() - t0, 2)}
+    except Exception as exc:
+        out[name] = {"ok": False,
+                     "sec": round(time.perf_counter() - t0, 2),
+                     "error": type(exc).__name__ + ": " + str(exc)[:160]}
+print("GTK1G " + json.dumps(out))
+"""
+        try:
+            proc = _sp.run(
+                [_sys.executable, "-c", worker],
+                capture_output=True, text=True, timeout=420,
+            )
+            line = next(
+                (ln for ln in proc.stdout.splitlines()
+                 if ln.startswith("GTK1G ")), None,
+            )
+            out["constrained_1g_16m_x5"] = (
+                _json.loads(line[len("GTK1G "):]) if line
+                else {"error": "no result line",
+                      "stderr_tail": proc.stderr[-300:]}
+            )
+        except Exception as exc:  # never sink the whole bench on this
+            out["constrained_1g_16m_x5"] = {
+                "error": type(exc).__name__ + ": " + str(exc)[:160]
+            }
+        return out
 
     def codec_throughput() -> dict:
         """Round-9 verdict #3: quantify the vendored pure-Python codec
@@ -1034,6 +1130,103 @@ def main() -> None:
             }
             out["vendored_over_pil_slowdown"] = round(vend_sec / pil_sec, 1)
         media.unpersist()
+
+        # --- audio arm (round 11): PCM16 WAV scalar vs numpy mixdown ---
+        # 16 distinct 1 s stereo 16 kHz clips x192 = 3072 payloads
+        # (~196 MB PCM).  The Spark-shape numbers carry the ~0.3 s fixed
+        # job overhead both arms pay (it floors the fast arm exactly as
+        # the image block documents at 512 payloads); the single-thread
+        # block is the overhead-free decode ratio measured driver-side
+        # on one clip.
+        import struct as _struct
+
+        def wav(seed: int) -> bytes:
+            n, ch = 16000, 2
+            frames = b"".join(
+                _struct.pack(
+                    "<hh",
+                    (i * (31 + seed) + seed * 911) % 32768 - 16384,
+                    (-i * (17 + seed) + seed * 577) % 32768 - 16384,
+                )
+                for i in range(n)
+            )
+            fmt = _struct.pack("<HHIIHH", 1, ch, 16000, 16000 * ch * 2,
+                               ch * 2, 16)
+            body = (b"WAVE" + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+                    + b"data" + _struct.pack("<I", len(frames)) + frames)
+            return b"RIFF" + _struct.pack("<I", len(body)) + body
+
+        clips = [wav(i) for i in range(16)]
+        arows = [
+            (i * 16 + j, clip)
+            for i in range(192)
+            for j, clip in enumerate(clips)
+        ]
+        audio = spark.createDataFrame(
+            arows, "id long, payload binary"
+        ).repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32"))).persist()
+        n_audio = audio.count()
+        audio_mb = (
+            audio.agg(F.sum(F.octet_length("payload")).alias("b"))
+            .collect()[0]["b"] / 1e6
+        )
+
+        def run_audio_arm(decode_fn) -> float:
+            import pandas as pd
+
+            def batches(it):
+                for pdf in it:
+                    feats = [decode_fn(p)[3] for p in pdf["payload"]]  # RMS
+                    yield pd.DataFrame({"id": pdf["id"], "f0": feats})
+
+            def once() -> float:
+                t0 = time.perf_counter()
+                audio.mapInPandas(batches, "id long, f0 double").groupBy(
+                ).count().collect()
+                return time.perf_counter() - t0
+
+            once()
+            return min(once(), once())
+
+        def audio_scalar(p):
+            return mm._wav_features(*mm._decode_wav(p))
+
+        def audio_np(p):
+            from hiero_spark.functions import codec_np
+
+            return codec_np.wav_features_np(*codec_np.decode_wav_np(p))
+
+        a_scal = run_audio_arm(audio_scalar)
+        a_vec = run_audio_arm(audio_np)
+        # overhead-free single-thread ratio, driver-side on one clip
+        one = clips[0]
+
+        def st_rate(fn) -> float:
+            t0, n = time.perf_counter(), 0
+            while time.perf_counter() - t0 < 1.0:
+                fn(one)
+                n += 1
+            return n / (time.perf_counter() - t0)
+
+        st_s, st_v = st_rate(audio_scalar), st_rate(audio_np)
+        out["audio"] = {
+            "n_payloads": n_audio,
+            "clip": "1s stereo 16kHz PCM16",
+            "total_mb": round(audio_mb, 2),
+            "scalar": {
+                "wall_sec": round(a_scal, 2),
+                "payloads_per_sec": round(n_audio / a_scal, 1),
+                "mb_per_sec": round(audio_mb / a_scal, 2),
+            },
+            "vectorized": {
+                "wall_sec": round(a_vec, 2),
+                "payloads_per_sec": round(n_audio / a_vec, 1),
+                "mb_per_sec": round(audio_mb / a_vec, 2),
+            },
+            "spark_shape_speedup": round(a_scal / a_vec, 1),
+            "single_thread_speedup": round(st_v / st_s, 1),
+        }
+        audio.unpersist()
         return out
 
     def e2e_throughput() -> dict:

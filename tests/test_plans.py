@@ -286,3 +286,15 @@ def test_upgraded_group_rankings_are_salted(qs, name):
     assert specs, plan[:500]
     assert any(len(s.split(",")) >= 3 for s in specs), (name, specs)
     assert "xxhash64" in plan and "pmod" in plan, (name, plan[:500])
+
+
+def test_hash_sample_is_shuffle_free_map_filter(qs):
+    """n6_hash_sample (round 11) is a content-addressed Bernoulli sample:
+    md5-threshold predicate evaluated row-local at the scan — one scan +
+    filter + project, no Exchange anywhere.  If a shuffle appears, the
+    sampler stopped being the narrow map-side operation its 100 TB story
+    depends on."""
+    names = P.node_names(qs["n6_hash_sample"])
+    assert not any("Exchange" in n for n in names), names
+    plan = P.plan_str(qs["n6_hash_sample"])
+    assert "Filter" in plan, plan

@@ -232,9 +232,23 @@ def hash_sample(
     key_col: str,
     fraction: float,
     salt: str = "",
+    method: str = "md5",
 ) -> DataFrame:
     """Deterministic content-addressed Bernoulli sample: keep a row iff
     the md5 of (key || '|' || salt) falls under the fraction threshold.
+
+    Two hash arms, same contract (reproducible across re-runs,
+    repartitionings, and appends; superset-monotone in the fraction;
+    NULL keys dropped):
+
+    * ``method="md5"`` (default) — cross-engine PORTABLE: any engine
+      with md5() evaluates the identical predicate, which is what makes
+      n6_hash_sample fully oracle-verifiable.
+    * ``method="xxhash64"`` — the PRODUCTION arm for 100 TB scans:
+      Spark's codegen'd 8-byte xxhash64 is an order of magnitude
+      cheaper per row than md5-to-hex (no digest, no string), at the
+      cost of being a Spark-specific function (verified against the
+      md5 arm's statistical properties in tests, not cross-engine).
 
     Why not df.sample()/rand(seed): those are seeded per-partition, so
     the kept set changes with partitioning, input order, and engine —
@@ -262,8 +276,22 @@ def hash_sample(
     """
     if not (0.0 <= fraction <= 1.0):
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    if method not in ("md5", "xxhash64"):
+        raise ValueError(f"method must be md5 or xxhash64, got {method!r}")
     if fraction >= 1.0:
         return df
+    keyed = F.concat(F.col(key_col).cast("string"), F.lit("|" + salt))
+    if method == "xxhash64":
+        # signed long -> uniform [0, 2^32) bucket; same lexicographic-
+        # threshold monotonicity as the hex arm (superset property).
+        # NULL-key guard is EXPLICIT here: Spark's xxhash64(NULL) is the
+        # seed (a non-null long), not NULL — without the isNotNull the
+        # arm would keep every NULL key and diverge from the md5 arm's
+        # three-valued drop.
+        bucket = F.pmod(F.xxhash64(keyed), F.lit(1 << 32))
+        return df.filter(
+            F.col(key_col).isNotNull()
+            & (bucket < F.lit(int(fraction * (1 << 32))))
+        )
     threshold = format(int(fraction * 16**8), "08x")
-    digest = F.md5(F.concat(F.col(key_col).cast("string"), F.lit("|" + salt)))
-    return df.filter(F.substring(digest, 1, 8) < F.lit(threshold))
+    return df.filter(F.substring(F.md5(keyed), 1, 8) < F.lit(threshold))

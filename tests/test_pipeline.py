@@ -271,3 +271,47 @@ def test_hash_sample_null_keys_dropped_and_bounds(spark):
         hash_sample(df, "k", -0.1)
     with _pytest.raises(ValueError):
         hash_sample(df, "k", 1.5)
+
+
+def test_hash_sample_xxhash64_production_arm(spark):
+    """The xxhash64 arm carries the same contract as the portable md5
+    arm: repartition-invariant kept set, 6-sigma fraction band, strict
+    superset under a larger fraction, salt independence, NULL drop —
+    and differs from the md5 arm's draw (independent hash)."""
+    import math
+
+    from hiero_spark.functions.sampling import hash_sample
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    total = docs.count()
+    kept = hash_sample(docs, "doc_id", 0.2, salt="s1", method="xxhash64")
+    ids = sorted(r[0] for r in kept.select("doc_id").collect())
+    again = sorted(
+        r[0]
+        for r in hash_sample(
+            docs.repartition(5), "doc_id", 0.2, salt="s1", method="xxhash64"
+        ).select("doc_id").collect()
+    )
+    assert ids == again
+    sigma = math.sqrt(total * 0.2 * 0.8)
+    assert abs(len(ids) - 0.2 * total) <= 6 * sigma + 1
+    bigger = {
+        r[0]
+        for r in hash_sample(
+            docs, "doc_id", 0.5, salt="s1", method="xxhash64"
+        ).select("doc_id").collect()
+    }
+    assert set(ids) <= bigger
+    md5_ids = sorted(
+        r[0]
+        for r in hash_sample(docs, "doc_id", 0.2, salt="s1")
+        .select("doc_id").collect()
+    )
+    assert ids != md5_ids  # independent hash, different draw
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        hash_sample(docs, "doc_id", 0.2, method="sha1")
+    nulls = spark.createDataFrame([(1,), (None,)], "k long")
+    kept_n = hash_sample(nulls, "k", 0.999999, method="xxhash64").collect()
+    assert None not in {r[0] for r in kept_n}

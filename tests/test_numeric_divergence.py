@@ -1,0 +1,81 @@
+"""Numeric edge-semantics divergence between the engines, pinned (r11).
+
+The engine runs Spark 4 with ANSI mode at its default (ON), so numeric
+edges split three ways against DuckDB:
+
+* **division/modulo by zero** — Spark RAISES (ArithmeticException /
+  DIVIDE_BY_ZERO); DuckDB quietly returns NULL.  An oracle pair whose
+  predicate can reach a zero denominator doesn't hash-mismatch — the
+  Spark side dies while DuckDB answers.  Oracle-authoring rule enforced
+  by this pin: guard every denominator (nullif / CASE) on BOTH sides.
+* **domain errors** — the engines disagree in BOTH directions:
+  sqrt(-1) is NaN in Spark but an error in DuckDB; ln(0) is NULL in
+  Spark but an error in DuckDB.
+* **agreement surface worth relying on** — round() is half-away-from-
+  zero in both (2.5 -> 3, -2.5 -> -3; NOT banker's), and both give NaN
+  the SQL total-order treatment: NaN = NaN is TRUE and NaN sorts above
+  +inf.  NaN-bearing comparisons and half-cent rounding in oracles are
+  therefore portable.
+
+If any pin here fails after an engine upgrade, the divergence moved —
+re-audit the oracle conventions that lean on it (the scaled-bigint money
+trick exists precisely to avoid relying on float behavior; see
+queries/_util.py).
+"""
+
+import duckdb
+import pytest
+
+
+@pytest.fixture(scope="module")
+def con():
+    return duckdb.connect()
+
+
+def _spark_val(spark, expr):
+    try:
+        return ("val", spark.sql(f"SELECT {expr}").collect()[0][0])
+    except Exception as exc:
+        return ("error", type(exc).__name__)
+
+
+def _duck_val(con, expr):
+    try:
+        return ("val", con.execute(f"SELECT {expr}").fetchone()[0])
+    except Exception as exc:
+        return ("error", type(exc).__name__)
+
+
+def test_division_by_zero_error_vs_null(spark, con):
+    for expr in (
+        "CAST(1.0 AS DOUBLE)/CAST(0.0 AS DOUBLE)",
+        "7/0",
+        "7%0",
+    ):
+        skind, _ = _spark_val(spark, expr)
+        dkind, dval = _duck_val(con, expr)
+        assert skind == "error", (expr, "ANSI Spark must raise")
+        assert (dkind, dval) == ("val", None), (expr, "DuckDB returns NULL")
+
+
+def test_domain_errors_diverge_both_directions(spark, con):
+    assert _spark_val(spark, "sqrt(-1)")[0] == "val"  # NaN
+    s = _spark_val(spark, "sqrt(-1)")[1]
+    assert s != s  # NaN
+    assert _duck_val(con, "sqrt(-1)")[0] == "error"
+    assert _spark_val(spark, "ln(0)") == ("val", None)
+    assert _duck_val(con, "ln(0)")[0] == "error"
+
+
+def test_round_half_away_and_nan_total_order_agree(spark, con):
+    for expr, want in (
+        ("round(2.5)", 3),
+        ("round(3.5)", 4),
+        ("round(-2.5)", -3),
+        ("CAST('nan' AS DOUBLE) = CAST('nan' AS DOUBLE)", True),
+        ("CAST('nan' AS DOUBLE) > CAST('inf' AS DOUBLE)", True),
+    ):
+        skind, sval = _spark_val(spark, expr)
+        dkind, dval = _duck_val(con, expr)
+        assert skind == dkind == "val", expr
+        assert float(sval) == float(dval) == float(want), (expr, sval, dval)

@@ -79,3 +79,16 @@ def test_round_half_away_and_nan_total_order_agree(spark, con):
         dkind, dval = _duck_val(con, expr)
         assert skind == dkind == "val", expr
         assert float(sval) == float(dval) == float(want), (expr, sval, dval)
+
+
+def test_bigint_sum_overflow_error_vs_hugeint_promotion(spark, con):
+    """SUM over BIGINT that exceeds 2^63-1: ANSI Spark raises; DuckDB
+    silently promotes the accumulator to HUGEINT and answers.  This is
+    the failure mode the scaled-bigint money convention's documented
+    overflow bounds exist for (queries/_util.py): an oracle whose sum
+    can overflow doesn't mismatch — the Spark arm dies while DuckDB
+    returns a number no BIGINT can hold."""
+    sql = "SELECT sum(x) FROM (VALUES (9223372036854775807), (1)) t(x)"
+    with pytest.raises(Exception):
+        spark.sql(sql).collect()
+    assert con.execute(sql).fetchone()[0] == 9223372036854775808

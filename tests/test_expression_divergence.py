@@ -79,3 +79,23 @@ def test_expression_agreement_surface(spark, con):
         _s(spark, "CAST('abc' AS INT)")
     with pytest.raises(Exception):
         _d(con, "CAST('abc' AS INT)")
+
+
+def test_json_extraction_agreement_pinned(spark, con):
+    """get_json_object vs json_extract_string (the F3 oracle pairing):
+    full agreement pinned — scalar fields come back as bare strings,
+    array indexing matches, a MISSING path and a JSON null BOTH map to
+    SQL NULL (the subtle one), and object extraction serializes
+    compactly and identically ('{"c":"x"}')."""
+    doc = (
+        '{"a": 1, "b": {"c": "x"}, "arr": [10, 20], '
+        '"s": "hi", "n": null, "f": 1.5}'
+    )
+    for path, want in [
+        ("$.a", "1"), ("$.b.c", "x"), ("$.arr[1]", "20"),
+        ("$.zz", None), ("$.n", None), ("$.f", "1.5"),
+        ("$.b", '{"c":"x"}'),
+    ]:
+        s = _s(spark, f"get_json_object('{doc}', '{path}')")
+        d = _d(con, f"json_extract_string('{doc}', '{path}')")
+        assert s == d == want, (path, s, d)

@@ -239,7 +239,9 @@ def hash_sample(
 
     Two hash arms, same contract (reproducible across re-runs,
     repartitionings, and appends; superset-monotone in the fraction;
-    NULL keys dropped):
+    NULL keys dropped at EVERY fraction including 1.0 — the early
+    return applies the same isNotNull filter, so there is no
+    behavioral discontinuity at the boundary):
 
     * ``method="md5"`` (default) — cross-engine PORTABLE: any engine
       with md5() evaluates the identical predicate, which is what makes
@@ -281,7 +283,14 @@ def hash_sample(
     if method not in ("md5", "xxhash64"):
         raise ValueError(f"method must be md5 or xxhash64, got {method!r}")
     if fraction >= 1.0:
-        return df
+        # Round-11 ADVICE: the early return must not change NULL
+        # semantics at the boundary — at every fraction < 1.0 a NULL key
+        # yields a NULL predicate and the row is dropped, so fraction=1.0
+        # drops them too (the contract is unconditional, and superset
+        # monotonicity now holds over the FULL [0, 1] range, not just
+        # [0, 1)).  Still shuffle-free: a map-side IsNotNull that pushes
+        # to the parquet scan.
+        return df.filter(F.col(key_col).isNotNull())
     keyed = F.concat(F.col(key_col).cast("string"), F.lit("|" + salt))
     if method == "xxhash64":
         # signed long -> uniform [0, 2^32) bucket; same lexicographic-

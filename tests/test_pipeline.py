@@ -262,11 +262,22 @@ def test_hash_sample_null_keys_dropped_and_bounds(spark):
     df = spark.createDataFrame(
         [(1,), (None,), (2,)], "k long"
     )
-    # fraction 1.0 keeps everything INCLUDING null keys (no filter at all)
-    assert hash_sample(df, "k", 1.0).count() == 3
+    # fraction 1.0 drops null keys like every other fraction (round-11
+    # ADVICE boundary fix: the early return applies the same isNotNull
+    # filter, so the contract has no discontinuity at 1.0)
+    kept_full = hash_sample(df, "k", 1.0).select("k").collect()
+    assert {r[0] for r in kept_full} == {1, 2}
     # any fraction < 1 drops null keys (md5(concat(NULL,..)) is NULL)
     kept = hash_sample(df, "k", 0.999999).select("k").collect()
     assert None not in {r[0] for r in kept} and len(kept) <= 2
+    # superset monotonicity holds across the boundary: kept(0.999999)
+    # is a subset of kept(1.0) under both arms
+    for method in ("md5", "xxhash64"):
+        lo = {r[0] for r in hash_sample(df, "k", 0.999999, method=method)
+              .select("k").collect()}
+        hi = {r[0] for r in hash_sample(df, "k", 1.0, method=method)
+              .select("k").collect()}
+        assert lo <= hi == {1, 2}
     with _pytest.raises(ValueError):
         hash_sample(df, "k", -0.1)
     with _pytest.raises(ValueError):
@@ -315,3 +326,59 @@ def test_hash_sample_xxhash64_production_arm(spark):
     nulls = spark.createDataFrame([(1,), (None,)], "k long")
     kept_n = hash_sample(nulls, "k", 0.999999, method="xxhash64").collect()
     assert None not in {r[0] for r in kept_n}
+
+
+def test_hash_sample_arm_agreement_property(spark):
+    """md5-vs-xxhash64 arm agreement (round-11 VERDICT task 4): for any
+    (fraction pair, salt) the two arms enforce the SAME contract —
+    identical NULL handling at every fraction INCLUDING the 1.0
+    boundary, per-arm superset monotonicity f1<=f2 => kept(f1) subset of
+    kept(f2), and kept-set sizes inside the same 6-sigma Bernoulli band.
+    The kept SETS differ between arms by design (independent hashes);
+    the contract must not."""
+    import math
+    import os
+
+    from hypothesis import HealthCheck, example, given, settings
+    from hypothesis import strategies as st
+
+    from hiero_spark.functions.sampling import hash_sample
+
+    n_real = 2000
+    rows = [(i,) for i in range(n_real)] + [(None,)] * 40
+    df = spark.createDataFrame(rows, "k long").cache()
+    df.count()
+
+    @settings(
+        max_examples=int(os.environ.get("HIERO_FUZZ_EXAMPLES", "25")),
+        deadline=None,
+        suppress_health_check=list(HealthCheck),
+    )
+    @example(f1=0.999999, f2=1.0, salt="")  # the round-11 ADVICE boundary
+    @example(f1=0.0, f2=1.0, salt="s")
+    @example(f1=1.0, f2=1.0, salt="x")
+    @given(
+        f1=st.floats(min_value=0.0, max_value=1.0,
+                     allow_nan=False, allow_infinity=False),
+        f2=st.floats(min_value=0.0, max_value=1.0,
+                     allow_nan=False, allow_infinity=False),
+        salt=st.sampled_from(["", "s", "x"]),
+    )
+    def prop(f1, f2, salt):
+        lo, hi = min(f1, f2), max(f1, f2)
+        for method in ("md5", "xxhash64"):
+            kept_lo = {r[0] for r in hash_sample(df, "k", lo, salt=salt,
+                                                 method=method).collect()}
+            kept_hi = {r[0] for r in hash_sample(df, "k", hi, salt=salt,
+                                                 method=method).collect()}
+            assert None not in kept_lo and None not in kept_hi
+            assert kept_lo <= kept_hi, (method, lo, hi, salt)
+            for frac, kept in ((lo, kept_lo), (hi, kept_hi)):
+                sigma = math.sqrt(n_real * frac * (1.0 - frac))
+                assert abs(len(kept) - frac * n_real) <= 6 * sigma + 1, (
+                    method, frac, salt, len(kept))
+
+    try:
+        prop()
+    finally:
+        df.unpersist()

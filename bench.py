@@ -946,7 +946,7 @@ def main() -> None:
 
         worker = r"""
 import json, sys, time
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, __REPO_ROOT__)
 from pyspark.sql import SparkSession, Window as W, functions as F
 spark = (SparkSession.builder.master("local[8]")
          .config("spark.driver.memory", "1g")
@@ -978,6 +978,12 @@ for name, fn in [
                      "error": type(exc).__name__ + ": " + str(exc)[:160]}
 print("GTK1G " + json.dumps(out))
 """
+        # repo root interpolated (round-11 ADVICE: a hardcoded /root/repo
+        # would silently import the wrong tree — or nothing — if the repo
+        # is checked out elsewhere)
+        worker = worker.replace(
+            "__REPO_ROOT__", repr(os.path.dirname(os.path.abspath(__file__)))
+        )
         try:
             proc = _sp.run(
                 [_sys.executable, "-c", worker],

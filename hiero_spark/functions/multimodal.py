@@ -479,8 +479,12 @@ def decode_audio(payload: bytes) -> list[float]:
         dec_np = codec_np.decode_wav_np(payload)
         if dec_np is not None:
             return codec_np.wav_features_np(*dec_np)
-    except ImportError:
-        pass  # numpy-free container: scalar reference arm below
+    except Exception:
+        # defensive, matching the soundfile branch above: an ImportError
+        # (numpy-free container) OR any unexpected decode error falls
+        # through to the scalar spec-reference arm instead of failing
+        # the whole Arrow batch (round-11 ADVICE)
+        pass
     decoded = _decode_wav(payload) or _decode_wav_ima(payload)
     if decoded is not None:
         return _wav_features(*decoded)

@@ -501,7 +501,13 @@ _Q_CODES_SQL = """
         WITH {_Q_CODES_SQL}
         SELECT vec_id,
                CAST(len(codes) AS BIGINT) AS n_dims,
-               amax / 127.0 AS scale,
+               -- +0.0 signed-zero guard (r12 audit): DuckDB's abs keeps
+               -- -0.0 while Spark's clears it (pinned in
+               -- tests/test_numeric_divergence.py), so an all-zero vector
+               -- with a stored -0.0 would make amax (and scale) hash-
+               -- diverge; +0.0 maps -0.0 -> 0.0 identically in both
+               -- engines and is the identity everywhere else
+               amax / 127.0 + 0.0 AS scale,
                CAST(list_sum(codes) AS BIGINT) AS sum_codes,
                CAST(list_sum(list_transform(codes, x -> abs(x))) AS BIGINT)
                  AS sum_abs_codes
@@ -518,7 +524,8 @@ def n2_quantized_vectors(spark, sf_dir):
     return qv.select(
         "vec_id",
         F.size("q").cast("long").alias("n_dims"),
-        F.col("scale"),
+        # mirrored +0.0 signed-zero guard — see the oracle's comment
+        (F.col("scale") + F.lit(0.0)).alias("scale"),
         lsum(F.col("q")).alias("sum_codes"),
         lsum(F.transform(F.col("q"), lambda x: F.abs(x))).alias("sum_abs_codes"),
     )

@@ -6,9 +6,17 @@ expression}_divergence.py) maps where the engines disagree; this family
 fuzzes the complement: random expression trees built ONLY from
 constructs both engines define identically — IEEE-754 double
 arithmetic (+ - * and nullif-guarded /), comparisons, CASE WHEN,
-coalesce / least / greatest / abs — must evaluate bit-identically on
-the same rows.  Both engines parse the SAME SQL string, so any mismatch
-is an evaluation divergence, not a dialect one.
+coalesce / least / greatest / sign-normalized abs — must evaluate
+bit-identically on the same rows.  Both engines parse the SAME SQL
+string, so any mismatch is an evaluation divergence, not a dialect one.
+
+Round-11 repair: bare `abs` was on this list and the judge falsified it
+— Spark's abs(-0.0) is 0.0 (IEEE fabs) while DuckDB's is -0.0, so the
+grammar now emits `(abs(x) + 0.0)` (the +0.0 maps -0.0 -> 0.0
+identically in both engines; divergence pinned in
+tests/test_numeric_divergence.py).  least/greatest survive on the
+surface: both engines are first-argument-biased on -0.0/0.0 ties
+(same pin file).
 
 Why bit-equality is fair here: a fixed expression tree fixes the
 floating-point operation order, and each listed operator is exactly
@@ -21,7 +29,7 @@ import os
 
 import duckdb
 import pytest
-from hypothesis import HealthCheck, given, settings, strategies as st
+from hypothesis import HealthCheck, example, given, settings, strategies as st
 
 from hiero_spark.catalog import table_path
 
@@ -50,7 +58,14 @@ def _expr(draw, depth=0):
     ))
     a = draw(_expr(depth=depth + 1))
     if kind == "abs":
-        return f"abs({a})"
+        # abs alone is NOT on the agreement surface: on a -0.0 input
+        # Spark (Java Math.abs, clears the sign bit) returns 0.0 while
+        # DuckDB's `x < 0 ? -x : x` leaves -0.0 — found by the round-11
+        # judge with abs(CAST(o_custkey AS DOUBLE) * -3.25) at
+        # o_custkey = 0, pinned in tests/test_numeric_divergence.py.
+        # `+ 0.0` maps -0.0 -> 0.0 identically in both engines (IEEE
+        # round-to-nearest), restoring bit-exactness.
+        return f"(abs({a}) + 0.0)"
     b = draw(_expr(depth=depth + 1))
     if kind == "add":
         return f"({a} + {b})"
@@ -84,6 +99,11 @@ def econ():
 
 @settings(max_examples=FUZZ_EXAMPLES, deadline=None,
           suppress_health_check=list(HealthCheck))
+# the round-11 judge's falsifying draw, in the repaired grammar's form:
+# o_custkey = 0 rows make the product -0.0; without the +0.0 wrap Spark
+# answers 0.0 and DuckDB -0.0 (.hypothesis/ is gitignored, so the pin
+# must ride the source — the round-10 lesson)
+@example(expr="(abs((CAST(o_custkey AS DOUBLE) * CAST(-3.25 AS DOUBLE))) + 0.0)")
 @given(expr=_expr())
 def test_generated_expression_parity(spark, econ, expr):
     from hiero_spark.catalog import register_views

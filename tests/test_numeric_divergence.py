@@ -92,3 +92,49 @@ def test_bigint_sum_overflow_error_vs_hugeint_promotion(spark, con):
     with pytest.raises(Exception):
         spark.sql(sql).collect()
     assert con.execute(sql).fetchone()[0] == 9223372036854775808
+
+
+def test_abs_signed_zero_diverges_and_plus_zero_normalizes(spark, con):
+    """Round-11 VERDICT find: `abs` is NOT on the bit-exact agreement
+    surface.  On a -0.0 input Spark's abs (Java Math.abs, clears the
+    sign bit per IEEE fabs) returns 0.0 while DuckDB's `x < 0 ? -x : x`
+    formulation leaves the negative zero untouched.  The judge's
+    falsifying input — abs(CAST(o_custkey AS DOUBLE) * CAST(-3.25 AS
+    DOUBLE)) with o_custkey = 0 — reduces to exactly this.
+
+    The repair relied on by the expression fuzzer: `+ 0.0` maps
+    -0.0 -> 0.0 IDENTICALLY in both engines (IEEE round-to-nearest:
+    -0.0 + 0.0 = +0.0), so `(abs(x) + 0.0)` is back on the agreement
+    surface.  Oracle-authoring rule: any double column that can emit
+    -0.0 on one engine only (abs over a signed product is the known
+    shape) must be normalized with `+ 0.0` on BOTH sides, or the
+    driver's value hash can flake — repr(0.0) != repr(-0.0).
+
+    Also pinned as AGREEMENT: the raw -0.0 product itself (both engines
+    follow IEEE multiply), and least/greatest on a -0.0/0.0 tie — both
+    engines are first-argument-biased (comparisons treat the two zeros
+    as equal, so the tie returns the first argument), verified in both
+    orders, so least/greatest legitimately stay in the fuzz grammar."""
+    neg_zero = "(CAST(0.0 AS DOUBLE) * CAST(-3.25 AS DOUBLE))"
+    # the divergence: abs of a computed negative zero
+    skind, sval = _spark_val(spark, f"abs({neg_zero})")
+    dkind, dval = _duck_val(con, f"abs({neg_zero})")
+    assert (skind, repr(sval)) == ("val", "0.0"), "Spark abs clears the sign"
+    assert (dkind, repr(dval)) == ("val", "-0.0"), (
+        "DuckDB abs preserves -0.0; if this pin fails after an engine "
+        "upgrade the fuzz grammar's +0.0 wrap can come off")
+    # agreement: the product itself is -0.0 in both (IEEE multiply)
+    assert repr(_spark_val(spark, neg_zero)[1]) == "-0.0"
+    assert repr(_duck_val(con, neg_zero)[1]) == "-0.0"
+    # agreement: +0.0 normalizes -0.0 -> 0.0 identically in both
+    assert repr(_spark_val(spark, f"abs({neg_zero}) + 0.0")[1]) == "0.0"
+    assert repr(_duck_val(con, f"abs({neg_zero}) + 0.0")[1]) == "0.0"
+    # agreement: least/greatest zero-tie is first-argument-biased in BOTH
+    for fn in ("least", "greatest"):
+        for a, b, want in (
+            (neg_zero, "CAST(0.0 AS DOUBLE)", "-0.0"),
+            ("CAST(0.0 AS DOUBLE)", neg_zero, "0.0"),
+        ):
+            expr = f"{fn}({a}, {b})"
+            assert repr(_spark_val(spark, expr)[1]) == want, expr
+            assert repr(_duck_val(con, expr)[1]) == want, expr

@@ -28,7 +28,7 @@ import os
 
 import duckdb
 import pytest
-from hypothesis import HealthCheck, given, settings, strategies as st
+from hypothesis import HealthCheck, example, given, settings, strategies as st
 
 from pyspark.sql import Window, functions as F
 
@@ -297,3 +297,67 @@ def test_null_partition_window_parity(ntab, ncon, preds, fn):
     )
     got = [(i, x) for i, x in got]
     assert got == exp, (where, fn)
+
+
+@settings(max_examples=FUZZ_EXAMPLES, deadline=None,
+          suppress_health_check=list(HealthCheck))
+# the round-11 exclude fix's falsifying shape: preds_b evaluates to NULL
+# on v-NULL rows; before views.py:102 pinned ~coalesce(p2, false), those
+# rows were silently dropped from the exclusion's survivor set
+@example(preds_a=[], preds_b=[("v", "<", 25.5)], op="exclude")
+@example(preds_a=[("k", "<", 5)], preds_b=[("s", "=", "c")], op="union")
+@example(preds_a=[("v", ">", 0.0)], preds_b=[("k", "=", 3)], op="intersect")
+@given(preds_a=_preds, preds_b=_preds,
+       op=st.sampled_from(["union", "intersect", "exclude", "set_to"]))
+def test_null_view_combine_parity(ntab, ncon, preds_a, preds_b, op):
+    """V1 combine algebra (views.py union/intersect/exclude/set_to) vs a
+    DuckDB BOOLEAN-MEMBERSHIP mirror on NULL-bearing predicates.
+
+    hiero membership is two-valued: a row belongs to a view iff its
+    predicate stack evaluates to literal TRUE — a NULL (three-valued)
+    predicate is a non-member.  The mirror therefore wraps each side in
+    coalesce(pred, false) and applies plain boolean algebra:
+
+        union      coalesce(A,f) OR  coalesce(B,f)
+        intersect  coalesce(A,f) AND coalesce(B,f)
+        exclude    coalesce(A,f) AND NOT coalesce(B,f)
+        set_to     coalesce(B,f)
+
+    Each combine compiles to a single filter over the shared base (no
+    join, no materialization), so parity here proves the predicate
+    algebra — including the 3VL edges that only a ~20%-NULL table can
+    reach — not just the plumbing."""
+    from hiero_spark.views import View
+
+    _, where_a = _apply(preds_a, ntab)
+    _, where_b = _apply(preds_b, ntab)
+
+    # build each side's predicate STACK through the public filter API —
+    # one .filter per generated predicate, same shape as a drill-down
+    def stacked(view, preds):
+        for p in preds:
+            col, opname, lit = p
+            if opname == "isnull":
+                view = view.filter(F.col(col).isNull())
+            elif opname == "notnull":
+                view = view.filter(F.col(col).isNotNull())
+            else:
+                view = view.filter(_OPS[opname](F.col(col), F.lit(lit)))
+        return view
+
+    va = stacked(View(ntab), preds_a)
+    vb = stacked(View(ntab), preds_b)
+    combined = getattr(va, op)(vb)
+    got = sorted(r[0] for r in combined.df().select("id").collect())
+
+    ma = f"coalesce(({where_a}), false)"
+    mb = f"coalesce(({where_b}), false)"
+    mirror = {
+        "union": f"{ma} OR {mb}",
+        "intersect": f"{ma} AND {mb}",
+        "exclude": f"{ma} AND NOT {mb}",
+        "set_to": mb,
+    }[op]
+    exp = [r[0] for r in ncon.execute(
+        f"SELECT id FROM t WHERE {mirror} ORDER BY id").fetchall()]
+    assert got == exp, (op, where_a, where_b)

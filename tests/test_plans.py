@@ -298,3 +298,105 @@ def test_hash_sample_is_shuffle_free_map_filter(qs):
     assert not any("Exchange" in n for n in names), names
     plan = P.plan_str(qs["n6_hash_sample"])
     assert "Filter" in plan, plan
+
+
+# Round-11 verdict #5: the bench tail carried unattributed
+# `WindowExec: No Partition Defined` warnings.  These are the sites —
+# every registered query whose physical plan contains a window with an
+# EMPTY partition spec, each with the reason its single-partition pass
+# is bounded (the warning is about moving ALL data to one task; over a
+# bounded aggregate it is cosmetic).  bench.py quiets the WindowExec
+# logger citing this pin; a NEW name appearing here fails the test and
+# must either partition its frame or justify a new allowlist row.
+_UNPARTITIONED_WINDOW_SITES = {
+    "a5_cdf": "cumulative sum over the histogram-bucket aggregate "
+              "(rows = bucket count, <=100)",
+    "a18_skew_audit": "cumulative share over the per-key-count frequency "
+                      "aggregate (rows = distinct count-of-counts)",
+    "ext_cusum_changepoint": "CUSUM fold over the DAILY aggregate "
+                             "(rows = distinct days; windows never touch "
+                             "the fact table)",
+    "n2_hybrid_rrf": "global rank over the per-document fused score "
+                     "aggregate of ONE query's candidate set",
+    "n2_recall_at_k": "rank over the eval arm's per-candidate scores "
+                      "(bounded candidate list)",
+    "n6_dataset_drift": "PSI running total over length-bucket aggregate "
+                        "(rows = bucket count)",
+    "n6_global_shuffle": "row_number over a TakeOrderedAndProject "
+                         "limit(200) — the window input is 200 rows "
+                         "by construction",
+    "n6_mixture_apply": "cumulative mixture offsets over the per-source "
+                        "aggregate (rows = number of sources)",
+    "n6_mixture_weights": "same per-source aggregate as mixture_apply",
+    "n6_oov_curve": "frequency rank over the token-vocabulary aggregate "
+                    "(rows = distinct tokens, already one "
+                    "groupBy-reduction below the corpus)",
+}
+
+_BOUNDING_NODES = ("HashAggregate", "SortAggregate", "ObjectHashAggregate",
+                   "TakeOrderedAndProject", "Limit", "LocalTableScan")
+
+
+def _unpartitioned_window_depths(plan: str) -> list[tuple[int, int]]:
+    """(line_index, prefix_len) of each Window node whose
+    windowspecdefinition has no partition columns: the first argument
+    either carries a sort direction (order-only spec) or is the frame
+    itself."""
+    import re
+
+    out = []
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        m = re.search(r"\bWindow \[", line)
+        if not m:
+            continue
+        spec = re.search(
+            r"windowspecdefinition\(([^()]*?)(?:, specifiedwindowframe|\))",
+            line,
+        )
+        first = spec.group(1).split(",")[0].strip() if spec else ""
+        bare_frame = re.search(r"windowspecdefinition\(specifiedwindowframe",
+                               line)
+        if bare_frame or first == "" or " ASC" in first or " DESC" in first:
+            out.append((i, m.start()))
+    return out
+
+
+def test_unpartitioned_windows_pinned_and_bounded(qs):
+    """Exact-set pin of every unpartitioned-window site, plus a
+    structural boundedness check: the subtree feeding each such window
+    must contain an aggregation/limit boundary, so the single-partition
+    pass runs over a reduction, never over raw table rows."""
+    found = {}
+    for name, df in qs.items():
+        try:
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception:
+            continue
+        sites = _unpartitioned_window_depths(plan)
+        if sites:
+            found[name] = (plan, sites)
+
+    assert set(found) == set(_UNPARTITIONED_WINDOW_SITES), (
+        "unpartitioned-window site set drifted; new sites must partition "
+        f"their frame or earn an allowlist row: "
+        f"{sorted(set(found) ^ set(_UNPARTITIONED_WINDOW_SITES))}"
+    )
+
+    for name, (plan, sites) in found.items():
+        lines = plan.splitlines()
+        for idx, depth in sites:
+            subtree = []
+            for line in lines[idx + 1:]:
+                stripped_at = len(line) - len(line.lstrip(" :+-"))
+                if line.strip() and stripped_at <= depth and not line.startswith(" " * (depth + 1)):
+                    # heuristic: once tree prefix is no deeper than the
+                    # window's, the subtree ended
+                    if not any(line[k] in ":+" for k in range(depth, min(len(line), depth + 3))):
+                        break
+                subtree.append(line)
+            sub = "\n".join(subtree)
+            assert any(n in sub for n in _BOUNDING_NODES), (
+                f"{name}: unpartitioned window at line {idx} has no "
+                f"aggregate/limit boundary below it\n{sub[:800]}"
+            )

@@ -267,7 +267,12 @@ def test_bulk_repin_drained_the_lapse_backlog():
     residue drains only via driver re-greens, ~40 oracle slots/round."""
     specs = all_queries()
     verified = evidence.verified_names(specs)
-    assert len(verified) >= 170, (
+    # floor raised 170 -> 200 at round 12 (verdict #3): r11 closed at 184
+    # hash-valid, the r11 driver window re-greened to 234, and round-12
+    # edits were sequenced early so the boundary stays well above 200 —
+    # a snapshot clobber or repin regression now trips at a level that
+    # still catches a full window's worth of silent loss.
+    assert len(verified) >= 200, (
         f"only {len(verified)} verified — bulk re-pin regressed or the "
         "snapshot was clobbered; run python -m hiero_spark.evidence --repin"
     )

@@ -91,6 +91,39 @@ def calibrate() -> float:
     return round(best, 4)
 
 
+def calibrate_spark(spark) -> float:
+    """Spark-shaped fixed-work reference (round-11 verdict #2): the
+    numpy/pure-Python `calibrate()` number tracks CPU throughput, but a
+    Spark query's time is CPU work PLUS per-query fixed overhead
+    (scheduling, codegen, task launch) that does NOT scale with CPU
+    speed — r11 proved the failure mode when calibration_sec halved
+    (0.109 -> 0.072) while query times held, manufacturing a phantom
+    1.37x 'calibrated regression' against a raw 0.902x.
+
+    This reference is a canonical small Spark job at a pinned row count
+    — range -> hash -> groupBy -> two aggregates -> final agg — timed
+    min-of-3 on the SAME session as the bench queries, so it embeds the
+    same scheduler/codegen/shuffle fixed costs in the same proportion a
+    short query does.  Round-over-round calibrated ratios divide by THIS
+    number; the CPU number stays recorded for continuity."""
+    from pyspark.sql import functions as F
+
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        (
+            spark.range(0, 2_000_000)
+            .select(F.pmod(F.xxhash64("id"), F.lit(1000)).alias("k"))
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("k").alias("s"))
+            .agg(F.sum("n").alias("tn"), F.sum("s").alias("ts"))
+            .collect()
+        )
+        dt = time.perf_counter() - t0
+        best = dt if best is None or dt < best else best
+    return round(best, 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -101,6 +134,23 @@ def main() -> None:
 
     spark = get_spark("hiero_spark_bench")
     specs = all_queries()
+
+    # Quiet WindowExec's 'No Partition Defined' WARN for this bench run
+    # ONLY: every unpartitioned-window site in the registry is pinned to
+    # a bounded aggregate/limit input by
+    # tests/test_plans.py::test_unpartitioned_windows_pinned_and_bounded
+    # (10 named sites), so in this artifact the warning is attributed
+    # noise that was drowning the stdout tail the driver records
+    # (round-11 verdict #5).  A NEW unbounded window fails that test —
+    # it cannot hide behind this logger setting.
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.window.WindowExec",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:
+        pass  # logging backend drift: warnings reappear, bench still runs
 
     # SPARK_GRAFT_MULTIFILE=1: run ONLY on an 8-files-per-table rewrite of
     # the testdata (the shipped fixtures are single-row-group, 1 task/scan).
@@ -1466,6 +1516,38 @@ print("GTK1G " + json.dumps(out))
     timings_multi = run_set(multi_dir)
     if only_multifile:
         timings = timings_multi
+
+    def a13_drift_audit() -> dict:
+        """Round-11 verdict #5 tail: a13_next_k moved 0.68 -> 0.81 s
+        (1.20x) on the multifile layout with no round-11 commit touching
+        pagination.py.  Attribute with measurements, not a shrug: shuffle
+        bytes written and plan shape on BOTH layouts, every round.  The
+        expected shape: TakeOrderedAndProject present (top-20 never global-
+        sorts) and shuffle bytes EQUAL across layouts — the query's one
+        shuffle is the (l_shipdate, l_orderkey) partial-agg exchange,
+        proportional to distinct pairs, not files (r12 measurement:
+        6.04 vs 6.10 MB, within 1%).  Equal bytes + unchanged node =>
+        the multifile drift is task-scheduling noise on a sub-second
+        query with 8x more scan tasks; diverging bytes or a lost
+        TakeOrdered => plan regression."""
+        from hiero_spark import plans as P
+
+        out = {}
+        for label, d in (("single_file", sf_dir), ("multifile", multi_dir)):
+            try:
+                df = specs["a13_next_k"].fn(spark, d)
+                out[label] = {
+                    "shuffle_bytes_written": P.shuffle_bytes_written(df),
+                    "take_ordered": bool(
+                        P.has_node(df, "TakeOrderedAndProject")
+                    ),
+                }
+            except Exception as exc:
+                out[label] = {"error": type(exc).__name__ + ": "
+                              + str(exc)[:120]}
+        return out
+
+    a13_audit = a13_drift_audit()
     ann = ann_payoff(sf_dir)
     decontam = decontam_payoff(sf_dir)
     pyds_vs_grok = pyds_payoff(sf_dir)
@@ -1481,6 +1563,7 @@ print("GTK1G " + json.dumps(out))
 
     total = round(sum(timings.values()), 3)
     cal = calibrate()
+    cal_spark = calibrate_spark(spark)
     # Round-9 verdict #7: make round-over-round comparisons machine-readable.
     # queries_calibrated expresses each query in units of the fixed-work CPU
     # reference, so a uniform machine/sandbox slowdown cancels; the
@@ -1550,9 +1633,35 @@ print("GTK1G " + json.dumps(out))
                 if recovered:
                     common_subset["recovered_from_tail"] = True
                 common_subset_ratio = round(cur_sum / prev_sum, 3)
+                # Per-query RAW ratios are the primary round-over-round
+                # judgment basis (round-11 verdict #2: sums hide movers,
+                # calibration can lie): every shared query's cur/prev,
+                # plus the worst movers called out.
+                per_q = {
+                    k: round(timings[k] / float(prev_q[k]), 3)
+                    for k in names if float(prev_q[k]) > 0
+                }
+                common_subset["per_query_ratio"] = per_q
+                common_subset["worst_movers"] = sorted(
+                    per_q.items(), key=lambda kv: -kv[1]
+                )[:3]
+                # Calibrated ratio: ONLY from the Spark-shaped reference
+                # (calibrate_spark) on both sides.  The legacy CPU-number
+                # calibration is recorded for continuity but proved
+                # misleading in r11 (CPU ref halved while Spark per-query
+                # fixed overhead didn't -> phantom 1.37x vs raw 0.902x);
+                # when the previous round predates calibration_spark_sec,
+                # the calibrated ratio is simply absent and RAW governs.
+                prev_scal = prev.get("calibration_spark_sec")
+                if prev_scal and cal_spark > 0:
+                    common_subset["ratio_calibrated"] = round(
+                        (cur_sum / cal_spark)
+                        / (prev_sum / float(prev_scal)), 3
+                    )
+                    common_subset["calibration_basis"] = "spark_fixed_job"
                 prev_cal = prev.get("calibration_sec")
                 if prev_cal and cal > 0:
-                    common_subset["ratio_calibrated"] = round(
+                    common_subset["ratio_calibrated_cpu_legacy"] = round(
                         (cur_sum / cal) / (prev_sum / float(prev_cal)), 3
                     )
         except (OSError, ValueError, TypeError, KeyError):
@@ -1578,6 +1687,7 @@ print("GTK1G " + json.dumps(out))
                 "queries_calibrated": queries_calibrated,
                 "common_subset": common_subset,
                 "queries_multifile": timings_multi,
+                "a13_drift_audit": a13_audit,
                 "ann_payoff": ann,
                 "decontam_payoff": decontam,
                 "pyds_payoff": pyds_vs_grok,
@@ -1605,6 +1715,7 @@ print("GTK1G " + json.dumps(out))
                 "n_reps": n_reps,
                 "estimator": "min",
                 "calibration_sec": cal,
+                "calibration_spark_sec": cal_spark,
                 "common_subset_ratio": common_subset_ratio,
                 "common_subset_ratio_calibrated": common_subset_ratio_calibrated,
                 "multifile_total": round(sum(timings_multi.values()), 3),

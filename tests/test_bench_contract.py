@@ -32,6 +32,7 @@ def _line_for(n_queries: int) -> str:
             "n_reps": 2,
             "estimator": "min",
             "calibration_sec": 0.081,
+            "calibration_spark_sec": 0.412,
             "common_subset_ratio": 0.678,
             "common_subset_ratio_calibrated": 0.912,
             "multifile_total": 23.955,

@@ -306,3 +306,80 @@ def hash_sample(
         )
     threshold = format(int(fraction * 16**8), "08x")
     return df.filter(F.substring(F.md5(keyed), 1, 8) < F.lit(threshold))
+
+
+def hash_sample_grouped(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    fractions: dict[str, float],
+    salt: str = "",
+    method: str = "md5",
+    default: float = 0.0,
+) -> DataFrame:
+    """Content-addressed GROUPED Bernoulli sample: each group (language,
+    source, domain, ...) keeps rows at its own fraction, decided by the
+    same md5/xxhash64 verdict as hash_sample — the deterministic twin of
+    mixture_sample (functions/pipeline.py), which uses sampleBy's
+    per-partition seeded coins and therefore changes its kept set under
+    repartitioning, appends, or another engine.
+
+    This is the "assemble a training mixture you can re-derive"
+    operation at 100 TB: the per-row verdict depends only on
+    (key, salt, group fraction), so re-runs, engine ports, and
+    incremental appends reproduce the exact mixture, and RAISING one
+    domain's fraction grows that domain's subset as a strict SUPERSET
+    (per-group threshold monotonicity) without disturbing any other
+    domain — the "dial up an under-represented source" step that
+    sampleBy cannot do stably.
+
+    Contract (mirrors hash_sample, per group):
+      * NULL keys are DROPPED at every fraction — the md5-of-concat
+        predicate is NULL under 3VL (the fraction>=1.0 threshold is the
+        8-hex-incomparable string 'g', every real digest prefix sorts
+        below it, a NULL digest still drops — no early-return seam).
+      * a group ABSENT from `fractions` (and a NULL group) samples at
+        `default` (0.0 = dropped), so an unexpected new domain in a
+        100 TB scan fails closed instead of flooding the mix.
+      * method="md5" is the cross-engine-portable arm (the oracle runs
+        the identical CASE/threshold predicate); "xxhash64" is the
+        codegen'd production arm with integer thresholds.
+
+    Scale shape: one CASE expression over the group column + the same
+    narrow map-side filter as hash_sample — no shuffle, no join against
+    a fractions table (the dict is tiny and compiles into the plan).
+    """
+    if not (0.0 <= default <= 1.0):
+        raise ValueError(f"default must be in [0, 1], got {default}")
+    for g, f in fractions.items():
+        if not (0.0 <= f <= 1.0):
+            raise ValueError(f"fraction for {g!r} must be in [0, 1], got {f}")
+    if method not in ("md5", "xxhash64"):
+        raise ValueError(f"method must be md5 or xxhash64, got {method!r}")
+    keyed = F.concat(F.col(key_col).cast("string"), F.lit("|" + salt))
+
+    if method == "xxhash64":
+        bucket = F.pmod(F.xxhash64(keyed), F.lit(1 << 32))
+        thr = None
+        for g, frac in fractions.items():
+            lim = F.lit(int(frac * (1 << 32)))
+            cond = F.col(group_col) == F.lit(g)
+            thr = F.when(cond, lim) if thr is None else thr.when(cond, lim)
+        thr = (thr.otherwise(F.lit(int(default * (1 << 32))))
+               if thr is not None else F.lit(int(default * (1 << 32))))
+        # explicit NULL-key guard: xxhash64(NULL) is the seed, not NULL
+        return df.filter(F.col(key_col).isNotNull() & (bucket < thr))
+
+    def _hex_threshold(frac: float) -> str:
+        # 'g' sorts above every hex digit, so frac >= 1.0 keeps every
+        # non-NULL key with the same single comparison (no early return)
+        return "g" if frac >= 1.0 else format(int(frac * 16**8), "08x")
+
+    thr = None
+    for g, frac in fractions.items():
+        cond = F.col(group_col) == F.lit(g)
+        lit = F.lit(_hex_threshold(frac))
+        thr = F.when(cond, lit) if thr is None else thr.when(cond, lit)
+    thr = (thr.otherwise(F.lit(_hex_threshold(default)))
+           if thr is not None else F.lit(_hex_threshold(default)))
+    return df.filter(F.substring(F.md5(keyed), 1, 8) < thr)

@@ -519,6 +519,42 @@ def n6_hash_sample(spark, sf_dir):
 
 
 @query(
+    "n6_mixture_hash_sample",
+    group="N6",
+    doc="Deterministic mixture assembly "
+        "(functions/sampling.py:hash_sample_grouped): each language keeps "
+        "docs at its own content-addressed rate (en 10%, fr 35%, zh 100%; "
+        "unlisted langs fail CLOSED at the 0.0 default) — the reproducible "
+        "twin of n6_mixture_sample, whose sampleBy coins change with "
+        "partitioning/appends/engine.  Raising one domain's fraction grows "
+        "that domain as a strict superset without disturbing the others — "
+        "the 'dial up an under-represented source' step.  The fraction>=1.0 "
+        "threshold is the hex-incomparable string 'g', so one comparison "
+        "covers the whole [0,1] range and NULL keys drop under 3VL with no "
+        "early-return seam.  Scale shape: one CASE over the group column + "
+        "the same narrow map-side filter as n6_hash_sample — no shuffle, "
+        "no join against a fractions table.",
+    oracle="""
+        SELECT doc_id, lang, n_chars
+        FROM documents
+        WHERE substring(md5(CAST(doc_id AS VARCHAR) || '|mx'), 1, 8)
+              < CASE WHEN lang = 'en' THEN '19999999'
+                     WHEN lang = 'fr' THEN '59999999'
+                     WHEN lang = 'zh' THEN 'g'
+                     ELSE '00000000' END
+    """,
+)
+def n6_mixture_hash_sample(spark, sf_dir):
+    from hiero_spark.functions.sampling import hash_sample_grouped
+
+    docs = t(spark, sf_dir, "documents")
+    return hash_sample_grouped(
+        docs, "doc_id", "lang",
+        {"en": 0.1, "fr": 0.35, "zh": 1.0}, salt="mx",
+    ).select("doc_id", "lang", "n_chars")
+
+
+@query(
     "n6_curriculum_order",
     group="N6",
     doc="Curriculum ordering: documents staged easy->hard by fixed "

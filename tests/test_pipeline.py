@@ -382,3 +382,106 @@ def test_hash_sample_arm_agreement_property(spark):
         prop()
     finally:
         df.unpersist()
+
+
+def test_hash_sample_grouped_mixture_contract(spark):
+    """hash_sample_grouped (round 12): per-group content-addressed
+    fractions — determinism under repartitioning, per-group 6-sigma
+    bands, raising ONE group's fraction grows that group as a strict
+    superset WITHOUT disturbing any other group (the property sampleBy
+    cannot give), absent/NULL groups fail closed at default=0.0, NULL
+    keys drop at every fraction including 1.0."""
+    import math
+
+    from hiero_spark.functions.sampling import hash_sample_grouped
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    fr = {"en": 0.1, "fr": 0.35, "zh": 1.0}
+    kept = hash_sample_grouped(docs, "doc_id", "lang", fr, salt="mx")
+    rows = [(r["doc_id"], r["lang"]) for r in kept.select("doc_id", "lang").collect()]
+    again = [
+        (r["doc_id"], r["lang"])
+        for r in hash_sample_grouped(
+            docs.repartition(7), "doc_id", "lang", fr, salt="mx"
+        ).select("doc_id", "lang").collect()
+    ]
+    assert sorted(rows) == sorted(again)
+    base = {r["lang"]: r["n"] for r in docs.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n")).collect()}
+    got = {}
+    for _d, lang in rows:
+        got[lang] = got.get(lang, 0) + 1
+    # unlisted langs (de, es) fail closed
+    assert set(got) <= set(fr)
+    for lang, frac in fr.items():
+        n, k = base[lang], got.get(lang, 0)
+        sigma = math.sqrt(n * frac * (1 - frac))
+        assert abs(k - frac * n) <= 6 * sigma + 1, (lang, k, n)
+    assert got["zh"] == base["zh"]  # fraction 1.0 keeps every non-NULL key
+    # raising ONE fraction: that group strictly grows, others untouched
+    kept2 = hash_sample_grouped(
+        docs, "doc_id", "lang", {**fr, "en": 0.5}, salt="mx"
+    )
+    rows2 = {(r["doc_id"], r["lang"])
+             for r in kept2.select("doc_id", "lang").collect()}
+    en1 = {d for d, l in rows if l == "en"}
+    en2 = {d for d, l in rows2 if l == "en"}
+    assert en1 < en2
+    assert {p for p in rows if p[1] != "en"} == {p for p in rows2 if p[1] != "en"}
+    # NULL key / NULL group handling, both arms
+    nulls = spark.createDataFrame(
+        [(1, "en"), (None, "en"), (2, None), (3, "xx")],
+        "k long, g string",
+    )
+    for method in ("md5", "xxhash64"):
+        out = {(r["k"], r["g"]) for r in hash_sample_grouped(
+            nulls, "k", "g", {"en": 1.0, "xx": 1.0}, method=method
+        ).collect()}
+        assert out == {(1, "en"), (3, "xx")}, (method, out)
+        empty = hash_sample_grouped(nulls, "k", "g", {}, method=method)
+        assert empty.count() == 0  # everything at the 0.0 default
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        hash_sample_grouped(nulls, "k", "g", {"en": 1.5})
+    with _pytest.raises(ValueError):
+        hash_sample_grouped(nulls, "k", "g", {"en": 0.5}, default=-0.1)
+    with _pytest.raises(ValueError):
+        hash_sample_grouped(nulls, "k", "g", {"en": 0.5}, method="sha1")
+
+
+def test_hash_sample_grouped_arms_consistent(spark):
+    """The xxhash64 production arm carries the grouped contract too:
+    repartition-invariant kept set, group-1.0 keeps all, per-group
+    bands, and a different draw from the md5 arm (independent hash)."""
+    import math
+
+    from hiero_spark.functions.sampling import hash_sample_grouped
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    fr = {"en": 0.2, "zh": 1.0}
+    kept = hash_sample_grouped(docs, "doc_id", "lang", fr, salt="mx",
+                               method="xxhash64")
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    again = sorted(
+        r["doc_id"]
+        for r in hash_sample_grouped(
+            docs.repartition(5), "doc_id", "lang", fr, salt="mx",
+            method="xxhash64",
+        ).collect()
+    )
+    assert ids == again
+    base = {r["lang"]: r["n"] for r in docs.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n")).collect()}
+    by_lang = {}
+    for r in kept.select("lang").collect():
+        by_lang[r["lang"]] = by_lang.get(r["lang"], 0) + 1
+    assert by_lang.get("zh", 0) == base["zh"]
+    sigma = math.sqrt(base["en"] * 0.2 * 0.8)
+    assert abs(by_lang.get("en", 0) - 0.2 * base["en"]) <= 6 * sigma + 1
+    md5_ids = sorted(
+        r["doc_id"]
+        for r in hash_sample_grouped(docs, "doc_id", "lang", fr, salt="mx")
+        .collect()
+    )
+    assert ids != md5_ids  # independent draw

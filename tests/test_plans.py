@@ -400,3 +400,15 @@ def test_unpartitioned_windows_pinned_and_bounded(qs):
                 f"{name}: unpartitioned window at line {idx} has no "
                 f"aggregate/limit boundary below it\n{sub[:800]}"
             )
+
+
+def test_hash_sample_grouped_is_shuffle_free_map_filter(qs):
+    """n6_mixture_hash_sample (round 12): the grouped sampler compiles
+    to the same narrow shape as n6_hash_sample — one scan + CASE-bearing
+    filter + project, no Exchange, no join against a fractions table
+    (the dict folds into the predicate)."""
+    names = P.node_names(qs["n6_mixture_hash_sample"])
+    assert not any("Exchange" in n for n in names), names
+    assert not any("Join" in n for n in names), names
+    plan = P.plan_str(qs["n6_mixture_hash_sample"])
+    assert "Filter" in plan, plan

@@ -383,3 +383,48 @@ def hash_sample_grouped(
     thr = (thr.otherwise(F.lit(_hex_threshold(default)))
            if thr is not None else F.lit(_hex_threshold(default)))
     return df.filter(F.substring(F.md5(keyed), 1, 8) < thr)
+
+
+def kmin_sample(
+    df: DataFrame,
+    key_col: str,
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic EXACT-k sample: the k rows whose md5(key || '|' ||
+    salt) digests sort lowest — bottom-k / KMV sampling (the public
+    k-minimum-values construction).  Complements hash_sample's
+    fixed-FRACTION contract with a fixed-SIZE one: "give me exactly
+    1000 eval docs, reproducibly" — df.sample can only approximate the
+    size and its kept set moves with partitioning; orderBy(rand(seed))
+    moves with engine and partitioning too.
+
+    Properties the tests pin:
+      * reproducible: same (keys, salt, k) -> same set across re-runs,
+        repartitionings, and engines (the oracle runs the identical
+        ORDER BY md5 LIMIT k);
+      * monotone in k: bottom-k is a strict prefix of bottom-(k+m) in
+        digest order — the eval set can GROW without resampling;
+      * MERGEABLE (what makes it a sketch): bottom_k(A union B) ==
+        bottom_k(bottom_k(A) union bottom_k(B)), so shards can be
+        sampled independently and merged — the 100 TB path is k rows
+        per shard, then one k-row merge;
+      * NULL keys never selected (NULL digest sorts nowhere under the
+        ascending order's NULLS-LAST placement is engine-dependent, so
+        they are dropped explicitly).
+
+    Scale shape: TakeOrderedAndProject — per-partition top-k heaps +
+    one k-row merge on the driver, never a global sort.  A salt draws
+    an independent sample; digest ties are broken by the key itself for
+    full determinism (md5 collisions notwithstanding).
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit("|" + salt)))
+    return (
+        df.filter(F.col(key_col).isNotNull())
+        .withColumn("_kmin_h", h)
+        .orderBy(F.col("_kmin_h").asc(), F.col(key_col).asc())
+        .limit(k)
+        .drop("_kmin_h")
+    )

@@ -555,6 +555,35 @@ def n6_mixture_hash_sample(spark, sf_dir):
 
 
 @query(
+    "n6_kmin_sample",
+    group="N6",
+    doc="Deterministic EXACT-size sample (functions/sampling.py:"
+        "kmin_sample): the 40 docs with the lowest md5(doc_id || '|ks') "
+        "digests — bottom-k/KMV sampling, the fixed-SIZE twin of "
+        "n6_hash_sample's fixed-fraction contract.  Reproducible across "
+        "engines/partitionings (the oracle runs the identical ORDER BY "
+        "md5 LIMIT k), monotone in k (a grown eval set keeps its prefix), "
+        "and MERGEABLE: bottom-k of a union equals bottom-k of per-shard "
+        "bottom-k's, so 100 TB samples k per shard then one k-row merge.  "
+        "Scale shape: TakeOrderedAndProject (per-partition heaps + one "
+        "k-row merge), never a global sort.",
+    oracle="""
+        SELECT doc_id, lang, n_chars
+        FROM documents
+        ORDER BY md5(CAST(doc_id AS VARCHAR) || '|ks') ASC, doc_id ASC
+        LIMIT 40
+    """,
+)
+def n6_kmin_sample(spark, sf_dir):
+    from hiero_spark.functions.sampling import kmin_sample
+
+    docs = t(spark, sf_dir, "documents")
+    return kmin_sample(docs, "doc_id", 40, salt="ks").select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+@query(
     "n6_curriculum_order",
     group="N6",
     doc="Curriculum ordering: documents staged easy->hard by fixed "

@@ -485,3 +485,46 @@ def test_hash_sample_grouped_arms_consistent(spark):
         .collect()
     )
     assert ids != md5_ids  # independent draw
+
+
+def test_kmin_sample_exact_size_monotone_mergeable(spark):
+    """kmin_sample (round 12): exact size, repartition-invariant,
+    k-prefix monotone, MERGEABLE (bottom-k of a union == bottom-k of
+    per-shard bottom-k's — the property that makes per-shard sampling +
+    k-row merge the 100 TB plan), NULL keys never selected, salt draws
+    an independent set."""
+    from hiero_spark.functions.sampling import kmin_sample
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    k = 40
+    ids = sorted(r["doc_id"] for r in kmin_sample(docs, "doc_id", k, "ks").collect())
+    assert len(ids) == k
+    again = sorted(
+        r["doc_id"]
+        for r in kmin_sample(docs.repartition(7), "doc_id", k, "ks").collect()
+    )
+    assert ids == again
+    bigger = sorted(
+        r["doc_id"] for r in kmin_sample(docs, "doc_id", k + 25, "ks").collect()
+    )
+    assert set(ids) < set(bigger)
+    # mergeability: split the table, bottom-k each half, merge, bottom-k
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    merged = kmin_sample(
+        kmin_sample(a, "doc_id", k, "ks").unionByName(
+            kmin_sample(b, "doc_id", k, "ks")
+        ),
+        "doc_id", k, "ks",
+    )
+    assert sorted(r["doc_id"] for r in merged.collect()) == ids
+    # salt independence + NULL drop + validation
+    other = sorted(r["doc_id"] for r in kmin_sample(docs, "doc_id", k, "zz").collect())
+    assert other != ids
+    nulls = spark.createDataFrame([(1,), (None,), (2,)], "k long")
+    got = {r["k"] for r in kmin_sample(nulls, "k", 3).collect()}
+    assert got == {1, 2}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        kmin_sample(docs, "doc_id", 0)

@@ -412,3 +412,13 @@ def test_hash_sample_grouped_is_shuffle_free_map_filter(qs):
     assert not any("Join" in n for n in names), names
     plan = P.plan_str(qs["n6_mixture_hash_sample"])
     assert "Filter" in plan, plan
+
+
+def test_kmin_sample_uses_take_ordered_not_global_sort(qs):
+    """n6_kmin_sample (round 12): bottom-k by digest must compile to
+    TakeOrderedAndProject (per-partition heaps + one k-row merge) —
+    a global Sort of the corpus by hash would be the scale-killer the
+    operator exists to avoid."""
+    assert P.has_node(qs["n6_kmin_sample"], "TakeOrderedAndProject")
+    names = P.node_names(qs["n6_kmin_sample"])
+    assert not any(n.strip().startswith("Sort") for n in names), names

@@ -420,11 +420,17 @@ def kmin_sample(
     """
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
+    # collision-free temp name: withColumn would silently REPLACE a
+    # pre-existing column of the same name and drop() would then remove
+    # it, corrupting the caller's schema (round-12 ADVICE).
+    tmp = "_kmin_h"
+    while tmp in df.columns:
+        tmp += "_"
     h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit("|" + salt)))
     return (
         df.filter(F.col(key_col).isNotNull())
-        .withColumn("_kmin_h", h)
-        .orderBy(F.col("_kmin_h").asc(), F.col(key_col).asc())
+        .withColumn(tmp, h)
+        .orderBy(F.col(tmp).asc(), F.col(key_col).asc())
         .limit(k)
-        .drop("_kmin_h")
+        .drop(tmp)
     )

@@ -546,14 +546,27 @@ def n2_ann_lsh_verdict(spark, sf_dir):
 @query(
     "n2_embedding_near_dups",
     group="N2",
-    doc="Embedding-cosine near-dup pairs via LSH self-join (rows-only; "
-        "verified against exact pairs in unit tests and driver-hashed via "
-        "n2_embedding_near_dups_verdict).",
+    doc="Embedding-cosine near-dup pairs via LSH self-join over the corpus "
+        "plus 8 planted exact-duplicate vectors (the 8 lowest vec_ids "
+        "copied under ids offset by 10_000_000).  The planted copies make "
+        "the rows-only check non-vacuous — identical vectors share every "
+        "LSH bucket and score cos ~1.0 >= 0.9, so >= 8 pairs MUST surface "
+        "in every run at any scale (the round-12 verdict flagged the "
+        "previous form: threshold 0.9 over near-random test vectors found "
+        "0 organic pairs in all four driver rounds it ran, so the check "
+        "could not fail).  Organic corpus pairs ride along unchanged; "
+        "quality is driver-hashed via n2_embedding_near_dups_verdict.",
     oracle=None,
 )
 def n2_embedding_near_dups(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = (
+        emb.orderBy("vec_id")
+        .limit(8)
+        .select((F.col("vec_id") + F.lit(10_000_000)).alias("vec_id"), "embedding")
+    )
     return sim.embedding_near_dup_pairs(
-        t(spark, sf_dir, "embeddings"), threshold=0.9, bits=6
+        emb.unionByName(planted), threshold=0.9, bits=6
     ).select("id_a", "id_b", F.round("cos_sim", 4).alias("cos_sim"))
 
 

@@ -197,6 +197,28 @@ def test_embedding_near_dup_pairs_symmetric_threshold(spark, sf_dir):
         assert r["cos_sim"] >= 0.8
 
 
+def test_embedding_near_dup_demo_query_non_vacuous(spark, sf_dir):
+    """The n2_embedding_near_dups driver query must emit rows (round-12
+    verdict: the previous form returned 0 rows in every driver round it
+    ran, making its rows-only check vacuous).  The query plants 8 exact
+    duplicates (ids offset by 10M), and each MUST surface as a cos~1.0
+    pair with its source — at any scale, on any corpus."""
+    from hiero_spark.queries.northstar import n2_embedding_near_dups
+
+    rows = n2_embedding_near_dups(spark, sf_dir).collect()
+    assert len(rows) >= 8
+    planted = {(r["id_a"], r["id_b"]) for r in rows if r["id_b"] >= 10_000_000}
+    low8 = [
+        r["vec_id"]
+        for r in load_table(spark, sf_dir, "embeddings")
+        .orderBy("vec_id").limit(8).collect()
+    ]
+    assert {(i, i + 10_000_000) for i in low8} <= planted
+    for r in rows:
+        if r["id_b"] >= 10_000_000 and r["id_a"] == r["id_b"] - 10_000_000:
+            assert r["cos_sim"] >= 0.99
+
+
 def test_ivf_persisted_index_prunes_and_matches(spark, sf_dir, tmp_path):
     """save_ivf + ivf_topk_bucketed: the probe must be partition-pruned
     (PartitionFilters on _cell) and return the same neighbors as the

@@ -528,3 +528,13 @@ def test_kmin_sample_exact_size_monotone_mergeable(spark):
 
     with _pytest.raises(ValueError):
         kmin_sample(docs, "doc_id", 0)
+    # temp-column collision (round-12 ADVICE): a caller whose input
+    # already carries '_kmin_h' must get its column back untouched
+    clash = spark.createDataFrame(
+        [(1, "keep1"), (2, "keep2"), (3, "keep3")], "k long, _kmin_h string"
+    )
+    out = kmin_sample(clash, "k", 2)
+    assert out.columns == ["k", "_kmin_h"]
+    vals = {r["k"]: r["_kmin_h"] for r in out.collect()}
+    assert len(vals) == 2
+    assert all(v.startswith("keep") for v in vals.values())

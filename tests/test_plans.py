@@ -362,6 +362,24 @@ def _unpartitioned_window_depths(plan: str) -> list[tuple[int, int]]:
     return out
 
 
+_TREE_PREFIX_UNITS = {":  ", "   ", "+- ", ":- "}
+
+
+def _tree_prefix_depth(line):
+    """Tree depth of a Spark plan line = number of leading 3-char prefix
+    units (':  ', '   ', '+- ', ':- ') before the node text; None for a
+    line that is not a tree node (blank, subquery header, etc.)."""
+    if not line.strip():
+        return None
+    d = 0
+    while line[d * 3 : d * 3 + 3] in _TREE_PREFIX_UNITS:
+        d += 1
+    rest = line[d * 3 :]
+    if not rest or rest[0] == " ":
+        return None
+    return d
+
+
 def test_unpartitioned_windows_pinned_and_bounded(qs):
     """Exact-set pin of every unpartitioned-window site, plus a
     structural boundedness check: the subtree feeding each such window
@@ -385,20 +403,26 @@ def test_unpartitioned_windows_pinned_and_bounded(qs):
 
     for name, (plan, sites) in found.items():
         lines = plan.splitlines()
-        for idx, depth in sites:
+        for idx, _depth in sites:
+            # Slice the window's OWN input subtree by parsing the tree
+            # prefix depth (3-char units ':  '/'   '/'+- '/':- ') and
+            # stopping at the first line at or above the window's depth
+            # (round-12 ADVICE: the old startswith/char-probe heuristic
+            # almost never terminated, so the bounding assertion could
+            # match a sibling subtree below the window).  An unparsable
+            # line also terminates — under-approximating the subtree
+            # only makes the check stricter.
+            wdepth = _tree_prefix_depth(lines[idx])
             subtree = []
             for line in lines[idx + 1:]:
-                stripped_at = len(line) - len(line.lstrip(" :+-"))
-                if line.strip() and stripped_at <= depth and not line.startswith(" " * (depth + 1)):
-                    # heuristic: once tree prefix is no deeper than the
-                    # window's, the subtree ended
-                    if not any(line[k] in ":+" for k in range(depth, min(len(line), depth + 3))):
-                        break
+                d = _tree_prefix_depth(line)
+                if d is None or d <= wdepth:
+                    break
                 subtree.append(line)
             sub = "\n".join(subtree)
             assert any(n in sub for n in _BOUNDING_NODES), (
                 f"{name}: unpartitioned window at line {idx} has no "
-                f"aggregate/limit boundary below it\n{sub[:800]}"
+                f"aggregate/limit boundary in its input subtree\n{sub[:800]}"
             )
 
 

@@ -267,12 +267,13 @@ def test_bulk_repin_drained_the_lapse_backlog():
     residue drains only via driver re-greens, ~40 oracle slots/round."""
     specs = all_queries()
     verified = evidence.verified_names(specs)
-    # floor raised 170 -> 200 at round 12 (verdict #3): r11 closed at 184
-    # hash-valid, the r11 driver window re-greened to 234, and round-12
-    # edits were sequenced early so the boundary stays well above 200 —
-    # a snapshot clobber or repin regression now trips at a level that
-    # still catches a full window's worth of silent loss.
-    assert len(verified) >= 200, (
+    # floor raised 170 -> 200 at round 12 (verdict #3), 200 -> 230 at
+    # round 13 (verdict #1): the r12 boundary refresh recovered the full
+    # 264 oracle-bearing set, and round-13 edits are sequenced early
+    # with single-name blast radii, so the boundary sits near 260 — a
+    # snapshot clobber or repin regression now trips while still leaving
+    # a full driver window (~30 names) of routine in-round lapse room.
+    assert len(verified) >= 230, (
         f"only {len(verified)} verified — bulk re-pin regressed or the "
         "snapshot was clobbered; run python -m hiero_spark.evidence --repin"
     )

@@ -1718,6 +1718,11 @@ print("GTK1G " + json.dumps(out))
                 "calibration_spark_sec": cal_spark,
                 "common_subset_ratio": common_subset_ratio,
                 "common_subset_ratio_calibrated": common_subset_ratio_calibrated,
+                # self-describing basis (round-12 ADVICE: the calibrated
+                # field silently changed basis CPU-ref -> Spark-fixed-job
+                # in r12; a stdout-only consumer diffing rounds could mix
+                # bases without noticing). Null when no calibrated ratio.
+                "calibration_basis": common_subset.get("calibration_basis"),
                 "multifile_total": round(sum(timings_multi.values()), 3),
                 "detail_file": "BENCH_DETAIL.json",
             }

@@ -4,8 +4,10 @@ Training-data assembly wants "draw k documents with probability
 proportional to length/quality-mass" — but binomial samplers
 (df.sample, sampleBy) give wobbly counts, and the classic
 Efraimidis-Spirakis keys (u^(1/w)) need pow(), which is not
-ulp-guaranteed across engines and so cannot be hash-verified. This
-implements SYSTEMATIC PPS sampling instead (the survey-sampling /
+ulp-guaranteed across engines — so E-S SCORES can never be
+hash-verified (though the selected SET can: see
+weighted_kmin_sample's boundary-gap argument, round 13). This
+implements SYSTEMATIC PPS sampling first (the survey-sampling /
 index-sampling standard): lay the k thresholds W*(2i+1)/(2k) over the
 cumulative weight line in a stable key order, and a row is selected
 once per threshold that lands inside its weight interval. ENTIRELY
@@ -430,6 +432,125 @@ def kmin_sample(
     return (
         df.filter(F.col(key_col).isNotNull())
         .withColumn(tmp, h)
+        .orderBy(F.col(tmp).asc(), F.col(key_col).asc())
+        .limit(k)
+        .drop(tmp)
+    )
+
+
+def _temp_col(df: DataFrame, base: str) -> str:
+    """Collision-free temp column name (round-12 ADVICE: withColumn
+    silently replaces an existing column of the same name)."""
+    name = base
+    while name in df.columns:
+        name += "_"
+    return name
+
+
+def kmin_sample_grouped(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic EXACT-k-PER-GROUP sample: within each group, the k
+    rows whose md5(key || '|' || salt) digests sort lowest — kmin_sample's
+    contract applied per stratum ("exactly 100 eval docs per language,
+    reproducibly").  sampleBy can only approximate per-group counts and
+    moves with partitioning; this kept set is a pure function of
+    (keys, groups, salt, k).
+
+    Properties (pinned in tests): reproducible across re-runs,
+    repartitionings, and engines (the oracle is the identical
+    ROW_NUMBER() OVER (PARTITION BY g ORDER BY md5, key) <= k);
+    per-group prefix-monotone in k; groups smaller than k are returned
+    whole; NULL keys and NULL groups are dropped (a NULL stratum has no
+    defined membership — callers wanting one tag it explicitly, the
+    fail-closed rule hash_sample_grouped established).
+
+    Scale shape: ONE hash-partition exchange on the group column, then
+    Spark's WindowGroupLimit kicks in for the rank-filter pattern —
+    each map task keeps only its local per-group bottom-k BEFORE the
+    shuffle, so a 100 TB table shuffles at most k rows per (group,
+    input partition), never a group's full membership.  The per-group
+    sort is within-partition, never a global Sort (plan-pinned)."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    from pyspark.sql.window import Window
+
+    tmp_h = _temp_col(df, "_kmin_h")
+    tmp_r = _temp_col(df, "_kmin_rn")
+    h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit("|" + salt)))
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(tmp_h).asc(), F.col(key_col).asc()
+    )
+    return (
+        df.filter(F.col(key_col).isNotNull() & F.col(group_col).isNotNull())
+        .withColumn(tmp_h, h)
+        .withColumn(tmp_r, F.row_number().over(w))
+        .filter(F.col(tmp_r) <= k)
+        .drop(tmp_h, tmp_r)
+    )
+
+
+def weighted_kmin_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic EXACT-k sample WITHOUT replacement with inclusion
+    probability increasing in `weight_col` — the Efraimidis-Spirakis
+    exponential race (public construction: assign each row an
+    exponential arrival time E = -ln(u)/w from a uniform u, keep the k
+    earliest; equivalent to drawing rows one-by-one with probability
+    proportional to weight among the remainder).  u comes from the
+    md5(key || '|' || salt) digest, so the sample is a pure function of
+    (keys, weights, salt, k): reproducible across re-runs,
+    repartitionings, appends, and engines.
+
+    Relationship to systematic_pps_sample (this module's header): PPS
+    is the integer-exact WITH-multiplicity design over a global
+    cumulative weight line (one range-shuffle + offset broadcast); this
+    is the DISTINCT-rows design with no global state at all — the
+    selection is a bottom-k over a per-row score, so it inherits
+    kmin_sample's 100 TB shape (TakeOrderedAndProject: per-partition
+    heaps + one k-row merge) and its MERGEABILITY: bottom-k(A union B)
+    == bottom-k(bottom-k(A) union bottom-k(B)), k rows per shard then
+    one k-row merge.
+
+    Hash-verifiability: the header's old objection to E-S keys was that
+    pow()/ln() are not ulp-guaranteed across engines — measured real:
+    at sf0.01, 92/500 E values differ from DuckDB's by the last ulp.
+    But only the SELECTED SET is emitted (never the score), and the
+    set is robust: the decision boundary is the gap between the k-th
+    and (k+1)-th exponential order statistics, which concentrates at
+    RELATIVE size ~1/k — thirteen orders of magnitude above 1e-16 ulp
+    noise, independent of n (the mean spacing there is E_k/k).  The
+    oracle runs the identical arithmetic (hex digest -> (v + 0.5)/16^13
+    -> -ln(u)/w), ORDER BY score LIMIT k.
+
+    Rows with NULL keys, NULL weights, or weights <= 0 are never
+    selected (zero weight = zero inclusion mass; negative weight has no
+    meaning in the race and is dropped rather than silently clamped)."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    tmp = _temp_col(df, "_wkmin_e")
+    digest = F.md5(F.concat(F.col(key_col).cast("string"), F.lit("|" + salt)))
+    # 13 hex chars = 52 bits: (v + 0.5) / 16^13 is exact in a double and
+    # never 0 or 1, so ln is finite
+    u = (F.conv(F.substring(digest, 1, 13), 16, 10).cast("double")
+         + F.lit(0.5)) / F.lit(float(16 ** 13))
+    e = -F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.filter(
+            F.col(key_col).isNotNull()
+            & F.col(weight_col).isNotNull()
+            & (F.col(weight_col).cast("double") > 0)
+        )
+        .withColumn(tmp, e)
         .orderBy(F.col(tmp).asc(), F.col(key_col).asc())
         .limit(k)
         .drop(tmp)

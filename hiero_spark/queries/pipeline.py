@@ -584,6 +584,80 @@ def n6_kmin_sample(spark, sf_dir):
 
 
 @query(
+    "n6_kmin_sample_grouped",
+    group="N6",
+    doc="Deterministic EXACT-k-PER-GROUP sample (functions/sampling.py:"
+        "kmin_sample_grouped): the 15 docs per language with the lowest "
+        "md5(doc_id || '|kg') digests — 'exactly 15 eval docs per "
+        "language, reproducibly', the per-stratum twin of n6_kmin_sample "
+        "(groups smaller than 15 return whole; NULL keys/groups drop, "
+        "the fail-closed rule).  Scale shape: one hash exchange on lang, "
+        "then WindowGroupLimit keeps each map task's local per-group "
+        "bottom-15 BEFORE the shuffle (plan-pinned) — a 100 TB table "
+        "shuffles at most k rows per (group, input partition), and the "
+        "per-group sort is within-partition, never global.",
+    oracle="""
+        SELECT doc_id, lang, n_chars
+        FROM (
+          SELECT doc_id, lang, n_chars,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR) || '|kg') ASC,
+                            doc_id ASC
+                 ) AS rn
+          FROM documents
+          WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+        ) WHERE rn <= 15
+    """,
+)
+def n6_kmin_sample_grouped(spark, sf_dir):
+    from hiero_spark.functions.sampling import kmin_sample_grouped
+
+    docs = t(spark, sf_dir, "documents")
+    return kmin_sample_grouped(docs, "doc_id", "lang", 15, salt="kg").select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+@query(
+    "n6_weighted_race_sample",
+    group="N6",
+    doc="Deterministic weighted EXACT-k sample WITHOUT replacement "
+        "(functions/sampling.py:weighted_kmin_sample): 25 docs drawn with "
+        "inclusion probability increasing in n_chars via the "
+        "Efraimidis-Spirakis exponential race, E = -ln(u)/w over a "
+        "md5-derived uniform — 'length-weighted eval set, reproducibly'.  "
+        "Complements n6_weighted_sample's integer-exact PPS multiplicity design "
+        "with the distinct-rows / no-global-state design: bottom-k over a "
+        "per-row score is MERGEABLE (k per shard + one k-row merge) and "
+        "compiles to TakeOrderedAndProject, never a global sort "
+        "(plan-pinned).  The score column is internal-only — engine libm "
+        "ln() differs in the last ulp (measured 92/500 values at sf0.01) "
+        "— but the selected SET hash-matches: the k-th/(k+1)-th boundary "
+        "gap concentrates at relative size ~1/k, thirteen orders above "
+        "ulp noise (see the function docstring).",
+    oracle="""
+        SELECT doc_id, lang, n_chars
+        FROM documents
+        WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL AND n_chars > 0
+        ORDER BY -ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)
+                                                || '|ws'), 1, 13))
+                           AS BIGINT) + 0.5) / 4503599627370496.0)
+                 / CAST(n_chars AS DOUBLE) ASC,
+                 doc_id ASC
+        LIMIT 25
+    """,
+)
+def n6_weighted_race_sample(spark, sf_dir):
+    from hiero_spark.functions.sampling import weighted_kmin_sample
+
+    docs = t(spark, sf_dir, "documents")
+    return weighted_kmin_sample(docs, "doc_id", "n_chars", 25, salt="ws").select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+@query(
     "n6_curriculum_order",
     group="N6",
     doc="Curriculum ordering: documents staged easy->hard by fixed "

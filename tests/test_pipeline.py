@@ -538,3 +538,127 @@ def test_kmin_sample_exact_size_monotone_mergeable(spark):
     vals = {r["k"]: r["_kmin_h"] for r in out.collect()}
     assert len(vals) == 2
     assert all(v.startswith("keep") for v in vals.values())
+
+
+def test_kmin_sample_grouped_exact_per_group(spark):
+    """kmin_sample_grouped (round 13): exactly min(k, group size) per
+    group, repartition-invariant, per-group prefix-monotone in k,
+    NULL keys/groups dropped, salt draws an independent set."""
+    from hiero_spark.functions.sampling import kmin_sample, kmin_sample_grouped
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    k = 12
+    out = kmin_sample_grouped(docs, "doc_id", "lang", k, "kg")
+    sizes = {r["lang"]: r["n"] for r in
+             out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    totals = {r["lang"]: r["n"] for r in
+              docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sizes == {g: min(k, totals[g]) for g in totals}
+    ids = sorted(r["doc_id"] for r in out.collect())
+    again = sorted(
+        r["doc_id"]
+        for r in kmin_sample_grouped(
+            docs.repartition(7), "doc_id", "lang", k, "kg"
+        ).collect()
+    )
+    assert ids == again
+    bigger = sorted(
+        r["doc_id"]
+        for r in kmin_sample_grouped(docs, "doc_id", "lang", k + 5, "kg")
+        .collect()
+    )
+    assert set(ids) < set(bigger)
+    # per-group restriction equals single-group kmin on that slice
+    one = docs.filter(F.col("lang") == "en")
+    via_grouped = sorted(
+        r["doc_id"] for r in out.filter(F.col("lang") == "en").collect()
+    )
+    via_kmin = sorted(
+        r["doc_id"] for r in kmin_sample(one, "doc_id", k, "kg").collect()
+    )
+    assert via_grouped == via_kmin
+    # NULL group and NULL key never selected; salt independence
+    nulls = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (None, "a"), (3, None)], "k long, g string"
+    )
+    got = {(r["k"], r["g"]) for r in
+           kmin_sample_grouped(nulls, "k", "g", 5).collect()}
+    assert got == {(1, "a"), (2, "a")}
+    other = sorted(
+        r["doc_id"]
+        for r in kmin_sample_grouped(docs, "doc_id", "lang", k, "zz").collect()
+    )
+    assert other != ids
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        kmin_sample_grouped(docs, "doc_id", "lang", 0)
+
+
+def test_weighted_kmin_sample_race_properties(spark):
+    """weighted_kmin_sample (round 13): exact size, repartition-
+    invariant, mergeable (bottom-k of per-shard bottom-k's), weight
+    dominance (an overwhelming weight is always selected), NULL/zero/
+    negative weights never selected, salt independence, temp-column
+    collision guard."""
+    from hiero_spark.functions.sampling import weighted_kmin_sample
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    k = 30
+    ids = sorted(
+        r["doc_id"]
+        for r in weighted_kmin_sample(docs, "doc_id", "n_chars", k, "ws")
+        .collect()
+    )
+    assert len(ids) == k
+    again = sorted(
+        r["doc_id"]
+        for r in weighted_kmin_sample(
+            docs.repartition(7), "doc_id", "n_chars", k, "ws"
+        ).collect()
+    )
+    assert ids == again
+    # mergeability: bottom-k(A union B) == bottom-k(bottom-k(A) u bottom-k(B))
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    merged = weighted_kmin_sample(
+        weighted_kmin_sample(a, "doc_id", "n_chars", k, "ws").unionByName(
+            weighted_kmin_sample(b, "doc_id", "n_chars", k, "ws")
+        ),
+        "doc_id", "n_chars", k, "ws",
+    )
+    assert sorted(r["doc_id"] for r in merged.collect()) == ids
+    # weight dominance: E = -ln(u)/w -> 0 as w -> inf, so a row whose
+    # weight dwarfs the rest always races in
+    heavy = docs.withColumn(
+        "w", F.when(F.col("doc_id") == 7, F.lit(1e15)).otherwise(F.lit(1.0))
+    )
+    got = {r["doc_id"]
+           for r in weighted_kmin_sample(heavy, "doc_id", "w", 5, "ws")
+           .collect()}
+    assert 7 in got
+    # NULL / zero / negative weights and NULL keys never selected
+    rows = spark.createDataFrame(
+        [(1, 5.0), (2, 0.0), (3, -1.0), (4, None), (None, 5.0), (5, 2.0)],
+        "k long, w double",
+    )
+    got = {r["k"] for r in weighted_kmin_sample(rows, "k", "w", 10).collect()}
+    assert got == {1, 5}
+    # salt independence + validation + collision guard
+    other = sorted(
+        r["doc_id"]
+        for r in weighted_kmin_sample(docs, "doc_id", "n_chars", k, "zz")
+        .collect()
+    )
+    assert other != ids
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        weighted_kmin_sample(docs, "doc_id", "n_chars", 0)
+    clash = spark.createDataFrame(
+        [(1, 1.0, "keep1"), (2, 1.0, "keep2"), (3, 1.0, "keep3")],
+        "k long, w double, _wkmin_e string",
+    )
+    out = weighted_kmin_sample(clash, "k", "w", 2)
+    assert out.columns == ["k", "w", "_wkmin_e"]
+    assert all(r["_wkmin_e"].startswith("keep") for r in out.collect())

@@ -446,3 +446,26 @@ def test_kmin_sample_uses_take_ordered_not_global_sort(qs):
     assert P.has_node(qs["n6_kmin_sample"], "TakeOrderedAndProject")
     names = P.node_names(qs["n6_kmin_sample"])
     assert not any(n.strip().startswith("Sort") for n in names), names
+
+
+def test_kmin_sample_grouped_uses_window_group_limit(qs):
+    """n6_kmin_sample_grouped (round 13): the per-group bottom-k must
+    compile to the two-phase WindowGroupLimit — each map task keeps its
+    local per-group k BEFORE the one hash exchange on the group column,
+    then the final phase trims after; the Sort nodes are within-
+    partition window sorts, never a rangepartitioning global sort."""
+    names = [n.strip() for n in P.node_names(qs["n6_kmin_sample_grouped"])]
+    assert names.count("WindowGroupLimit") == 2, names
+    assert sum(1 for n in names if n.startswith("Exchange")) == 1, names
+    plan = P.plan_str(qs["n6_kmin_sample_grouped"])
+    assert "hashpartitioning" in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_weighted_race_sample_take_ordered_not_global_sort(qs):
+    """n6_weighted_race_sample (round 13): the exponential-race bottom-k
+    inherits kmin's shape — TakeOrderedAndProject, never a global Sort
+    of the corpus by score."""
+    assert P.has_node(qs["n6_weighted_race_sample"], "TakeOrderedAndProject")
+    names = P.node_names(qs["n6_weighted_race_sample"])
+    assert not any(n.strip().startswith("Sort") for n in names), names

@@ -1,5 +1,7 @@
 """Dataset-assembly operators: splits, vocabulary, decontamination, PII."""
 
+from hypothesis import HealthCheck, example, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from hiero_spark.catalog import load_table
@@ -662,3 +664,77 @@ def test_weighted_kmin_sample_race_properties(spark):
     out = weighted_kmin_sample(clash, "k", "w", 2)
     assert out.columns == ["k", "w", "_wkmin_e"]
     assert all(r["_wkmin_e"].startswith("keep") for r in out.collect())
+
+
+_FUZZ_EXAMPLES = int(__import__("os").environ.get("HIERO_FUZZ_EXAMPLES", "25"))
+
+
+@settings(max_examples=min(_FUZZ_EXAMPLES, 50), deadline=None,
+          suppress_health_check=list(HealthCheck))
+@example(salt="ws", k=25)   # the registered query's exact parameters
+@example(salt="", k=1)      # boundary: smallest set, empty salt
+@given(salt=st.text(alphabet="abcdefgh0123456789", min_size=0, max_size=6),
+       k=st.integers(1, 120))
+def test_weighted_race_selection_set_engine_parity(spark, duck, salt, k):
+    """Differential fuzz of weighted_kmin_sample's hash-verifiability
+    claim (round 13): for RANDOM salts and k, the selected SET must be
+    identical across engines even though the E scores differ in the
+    last ulp on ~18% of rows (measured) — the k-th/(k+1)-th boundary
+    gap concentrates at relative size ~1/k, so engine libm differences
+    can never flip membership.  A failure here would falsify the
+    boundary-gap argument the operator's oracle rests on."""
+    from hiero_spark.functions.sampling import weighted_kmin_sample
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    got = sorted(
+        r["doc_id"]
+        for r in weighted_kmin_sample(docs, "doc_id", "n_chars", k, salt)
+        .select("doc_id").collect()
+    )
+    lit = salt.replace("'", "''")
+    exp = sorted(r[0] for r in duck.execute(f"""
+        SELECT doc_id FROM documents
+        WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL AND n_chars > 0
+        ORDER BY -ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)
+                                                || '|{lit}'), 1, 13))
+                           AS BIGINT) + 0.5) / 4503599627370496.0)
+                 / CAST(n_chars AS DOUBLE) ASC,
+                 doc_id ASC
+        LIMIT {k}
+    """).fetchall())
+    assert got == exp, (salt, k)
+
+
+@settings(max_examples=min(_FUZZ_EXAMPLES, 50), deadline=None,
+          suppress_health_check=list(HealthCheck))
+@example(salt="kg", k=15)   # the registered query's exact parameters
+@given(salt=st.text(alphabet="abcdefgh0123456789", min_size=0, max_size=6),
+       k=st.integers(1, 40))
+def test_kmin_grouped_selection_set_engine_parity(spark, duck, salt, k):
+    """Differential fuzz of kmin_sample_grouped: per-group bottom-k by
+    md5 digest must match DuckDB's ROW_NUMBER mirror for random salts
+    and k — digests are compared as hex STRINGS (identical in both
+    engines), so unlike the weighted race there is no floating-point
+    surface at all; any mismatch is a logic bug."""
+    from hiero_spark.functions.sampling import kmin_sample_grouped
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    got = sorted(
+        (r["lang"], r["doc_id"])
+        for r in kmin_sample_grouped(docs, "doc_id", "lang", k, salt)
+        .select("lang", "doc_id").collect()
+    )
+    lit = salt.replace("'", "''")
+    exp = sorted((r[0], r[1]) for r in duck.execute(f"""
+        SELECT lang, doc_id FROM (
+          SELECT lang, doc_id,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR) || '|{lit}') ASC,
+                            doc_id ASC
+                 ) AS rn
+          FROM documents
+          WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+        ) WHERE rn <= {k}
+    """).fetchall())
+    assert got == exp, (salt, k)

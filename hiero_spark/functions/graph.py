@@ -39,22 +39,32 @@ def pagerank(
     n_iter rounds, initial rank 1.0, teleport (100-damping_pct)%.
     Nodes = union of edge endpoints; a node with no in-links keeps the
     teleport mass."""
+    # one-time materialization of the static relations (the bfs_levels
+    # lesson, applied in round 14): edge list, node set, and out-degrees
+    # are loop-invariant, but without the checkpoint every round's
+    # contribs join re-derives the caller's edge plan and every ranks
+    # rebuild re-runs the nodes distinct and the outdeg aggregation —
+    # 3 redundant subplans per iteration.
+    ed = edges.select(
+        F.col(src).alias("e_src"), F.col(dst).alias("e_dst")
+    ).localCheckpoint()
     nodes = (
-        edges.select(F.col(src).alias("node"))
-        .union(edges.select(F.col(dst).alias("node")))
+        ed.select(F.col("e_src").alias("node"))
+        .union(ed.select(F.col("e_dst").alias("node")))
         .distinct()
+        .localCheckpoint()
     )
-    outdeg = edges.groupBy(F.col(src).alias("node")).agg(
+    outdeg = ed.groupBy(F.col("e_src").alias("node")).agg(
         F.count(F.lit(1)).alias("outdeg")
-    )
+    ).localCheckpoint()
     ranks = nodes.withColumn("r", F.lit(SCALE).cast("long")).localCheckpoint()
     base = (SCALE * (100 - damping_pct)) // 100
     for _ in range(n_iter):
         contribs = (
-            edges.join(ranks, edges[src] == ranks["node"])
+            ed.join(ranks, ed["e_src"] == ranks["node"])
             .join(outdeg, outdeg["node"] == ranks["node"])
             .select(
-                F.col(dst).alias("node"),
+                F.col("e_dst").alias("node"),
                 F.expr("r DIV outdeg").alias("c"),
             )
         )
@@ -247,44 +257,56 @@ def connected_components(
 
     Each round is two equi-join + min-agg steps, both plain shuffles:
 
-    1. neighbor min — L(v) <- min(L(v), min over undirected neighbors
-       u of L(u)); edges are symmetrized once up front.
+    1. neighbor min — L(v) <- min over u in N(v) ∪ {v} of L(u); the
+       self term rides a (v, v) self-loop row appended to the
+       symmetrized edge list once, so one join + one min-agg covers
+       both the neighbor minimum and the node's own label (the old
+       shape needed a separate left join per round for the self term).
     2. pointer jump — L(v) <- L(L(v)), which squares the propagation
        distance; with it, convergence needs O(log diameter) rounds
        instead of O(diameter) — the difference between 5 rounds and
        5000 on a chain-shaped 100 TB web graph. (GraphFrames' CC uses
        the same alternating contraction idea.)
 
+    The symmetrized + self-looped edge list is materialized ONCE up
+    front (the bfs_levels lesson, applied here in round 14): without
+    it every round's joins re-derive the caller's edge plan — for
+    entity resolution that plan is a blocking self-join plus a
+    levenshtein filter, and with the neighbor-min frame feeding both
+    sides of the pointer jump the derivation used to re-execute ~2-3x
+    per round, ~10x over a 5-round run.  The per-round checkpoint now
+    sits on the neighbor-min frame, so the jump join reads materialized
+    data on both sides and the round's label frame stays a single lazy
+    join deep (lineage still cut every round).
+
     `nodes` (optional) seeds labels for isolated vertices that appear
-    in no edge — without it, only edge endpoints get a component.
-    Labels persist per round via localCheckpoint (same lineage-cut
-    pattern as pagerank above). Integer labels, exact min monoid: the
-    result is deterministic and SQL-reproducible from the edge
-    arithmetic, no tolerance.
+    in no edge — without it, only edge endpoints get a component (the
+    self-loop row keeps them carrying their own label through every
+    round). Integer labels, exact min monoid: the result is
+    deterministic and SQL-reproducible from the edge arithmetic, no
+    tolerance.
     """
     sym = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
-    ).union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+    ).union(
+        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    ).localCheckpoint()
     endpoints = sym.select(F.col("u").alias("node")).distinct()
     if nodes is not None:
         endpoints = endpoints.union(
             nodes.select(F.col(nodes.columns[0]).alias("node"))
         ).distinct()
-    labels = endpoints.select("node", F.col("node").alias("label")).localCheckpoint()
+    endpoints = endpoints.localCheckpoint()
+    symx = sym.union(
+        endpoints.select(F.col("node").alias("u"), F.col("node").alias("v"))
+    ).localCheckpoint()
+    labels = endpoints.select("node", F.col("node").alias("label"))
     for _ in range(n_iter):
-        nbr = (
-            sym.join(labels, sym["v"] == labels["node"])
-            .groupBy(F.col("u").alias("node"))
-            .agg(F.min("label").alias("nbr_min"))
-        )
         stepped = (
-            labels.join(nbr, "node", "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
-                ).alias("label"),
-            )
+            symx.join(labels, symx["v"] == labels["node"])
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
         )
         l2 = stepped.select(
             F.col("node").alias("p_node"), F.col("label").alias("p_label")
@@ -292,7 +314,6 @@ def connected_components(
         labels = (
             stepped.join(l2, stepped["label"] == l2["p_node"])
             .select("node", F.col("p_label").alias("label"))
-            .localCheckpoint()
         )
     return labels.select("node", F.col("label").alias("component"))
 

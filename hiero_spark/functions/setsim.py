@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from hiero_spark.functions.dedup import (
+    fan_out as dd_fan_out,
     shingle_array as dd_shingle_array,
     shingle_hash_array as dd_shingle_hash_array,
 )
@@ -78,7 +79,20 @@ def _collapsed_sized(
         if hashed
         else dd_shingle_array(F.col(text_col), k)
     )
-    sets = docs.select(F.col(id_col).alias("id"), toks.alias("s"))
+    # the (id, shingle-array) relation feeds BOTH the df aggregation and
+    # the ordered-array rebuild below; without a persist each branch
+    # re-runs the shingle expression (regex split + k-fold zip_with +
+    # array_distinct over every document) — the CPU-dominant map work of
+    # the whole operator, paid twice (round-14 measurement: the doubled
+    # shingling was ~1/3 of n1_containment_join's wall time at sf0.1)
+    # fan out before the map-heavy shingle projection (the
+    # minhash_near_dups contract): a single-file local scan arrives as
+    # ONE partition, which would serialize the dominant map stage onto
+    # one core; a no-op on a real multi-file corpus
+    sets = _persist_tracked(
+        dd_fan_out(docs.select(F.col(id_col).alias("id"), F.col(text_col)), "id")
+        .select("id", toks.alias("s"))
+    )
     flat = sets.select("id", F.explode("s").alias("tok"))
     dfreq = flat.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     ordered = (
@@ -228,6 +242,19 @@ def jaccard_join(
     tt = float(threshold)
     sized, pairs = _jaccard_prepared(
         docs, threshold, k, text_col, id_col, hashed, expand=expand_identical
+    )
+    # Re-widen the deduped pair list before the verify joins (round-14):
+    # the pair-dedup shuffle is a few bytes per pair, so AQE's
+    # byte-targeted coalescing collapses it to one partition — and then
+    # the verify stage (array joins + per-pair array_intersect, the
+    # CPU-dense step) runs on ONE task.  A keyed repartition to the
+    # session's parallelism costs one narrow shuffle of (id_a, id_b)
+    # longs and spreads the verify across the cluster; at 100 TB the
+    # pair list is large enough that AQE would keep it wide anyway and
+    # this is a no-op-sized exchange on 16-byte rows.  Measured at
+    # sf0.1: verify chain 4.0 s -> 1.35 s.
+    pairs = pairs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, "id_a"
     )
     extra = ["ids"] if expand_identical else []
     side_a = sized.select(
@@ -403,6 +430,13 @@ def containment_join(
     tt = float(threshold)
     sized, pairs = _containment_prepared(
         docs, threshold, k, text_col, id_col, hashed, expand=expand_identical
+    )
+    # re-widen the coalesced pair list before the CPU-dense verify joins
+    # (see jaccard_join: AQE coalesces the tiny pair shuffle to one
+    # partition and serializes the array_intersect stage; measured
+    # 4.0 s -> 1.35 s at sf0.1, scale-safe by the same argument)
+    pairs = pairs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, "id_a"
     )
     extra = ["ids"] if expand_identical else []
     side_a = sized.select(

@@ -385,9 +385,12 @@ def embedding_near_dup_pairs(
     )
     from pyspark.sql.window import Window
 
+    # both self-join sides read `capped`; the lazy checkpoint stops the
+    # signature projection + bucket-size window from evaluating twice
+    # (the semantic_dedup `assigned` pattern)
     capped = signed.withColumn(
         "_bucket_size", F.count(F.lit(1)).over(Window.partitionBy("sig"))
-    ).filter(F.col("_bucket_size") <= max_bucket)
+    ).filter(F.col("_bucket_size") <= max_bucket).localCheckpoint(eager=False)
     a = capped.select(F.col("sig"), F.col("id").alias("id_a"), F.col("v").alias("v_a"))
     b = capped.select(F.col("sig"), F.col("id").alias("id_b"), F.col("v").alias("v_b"))
     pairs = a.join(b, "sig").filter(F.col("id_a") < F.col("id_b"))
@@ -479,7 +482,12 @@ def batch_topk(
     """
     from pyspark.sql.window import Window
 
-    scored = emb.crossJoin(F.broadcast(queries)).select(
+    from hiero_spark.functions.dedup import fan_out
+
+    # fan out before the scoring stage: a single-file local corpus scans
+    # as ONE partition, serializing the Q x N cosine work onto one core
+    # (a no-op on a real multi-file corpus)
+    scored = fan_out(emb, id_col).crossJoin(F.broadcast(queries)).select(
         F.col(qid_col),
         F.col(id_col).alias("neighbor_id"),
         cosine(
@@ -587,7 +595,11 @@ def hard_negatives(
     """
     from pyspark.sql.window import Window
 
-    scored = emb.crossJoin(F.broadcast(queries)).select(
+    from hiero_spark.functions.dedup import fan_out
+
+    # fan_out: parallelize the anchor x corpus scoring stage when the
+    # local scan arrives as one partition (batch_topk contract)
+    scored = fan_out(emb, id_col).crossJoin(F.broadcast(queries)).select(
         F.col(qid_col),
         F.col(id_col).alias("neighbor_id"),
         cosine(
@@ -628,16 +640,27 @@ def mine_triplets(
     both engines rank identical doubles)."""
     from pyspark.sql.window import Window
 
-    scored = emb.crossJoin(F.broadcast(anchors)).select(
-        F.col(qid_col),
-        F.col(id_col).alias("neighbor_id"),
-        cosine(
-            F.col(vec_col).cast("array<double>"),
-            F.col(qvec_col).cast("array<double>"),
-        ).alias("cos_sim"),
-    ).filter(F.col("neighbor_id") != F.col(qid_col))
+    from hiero_spark.functions._cachetrack import persist_tracked
+    from hiero_spark.functions.dedup import fan_out
+
+    # scored feeds THREE consumers (the positive window, the negative
+    # window's join, and transitively the final triplet join) — persist
+    # it so the anchor x corpus cosine scan runs once, not per consumer;
+    # fan_out parallelizes that scan when a single-file corpus arrives
+    # as one partition (round-14; tracked persist per the cachetrack
+    # contract, releasable by long-lived drivers)
+    scored = persist_tracked(
+        fan_out(emb, id_col).crossJoin(F.broadcast(anchors)).select(
+            F.col(qid_col),
+            F.col(id_col).alias("neighbor_id"),
+            cosine(
+                F.col(vec_col).cast("array<double>"),
+                F.col(qvec_col).cast("array<double>"),
+            ).alias("cos_sim"),
+        ).filter(F.col("neighbor_id") != F.col(qid_col))
+    )
     w = Window.partitionBy(qid_col).orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
-    pos = (
+    pos = persist_tracked(
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select(

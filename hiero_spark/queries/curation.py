@@ -675,23 +675,31 @@ def n2_recall_at_k(spark, sf_dir):
         t(spark, sf_dir, "embeddings"), qv, k=10
     ).withColumnRenamed("rank", "rank_e")
     j = exact.join(approx, "neighbor_id", "full_outer")
-    parts = []
-    for k in (1, 5, 10):
-        hit = F.when(
-            (F.col("rank_e") <= k) & (F.col("rank_a") <= k), 1
-        ).otherwise(0)
-        parts.append(
-            j.agg(F.sum(hit).cast("long").alias("n_overlap")).select(
-                F.lit(k).cast("int").alias("k"),
-                "n_overlap",
-                F.round(F.col("n_overlap").cast("double") / F.lit(k), 6)
-                .alias("recall"),
-            )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    # ONE aggregation computes all three overlap counts, then unpivots to
+    # the (k, n_overlap, recall) rows — the old per-k union of three
+    # j.agg() branches re-ran the whole upstream (quantized scan + both
+    # top-k windows + the full-outer join) once per k, tripling the query
+    # (round-14: 2.30 s -> one upstream pass; identical output rows)
+    def hit(k):
+        return F.sum(
+            F.when((F.col("rank_e") <= k) & (F.col("rank_a") <= k), 1)
+            .otherwise(0)
+        ).cast("long").alias(f"o{k}")
+
+    agg = j.agg(hit(1), hit(5), hit(10))
+    return agg.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(k).cast("int").alias("k"),
+                    F.col(f"o{k}").alias("n_overlap"),
+                    F.round(F.col(f"o{k}").cast("double") / F.lit(k), 6)
+                    .alias("recall"),
+                )
+                for k in (1, 5, 10)
+            ])
+        ).alias("r")
+    ).select("r.k", "r.n_overlap", "r.recall")
 
 
 @query(
@@ -1075,9 +1083,10 @@ def n7_pagerank(spark, sf_dir):
     doc="Connected components via hash-min label propagation WITH pointer "
         "jumping (functions/graph.py:connected_components): each round a "
         "neighbor-min step extends reach by one hop, then L(v) <- L(L(v)) "
-        "squares it, so 4 rounds close the planted chain clusters of 8 "
-        "(O(diameter) rounds without the jump — the difference that "
-        "matters on a chain-shaped web graph). Both engines derive the "
+        "squares it, so 3 rounds (reach 14) close the planted chain "
+        "clusters of 8 (O(diameter) rounds without the jump — the "
+        "difference that matters on a chain-shaped web graph). Both "
+        "engines derive the "
         "same arithmetic edge set (doc i -> i+1 inside each 8-block), and "
         "the converged component id is the block base — exact integers, "
         "hash-checked with no tolerance. Isolated tail nodes are seeded "
@@ -1100,8 +1109,14 @@ def n7_connected_components(spark, sf_dir):
             (F.col("doc_id") + 1).alias("dst"),
         )
     )
+    # 3 rounds suffice for the planted chains of 8 (round-14): with the
+    # neighbor-min + pointer-jump round, reach after r rounds is
+    # d_r = 2*(d_{r-1}+1), so d_3 = 14 >= the block diameter 7 (4 rounds
+    # gave d_4 = 30 — a full round of slack the converged labels never
+    # used; output equality at sf0.001/0.01/0.1 verified when the round
+    # count was lowered).
     return connected_components(
-        edges, nodes=docs.select(F.col("doc_id").alias("node")), n_iter=4
+        edges, nodes=docs.select(F.col("doc_id").alias("node")), n_iter=3
     )
 
 

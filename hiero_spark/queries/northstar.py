@@ -548,7 +548,11 @@ def n2_ann_lsh_verdict(spark, sf_dir):
     group="N2",
     doc="Embedding-cosine near-dup pairs via LSH self-join over the corpus "
         "plus 8 planted exact-duplicate vectors (the 8 lowest vec_ids "
-        "copied under ids offset by 10_000_000).  The planted copies make "
+        "copied under ids offset by max(10_000_000, max(vec_id)+1) — "
+        "derived from the data, r13 ADVICE, so planted ids can never "
+        "collide with organic vec_ids at any corpus size; at every "
+        "shipped SF the offset evaluates to exactly the historical "
+        "10_000_000, emitted rows unchanged).  The planted copies make "
         "the rows-only check non-vacuous — identical vectors share every "
         "LSH bucket and score cos ~1.0 >= 0.9, so >= 8 pairs MUST surface "
         "in every run at any scale (the round-12 verdict flagged the "
@@ -560,10 +564,17 @@ def n2_ann_lsh_verdict(spark, sf_dir):
 )
 def n2_embedding_near_dups(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = emb.agg(
+        F.greatest(F.lit(10_000_000), F.max("vec_id") + 1).alias("_planted_base")
+    )
     planted = (
         emb.orderBy("vec_id")
         .limit(8)
-        .select((F.col("vec_id") + F.lit(10_000_000)).alias("vec_id"), "embedding")
+        .crossJoin(F.broadcast(base))
+        .select(
+            (F.col("vec_id") + F.col("_planted_base")).alias("vec_id"),
+            "embedding",
+        )
     )
     return sim.embedding_near_dup_pairs(
         emb.unionByName(planted), threshold=0.9, bits=6

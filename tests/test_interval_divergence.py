@@ -66,6 +66,7 @@ DIVERGENCES (each pinned, with the oracle-authoring rule):
   Rule: oracle comparisons only between micros-only intervals (days
   field identically zero), where both engines compare raw micros —
   or compare epoch-second differences instead.
+* **Interval / 0**: Spark raises
   INTERVAL_DIVIDED_BY_ZERO; DuckDB returns NULL — same split as the
   numeric class's x/0 and the reason the fuzz grammar keeps divisors
   positive.

@@ -201,8 +201,11 @@ def test_embedding_near_dup_demo_query_non_vacuous(spark, sf_dir):
     """The n2_embedding_near_dups driver query must emit rows (round-12
     verdict: the previous form returned 0 rows in every driver round it
     ran, making its rows-only check vacuous).  The query plants 8 exact
-    duplicates (ids offset by 10M), and each MUST surface as a cos~1.0
-    pair with its source — at any scale, on any corpus."""
+    duplicates (ids offset by max(10M, max(vec_id)+1), derived from the
+    data per r13 ADVICE so planted ids can never collide with organic
+    vec_ids), and each MUST surface as a cos~1.0 pair with its source.
+    On the shipped fixtures (max vec_id far below 10M) the offset is
+    exactly 10M, which the id_b >= 10M checks below rely on."""
     from hiero_spark.queries.northstar import n2_embedding_near_dups
 
     rows = n2_embedding_near_dups(spark, sf_dir).collect()

@@ -131,27 +131,41 @@ def calibrate_spark_v2(spark) -> dict:
     a 63% swing r12->r13) divides ~1:1 into the calibrated ratio and
     produced the first dual-sided reading's 38.6% raw-vs-calibrated gap.
 
-    v2 is the SAME canonical job shape scaled 10x (20M rows, ~3-5 s),
-    so per-job scheduler/codegen jitter amortizes, timed min-of-5 with
-    the SPREAD recorded — if a future round's calibrated ratio diverges
-    from raw, the recorded spread either explains it mathematically or
-    rules calibration noise out.  v1 stays reported for continuity;
-    the calibrated ratio uses v2 on both sides as soon as the previous
-    round's artifact carries it (r14 is the first to emit it, so the
-    first v2-basis ratio lands in r15)."""
+    Sizing was measured, not assumed: the first r14 cut (v1's shape at
+    10x rows) still ran in ~0.49 s — identical to v1, because that job
+    is fixed-overhead-dominated (codegen'd range+hash is ~free and 10x
+    rows never showed up in the wall time).  v2 therefore does real
+    work: 100M rows through an 8-deep xxhash64 chain into a 1M-group
+    aggregation (a genuine shuffle), ~3.3 s at local[32].  One untimed
+    warm-up run (codegen compile), then min-of-5 timed with the SPREAD
+    recorded — measured min-of-5 stability across fresh processes: 1.9%
+    (3.343 vs 3.282 s), vs the 63% v1 swing.  If a future round's
+    calibrated ratio diverges from raw, the recorded spread either
+    explains it mathematically or rules calibration noise out.  v1
+    stays reported for continuity; the calibrated ratio uses v2 on both
+    sides as soon as the previous round's artifact carries it (r14 is
+    the first to emit it, so the first v2-basis ratio lands in r15 —
+    the definition is frozen from this round on)."""
     from pyspark.sql import functions as F
 
-    times = []
-    for _ in range(5):
-        t0 = time.perf_counter()
+    def job():
+        h = F.xxhash64("id")
+        for _ in range(8):
+            h = F.xxhash64(h)
         (
-            spark.range(0, 20_000_000)
-            .select(F.pmod(F.xxhash64("id"), F.lit(1000)).alias("k"))
+            spark.range(0, 100_000_000)
+            .select(F.pmod(h, F.lit(1_000_000)).alias("k"))
             .groupBy("k")
             .agg(F.count(F.lit(1)).alias("n"), F.sum("k").alias("s"))
             .agg(F.sum("n").alias("tn"), F.sum("s").alias("ts"))
             .collect()
         )
+
+    job()  # untimed warm-up: codegen compile happens once, off the clock
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        job()
         times.append(time.perf_counter() - t0)
     best = min(times)
     return {
@@ -204,20 +218,70 @@ def main() -> None:
         """Warm every headline plan shape once (JVM, parquet footers,
         whole-stage-codegen compilation), then time steady-state execution —
         the per-query marginal cost a long-lived session pays. BASELINE.md
-        documents the convention; SPARK_GRAFT_BENCH_COLD=1 skips warm-up."""
+        documents the convention; SPARK_GRAFT_BENCH_COLD=1 skips warm-up.
+
+        Round-14 measurement fix (documented in OPTIMIZATION_r14.md): the
+        reps used to interleave (rep loop outer) with NO cache release, so
+        operator-internal tracked persists (set-similarity shingle frames,
+        MinHash signature frames) accumulated across the whole timed phase.
+        Measured consequences at sf0.1: (a) untouched queries timed after
+        persist-bearing ones read 20-50% slow from storage-memory pollution
+        (n6_decontamination 1.03 s isolated vs 1.64 s polluted, q22 0.42 vs
+        0.67, s19_time_travel 1.06 vs 1.49); (b) a persist-bearing query's
+        reps 2-3 silently reused rep-1's materialized intermediate via
+        CacheManager plan-matching, so its min was a warm-cache number.
+        Now reps are GROUPED PER QUERY and every query's tracked caches are
+        released before the next query starts: each query still reports the
+        same steady-state min-of-n (its own caches warm from rep 1 — the
+        long-lived-session marginal cost BASELINE.md documents, comparable
+        with prior rounds), but no query's timing ever includes another
+        query's cache backlog.  The old interleaved-basis numbers for this
+        round are kept in plans/r14/bench_r14_interleaved_basis.json; a
+        fully cache-released arm for the persist-bearing queries is
+        recorded in BENCH_DETAIL.nocache_steady_state."""
+        from hiero_spark.functions._cachetrack import release_caches
+
         specs["a1_summary_count"].fn(spark, data_dir).count()
         if not os.environ.get("SPARK_GRAFT_BENCH_COLD"):
             for name in HEADLINE:
                 specs[name].fn(spark, data_dir).count()
+        release_caches()
+        spark.catalog.clearCache()
         timings: dict[str, float] = {}
-        for _ in range(n_reps):
-            for name in HEADLINE:
+        for name in HEADLINE:
+            for _ in range(n_reps):
                 t0 = time.perf_counter()
                 specs[name].fn(spark, data_dir).count()
                 dt = round(time.perf_counter() - t0, 3)
                 if name not in timings or dt < timings[name]:
                     timings[name] = dt
+            release_caches()
+            spark.catalog.clearCache()
         return timings
+
+    def nocache_arm(data_dir: str) -> dict[str, float]:
+        """Honesty arm for the persist-bearing headline queries: min-of-n
+        with tracked caches released between EVERY rep, so each timed
+        execution recomputes all operator-internal intermediates from the
+        parquet inputs (warm JVM/codegen only).  This is the number a
+        single fresh execution pays; the headline `queries` number is the
+        steady-state one (operator caches warm), per the long-standing
+        BASELINE.md convention."""
+        from hiero_spark.functions._cachetrack import release_caches
+
+        out: dict[str, float] = {}
+        for name in ("n1_containment_join", "n1_minhash_near_dups"):
+            for _ in range(n_reps):
+                release_caches()
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                specs[name].fn(spark, data_dir).count()
+                dt = round(time.perf_counter() - t0, 3)
+                if name not in out or dt < out[name]:
+                    out[name] = dt
+            release_caches()
+            spark.catalog.clearCache()
+        return out
 
     def ann_payoff(data_dir: str) -> dict[str, float]:
         """Round-3 item 8: quantify the IVF payoff. Build the index once
@@ -1552,6 +1616,7 @@ print("GTK1G " + json.dumps(out))
     # scan-parallelism regressions visible (split planning, per-file costs).
     timings = {} if only_multifile else run_set(sf_dir)
     timings_multi = run_set(multi_dir)
+    nocache = {} if only_multifile else nocache_arm(sf_dir)
     if only_multifile:
         timings = timings_multi
 
@@ -1908,6 +1973,10 @@ print("GTK1G " + json.dumps(out))
                 # ratios; the maps are in this file.
                 "queries_calibrated": queries_calibrated,
                 "calibration_spark_v2": cal_spark_v2,
+                # fully cache-released min-of-n for the persist-bearing
+                # headline queries (round-14; see run_set docstring)
+                "nocache_steady_state": nocache,
+                "timing_basis": "per_query_grouped_release_r14",
                 "common_subset": common_subset,
                 "queries_multifile": timings_multi,
                 "a13_drift_audit": a13_audit,
@@ -1950,6 +2019,10 @@ print("GTK1G " + json.dumps(out))
                 # in r12; a stdout-only consumer diffing rounds could mix
                 # bases without noticing). Null when no calibrated ratio.
                 "calibration_basis": common_subset.get("calibration_basis"),
+                # round-14: reps are grouped per query with tracked-cache
+                # release between queries (see run_set docstring); the
+                # per-query steady-state min semantics are unchanged.
+                "timing_basis": "per_query_grouped_release_r14",
                 "multifile_total": round(sum(timings_multi.values()), 3),
                 "detail_file": "BENCH_DETAIL.json",
             }

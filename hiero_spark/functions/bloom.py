@@ -48,7 +48,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.functions import pandas_udf
 
-from hiero_spark.functions.dedup import fan_out as _fan_out
+from hiero_spark.functions._fanout import fan_out as _fan_out
 from hiero_spark.functions.dedup import shingle_hash_array
 
 

@@ -19,19 +19,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
+from hiero_spark.functions._fanout import fan_out
 from hiero_spark.functions.text import fingerprint
-
-
-def fan_out(df: DataFrame, key: str) -> DataFrame:
-    """Spread CPU-bound map work (tokenize/shingle/hash) over the session's
-    parallelism when the scan arrived narrower — a single-file table scans
-    as ONE task, serializing the dominant map stage onto one core. A no-op
-    on a real multi-file corpus; the repartition shuffles document rows
-    once and every downstream stage runs wide."""
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        return df.repartition(par, key)
-    return df
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

@@ -21,9 +21,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
+from hiero_spark.functions._fanout import fan_out
 from hiero_spark.functions.dedup import (
     band_buckets,
-    fan_out,
     minhash_signatures,
     shingle_hash_array,
 )

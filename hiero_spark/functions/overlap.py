@@ -21,7 +21,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from hiero_spark.functions.dedup import fan_out, shingles
+from hiero_spark.functions._fanout import fan_out
+from hiero_spark.functions.dedup import shingles
 
 
 def contamination_overlap(

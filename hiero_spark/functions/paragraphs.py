@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from hiero_spark.functions.dedup import fan_out
+from hiero_spark.functions._fanout import fan_out
 
 
 def dedup_lines_keep_first(

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from hiero_spark.functions.dedup import fan_out as _fan_out
+from hiero_spark.functions._fanout import fan_out as _fan_out
 from hiero_spark.functions.dedup import shingle_hash_array, shingles
 
 SPLIT_TRAIN, SPLIT_VAL, SPLIT_TEST = "train", "val", "test"

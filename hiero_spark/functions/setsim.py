@@ -27,8 +27,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from hiero_spark.functions._fanout import fan_out as dd_fan_out
 from hiero_spark.functions.dedup import (
-    fan_out as dd_fan_out,
     shingle_array as dd_shingle_array,
     shingle_hash_array as dd_shingle_hash_array,
 )

@@ -482,7 +482,7 @@ def batch_topk(
     """
     from pyspark.sql.window import Window
 
-    from hiero_spark.functions.dedup import fan_out
+    from hiero_spark.functions._fanout import fan_out
 
     # fan out before the scoring stage: a single-file local corpus scans
     # as ONE partition, serializing the Q x N cosine work onto one core
@@ -595,7 +595,7 @@ def hard_negatives(
     """
     from pyspark.sql.window import Window
 
-    from hiero_spark.functions.dedup import fan_out
+    from hiero_spark.functions._fanout import fan_out
 
     # fan_out: parallelize the anchor x corpus scoring stage when the
     # local scan arrives as one partition (batch_topk contract)
@@ -641,7 +641,7 @@ def mine_triplets(
     from pyspark.sql.window import Window
 
     from hiero_spark.functions._cachetrack import persist_tracked
-    from hiero_spark.functions.dedup import fan_out
+    from hiero_spark.functions._fanout import fan_out
 
     # scored feeds THREE consumers (the positive window, the negative
     # window's join, and transitively the final triplet join) — persist

@@ -32,7 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from hiero_spark.functions.dedup import fan_out
+from hiero_spark.functions._fanout import fan_out
 
 
 def _position_grams(text: Column, k: int) -> Column:

@@ -77,6 +77,70 @@ def test_cc_pointer_jump_beats_linear_propagation(spark):
     assert {r.component for r in cc.collect()} == {0}
 
 
+def test_cc_reach_recurrence_boundary_is_exactly_14_at_3_rounds(spark):
+    """Pins the reach recurrence the round-14 call-site round counts
+    rely on (n7_connected_components 4->3, n1_entity_resolution 5->3):
+    neighbor-min adds 1 hop, pointer jump doubles, so reach after r
+    rounds is d_r = 2*(d_{r-1}+1) -> d_3 = 14 EXACTLY on a path.
+
+    Both sides of the boundary are asserted so the test fails if the
+    implementation ever loses a doubling (e.g. the jump join silently
+    becomes a no-op, making 3 rounds reach only 3 hops) OR gains one
+    (which would hide an off-by-one if a call site is later tightened
+    to the apparent new margin)."""
+    from hiero_spark.functions.graph import connected_components
+
+    # Path 0-1-...-15: node 14 is at distance 14 (reachable in 3
+    # rounds), node 15 at distance 15 (not reachable until round 4).
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(15)], "src long, dst long"
+    )
+    r3 = {r.node: r.component for r in
+          connected_components(edges, n_iter=3).collect()}
+    assert r3[14] == 0, "3 rounds must reach distance 14 (d_3 = 14)"
+    assert r3[15] != 0, (
+        "3 rounds must NOT reach distance 15 — if they do, the reach "
+        "recurrence documented at the n_iter=3 call sites is stale"
+    )
+    r4 = {r.node: r.component for r in
+          connected_components(edges, n_iter=4).collect()}
+    assert set(r4.values()) == {0}, "4 rounds (d_4 = 30) close the path"
+
+
+def test_cc_shipped_workload_shapes_converge_at_3_rounds(spark):
+    """The two round-14 call sites lowered n_iter to 3 on a convergence
+    argument (block diameter 7 for the planted chains of 8; observed
+    diameter 2 for the entity-resolution stars).  Reproduce both shapes
+    at operator level and assert n_iter=3 is already the fixed point:
+    identical labels to n_iter=4, and exactly the expected components."""
+    from hiero_spark.functions.graph import connected_components
+
+    # n7 shape: consecutive chains of 8 (diameter 7), 16 blocks.
+    chain_edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(127) if i % 8 != 7],
+        "src long, dst long",
+    )
+    got3 = {r.node: r.component for r in
+            connected_components(chain_edges, n_iter=3).collect()}
+    assert got3 == {i: i - i % 8 for i in range(128)}
+    got4 = {r.node: r.component for r in
+            connected_components(chain_edges, n_iter=4).collect()}
+    assert got4 == got3
+
+    # ER shape: star clusters (variant -> original), diameter 2 via the
+    # shared hub plus one accidental same-block bridge between stars.
+    star_edges = spark.createDataFrame(
+        [(h, h + 1_000_000) for h in range(0, 50, 5)] + [(0, 5)],
+        "src long, dst long",
+    )
+    er3 = {r.node: r.component for r in
+           connected_components(star_edges, n_iter=3).collect()}
+    er4 = {r.node: r.component for r in
+           connected_components(star_edges, n_iter=4).collect()}
+    assert er3 == er4
+    assert er3[5] == 0 and er3[1_000_005] == 0 and er3[1_000_010] == 10
+
+
 # --- BFS levels (round-8 continuation) -----------------------------------
 
 

@@ -255,6 +255,24 @@ def test_containment_join_carries_no_arrays_through_candidates(qs):
     assert "CartesianProduct" not in plan
 
 
+@pytest.mark.parametrize(
+    "name", ["n1_jaccard_join", "n1_containment_join", "n1_jaccard_join_hashed"]
+)
+def test_setsim_verify_stage_is_rewidened_by_key(qs, name):
+    """Round-14: the deduped pair list is a few bytes per pair, so AQE's
+    byte-targeted coalescing collapsed its shuffle to ONE partition and
+    the verify stage (array joins + per-pair array_intersect, the
+    CPU-dense step) ran on one core — measured 4.0 s -> 1.35 s at sf0.1
+    after the keyed re-widen.  Pin the explicit keyed repartition
+    (REPARTITION_BY_NUM on id_a) so a refactor can't silently drop it
+    and re-serialize the verify onto one core."""
+    import re
+
+    plan = P.plan_str(qs[name])
+    assert re.search(r"hashpartitioning\(id_a#\d+L?[^)]*\), REPARTITION_BY_NUM",
+                     plan), name
+
+
 def test_jaccard_groups_plan_is_keyed_and_array_free(qs):
     """The group arm inherits the jaccard scale contract: candidate
     generation joins on bare (tok, id, size) triples, every join is

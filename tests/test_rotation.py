@@ -12,7 +12,7 @@ import os
 
 import pytest
 
-from hiero_spark import evidence
+from hiero_spark import evidence, evidence_slice
 from hiero_spark.registry import all_queries
 
 DRIVER_CAP = 50  # driver hashes only the first 50 registered queries
@@ -267,13 +267,70 @@ def test_bulk_repin_drained_the_lapse_backlog():
     residue drains only via driver re-greens, ~40 oracle slots/round."""
     specs = all_queries()
     verified = evidence.verified_names(specs)
-    # floor raised 170 -> 200 at round 12 (verdict #3), 200 -> 230 at
-    # round 13 (verdict #1): the r12 boundary refresh recovered the full
-    # 264 oracle-bearing set, and round-13 edits are sequenced early
-    # with single-name blast radii, so the boundary sits near 260 — a
-    # snapshot clobber or repin regression now trips while still leaving
-    # a full driver window (~30 names) of routine in-round lapse room.
-    assert len(verified) >= 230, (
-        f"only {len(verified)} verified — bulk re-pin regressed or the "
-        "snapshot was clobbered; run python -m hiero_spark.evidence --repin"
+    # Floor history: 170 -> 200 at round 12 (verdict #3), 200 -> 230 at
+    # round 13 (verdict #1).  Round 14 (the first OPTIMIZATION round)
+    # replaced the bare 230 floor with the two-part check below: the
+    # optimization brief is precisely "edit the heaviest shared
+    # operators", and its measured churn (56 legitimate lapses — the
+    # graph/setsim/similarity/classifier edits plus the fan_out module
+    # move touching ten importer preambles; repin recovered 0 because
+    # every slice genuinely changed) blows any fixed headroom a build
+    # round would leave, while a fixed floor alone never caught the
+    # failure it hunts unless the clobber was massive.  The attribution
+    # check is STRICTER where it matters: even ONE lapsed name whose
+    # slice contains no module actually edited since the driver's last
+    # bookkeeping commit means the snapshot was clobbered or the
+    # repin/slicer machinery regressed, regardless of how high the
+    # verified count still is.
+    assert len(verified) >= 180, (
+        f"only {len(verified)} verified — mass lapse: the snapshot was "
+        "clobbered or the repin/slicer machinery regressed; run "
+        "python -m hiero_spark.evidence --repin and investigate"
     )
+    import subprocess
+
+    files = evidence.correctness_files()
+    newest = int(os.path.basename(files[-1])[len("CORRECTNESS_r"):-len(".json")])
+    base = evidence._round_commit(newest)
+    if base is not None:  # non-git checkouts keep the bare floor only
+        changed = {
+            line for line in subprocess.run(
+                ["git", "diff", "--name-only", f"{base}..HEAD", "--", "*.py"],
+                capture_output=True, text=True, cwd=evidence.ROOT, check=True,
+            ).stdout.splitlines()
+        } | {
+            line[3:] for line in subprocess.run(
+                ["git", "status", "--porcelain"],
+                capture_output=True, text=True, cwd=evidence.ROOT, check=True,
+            ).stdout.splitlines() if line[3:].endswith(".py")
+        }
+        paths = evidence_slice._module_paths()
+        rel = {
+            m: os.path.relpath(p, evidence.ROOT) for m, p in paths.items()
+        }
+        # Scope to the NEWEST round's greens: those were stamped at the
+        # boundary against the exact tree the driver ran (base), so any
+        # of them lapsing without an edit since base is machinery
+        # breakage by construction.  Older-era greens can carry
+        # legitimate lapses from edits in intermediate rounds (the
+        # repin-covered residue) that a base-relative diff cannot see.
+        newest_greens = set(evidence.green_names(files[-1]))
+        unattributed = []
+        for name in sorted(newest_greens - verified):
+            if name not in specs:
+                continue
+            spec = specs[name]
+            mods = {
+                node[1]
+                for node in evidence_slice.slice_nodes(
+                    spec.fn.__module__, spec.fn.__qualname__
+                )
+                if node[0] in ("seg", "pre", "mod")
+            }
+            if not any(rel.get(m) in changed for m in mods):
+                unattributed.append(name)
+        assert not unattributed, (
+            f"{len(unattributed)} lapsed names have NO edited module in "
+            f"their slice — snapshot clobber or slicer regression, not "
+            f"legitimate churn: {unattributed[:10]}"
+        )

@@ -12,10 +12,12 @@ smaller than the corpus (Zipf: a 100 TB crawl has ~10^7 distinct words).
   explode each word's adjacent symbol pairs weighted by word count,
   one partial+final count aggregation, take the top pair (count desc,
   then lexicographic — fully deterministic), then apply the merge to
-  the symbol arrays.  The merge application is a vectorized pandas_udf
-  over the DICT (not the corpus): a linear left-to-right scan per word,
-  the same greedy-adjacent rule reference BPE uses.  Driver state is the
-  merge list, O(n_merges).
+  the symbol arrays.  The merge application is a native `aggregate`
+  fold over the DICT (not the corpus): a linear left-to-right scan per
+  word, the same greedy-adjacent rule reference BPE uses, with no
+  JVM<->Python boundary (round 14 — it was a pandas_udf, one
+  ArrowEvalPython round trip per un-checkpointed merge layer).  Driver
+  state is the merge list, O(n_merges).
 - `bpe_encode`: apply a trained merge list to documents — per-row, no
   shuffle; token counts come out as a column.
 
@@ -43,28 +45,33 @@ def word_dict(df: DataFrame, text_col: str) -> DataFrame:
     )
 
 
-def _merge_apply_udf(a: str, b: str):
-    """Vectorized single-merge application: greedy left-to-right replace
-    of adjacent (a, b) with a+b in each symbol array."""
+def _merge_apply_expr(syms, a: str, b: str):
+    """Single-merge application as a native fold — greedy left-to-right
+    replace of adjacent (a, b) with a+b in each symbol array, with NO
+    Python boundary (round-14, guide §4: the previous pandas_udf form
+    stacked one ArrowEvalPython round trip per un-checkpointed merge).
+
+    The fold appends each symbol unless the accumulator's LAST element
+    equals `a` and the current symbol equals `b`, in which case the last
+    element is replaced by a+b.  This is equivalent to the index-based
+    greedy scan (skip-2 on merge) because a merge's output token a+b can
+    never itself equal `a` — symbols are non-empty (split(word, '')
+    yields no empty strings; merges concatenate non-empty pieces), so
+    `b` is non-empty and a+b != a — which means a just-merged element
+    can never serve as the left half of a follow-up merge, exactly the
+    property the skip-2 scan enforces.  Pinned by the classic-fixture,
+    determinism and encode-round-trip tests in tests/test_bpe.py."""
     merged = a + b
-
-    @pandas_udf("array<string>")
-    def _apply(syms: pd.Series) -> pd.Series:
-        def one(arr):
-            out = []
-            i, n = 0, len(arr)
-            while i < n:
-                if i + 1 < n and arr[i] == a and arr[i + 1] == b:
-                    out.append(merged)
-                    i += 2
-                else:
-                    out.append(arr[i])
-                    i += 1
-            return out
-
-        return syms.map(one)
-
-    return _apply
+    return F.aggregate(
+        syms,
+        F.slice(syms, 1, 0),  # typed empty array<string>
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (x == F.lit(b)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
 
 
 def train_bpe(
@@ -103,7 +110,7 @@ def train_bpe(
         a, b = top[0]["a"], top[0]["b"]
         merges.append((a, b))
         dic = dic.select(
-            _merge_apply_udf(a, b)(F.col("syms")).alias("syms"), F.col("count")
+            _merge_apply_expr(F.col("syms"), a, b).alias("syms"), F.col("count")
         )
         if (step + 1) % checkpoint_every == 0:
             dic = dic.localCheckpoint()

@@ -405,8 +405,19 @@ def ngram_jaccard_pairs(
     is quadratic in a gram's document frequency, so at corpus scale it is
     the *verify* stage behind `minhash_near_dups`' LSH candidate filter,
     not a standalone pass.
+
+    The (doc, shingle) relation feeds THREE consumers — the per-doc size
+    aggregation and both sides of the self-join — so it is persisted
+    (tracked, round-9 ADVICE pattern): without it each branch re-runs the
+    tokenize + k-gram + distinct chain per consumer. Fresh-process A/B at
+    sf0.1 on the cluster queries built on this function:
+    n1_cluster_sizes 3.95 -> 2.89 s, n1_cluster_best 2.67 -> 2.22 s,
+    n1_dedup_clusters 2.15 -> 1.91 s (same finding as the setsim.py
+    `sets` persist this round).
     """
-    sh = shingles(fan_out(df, id_col), text_col, id_col, k)
+    from hiero_spark.functions._cachetrack import persist_tracked
+
+    sh = persist_tracked(shingles(fan_out(df, id_col), text_col, id_col, k))
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc").alias("doc_b"), "shingle")
@@ -436,11 +447,22 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     Hash-min label propagation: each round every doc takes the min of its
     own label and its neighbors' labels; stop when no label changes.
     Rounds needed = component diameter, and near-dup components are tiny
-    (bounded cluster sizes), so this converges in a few iterations even at
-    corpus scale. Per round: one join + one agg, shuffling only (doc,
-    label) longs. Labels persist per round and lineage is cut with
+    (bounded cluster sizes — the exact-pairs form emits near-cliques, so
+    observed diameters are 1-2), so this converges in a few iterations
+    even at corpus scale. Per round: one join + one agg, shuffling only
+    (doc, label) longs. Labels persist per round and lineage is cut with
     localCheckpoint so the plan doesn't deepen iteration over iteration —
     the standard shape for iterative algorithms on DataFrames.
+
+    Round-14: the convergence check used to be its own per-round job
+    joining the new label frame back to the old one; the old label now
+    rides THROUGH the min-aggregation as a second column (labels
+    contribute (doc, label, old=label); neighbor candidates contribute
+    old=NULL, which min() ignores — every doc keeps exactly its own
+    prior label in `old`), so `changed` is a filter-count on the frame
+    the round just materialized: no join, and the count reads
+    checkpointed data. Labels only decrease under min, so
+    label < old ⟺ label ≠ old.
     """
     e = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     edges = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).persist()
@@ -450,23 +472,22 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         .withColumn("label", F.col("doc"))
         .localCheckpoint()
     )
+    label_t = labels.schema["label"].dataType
     for _ in range(max_iter):
         neigh = edges.join(labels, edges["a"] == labels["doc"]).select(
-            F.col("b").alias("doc"), F.col("label")
+            F.col("b").alias("doc"),
+            F.col("label"),
+            F.lit(None).cast(label_t).alias("old"),
         )
+        cur = labels.select("doc", "label", F.col("label").alias("old"))
         new_labels = (
-            labels.unionByName(neigh)
+            cur.unionByName(neigh)
             .groupBy("doc")
-            .agg(F.min("label").alias("label"))
+            .agg(F.min("label").alias("label"), F.min("old").alias("old"))
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("label") < F.col("old")).count()
+        labels = new_labels.select("doc", "label")
         if changed == 0:
             break
     edges.unpersist()

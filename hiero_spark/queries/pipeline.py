@@ -318,8 +318,13 @@ def n4_lm_perplexity(spark, sf_dir):
 )
 def n4_bpe_training(spark, sf_dir):
     from hiero_spark.functions import bpe
+    from hiero_spark.functions._cachetrack import persist_tracked
 
-    words = bpe.word_dict(t(spark, sf_dir, "documents"), "text")
+    # Two consumers of the corpus-scale word dict — train_bpe's initial
+    # symbol-array materialization and the declared n_words aggregate —
+    # would each re-run the corpus tokenize+groupBy without the tracked
+    # persist (round-14, guide §1.2).
+    words = persist_tracked(bpe.word_dict(t(spark, sf_dir, "documents"), "text"))
     merges = bpe.train_bpe(words, n_merges=8)
     return words.agg(F.count(F.lit(1)).cast("long").alias("n_words")).select(
         "n_words",

@@ -79,21 +79,36 @@ def bm25_topk(
     """Top-k documents by BM25 against `query_terms` (whitespace/lowercase
     tokenization; query terms are case-folded the same way, so 'Spark'
     matches 'spark'). Returns (id, n_terms matched, bm25 rounded to 6)."""
+    from hiero_spark.functions._cachetrack import persist_tracked
+    from hiero_spark.functions._fanout import fan_out
+
     query_terms = [t.lower() for t in query_terms]
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    tokenized = docs.select(F.col(id_col), toks.alias("w"))
+    terms_arr = F.array(*[F.lit(t) for t in query_terms])
+    # ONE tokenize pass (round 14, guide §1.2/§2.3): the corpus-stats
+    # aggregate and the hits path used to each re-run the tokenize — the
+    # dominant per-row cost — and a single-file corpus scans as ONE task,
+    # serializing it onto one core (fan_out widens; no-op multi-file).
+    # The persisted relation is metadata-slim: (id, dl, query-term hits),
+    # never the text or the full token array — bounded by |q| hits/doc,
+    # so the cache is payload-free at corpus scale.  filter-then-explode
+    # == explode-then-isin: same (id, dl, tok) multiset.
+    slim = persist_tracked(
+        fan_out(docs, id_col).select(
+            F.col(id_col),
+            F.size(toks).alias("dl"),
+            F.filter(toks, lambda x: F.array_contains(terms_arr, x)).alias(
+                "hw"
+            ),
+        )
+    )
     # two scalars of corpus state: N and average document length
-    n_docs, total_toks = tokenized.agg(
-        F.count(F.lit(1)), F.sum(F.size("w"))
+    n_docs, total_toks = slim.agg(
+        F.count(F.lit(1)), F.sum("dl")
     ).collect()[0]
     avgdl = float(total_toks) / float(n_docs)
 
-    hits = (
-        tokenized.select(
-            id_col, F.size("w").alias("dl"), F.explode("w").alias("tok")
-        )
-        .filter(F.col("tok").isin(list(query_terms)))  # before ANY shuffle
-    )
+    hits = slim.select(id_col, "dl", F.explode("hw").alias("tok"))
     tf = hits.groupBy(id_col, "dl", "tok").agg(F.count(F.lit(1)).alias("tf"))
     return _score_postings(tf, n_docs, avgdl, k, k1, b, id_col)
 

@@ -21,6 +21,7 @@ from hiero_spark.functions import paragraphs as pg
 from hiero_spark.functions import pipeline as pl
 from hiero_spark.functions import text as tx
 from hiero_spark.functions import weights as wt
+from hiero_spark.functions._fanout import fan_out
 from hiero_spark.operators.grouptopk import grouped_topk
 from hiero_spark.queries._util import t
 from hiero_spark.registry import query
@@ -1508,7 +1509,17 @@ def n6_dataset_diff(spark, sf_dir):
     """,
 )
 def n5_curation_funnel(spark, sf_dir):
-    docs = tx.with_language_id(t(spark, sf_dir, "documents"), "text")
+    from hiero_spark.functions._cachetrack import persist_tracked
+
+    # fan_out: same single-file narrow-scan fix as n5_rejection_reasons
+    # (the gate exprs are the cost; no-op multi-file). persist_tracked:
+    # `flagged` feeds TWO consumers — the 14-column gates aggregate and
+    # the exact-dedup branch — which would each re-run every text gate;
+    # the persisted frame is gate booleans + fp + n_tok, never the text
+    # (round 14, guide §1.2/§5).
+    docs = tx.with_language_id(
+        fan_out(t(spark, sf_dir, "documents"), "doc_id"), "text"
+    )
     flagged = (
         docs.withColumn("n_tok", tx.token_count(F.col("text")))
         .withColumn("fp", tx.fingerprint(F.col("text")))
@@ -1528,6 +1539,7 @@ def n5_curation_funnel(spark, sf_dir):
         .withColumn("s6", F.col("s5") & tx.prose_gate(F.col("text")))
         .select("doc_id", "n_tok", "fp", "s1", "s2", "s3", "s4", "s5", "s6")
     )
+    flagged = persist_tracked(flagged)
     cnt = lambda c: F.sum(F.when(F.col(c), 1).otherwise(0)).cast("long")
     tok = lambda c: F.sum(F.when(F.col(c), F.col("n_tok")).otherwise(0)).cast("long")
     gates = flagged.agg(
@@ -1997,7 +2009,15 @@ def n7_label_propagation(spark, sf_dir):
     """,
 )
 def n5_rejection_reasons(spark, sf_dir):
-    docs = tx.with_language_id(t(spark, sf_dir, "documents"), "text")
+    # The gate expressions (top_2gram_share's per-doc array_sort above
+    # all) are the dominant cost and a single-file corpus scans as ONE
+    # task — fan_out spreads the map stage across the session
+    # parallelism (round 14, guide §2; no-op on a multi-file corpus).
+    # Output is a 7-group order-independent aggregation, so the
+    # repartition cannot change results.
+    docs = tx.with_language_id(
+        fan_out(t(spark, sf_dir, "documents"), "doc_id"), "text"
+    )
     txt = F.col("text")
     flagged = docs.select(
         "doc_id",

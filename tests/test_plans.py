@@ -487,3 +487,42 @@ def test_weighted_race_sample_take_ordered_not_global_sort(qs):
     assert P.has_node(qs["n6_weighted_race_sample"], "TakeOrderedAndProject")
     names = P.node_names(qs["n6_weighted_race_sample"])
     assert not any(n.strip().startswith("Sort") for n in names), names
+
+
+@pytest.mark.parametrize(
+    "name", ["n5_rejection_reasons", "n5_curation_funnel"]
+)
+def test_text_gate_scan_is_fanned_out(qs, name):
+    """Round-14: the single-file documents table scans as ONE task, so
+    the CPU-dense gate expressions (top_2gram_share's per-doc array_sort
+    above all) ran on one core — measured 1.87 -> 1.00 s
+    (n5_rejection_reasons, noop min-of-3 at sf0.1) after fan_out.  Pin
+    the keyed repartition (fan_out is a no-op on a real multi-file
+    corpus, so the pin binds exactly at test scale, where the
+    narrowness is real)."""
+    import re
+
+    plan = P.plan_str(qs[name])
+    assert re.search(
+        r"hashpartitioning\(doc_id#\d+L?[^)]*\), REPARTITION_BY_NUM", plan
+    ), name
+
+
+def test_curation_funnel_gates_computed_once(qs):
+    """Round-14: `flagged` feeds TWO consumers — the 14-column gates
+    aggregate and the exact-dedup branch — and the tracked persist makes
+    both read the cached gate booleans instead of re-running every text
+    gate (guide §1.2).  Two InMemoryTableScan consumers = one gate
+    computation."""
+    plan = P.plan_str(qs["n5_curation_funnel"])
+    assert plan.count("InMemoryTableScan") >= 2, plan[:800]
+
+
+def test_bm25_single_tokenize_pass(qs):
+    """Round-14: bm25_topk's corpus-stats aggregate and hits path used
+    to EACH re-run the corpus tokenize (two full passes).  Both now read
+    one metadata-slim persisted relation (id, dl, query-term hits —
+    never the text or full token arrays); the declared plan's hits side
+    must read that cache, not re-tokenize from parquet."""
+    plan = P.plan_str(qs["n4_bm25_topk"])
+    assert "InMemoryTableScan" in plan, plan[:800]

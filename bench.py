@@ -184,7 +184,14 @@ def main() -> None:
     from hiero_spark.registry import all_queries
     from hiero_spark.session import get_spark
 
-    spark = get_spark("hiero_spark_bench")
+    # Console progress bars are stderr noise that lands in the driver's
+    # byte-tail capture right next to the stdout JSON line (the r14 tail
+    # is ~550 bytes of "[Stage ...]" redraws); with the UI disabled they
+    # serve nobody here, and suppressing them keeps the (slightly longer
+    # round-15) line safely inside the tail window.
+    spark = get_spark(
+        "hiero_spark_bench", **{"spark.ui.showConsoleProgress": "false"}
+    )
     specs = all_queries()
 
     # Quiet WindowExec's 'No Partition Defined' WARN for this bench run
@@ -239,7 +246,9 @@ def main() -> None:
         round are kept in plans/r14/bench_r14_interleaved_basis.json; a
         fully cache-released arm for the persist-bearing queries is
         recorded in BENCH_DETAIL.nocache_steady_state."""
-        from hiero_spark.functions._cachetrack import release_caches
+        from hiero_spark.functions._cachetrack import (
+            live_count, release_caches,
+        )
 
         specs["a1_summary_count"].fn(spark, data_dir).count()
         if not os.environ.get("SPARK_GRAFT_BENCH_COLD"):
@@ -247,30 +256,69 @@ def main() -> None:
                 specs[name].fn(spark, data_dir).count()
         release_caches()
         spark.catalog.clearCache()
+
+        def _task_count(group: str) -> int:
+            """Tasks launched by the jobs of one rep's job group — the
+            round-14 verdict's scaling-arm telemetry: flat 8-vs-32-core
+            times on sub-second queries read as 'CPUS ignored' unless
+            the artifact shows how few tasks those queries actually run."""
+            try:
+                st = spark.sparkContext.statusTracker()
+                total = 0
+                for jid in st.getJobIdsForGroup(group):
+                    ji = st.getJobInfo(jid)
+                    for sid in (ji.stageIds if ji else ()):
+                        si = st.getStageInfo(sid)
+                        if si:
+                            total += si.numTasks
+                return total
+            except Exception:
+                return -1
+
         timings: dict[str, float] = {}
+        tasks: dict[str, int] = {}
+        persist_bearing: list[str] = []
         for name in HEADLINE:
-            for _ in range(n_reps):
+            gid = ""
+            for rep in range(n_reps):
+                gid = f"bench:{name}:{rep}"
+                spark.sparkContext.setJobGroup(gid, name)
                 t0 = time.perf_counter()
                 specs[name].fn(spark, data_dir).count()
                 dt = round(time.perf_counter() - t0, 3)
                 if name not in timings or dt < timings[name]:
                     timings[name] = dt
+            spark.sparkContext.setLocalProperty("spark.jobGroup.id", None)
+            tasks[name] = _task_count(gid)  # the last (steady-state) rep
+            # a non-empty tracked-cache registry after the reps means this
+            # query's steady-state min reused rep-1 persists — exactly the
+            # set the fully-released nocache arm must cover (r14 verdict #4)
+            if live_count() > 0:
+                persist_bearing.append(name)
             release_caches()
             spark.catalog.clearCache()
-        return timings
+        return timings, tasks, persist_bearing
 
-    def nocache_arm(data_dir: str) -> dict[str, float]:
+    def nocache_arm(data_dir: str, names) -> dict[str, float]:
         """Honesty arm for the persist-bearing headline queries: min-of-n
         with tracked caches released between EVERY rep, so each timed
         execution recomputes all operator-internal intermediates from the
         parquet inputs (warm JVM/codegen only).  This is the number a
         single fresh execution pays; the headline `queries` number is the
         steady-state one (operator caches warm), per the long-standing
-        BASELINE.md convention."""
+        BASELINE.md convention.
+
+        Round-15 (r14 verdict #4): `names` is DETECTED by run_set — every
+        headline query whose execution left tracked persists registered —
+        instead of the hand-kept 2-query list, so a future operator that
+        gains a persist is covered automatically, and the stdout line
+        carries `nocache_total` (persist-bearing queries at their fully-
+        released min, all others at their steady-state min) beside the
+        steady-state `value`."""
         from hiero_spark.functions._cachetrack import release_caches
 
         out: dict[str, float] = {}
-        for name in ("n1_containment_join", "n1_minhash_near_dups"):
+        for name in names:
             for _ in range(n_reps):
                 release_caches()
                 spark.catalog.clearCache()
@@ -1614,11 +1662,15 @@ print("GTK1G " + json.dumps(out))
     # Both layouts every run (round-2 verdict item 8): the single-file total
     # is the round-over-round comparable headline; the 8-file total keeps
     # scan-parallelism regressions visible (split planning, per-file costs).
-    timings = {} if only_multifile else run_set(sf_dir)
-    timings_multi = run_set(multi_dir)
-    nocache = {} if only_multifile else nocache_arm(sf_dir)
+    if only_multifile:
+        timings, task_counts, persist_bearing = {}, {}, []
+    else:
+        timings, task_counts, persist_bearing = run_set(sf_dir)
+    timings_multi, _tasks_multi, _pb_multi = run_set(multi_dir)
+    nocache = {} if only_multifile else nocache_arm(sf_dir, persist_bearing)
     if only_multifile:
         timings = timings_multi
+        task_counts = _tasks_multi
 
     def a13_drift_audit() -> dict:
         """Round-11 verdict #5 tail: a13_next_k moved 0.68 -> 0.81 s
@@ -1818,9 +1870,19 @@ print("GTK1G " + json.dumps(out))
     } if cal > 0 else {}
     import glob as _glob
 
+    # Only canonical per-round artifacts (BENCH_r<N>.json) are a valid
+    # comparison basis: the driver also drops variant artifacts like
+    # BENCH_r14_c8.json (8-core scaling arm), which sort AFTER the
+    # canonical name and silently became the ratio denominator in the
+    # round-15 round-start run — a 32-core total divided by an 8-core
+    # one read as a 3.4x calibrated "regression" (round 15 fix).
     prev_files = sorted(
-        _glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                "BENCH_r*.json"))
+        f
+        for f in _glob.glob(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_r*.json")
+        )
+        if re.fullmatch(r"BENCH_r\d+\.json", os.path.basename(f))
     )
     common_subset_ratio = None
     common_subset = {}
@@ -1974,8 +2036,15 @@ print("GTK1G " + json.dumps(out))
                 "queries_calibrated": queries_calibrated,
                 "calibration_spark_v2": cal_spark_v2,
                 # fully cache-released min-of-n for the persist-bearing
-                # headline queries (round-14; see run_set docstring)
+                # headline queries (round-14; see run_set docstring) —
+                # the set is auto-detected per run since round 15
                 "nocache_steady_state": nocache,
+                "persist_bearing_queries": persist_bearing,
+                # tasks launched by each query's final timed rep (and the
+                # multifile arm's) — the scaling-arm telemetry the stdout
+                # line carries positionally (r14 verdict #2)
+                "task_counts": task_counts,
+                "task_counts_multifile": _tasks_multi,
                 "timing_basis": "per_query_grouped_release_r14",
                 "common_subset": common_subset,
                 "queries_multifile": timings_multi,
@@ -1997,13 +2066,27 @@ print("GTK1G " + json.dumps(out))
             fh,
             indent=1,
         )
-    print(
-        json.dumps(
-            {
+    # nocache_total: the 31-query total a single fresh execution pays —
+    # persist-bearing queries at their fully-released min, every other
+    # query at its steady-state min (identical by construction: a query
+    # with no tracked persists recomputes everything each rep anyway).
+    nocache_total = round(
+        sum(nocache.get(k, v) for k, v in timings.items()), 3
+    )
+    line_obj = {
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
+                # actual session parallelism (r14 verdict #2: the scaling
+                # arm's artifact must SHOW the core count it honored)
+                "cpus": spark.sparkContext.defaultParallelism,
+                "nocache_total": nocache_total,
                 "queries": timings,
+                # tasks launched by each query's final timed rep, in the
+                # same order as `queries` (full map: BENCH_DETAIL.json) —
+                # sub-second queries running a handful of tasks is WHY
+                # their 8-vs-32-core times read flat at sf0.1
+                "task_counts": [task_counts.get(k, -1) for k in timings],
                 "sf": sf,
                 "n_reps": n_reps,
                 "estimator": "min",
@@ -2025,9 +2108,16 @@ print("GTK1G " + json.dumps(out))
                 "timing_basis": "per_query_grouped_release_r14",
                 "multifile_total": round(sum(timings_multi.values()), 3),
                 "detail_file": "BENCH_DETAIL.json",
-            }
-        )
-    )
+    }
+    line = json.dumps(line_obj)
+    # the driver parses a bounded byte-tail of stdout (r10 lost a round's
+    # headline to an overflow); if headline growth ever pushes the line
+    # past a conservative budget, shed the positional task_counts — the
+    # full map always lives in BENCH_DETAIL.json
+    if len(line) > 1700:
+        line_obj.pop("task_counts", None)
+        line = json.dumps(line_obj)
+    print(line)
 
 
 if __name__ == "__main__":

@@ -28,6 +28,14 @@ def persist_tracked(df: DataFrame) -> DataFrame:
     return df
 
 
+def live_count() -> int:
+    """How many tracked frames are currently registered — bench.py uses
+    this to detect which queries are persist-bearing (their steady-state
+    headline min reuses rep-1 caches) so the fully-released honesty arm
+    covers exactly that set."""
+    return len(_LIVE)
+
+
 def release_caches() -> int:
     """Unpersist every tracked frame; returns how many were released."""
     n = 0

@@ -22,6 +22,15 @@ def fan_out(df: DataFrame, key: str) -> DataFrame:
     on a real multi-file corpus; the repartition shuffles document rows
     once and every downstream stage runs wide."""
     par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
+    # partition-count probe via the JVM queryExecution directly
+    # (round-14 verdict #6): `df.rdd` additionally builds the
+    # Python-serialization RDD wrapper (javaToPython) on every call —
+    # pure driver-side build cost, measurable on deep plans.  Both
+    # forms plan the query; neither runs a job.
+    try:
+        n = df._jdf.queryExecution().toRdd().getNumPartitions()
+    except Exception:  # private-API drift: fall back to the public path
+        n = df.rdd.getNumPartitions()
+    if n < par:
         return df.repartition(par, key)
     return df

@@ -78,7 +78,15 @@ def bm25_topk(
 ) -> DataFrame:
     """Top-k documents by BM25 against `query_terms` (whitespace/lowercase
     tokenization; query terms are case-folded the same way, so 'Spark'
-    matches 'spark'). Returns (id, n_terms matched, bm25 rounded to 6)."""
+    matches 'spark'). Returns (id, n_terms matched, bm25 rounded to 6).
+
+    Cache contract: each call registers ONE tracked MEMORY_AND_DISK
+    persist (the metadata-slim tokenize relation below) via
+    `_cachetrack.persist_tracked` — long-lived drivers must release the
+    backlog with `hiero_spark.functions._cachetrack.release_caches()`
+    (server.py does per request; bench.py between queries), or
+    `spark.catalog.clearCache()`.  Same contract as the set-similarity
+    joins (see functions/setsim.py)."""
     from hiero_spark.functions._cachetrack import persist_tracked
     from hiero_spark.functions._fanout import fan_out
 
@@ -92,9 +100,11 @@ def bm25_topk(
     # The persisted relation is metadata-slim: (id, dl, query-term hits),
     # never the text or the full token array — bounded by |q| hits/doc,
     # so the cache is payload-free at corpus scale.  filter-then-explode
-    # == explode-then-isin: same (id, dl, tok) multiset.
+    # == explode-then-isin: same (id, dl, tok) multiset.  The widening
+    # repartition ships only (id, text) — round-14 ADVICE: an unpruned
+    # fan_out would shuffle every column of the caller's relation.
     slim = persist_tracked(
-        fan_out(docs, id_col).select(
+        fan_out(docs.select(F.col(id_col), F.col(text_col)), id_col).select(
             F.col(id_col),
             F.size(toks).alias("dl"),
             F.filter(toks, lambda x: F.array_contains(terms_arr, x)).alias(
@@ -178,21 +188,23 @@ def bm25_topk_indexed(
     case-folded like the indexed tokens (round-7 ADVICE: a mixed-case
     query must not silently match nothing)."""
     query_terms = [t.lower() for t in query_terms]
-    st = spark.read.parquet(f"{path}/stats").collect()[0]
-    n_docs = float(st["n_docs"])
-    avgdl = float(st["total_toks"]) / n_docs
-    # driver-side bucket computation must mirror xxhash64 — do it in a
-    # 1-row Spark job instead of reimplementing the hash in Python
-    buckets = sorted(
-        {
-            r["b"]
-            for r in spark.createDataFrame(
-                [(t,) for t in query_terms], "tok string"
-            )
+    # ONE probe-setup job (round 15, guide §1.2): the 1-row stats read
+    # and the term->bucket hash used to be separate driver round-trips
+    # on every probe; the cross join of the 1-row stats table with the
+    # |q|-row term frame folds them into a single collect.  Bucket
+    # computation stays JVM-side — the driver must mirror xxhash64
+    # exactly, and a Python reimplementation could drift.
+    setup = (
+        spark.read.parquet(f"{path}/stats")
+        .crossJoin(
+            spark.createDataFrame([(t,) for t in query_terms], "tok string")
             .select(F.pmod(F.xxhash64("tok"), F.lit(n_buckets)).alias("b"))
-            .collect()
-        }
+        )
+        .collect()
     )
+    n_docs = float(setup[0]["n_docs"])
+    avgdl = float(setup[0]["total_toks"]) / n_docs
+    buckets = sorted({r["b"] for r in setup})
     tf = (
         spark.read.parquet(f"{path}/postings")
         .filter(F.col("_bucket").isin(buckets))  # partition-pruned read

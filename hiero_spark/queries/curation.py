@@ -1110,14 +1110,15 @@ def n7_connected_components(spark, sf_dir):
             (F.col("doc_id") + 1).alias("dst"),
         )
     )
-    # 3 rounds suffice for the planted chains of 8 (round-14): with the
-    # neighbor-min + pointer-jump round, reach after r rounds is
-    # d_r = 2*(d_{r-1}+1), so d_3 = 14 >= the block diameter 7 (4 rounds
-    # gave d_4 = 30 — a full round of slack the converged labels never
-    # used; output equality at sf0.001/0.01/0.1 verified when the round
-    # count was lowered).
+    # n_iter is a convergence CAP (round 15): connected_components now
+    # early-exits the round after no label changes, so the planted
+    # chains of 8 (diameter 7, within the round-3 reach d_3 = 14 of the
+    # recurrence d_r = 2*(d_{r-1}+1)) run 4 rounds — three that
+    # converge plus the free-ridden observation round — and a
+    # hypothetical 100 TB graph with a longer diameter keeps iterating
+    # up to the cap instead of silently returning unconverged labels.
     return connected_components(
-        edges, nodes=docs.select(F.col("doc_id").alias("node")), n_iter=3
+        edges, nodes=docs.select(F.col("doc_id").alias("node")), n_iter=30
     )
 
 

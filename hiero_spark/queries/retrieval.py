@@ -1397,13 +1397,14 @@ def n1_entity_resolution(spark, sf_dir):
         .filter(F.levenshtein(F.col("a.name"), F.col("b.name")) <= 1)
         .select(F.col("a.rec_id").alias("src"), F.col("b.rec_id").alias("dst"))
     )
-    # 3 rounds (min-reach 14 per the pointer-jump recurrence d_r =
-    # 2*(d_{r-1}+1)) against clusters whose observed diameter is 2 at
-    # every shipped SF (planted star: original <-> variant, plus tiny
-    # accidental same-block merges) — a 7x convergence margin; the old
-    # default 5 rounds (reach 62) bought nothing.  Output equality at
-    # sf0.001/0.01/0.1 verified for n_iter in {2,3,5} (round-14).
-    comp = connected_components(edges, n_iter=3)
+    # n_iter is a convergence CAP (round 15): connected_components
+    # early-exits the round after no label changes.  The star-shaped
+    # clusters here (observed diameter 2 at every shipped SF) converge
+    # in round 1 (reach d_1 = 2) and exit at round 2 — one round FEWER
+    # than the old fixed 3 — while a pathological deep cluster keeps
+    # iterating up to the cap instead of silently returning
+    # unconverged labels.
+    comp = connected_components(edges, n_iter=30)
     # The contract (and oracle) lists MATCHED entities only — a record
     # with no duplicate and no fuzzy partner is not an entity cluster.
     # Under the collapse, "matched" means: the group's representative

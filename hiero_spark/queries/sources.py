@@ -718,10 +718,9 @@ def s22_deletion_propagation(spark, sf_dir):
     layout.delete_bloom_keys(
         spark, path, [7, 123, 321, 10_000_000, 20_000_000]
     )
-    found = [
-        layout.read_bloom_pruned(spark, path, k) for k in (7, 123, 321)
-    ]
-    n_found = found[0].unionByName(found[1]).unionByName(found[2]).count()
+    # batched probe (round 15): one position job + one pruned read for
+    # all three verification ids, instead of three of each
+    n_found = layout.read_bloom_pruned_many(spark, path, [7, 123, 321]).count()
     return (
         spark.read.parquet(path)
         .agg(
@@ -837,7 +836,14 @@ def s24_wap_commit(spark, sf_dir):
     rows = []
     for attempt in ("append", "replay"):
         res = V.wap_commit(spark, batch, path, Checks().unique("doc_id"))
-        n_after = V.read_version(spark, path).count()
+        # a clean publish promotes exactly the audited file list, so the
+        # audit job's observed row count IS the new version's count
+        # (round 15: drops one full-version count job); after an abort
+        # the table state is the PREVIOUS version — count that directly
+        if res["published"]:
+            n_after = res["n_rows_audited"]
+        else:
+            n_after = V.read_version(spark, path).count()
         r = res["report"][0]
         rows.append(
             (attempt, r["check"], r["column"], int(r["n_violations"]),

@@ -263,35 +263,47 @@ def upsert_partitioned(
     or footer min/max on the key column the scan prunes further, which
     is exactly the metadata lookup table formats do here.
     """
-    from pyspark.sql import functions as F
+    from pyspark.sql import Observation, functions as F
 
     changed_keys = changes.select(key_col).distinct()
-    named = {r[0] for r in changes.select(part_col).distinct().collect()}
-    current = {
-        r[0]
-        for r in spark.read.parquet(table_path)
-        .select(key_col, part_col)
-        .join(F.broadcast(changed_keys), key_col, "left_semi")
-        .select(part_col)
-        .distinct()
-        .collect()
-    }
-    parts = sorted(named | current)
+    # the named and currently-occupied partitions come from ONE job
+    # (round 15, guide §1.2): the old shape collected them separately —
+    # two driver round-trips, two plans — for what is one distinct
+    # union of partition values
+    parts = sorted(
+        {
+            r[0]
+            for r in changes.select(part_col)
+            .union(
+                spark.read.parquet(table_path)
+                .select(key_col, part_col)
+                .join(F.broadcast(changed_keys), key_col, "left_semi")
+                .select(part_col)
+            )
+            .distinct()
+            .collect()
+        }
+    )
     base = spark.read.parquet(table_path).filter(F.col(part_col).isin(parts))
     survivors = base.join(changed_keys, key_col, "left_anti")
     upserts = changes.filter(~F.col(delete_col)).drop(delete_col)
-    merged = survivors.unionByName(upserts).persist()
     # dynamic overwrite only touches partitions PRESENT in the output: a
     # partition whose every row was deleted writes nothing and would keep
-    # its old files — clear those directories explicitly
-    present = {r[0] for r in merged.select(part_col).distinct().collect()}
+    # its old files — clear those directories explicitly.  The present
+    # set rides the write as an Observation (round 15): the old shape
+    # persisted the merge and ran a distinct-collect job before writing,
+    # scanning the affected partitions twice.
+    obs = Observation()
+    merged = survivors.unionByName(upserts).observe(
+        obs, F.collect_set(part_col).alias("present")
+    )
     (
         merged.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(part_col)
         .parquet(table_path)
     )
-    merged.unpersist()
+    present = set(obs.get["present"])
     import shutil
 
     emptied = [p for p in parts if p not in present]
@@ -373,18 +385,22 @@ def save_bloom_indexed(
     import json as _json
 
     grp = F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_files))
+    # ONE scan of the source (round 15, guide §1.2): the grouped write
+    # and the bloom-word aggregation both consume the post-shuffle
+    # staged frame, so the source is read once and the (key, group)
+    # hash is computed once — the old shape re-scanned `df` and re-ran
+    # the hash for the words pass.
+    staged = df.withColumn("_grp", grp).repartition(n_files, "_grp").persist()
     (
-        df.withColumn("_grp", grp)
-        .repartition(n_files, "_grp")
-        .write.mode("overwrite")
+        staged.write.mode("overwrite")
         .partitionBy("_grp")
         .parquet(path)
     )
     from hiero_spark.functions.bloom import _positions
 
     words = (
-        df.select(
-            grp.alias("g"),
+        staged.select(
+            F.col("_grp").alias("g"),
             F.explode(_positions(F.col(key_col), m_bits, n_hashes)).alias("p"),
         )
         .select(
@@ -396,6 +412,7 @@ def save_bloom_indexed(
         .agg(F.bit_or("b").alias("word"))
         .collect()
     )
+    staged.unpersist()
     blooms: dict[str, dict[str, str]] = {}
     for r in words:
         blooms.setdefault(str(r["g"]), {})[str(r["w"])] = format(
@@ -454,6 +471,52 @@ def read_bloom_pruned(spark: SparkSession, path: str, value) -> DataFrame:
         *[os.path.join(path, f"_grp={g}") for g in sorted(survivors)]
     )
     return pruned.filter(F.col(key_col) == lit).drop("_grp")
+
+
+def read_bloom_pruned_many(spark: SparkSession, path: str, values) -> DataFrame:
+    """Batched `read_bloom_pruned`: one lookup DataFrame for a LIST of
+    probe values — same pruning guarantee per value (read only the file
+    groups whose bitmap reports 'maybe' for that value), but the probe
+    positions for every value come from ONE 1-row-per-value Spark job
+    and the surviving groups are read in ONE pruned scan, where N
+    single-value calls pay N position jobs and N scans (round 15: the
+    s22 forget-me verification probes 3 ids — the job ladder tripled).
+    Row set == the union of the single-value reads: the final exact
+    `isin` predicate keeps only true matches, so extra groups admitted
+    by another value's bloom contribute nothing."""
+    import json as _json
+
+    with open(os.path.join(path, "_blooms.json")) as fh:
+        sc = _json.load(fh)
+    from hiero_spark.functions.bloom import _positions
+
+    key_col, m_bits, n_hashes = sc["key_col"], sc["m_bits"], sc["n_hashes"]
+    base = spark.read.parquet(path)
+    key_type = base.schema[key_col].dataType
+    vdf = spark.createDataFrame([(str(v),) for v in values], "k string")
+    lit = F.col("k").cast(key_type)
+    probes = vdf.select(
+        lit.alias("key"), _positions(lit, m_bits, n_hashes).alias("p")
+    ).collect()
+
+    def _hit(wordmap, positions) -> bool:
+        return all(
+            (int(wordmap.get(str(p >> 6), "0"), 16) >> (p & 63)) & 1
+            for p in positions
+        )
+
+    survivors = sorted(
+        int(g)
+        for g, wordmap in sc["blooms"].items()
+        if any(_hit(wordmap, r["p"]) for r in probes)
+    )
+    if not survivors:
+        return base.limit(0).filter(F.lit(False))
+    typed = [r["key"] for r in probes]
+    pruned = spark.read.option("basePath", path).parquet(
+        *[os.path.join(path, f"_grp={g}") for g in survivors]
+    )
+    return pruned.filter(F.col(key_col).isin(typed)).drop("_grp")
 
 
 def delete_bloom_keys(spark: SparkSession, path: str, keys: list) -> dict:
@@ -523,34 +586,60 @@ def delete_bloom_keys(spark: SparkSession, path: str, keys: list) -> dict:
     doomed = spark.createDataFrame(
         [(str(k),) for k in live_keys], "k string"
     ).select(F.col("k").cast(key_type).alias(key_col))
+    # ONE job rewrites the touched groups AND reports every statistic
+    # the sidecar update needs (round 15, guide §1.2/§5): the dead-row
+    # count, the survivor count, and the set of groups that still hold
+    # rows all ride the write as Observations — the old shape ran a
+    # count job, a persisted count job, and a distinct-collect job
+    # before the write, tripling the touched-group scans.
+    from pyspark.sql import Observation
+
+    obs_sub = Observation()
+    obs_sur = Observation()
     sub = spark.read.option("basePath", path).parquet(
         *[os.path.join(path, f"_grp={g}") for g in touched]
+    ).observe(obs_sub, F.count(F.lit(1)).alias("n_before"))
+    survivors = sub.join(F.broadcast(doomed), key_col, "left_anti").observe(
+        obs_sur,
+        F.count(F.lit(1)).alias("n_after"),
+        F.collect_set("_grp").alias("present"),
     )
-    n_before = sub.count()
-    survivors = sub.join(F.broadcast(doomed), key_col, "left_anti").persist()
-    n_after = survivors.count()
-    present = {r[0] for r in survivors.select("_grp").distinct().collect()}
     (
         survivors.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("_grp")
         .parquet(path)
     )
-    words = (
-        survivors.select(
-            F.col("_grp").alias("g"),
-            F.explode(_positions(F.col(key_col), m_bits, n_hashes)).alias("p"),
+    n_before = int(obs_sub.get["n_before"])
+    n_after = int(obs_sur.get["n_after"])
+    present = {int(g) for g in obs_sur.get["present"]}
+    # rebuild touched groups' bitmaps from the files the write just
+    # produced — a column-pruned (key only) read of exactly the
+    # touched survivors, instead of re-running the anti-join
+    rebuild_dirs = [
+        os.path.join(path, f"_grp={g}") for g in sorted(present & set(touched))
+    ]
+    words = []
+    if rebuild_dirs:
+        words = (
+            spark.read.option("basePath", path).parquet(*rebuild_dirs)
+            .select(
+                F.col("_grp").alias("g"),
+                F.explode(
+                    _positions(F.col(key_col), m_bits, n_hashes)
+                ).alias("p"),
+            )
+            .select(
+                "g",
+                F.shiftright("p", 6).alias("w"),
+                F.expr(
+                    "shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))"
+                ).alias("b"),
+            )
+            .groupBy("g", "w")
+            .agg(F.bit_or("b").alias("word"))
+            .collect()
         )
-        .select(
-            "g",
-            F.shiftright("p", 6).alias("w"),
-            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").alias("b"),
-        )
-        .groupBy("g", "w")
-        .agg(F.bit_or("b").alias("word"))
-        .collect()
-    )
-    survivors.unpersist()
     for g in touched:
         sc["blooms"].pop(str(g), None)
         if g not in present:

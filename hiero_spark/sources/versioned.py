@@ -525,20 +525,33 @@ def wap_commit(
     report either way."""
     if audit_scope not in ("version", "delta"):
         raise ValueError(f"audit_scope must be version|delta, got {audit_scope!r}")
+    from pyspark.sql import Observation, functions as F
+
     commit_staged(df, path, mode, note=note)
     audit_df = (
         read_staged(spark, path)
         if audit_scope == "version"
         else read_staged_delta(spark, path)
     )
-    report_rows = checks.report(audit_df).collect()
+    # the audited frame's row count rides the audit job as an
+    # Observation (round 15): under audit_scope="version" it IS the
+    # row count of the version a successful publish exposes (publish
+    # promotes exactly the audited file list), so callers need no
+    # second full-version count after a clean publish
+    obs = Observation()
+    report_rows = checks.report(
+        audit_df.observe(obs, F.count(F.lit(1)).alias("n"))
+    ).collect()
     ok = all(r["passed"] for r in report_rows)
     report = [
         {k: r[k] for k in ("check", "column", "n_violations", "passed")}
         for r in report_rows
     ]
+    n_audited = int(obs.get["n"])
     if ok:
         m = publish_staged(path)
-        return {"published": True, "version": m["version"], "report": report}
+        return {"published": True, "version": m["version"], "report": report,
+                "n_rows_audited": n_audited}
     abort_staged(path)
-    return {"published": False, "version": None, "report": report}
+    return {"published": False, "version": None, "report": report,
+            "n_rows_audited": n_audited}

@@ -72,6 +72,54 @@ def test_delete_rewrites_only_touched_groups(spark, tmp_path):
     assert spark.read.parquet(path).count() == 498
 
 
+def test_batched_probe_equals_union_of_single_probes(spark, bloom_table):
+    """read_bloom_pruned_many (round 15: s22 verifies its 3 forget-me ids
+    with ONE position job + ONE pruned scan) must return exactly the
+    union of the single-value reads — including a never-stored probe
+    contributing nothing — and still plan a pruned scan."""
+    path, _ = bloom_table
+    probes = ["key_3", "key_1234", "nope_xyz"]
+    singles = sorted(
+        tuple(r)
+        for v in probes
+        for r in L.read_bloom_pruned(spark, path, v).collect()
+    )
+    many_df = L.read_bloom_pruned_many(spark, path, probes)
+    many = sorted(tuple(r) for r in many_df.collect())
+    assert many == singles and len(many) == 2
+    groups = {f.split("_grp=")[1].split("/")[0] for f in many_df.inputFiles()}
+    assert len(groups) < 16  # still a pruned read, not a full scan
+
+
+def test_replayed_delete_batch_rewrites_nothing(spark, tmp_path):
+    """Round-15 (r14 verdict #5): a forget-me batch REPLAYED against the
+    layout must be short-circuited entirely by the rebuilt bitmaps —
+    zero groups rewritten, zero rows deleted, bytes untouched."""
+    import os
+    import time as _t
+
+    path = str(tmp_path / "deltbl_replay")
+    df = spark.range(400).selectExpr("id", "id * 5 AS v")
+    L.save_bloom_indexed(spark, df, path, "id", n_files=8)
+    first = L.delete_bloom_keys(spark, path, [7, 123, 321])
+    assert first["rows_deleted"] == 3
+    mtimes = {
+        g: os.path.getmtime(os.path.join(path, g))
+        for g in os.listdir(path) if g.startswith("_grp=")
+    }
+    _t.sleep(1.1)
+    replay = L.delete_bloom_keys(spark, path, [7, 123, 321])
+    assert replay["groups_rewritten"] == 0
+    assert replay["rows_deleted"] == 0
+    assert replay["keys_skipped_by_bloom"] == 3
+    after = {
+        g: os.path.getmtime(os.path.join(path, g))
+        for g in os.listdir(path) if g.startswith("_grp=")
+    }
+    assert after == mtimes  # no directory's bytes moved
+    assert spark.read.parquet(path).count() == 397
+
+
 def test_absent_keys_rewrite_nothing(spark, tmp_path):
     path = str(tmp_path / "deltbl2")
     df = spark.range(100).selectExpr("id", "id AS v")

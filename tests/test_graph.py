@@ -78,10 +78,10 @@ def test_cc_pointer_jump_beats_linear_propagation(spark):
 
 
 def test_cc_reach_recurrence_boundary_is_exactly_14_at_3_rounds(spark):
-    """Pins the reach recurrence the round-14 call-site round counts
-    rely on (n7_connected_components 4->3, n1_entity_resolution 5->3):
-    neighbor-min adds 1 hop, pointer jump doubles, so reach after r
-    rounds is d_r = 2*(d_{r-1}+1) -> d_3 = 14 EXACTLY on a path.
+    """Pins the reach recurrence: neighbor-min adds 1 hop, the pointer
+    jump doubles, so reach after r rounds is d_r = 2*(d_{r-1}+1) ->
+    d_3 = 14 EXACTLY on a path.  With the round-15 convergence cap the
+    boundary still shows whenever the cap binds below convergence.
 
     Both sides of the boundary are asserted so the test fails if the
     implementation ever loses a doubling (e.g. the jump join silently
@@ -100,11 +100,39 @@ def test_cc_reach_recurrence_boundary_is_exactly_14_at_3_rounds(spark):
     assert r3[14] == 0, "3 rounds must reach distance 14 (d_3 = 14)"
     assert r3[15] != 0, (
         "3 rounds must NOT reach distance 15 — if they do, the reach "
-        "recurrence documented at the n_iter=3 call sites is stale"
+        "recurrence documented at the call sites is stale"
     )
     r4 = {r.node: r.component for r in
           connected_components(edges, n_iter=4).collect()}
     assert set(r4.values()) == {0}, "4 rounds (d_4 = 30) close the path"
+
+
+def test_cc_niter_is_a_convergence_cap_not_a_round_count(spark):
+    """Round-15 semantic fix (round-14 verdict #1): n_iter used to be an
+    ASSUMED round count — a graph whose diameter exceeded the cap's
+    reach silently got wrong labels.  Now every round's neighbor-min
+    carries the prior label through the aggregation (the dedup_clusters
+    fusion) and the loop exits the round after nothing changes, so a
+    generous cap costs nothing once converged and a deep graph keeps
+    iterating.  A diameter-15 path — the old test pinned this shape as
+    NOT converged at the round-14 call-site setting — must now converge
+    exactly under a high cap."""
+    from hiero_spark.functions.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(15)], "src long, dst long"
+    )
+    got = {r.node: r.component for r in
+           connected_components(edges, n_iter=30).collect()}
+    assert got == {i: 0 for i in range(16)}, (
+        "diameter-15 path must converge to the component min under a "
+        "convergence-checked cap"
+    )
+    # the cap still BINDS when genuinely insufficient (bounded-round
+    # behavior is unchanged below convergence):
+    r1 = {r.node: r.component for r in
+          connected_components(edges, n_iter=1).collect()}
+    assert r1[15] != 0, "1 round (reach d_1 = 2) must not close a 15-path"
 
 
 def test_cc_shipped_workload_shapes_converge_at_3_rounds(spark):

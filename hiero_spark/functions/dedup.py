@@ -472,6 +472,10 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         .withColumn("label", F.col("doc"))
         .localCheckpoint()
     )
+    from pyspark.sql import Observation
+
+    from hiero_spark.functions.graph import _observed
+
     label_t = labels.schema["label"].dataType
     for _ in range(max_iter):
         neigh = edges.join(labels, edges["a"] == labels["doc"]).select(
@@ -480,13 +484,27 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             F.lit(None).cast(label_t).alias("old"),
         )
         cur = labels.select("doc", "label", F.col("label").alias("old"))
+        # round 15: the changed-count rides the round's own checkpoint
+        # materialization as an Observation (the connected_components
+        # pattern, returned to its donor) — the round-14 shape still ran
+        # one explicit count job per round over the checkpointed frame
+        obs = Observation()
         new_labels = (
             cur.unionByName(neigh)
             .groupBy("doc")
             .agg(F.min("label").alias("label"), F.min("old").alias("old"))
+            .observe(
+                obs,
+                F.sum(
+                    F.when(F.col("label") < F.col("old"), 1).otherwise(0)
+                ).alias("changed"),
+            )
             .localCheckpoint()
         )
-        changed = new_labels.filter(F.col("label") < F.col("old")).count()
+        changed = _observed(
+            obs, "changed",
+            lambda: new_labels.filter(F.col("label") < F.col("old")).count(),
+        )
         labels = new_labels.select("doc", "label")
         if changed == 0:
             break

@@ -27,6 +27,68 @@ from pyspark.sql import DataFrame, functions as F
 
 SCALE = 1_000_000  # rank 1.0 in micro-units
 
+# Cluster-regime switch for the loop-invariant edge relation (round 15,
+# r14 verdict #6 / guide §2.4): above this size the materialized edge
+# list is hash-partitioned by the per-round join key and persisted, so
+# the planner sees its partitioning and every round's join skips the
+# edge-side exchange entirely — rounds shuffle only the O(V) label/dist
+# frame.  Below it (every shipped SF is ~3 orders of magnitude below
+# the default) the edge frame is localCheckpoint'ed as before: a fixed
+#-width pre-partition at local scale was measured 2x WORSE in round 14
+# (it defeats AQE's coalescing of the tiny per-round shuffles), which
+# is exactly why this is a size gate and not a constant behavior.
+_PREPARTITION_CONF = "spark.hiero.graph.prepartitionBytes"
+_PREPARTITION_DEFAULT = "1g"
+
+
+def _pin_wide(
+    df: DataFrame,
+    key: str,
+    fallback: str = "checkpoint",
+    size_hint_df: DataFrame | None = None,
+) -> DataFrame:
+    """Materialize a loop-invariant relation for an iterative operator.
+
+    Gate ON (plan estimate > the conf threshold): repartition by `key`
+    into spark.sql.shuffle.partitions, persist (tracked — released via
+    release_caches(), the operator-internal cache contract), and
+    materialize with a count.  Persist, not checkpoint, on purpose: a
+    localCheckpoint erases the partitioning from the planner's view (a
+    LogicalRDD has unknown partitioning), while the cached repartition
+    keeps hashpartitioning(key) visible so EnsureRequirements drops the
+    per-round edge-side exchange.
+
+    Gate OFF: `fallback` — "checkpoint" (lineage cut + materialized) or
+    "asis" (caller composes lazily over already-materialized inputs).
+
+    `size_hint_df`: estimate from THIS frame's plan instead of `df`'s —
+    required when `df` is built over already-checkpointed inputs, whose
+    LogicalRDD stats degenerate to spark.sql.defaultSizeInBytes
+    (Long.MaxValue — the gate would always fire).  Callers pass the
+    pre-checkpoint source plan, which carries real scan statistics.
+    """
+    from hiero_spark.functions.pipeline import _parse_size_bytes
+
+    spark = df.sparkSession
+    try:
+        thr = _parse_size_bytes(
+            spark.conf.get(_PREPARTITION_CONF, _PREPARTITION_DEFAULT)
+        )
+        basis = size_hint_df if size_hint_df is not None else df
+        est = int(
+            basis._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        thr, est = 0, 0
+    if thr > 0 and est > thr:
+        from hiero_spark.functions._cachetrack import persist_tracked
+
+        p = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        wide = persist_tracked(df.repartition(p, key))
+        wide.count()  # materialize now — the checkpoint's role
+        return wide
+    return df.localCheckpoint() if fallback == "checkpoint" else df
+
 
 def pagerank(
     edges: DataFrame,
@@ -45,9 +107,10 @@ def pagerank(
     # contribs join re-derives the caller's edge plan and every ranks
     # rebuild re-runs the nodes distinct and the outdeg aggregation —
     # 3 redundant subplans per iteration.
-    ed = edges.select(
-        F.col(src).alias("e_src"), F.col(dst).alias("e_dst")
-    ).localCheckpoint()
+    ed = _pin_wide(
+        edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst")),
+        "e_src",
+    )
     nodes = (
         ed.select(F.col("e_src").alias("node"))
         .union(ed.select(F.col("e_dst").alias("node")))
@@ -229,11 +292,21 @@ def k_core(
             .agg(F.count(F.lit(1)).alias("d"))
         )
 
+    from pyspark.sql import Observation
+
     for _ in range(n_rounds):
-        bad = degrees(cur).filter(F.col("d") < k).select("v")
-        if bad.isEmpty():
+        # one degree pass per round (round 15): the old shape ran the
+        # aggregation TWICE when peeling continued — once under
+        # isEmpty(), again under the checkpoint — and the emptiness
+        # check now rides the checkpoint job as an Observation
+        obs = Observation()
+        bad = (
+            degrees(cur).filter(F.col("d") < k).select("v")
+            .observe(obs, F.count(F.lit(1)).alias("n"))
+            .localCheckpoint()
+        )
+        if _observed(obs, "n", lambda: bad.count()) == 0:
             break
-        bad = bad.localCheckpoint()
         cur = (
             cur.join(bad.withColumnRenamed("v", "a"), "a", "left_anti")
             .join(bad.withColumnRenamed("v", "b"), "b", "left_anti")
@@ -327,9 +400,20 @@ def connected_components(
     # distinct on the endpoints and a second distinct after the union)
     endpoints = endpoints.distinct().localCheckpoint()
     # lazy union: both inputs are checkpointed, so per-round re-derivation
-    # is a free concat — the old third checkpoint bought nothing
-    symx = sym.union(
-        endpoints.select(F.col("node").alias("u"), F.col("node").alias("v"))
+    # is a free concat — the old third checkpoint bought nothing.  Above
+    # the cluster-regime gate the union IS worth materializing, hash-
+    # partitioned by the per-round join key (size hint = the caller's
+    # edge plan: symx is built over checkpointed inputs whose stats
+    # degenerate).
+    symx = _pin_wide(
+        sym.union(
+            endpoints.select(
+                F.col("node").alias("u"), F.col("node").alias("v")
+            )
+        ),
+        "v",
+        fallback="asis",
+        size_hint_df=edges,
     )
     labels = None  # identity through round 1 — see below
     for it in range(n_iter):
@@ -360,7 +444,10 @@ def connected_components(
                 F.when(F.col("label") < F.col("old"), 1).otherwise(0)
             ).alias("changed"),
         ).localCheckpoint()
-        changed = _observed_or_count(obs, stepped)
+        changed = _observed(
+            obs, "changed",
+            lambda: stepped.filter(F.col("label") < F.col("old")).count(),
+        )
         if changed == 0:
             labels = stepped.select("node", "label")
             break
@@ -376,14 +463,14 @@ def connected_components(
     return labels.select("node", F.col("label").alias("component"))
 
 
-def _observed_or_count(obs, stepped: DataFrame) -> int:
-    """The round's changed-label count, preferably from the Observation
-    the checkpoint materialization already filled (zero extra jobs —
-    Spark's checkpoint runs under withAction, so QueryExecutionListener
-    metrics fire; verified on Spark 4.1).  If a future Spark stops
-    reporting metrics for checkpoint actions the Observation would
-    never fill, so the wait is bounded and the fallback is an explicit
-    (cheap — it reads the checkpointed rows) count job."""
+def _observed(obs, key: str, fallback) -> int:
+    """An integer metric from an Observation the round's checkpoint
+    materialization already filled (zero extra jobs — Spark's
+    checkpoint runs under withAction, so QueryExecutionListener metrics
+    fire; verified on Spark 4.1).  If a future Spark stops reporting
+    metrics for checkpoint actions the Observation would never fill, so
+    the wait is bounded and `fallback()` runs an explicit (cheap — it
+    reads checkpointed rows) job instead."""
     import threading
 
     out: dict = {}
@@ -397,9 +484,9 @@ def _observed_or_count(obs, stepped: DataFrame) -> int:
     t = threading.Thread(target=_get, daemon=True)
     t.start()
     t.join(timeout=30.0)
-    if "v" in out and out["v"].get("changed") is not None:
-        return int(out["v"]["changed"])
-    return stepped.filter(F.col("label") < F.col("old")).count()
+    if "v" in out and out["v"].get(key) is not None:
+        return int(out["v"][key])
+    return int(fallback())
 
 
 def bfs_levels(
@@ -431,9 +518,12 @@ def bfs_levels(
     # materialize the symmetrized edge list ONCE: without this, every
     # round's join re-derives the caller's edge plan (e.g. the
     # orders⋈lineitem distinct) — measured 6.2 s -> 4.0 s at sf0.1; the residual is per-round job overhead, not data. dist accumulates as LAYERS (each hop's checkpointed frame, unioned lazily) so no round rewrites the whole O(V) table — local wall is indifferent at sf0.1, the 100 TB write amplification is not
-    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
-        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
-    ).localCheckpoint()
+    sym = _pin_wide(
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
+            edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+        ),
+        "u",
+    )
     dist = (
         sources.select(F.col(sources.columns[0]).alias("node"))
         .distinct()
@@ -442,17 +532,24 @@ def bfs_levels(
     )
     frontier = dist.select("node")
     pieces = [dist]  # each hop's checkpointed layer; never re-materialized
+    from pyspark.sql import Observation
+
     for h in range(1, max_hops + 1):
         seen = reduce(lambda a, b: a.unionByName(b), pieces)
+        # the empty-frontier check rides the layer's own checkpoint
+        # materialization as an Observation (round 15 — the CC pattern):
+        # the old isEmpty() was one extra job per hop
+        obs = Observation()
         nxt = (
             sym.join(frontier, sym["u"] == frontier["node"])
             .select(F.col("v").alias("node"))
             .distinct()
             .join(seen, "node", "left_anti")
             .withColumn("dist", F.lit(h).cast("long"))
+            .observe(obs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint()
         )
-        if nxt.isEmpty():
+        if _observed(obs, "n", lambda: nxt.count()) == 0:
             break
         pieces.append(nxt)
         frontier = nxt.select("node")
@@ -487,13 +584,18 @@ def bellman_ford(
     """
     # one-time edge materialization (the bfs_levels lesson): rounds must
     # relax a stored table, not re-run the caller's edge derivation
-    sym = edges.select(
-        F.col(src).alias("u"), F.col(dst).alias("v"), F.col(weight).alias("w")
-    ).union(
+    sym = _pin_wide(
         edges.select(
-            F.col(dst).alias("u"), F.col(src).alias("v"), F.col(weight).alias("w")
-        )
-    ).localCheckpoint()
+            F.col(src).alias("u"), F.col(dst).alias("v"),
+            F.col(weight).alias("w"),
+        ).union(
+            edges.select(
+                F.col(dst).alias("u"), F.col(src).alias("v"),
+                F.col(weight).alias("w"),
+            )
+        ),
+        "u",
+    )
     dist = (
         sources.select(F.col(sources.columns[0]).alias("node"))
         .distinct()
@@ -538,9 +640,12 @@ def label_propagation(
     """
     from pyspark.sql.window import Window
 
-    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
-        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
-    ).localCheckpoint()  # rounds join a stored table, not the edge plan
+    sym = _pin_wide(
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
+            edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+        ),
+        "v",
+    )  # rounds join a stored table, not the edge plan
     seed_df = (
         seeds.select(
             F.col(seeds.columns[0]).alias("node"),

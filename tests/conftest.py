@@ -1,8 +1,58 @@
 import os
+import zlib
 
 import pytest
 
 os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
+
+# Round-15 two-tier split (see pytest.ini): modules here go to the
+# `slow` tier wholesale — they are the duration-dominant files measured
+# in the round-15 full run, and each is either a breadth sweep whose
+# fast-tier representative exists (oracle parity keeps a deterministic
+# sample; the plan sweep keeps test_plans' targeted pins) or a
+# regime-stress suite (fuzzers, codecs, streaming restarts) that full
+# runs and CI-style passes still execute via `-m ""`.
+SLOW_MODULES = {
+    "test_oracle_parity",   # 275-query sweep — a 1-in-6 sample stays fast
+    "test_plan_sweep",
+    "test_fuzz_parity",
+    "test_fuzz_curation",
+    "test_fuzz_expressions",
+    "test_fuzz_intervals",
+    "test_fuzz_nulls",
+    "test_fuzz_strings",
+    "test_fuzz_text",
+    "test_fuzz_timestamps",
+    "test_multimodal_codecs",
+    "test_streaming",
+    "test_scale_toolkit",
+    "test_semantic_dedup",
+    "test_journeys",
+    "test_sql_conformance",
+}
+
+# Deterministic oracle-parity sample kept in the fast tier: query name
+# hashes to 0 mod 6 (~45 of 275) — rotation-free, so the same queries
+# are the canary every round and a parity break surfaces in the
+# driver's default run.
+PARITY_FAST_MOD = 6
+
+
+def pytest_collection_modifyitems(config, items):
+    slow = pytest.mark.slow
+    for item in items:
+        mod = getattr(item, "module", None)
+        name = mod.__name__.rsplit(".", 1)[-1] if mod else ""
+        if name == "test_oracle_parity":
+            q = (
+                item.callspec.params.get("name", "")
+                if hasattr(item, "callspec")
+                else ""
+            )
+            if q and zlib.crc32(q.encode()) % PARITY_FAST_MOD != 0:
+                item.add_marker(slow)
+        elif name in SLOW_MODULES:
+            item.add_marker(slow)
 
 SF_SMOKE = "/root/testdata/sf0.001"
 SF_ORACLE = "/root/testdata/sf0.01"
